@@ -15,26 +15,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.aggGroupBy(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_scan_project" -> (RelationalQueries.scanProject _),
-    "q02_agg_groupby" -> (RelationalQueries.aggGroupBy _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.entries
 
-  def oracleSql: Map[String, String] = Map(
-    "q01_scan_project" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem WHERE l_quantity > 45.0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q02_agg_groupby" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-  )
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles
 }
