@@ -1,0 +1,213 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, SaveMode, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** A named connector: where tables ("indexes") live and how to read/write
+  * them. The reference's connector protocol is five duck-typed methods per
+  * backend — `get_data / save_data / create_index / get_count /
+  * get_indexes` (SURVEY.md §2.1). Here a connector is declarative: a
+  * format + options + a table→location mapping, and the five methods fall
+  * out of `DataFrameReader`/`DataFrameWriter` (scan, sink), `df.schema` →
+  * [[SchemaInfer]] DDL (create), `df.count()` (count pushed to parquet
+  * footers / source stats by Catalyst), and a catalog listing.
+  */
+sealed trait Connector {
+  def name: String
+  /** Scan: `get_data(index)` analog (S1/S6/S10…). */
+  def read(spark: SparkSession, index: String): DataFrame
+  /** Sink: `save_data(index, batch)` analog. Mode semantics per [[WriteMode]]. */
+  def write(df: DataFrame, index: String, mode: WriteMode): Unit
+  /** Catalog: `get_indexes()` analog. */
+  def listIndexes(spark: SparkSession): Seq[String]
+  /** Count pushdown: `get_count(index)` (S5). Catalyst answers parquet
+    * counts from footer metadata — no data scan. */
+  def count(spark: SparkSession, index: String): Long = read(spark, index).count()
+}
+
+/** Write modes mirroring the reference's INSERT flavors
+  * (`d22d/utils/db/__init__.py:700-711`; `d22d/task.py:152`).
+  * On key-less file sinks, Ignore/Replace are MERGE-style rewrites keyed
+  * on `pks` — at cluster scale these map to `MERGE INTO` on a
+  * transactional table format; here they are read-union-rewrite.
+  */
+sealed trait WriteMode
+object WriteMode {
+  /** plain INSERT INTO */
+  case object Append extends WriteMode
+  /** drop & recreate */
+  case object Overwrite extends WriteMode
+  /** INSERT IGNORE: existing rows win on pk conflict */
+  final case class InsertIgnore(pks: Seq[String]) extends WriteMode
+  /** REPLACE INTO: new rows win on pk conflict */
+  final case class Replace(pks: Seq[String]) extends WriteMode
+}
+
+/** File-based connector: one file/dir per table under a root directory.
+  * Table-name ↔ path mapping follows `BaseFileD.gen_path_by_index` /
+  * `get_indexes` (`d22d/utils/db/__init__.py:510-529`): nested files map
+  * to `subdir-filename` index names.
+  */
+final case class FileConnector(
+    name: String,
+    root: String,
+    format: String, // csv | json | parquet | text
+    options: Map[String, String] = Map.empty,
+) extends Connector {
+
+  private def ext: String = format match {
+    case "json" => ".json"
+    case "csv"  => ".csv"
+    case "text" => ".txt"
+    case _      => "" // parquet dirs have no extension requirement
+  }
+
+  def pathFor(index: String): String =
+    Paths.get(root, index.replace("-", java.io.File.separator) + ext).toString
+
+  private def configure(r: DataFrameReader): DataFrameReader = {
+    val withDefaults = format match {
+      case "csv" => r.option("header", "true").option("inferSchema", "true")
+      case _     => r
+    }
+    options.foldLeft(withDefaults) { case (rr, (k, v)) => rr.option(k, v) }
+  }
+
+  def read(spark: SparkSession, index: String): DataFrame =
+    configure(spark.read).format(format).load(pathFor(index))
+
+  private def configureW[T](w: DataFrameWriter[T]): DataFrameWriter[T] = {
+    val withDefaults = format match {
+      case "csv" => w.option("header", "true")
+      case _     => w
+    }
+    options.foldLeft(withDefaults) { case (ww, (k, v)) => ww.option(k, v) }
+  }
+
+  def write(df: DataFrame, index: String, mode: WriteMode): Unit = {
+    val target = pathFor(index)
+    val exists = Files.exists(Paths.get(target))
+    mode match {
+      case WriteMode.Append =>
+        configureW(df.write).format(format).mode(SaveMode.Append).save(target)
+      case WriteMode.Overwrite =>
+        configureW(df.write).format(format).mode(SaveMode.Overwrite).save(target)
+      case WriteMode.InsertIgnore(pks) if exists =>
+        mergeRewrite(df, index, pks, newWins = false)
+      case WriteMode.Replace(pks) if exists =>
+        mergeRewrite(df, index, pks, newWins = true)
+      case _ => // target absent: both upsert modes degenerate to overwrite
+        configureW(df.write).format(format).mode(SaveMode.Overwrite).save(target)
+    }
+  }
+
+  /** Keyed upsert on a non-transactional file target: read-union-rewrite.
+    * The anti-join side is the loser; at 100 TB this is `MERGE INTO` on
+    * Delta/Iceberg — semantics identical, rewrite scoped to touched files.
+    */
+  private def mergeRewrite(df: DataFrame, index: String, pks: Seq[String], newWins: Boolean): Unit = {
+    require(pks.nonEmpty, s"$name/$index: InsertIgnore/Replace need pk columns")
+    val spark = df.sparkSession
+    val existing = read(spark, index)
+    val winner = if (newWins) df else existing
+    val loser = if (newWins) existing else df
+    val survivors = loser.join(winner.select(pks.map(winner.apply): _*).dropDuplicates(pks), pks, "left_anti")
+    val out = winner.unionByName(survivors, allowMissingColumns = true)
+    // Stage through a temp dir: the plan still reads the target path, so
+    // overwriting it in place would clobber its own input partitions.
+    val tmp = Files.createTempDirectory(s"graft-$name-").resolve(index).toString
+    configureW(out.write).format(format).mode(SaveMode.Overwrite).save(tmp)
+    configureW(spark.read.format(format).load(tmp).write)
+      .format(format).mode(SaveMode.Overwrite).save(pathFor(index))
+  }
+
+  def listIndexes(spark: SparkSession): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Nil
+    // A Spark output "file" is a directory of part-files; treat any dir
+    // that is itself a table location (name carries the extension, or it
+    // holds part-/_SUCCESS files) as a leaf rather than recursing.
+    def isTableDir(p: Path): Boolean =
+      (ext.nonEmpty && p.getFileName.toString.endsWith(ext)) ||
+        Files.list(p).iterator().asScala.exists { f =>
+          val n = f.getFileName.toString
+          n.startsWith("part-") || n == "_SUCCESS"
+        }
+    def walk(p: Path): Seq[Path] =
+      if (Files.isDirectory(p) && !isTableDir(p))
+        Files.list(p).iterator().asScala.toSeq.sorted.flatMap(walk)
+      else Seq(p)
+    walk(rootPath)
+      .filter(p => ext.isEmpty || p.toString.endsWith(ext))
+      .map { p =>
+        val rel = rootPath.relativize(p).toString
+        rel.stripSuffix(ext).replace(java.io.File.separator, "-")
+      }
+      .sorted
+  }
+}
+
+/** In-memory connector (`ListD`, `d22d/utils/db/__init__.py:1469-1498`):
+  * named DataFrames, registered programmatically. `get_dict_kv` — the
+  * reference's join build side — is just the DataFrame handed to a join.
+  */
+final case class MemConnector(name: String) extends Connector {
+  private val tables = TrieMap.empty[String, DataFrame]
+  def put(index: String, df: DataFrame): Unit = tables.put(index, df)
+  def read(spark: SparkSession, index: String): DataFrame =
+    tables.getOrElse(index, throw new NoSuchElementException(s"$name/$index"))
+  def write(df: DataFrame, index: String, mode: WriteMode): Unit = mode match {
+    case WriteMode.Append if tables.contains(index) =>
+      tables.put(index, tables(index).unionByName(df, allowMissingColumns = true))
+    case _ => tables.put(index, df)
+  }
+  def listIndexes(spark: SparkSession): Seq[String] = tables.keys.toSeq.sorted
+}
+
+/** JDBC connector (S1-S5, S20-S23): MySQL/PG/ClickHouse/Oracle scans and
+  * sinks via Spark's JDBC source. `fetchsize`/`batchsize` carry the
+  * reference's streaming-cursor and executemany knobs;
+  * `partitionColumn/numPartitions` add the parallel-scan the reference
+  * lacks (its TODO "Multi process", reference README). No live database
+  * exists in this environment, so this connector is exercised only through
+  * its option plumbing.
+  */
+final case class JdbcConnector(
+    name: String,
+    url: String,
+    options: Map[String, String] = Map.empty,
+) extends Connector {
+  def read(spark: SparkSession, index: String): DataFrame = {
+    val base = spark.read.format("jdbc").option("url", url)
+      .option("fetchsize", options.getOrElse("fetchsize", "1000"))
+    val withTable =
+      if (index.trim.toLowerCase.startsWith("select ")) base.option("query", index)
+      else base.option("dbtable", index) // raw-SQL passthrough parity: db/__init__.py:375-378
+    options.foldLeft(withTable) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+  def write(df: DataFrame, index: String, mode: WriteMode): Unit = {
+    val saveMode = mode match {
+      case WriteMode.Overwrite => SaveMode.Overwrite
+      case _                   => SaveMode.Append
+    }
+    options.foldLeft(
+      df.write.format("jdbc").option("url", url).option("dbtable", index)
+        .option("batchsize", options.getOrElse("batchsize", "1000"))
+    ) { case (w, (k, v)) => w.option(k, v) }.mode(saveMode).save()
+  }
+  def listIndexes(spark: SparkSession): Seq[String] = Nil
+}
+
+/** Registry: name → connector (the reference passes connector instances
+  * to `Migration(database_from=…, database_to=…)`; a registry makes the
+  * pairing declarative and serializable).
+  */
+final class ConnectorRegistry {
+  private val connectors = TrieMap.empty[String, Connector]
+  def register(c: Connector): this.type = { connectors.put(c.name, c); this }
+  def apply(name: String): Connector =
+    connectors.getOrElse(name, throw new NoSuchElementException(s"connector $name not registered"))
+  def names: Seq[String] = connectors.keys.toSeq.sorted
+}
