@@ -16,8 +16,10 @@ object SparkEntry {
     RelationalQueries.aggGroupBy(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.entries
+    RelationalQueries.entries ++ TextDedup.entries ++ TextAnalysis.entries ++
+      Similarity.entries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ TextDedup.oracles ++ TextAnalysis.oracles ++
+      Similarity.oracles
 }

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextPrims._
+
+/** Text-analysis operators over the `documents` table: quality scoring,
+  * language ID, token counting, document fingerprinting. All are pure
+  * per-row Column expressions — map-only plans, no shuffle, full
+  * whole-stage codegen; at 100 TB they scan at parquet read speed.
+  * Every formula has an exact DuckDB rendering for the oracle.
+  */
+object TextAnalysis {
+
+  /** Quality scoring: length/stopword/type-token signals, the standard
+    * pre-training filters (length, repetition, stopword density).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val nWords = size(w).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val sumLen = expr("aggregate(transform(split(text, ' '), x -> length(x)), 0L, (a, v) -> a + v)")
+    val stopHits = size(filter(w, x => x.isin("a", "the"))).cast("long")
+    val ttr = nDistinct.cast("double") / nWords
+    val stopRatio = stopHits.cast("double") / nWords
+    val quality = least(nWords.cast("double") / lit(50.0), lit(1.0)) * ttr * (lit(1.0) - stopRatio)
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        nWords.as("n_words"),
+        nDistinct.as("n_distinct"),
+        round(sumLen.cast("double") / nWords, 4).as("avg_word_len"),
+        round(ttr, 4).as("type_token_ratio"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(quality, 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleQuality: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS n_words,
+      |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+      |  round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+      |        / len(string_split(text, ' ')), 4) AS avg_word_len,
+      |  round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |        / len(string_split(text, ' ')), 4) AS type_token_ratio,
+      |  round(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the')))::DOUBLE
+      |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |  round(least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0)
+      |        * (len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')))
+      |        * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the')))::DOUBLE
+      |           / len(string_split(text, ' '))), 4) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stopword lists per language (top function words; the zh leg is a
+    * CJK-codepoint check). The heuristic is the standard n-gram/stopword
+    * profile scorer; on this synthetic shared-vocabulary corpus most
+    * docs score as 'en' — the operator's contract is the deterministic
+    * formula, mirrored in the oracle, plus an agreement column vs the
+    * corpus label.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+  )
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val n = size(w).cast("double")
+    val scores = stopwords.map { case (lg, sw) =>
+      lg -> (size(filter(w, x => x.isin(sw: _*))).cast("double") / n)
+    }
+    val scoreCols = scores.map { case (lg, c) => round(c, 4).as(s"score_$lg") }
+    val isZh = regexp_count($"text", lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    // argmax with fixed tie order en > de > fr > es
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val predLang = when(isZh, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    Tables.load(spark, dir, "documents")
+      .select(($"doc_id" +: predLang.as("pred_lang") +: ($"lang" === predLang).as("agree") +: scoreCols): _*)
+      .orderBy($"doc_id")
+  }
+
+  private def oracleLangId: String = {
+    def score(sw: Seq[String]): String =
+      s"(len(list_filter(string_split(text, ' '), x -> x IN (${sw.map(s => s"'$s'").mkString(", ")})))::DOUBLE" +
+        " / len(string_split(text, ' ')))"
+    val Seq(en, de, fr, es) = stopwords.map { case (_, sw) => score(sw) }
+    val scoreCols = stopwords.map { case (lg, sw) => s"round(${score(sw)}, 4) AS score_$lg" }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |       WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |       WHEN $fr >= $es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang,
+       |  lang = (CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |       WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |       WHEN $fr >= $es THEN 'fr'
+       |       ELSE 'es' END) AS agree,
+       |  $scoreCols
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting three ways: whitespace tokens, a BPE-ish regex
+    * (letter runs / single digits / punctuation — the GPT-2 pre-tokenizer
+    * shape), and the chars/4 rule-of-thumb estimate.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        size(words($"text")).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long").as("re_tokens"),
+        ceil(length($"text").cast("double") / 4.0).cast("long").as("est_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleTokenCount: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS re_tokens,
+      |  ceil(length(text)::DOUBLE / 4.0)::BIGINT AS est_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 of the whitespace/punct-normalized
+    * text (fuzzy-exact dedup key) plus a rolling-hash minimum over char
+    * 8-grams (winnowing-style content fingerprint, robust to local
+    * edits). Map-only; the fingerprint then feeds the same hash-groupBy
+    * as exact dedup.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.load(spark, dir, "documents")
+      .withColumn("norm", norm)
+      .filter(length($"norm") >= 8)
+      .select(
+        $"doc_id",
+        md5($"norm").as("fp_md5"),
+        expr("array_min(transform(sequence(1, length(norm) - 7), " +
+          "i -> cast(conv(substring(md5(substring(norm, i, 8)), 1, 15), 16, 10) as bigint)))")
+          .as("fp_rolling"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleFingerprint: String =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+       |  FROM documents)
+       |SELECT doc_id, md5(norm) AS fp_md5,
+       |  list_min(list_transform(generate_series(1, length(norm) - 7),
+       |    i -> ('0x'||substr(md5(substr(norm, i, 8)),1,15))::BIGINT)) AS fp_rolling
+       |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin
+
+  /** Corpus rollup: per (lang, source) quality/token statistics — the
+    * monitoring query a pipeline runs per ingest batch. One shuffle on
+    * the low-cardinality group keys with map-side partial aggregation.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    Tables.load(spark, dir, "documents")
+      .select($"lang", $"source", size(w).cast("long").as("nw"), $"n_chars")
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nw").as("total_words"),
+        round(avg($"nw"), 4).as("avg_words"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  private def oracleCorpusStats: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  sum(len(string_split(text, ' ')))::BIGINT AS total_words,
+      |  round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+      |  round(avg(n_chars), 4) AS avg_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_text_quality" -> (textQuality _),
+    "q25_lang_id" -> (langId _),
+    "q26_token_count" -> (tokenCount _),
+    "q27_fingerprint" -> (fingerprint _),
+    "q28_corpus_stats" -> (corpusStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_text_quality" -> oracleQuality,
+    "q25_lang_id" -> oracleLangId,
+    "q26_token_count" -> oracleTokenCount,
+    "q27_fingerprint" -> oracleFingerprint,
+    "q28_corpus_stats" -> oracleCorpusStats,
+  )
+}

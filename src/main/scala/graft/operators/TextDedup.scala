@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextPrims._
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table. Four families, all deterministic and oracle-backed:
+  * exact (hash groupBy), n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (signature → banding → bucket join → verify), SimHash (bitwise
+  * fingerprint). The reference's only dedup is the whole-row driver-side
+  * set (P4, `d22d/task.py:118-122`); these are its scale-path extensions.
+  *
+  * Scale shapes: nothing here cross-joins the corpus. Jaccard pairs come
+  * from a self-equi-join on the shingle (shuffle keyed on shingle;
+  * at 100 TB add a document-frequency cap to drop stop-shingles);
+  * MinHash candidates come from an equi-join on (band, bucket-key) — the
+  * classic LSH plan whose cost tracks true-duplicate density, not n².
+  */
+object TextDedup {
+
+  private val MinhashPerms = 16
+  private val Bands = 4 // 4 rows/band → ~(j^4) band-collision prob per band
+  private val JaccardThreshold = 0.8
+  private val MinhashVerifyThreshold = 0.7
+
+  /** Exact dedup: md5(text) groups; canonical = min doc_id per group
+    * (hash-agg, one shuffle on the 128-bit fingerprint — the 100 TB
+    * shape for exact dedup).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5($"text").as("fp"))
+      .withColumn("canonical_id", min($"doc_id").over(Window.partitionBy($"fp")))
+      .withColumn("is_dup", $"doc_id" =!= $"canonical_id")
+      .orderBy($"doc_id")
+  }
+
+  private def oracleExact: String =
+    """SELECT doc_id, md5(text) AS fp,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  private def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+    docs.select($"doc_id", explode(shingles3($"w")).as("s")).distinct()
+  }
+
+  private val shingleIndexSql: String =
+    s"""SELECT DISTINCT doc_id, unnest(${shingles3Sql("string_split(text, ' ')")}) AS s
+       |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
+
+  /** Exact pairwise Jaccard over an (id, shingle) inverted index:
+    * self-join on the shingle, |A∩B| = matching rows, |A∪B| by
+    * inclusion-exclusion. No cross join — cost ∝ Σ df(shingle)².
+    */
+  private def jaccardPairs(index: DataFrame): DataFrame = {
+    val sizes = index.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = index.toDF("a_id", "s")
+    val b = index.toDF("b_id", "s2")
+    val common = a.join(b, a("s") === b("s2") && a("a_id") < b("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+  }
+
+  private val jaccardPairsSql: String =
+    s"""sh AS ($shingleIndexSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT a_id, b_id, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id)""".stripMargin
+
+  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    jaccardPairs(shingleIndex(spark, dir))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def oracleNgram: String =
+    s"""WITH $jaccardPairsSql
+       |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM jac
+       |WHERE jaccard >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin
+
+  /** MinHash + LSH near-dedup, the 100 TB path:
+    *  1. signature: 16 md5-family min-hashes per doc (one agg pass);
+    *  2. banding: 4 bands × 4 rows; band key = md5 of the row slice;
+    *  3. candidates: self-equi-join on (band, key) — only docs sharing a
+    *     band bucket meet;
+    *  4. verify: exact Jaccard on candidates only, keep ≥ 0.7.
+    * Deterministic (md5 hash family), so the DuckDB oracle replays it
+    * exactly.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val index = shingleIndex(spark, dir)
+    val sig = index.groupBy(col("doc_id")).agg(
+      min(hash64(concat(lit("0:"), col("s")))).as("m0"),
+      (1 until MinhashPerms).map(i => min(hash64(concat(lit(s"$i:"), col("s")))).as(s"m$i")): _*)
+    val rowsPerBand = MinhashPerms / Bands
+    val bandStructs = (0 until Bands).map { b =>
+      val key = md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val a = bands.toDF("a_id", "band", "bkey")
+    val b = bands.toDF("b_id", "band2", "bkey2")
+    val cand = a.join(b, a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    jaccardPairs(index).join(cand, Seq("a_id", "b_id"))
+      .filter(col("jaccard") >= MinhashVerifyThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def oracleMinhash: String = {
+    val minCols = (0 until MinhashPerms)
+      .map(i => s"min(${hash64Sql(s"$i || ':' || s")}) AS m$i").mkString(", ")
+    val rowsPerBand = MinhashPerms / Bands
+    val bandRows = (0 until Bands).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $key)) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $jaccardPairsSql,
+       |sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT j.a_id, j.b_id, round(j.jaccard, 4) AS jaccard
+       |FROM jac j JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
+       |WHERE j.jaccard >= $MinhashVerifyThreshold ORDER BY j.a_id, j.b_id""".stripMargin
+  }
+
+  private val SimhashBits = 32
+
+  /** SimHash fingerprint: 32-bit signature whose bit j is the sign of
+    * Σ_words (±1 by bit j of the word hash). Near-dup docs land at small
+    * Hamming distance; the fingerprint is a single agg pass (map-side
+    * combine) and joins/bands the same way MinHash does.
+    */
+  def textSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wds = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(array_distinct(words($"text"))).as("w"))
+      .withColumn("h", hash64($"w"))
+    val bitSums = wds.groupBy($"doc_id").agg(
+      sum(when(shiftright($"h", 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
+      (1 until SimhashBits).map(j =>
+        sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")): _*)
+    val sim = (0 until SimhashBits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    bitSums.select($"doc_id", sim.as("simhash")).orderBy($"doc_id")
+  }
+
+  private def oracleSimhash: String = {
+    val h = hash64Sql("w")
+    val sums = (0 until SimhashBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val sim = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH wds AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hashed AS (SELECT doc_id, $h AS h FROM wds),
+       |bits AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $sim AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding near-dup: exact cosine over LSH-style label blocking is
+    * covered in [[Similarity]]; here the pairwise near-dup check runs
+    * within `label` blocks only (a pre-clustered corpus at 100 TB joins
+    * within blocks, never across the full corpus). Threshold keeps the
+    * closest pairs.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+    val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("b_id"), $"label".as("label2"), $"embedding".as("eb"))
+    a.join(b, a("label") === b("label2") && a("a_id") < b("b_id"))
+      .withColumn("cosine", cosineD("ea", "eb"))
+      .filter($"cosine" >= 0.4)
+      .select($"a_id", $"b_id", $"label", round($"cosine", 6).as("cosine"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private def oracleEmbedding: String =
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+       |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_dedup_exact" -> (dedupExact _),
+    "q20_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "q21_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q22_text_simhash" -> (textSimhash _),
+    "q23_dedup_embedding" -> (dedupEmbedding _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q19_dedup_exact" -> oracleExact,
+    "q20_dedup_ngram_jaccard" -> oracleNgram,
+    "q21_dedup_minhash_lsh" -> oracleMinhash,
+    "q22_text_simhash" -> oracleSimhash,
+    "q23_dedup_embedding" -> oracleEmbedding,
+  )
+}

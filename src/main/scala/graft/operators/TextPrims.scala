@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/hash primitives for the data-pipeline operator suite.
+  *
+  * Every hash is derived from md5 so the DuckDB oracle can reproduce it
+  * exactly: Spark `conv(substring(md5(s),1,15),16,10)::long` ==
+  * DuckDB `('0x'||substr(md5(s),1,15))::BIGINT` (60-bit positive,
+  * verified bit-exact in the round-1 parity probe).
+  */
+object TextPrims {
+
+  /** Deterministic 60-bit hash of a string column, reproducible in
+    * DuckDB — the shared primitive under MinHash / SimHash / LSH /
+    * fingerprinting.
+    */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[hash64]] for oracle generation. */
+  def hash64Sql(e: String): String =
+    s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** Corpus tokenization: the synthetic corpus is single-space joined;
+    * split on ' ' keeps Spark and DuckDB `string_split` identical.
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles (k=3): the n-gram unit for Jaccard/MinHash. Caller
+    * must filter `size(words) >= 3` first — `sequence(1, n-2)` runs
+    * DESCENDING when n < 3 (Spark auto-negates the step), which would
+    * fabricate shingles on short docs.
+    */
+  def shingles3(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 2), i =>
+      concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+
+  /** DuckDB rendering of [[shingles3]] over `string_split(text, ' ')`. */
+  def shingles3Sql(w: String): String =
+    s"list_transform(generate_series(1, len($w)-2), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
+
+  /** Double-valued dot product of two float-array columns, accumulation
+    * order = array order (bit-exact vs DuckDB
+    * `list_sum(list_transform(list_zip(a,b), p -> p[1]::DOUBLE*p[2]::DOUBLE))`).
+    * Stays inside codegen — no UDF.
+    */
+  def dotD(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+
+  def normD(a: String): Column =
+    expr(s"sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+
+  def cosineD(a: String, b: String): Column = dotD(a, b) / (normD(a) * normD(b))
+
+  /** DuckDB rendering of [[cosineD]]. NOTE: deliberately NOT
+    * `list_cosine_similarity` — that builtin accumulates in float32 and
+    * diverges from Spark's double accumulation at ~1e-8.
+    */
+  def cosineSql(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE)) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))"
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Sanity specs for the data-pipeline operator suite on sf0.001 (the
+  * value-exact gate is the DuckDB oracle at sf0.01; these check shape
+  * invariants fast).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_exact covers every document exactly once") {
+    val df = TextDedup.dedupExact(spark, dir)
+    assert(df.count() == 500)
+    assert(df.select("doc_id").distinct().count() == 500)
+  }
+
+  test("ngram jaccard pairs are ordered, thresholded, and symmetric-free") {
+    val rows = TextDedup.dedupNgramJaccard(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("minhash-LSH candidates are a subset of exact-jaccard pairs at its threshold") {
+    val lsh = TextDedup.dedupMinhashLsh(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    // every LSH-verified pair has true jaccard >= 0.7 by construction
+    val exact = TextDedup.dedupNgramJaccard(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs at >= 0.8 should essentially all be recalled by 4x4 banding
+    assert((exact -- lsh).isEmpty, "LSH missed high-jaccard pairs")
+  }
+
+  test("simhash emits one 32-bit fingerprint per doc") {
+    val rows = TextDedup.textSimhash(spark, dir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val s = r.getLong(1); s >= 0 && s < (1L << 32)
+    })
+  }
+
+  test("cosine top-k: k rows per query, ranks 1..k, descending cosine") {
+    val rows = Similarity.cosineTopK(spark, dir).collect()
+    assert(rows.length == 50) // 10 queries × 5
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.forall(_._2.map(_.getLong(3)).sorted.toSeq == (1L to 5L)))
+    assert(byQuery.forall { case (_, rs) =>
+      val cs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      cs.zip(cs.tail).forall { case (a, b) => a >= b }
+    })
+  }
+
+  test("ann-lsh results are a subset of each query's bucket, ranked") {
+    val rows = Similarity.annLsh(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) <= 3))
+  }
+
+  test("lang-id: zh detected by CJK range only on this latin corpus → no zh predictions") {
+    val df = TextAnalysis.langId(spark, dir)
+    assert(df.filter(df("pred_lang") === "zh").count() == 0)
+    assert(df.count() == 500)
+  }
+
+  test("token counts are positive and est_bpe tracks length/4") {
+    val rows = TextAnalysis.tokenCount(spark, dir).collect()
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+}
