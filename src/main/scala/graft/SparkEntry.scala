@@ -17,9 +17,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.entries ++ TextDedup.entries ++ TextAnalysis.entries ++
-      Similarity.entries
+      Similarity.entries ++ ExtendedRelational.entries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextDedup.oracles ++ TextAnalysis.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++ ExtendedRelational.oracles
 }

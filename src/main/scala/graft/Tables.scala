@@ -20,7 +20,9 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integral `div`, NOT `/`: the ns epoch (~1.7e18) exceeds a
+      // double's 53-bit mantissa, so float division drifts by ~100 ns.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -1,0 +1,327 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface beyond the reference's own operators (SURVEY §2.3
+  * lists what it lacks: window functions, set ops in-engine, grouping
+  * sets, as-of/range joins, sketches). These complete the engine into a
+  * general analytics surface, each with a DuckDB oracle.
+  *
+  * Parity traps handled here: `events.ts` is ns-precision in DuckDB but
+  * µs in Spark → every oracle casts `ts` to µs `TIMESTAMP` first;
+  * DuckDB `sum(INTEGER)` yields HUGEINT → cast to BIGINT; ORDER BY null
+  * placement is explicit on both sides (Spark defaults NULLS FIRST asc,
+  * DuckDB NULLS LAST).
+  */
+object ExtendedRelational {
+
+  /** Event view with µs timestamps on the DuckDB side. Floor-divides the
+    * ns epoch (CAST TIMESTAMP_NS→TIMESTAMP rounds, Spark truncates —
+    * off-by-1µs on ~half the rows).
+    */
+  private val eventsUsSql =
+    "SELECT event_id, user_id, event_type, value, props, " +
+      "make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events"
+
+  /** Left-semi join: customers having orders (EXISTS pushup — no
+    * payload columns from the right side cross the shuffle).
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti join: customers who never placed an URGENT order (the
+    * filter is pushed below the join build side).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+    customer.join(urgent, customer("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** ROLLUP aggregation: (status, priority) → status → grand total. One
+    * shuffle; Spark expands grouping sets map-side.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** GROUPING SETS: independent status and priority subtotals in one
+    * pass over the data (vs two scans for two group-bys).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(1) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Running/window analytics per customer: cumulative spend, previous
+    * order gap, sequence rank. Single shuffle on o_custkey; all four
+    * window functions share one sort.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_orderdate".cast("date").as("o_date"),
+        row_number().over(w).cast("long").as("seq"),
+        round(sum($"o_totalprice").over(wRun), 2).as("running_spend"),
+        datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).cast("long").as("days_since_prev"))
+      .orderBy($"o_custkey", $"seq")
+  }
+
+  /** As-of join: each event matched to the user's most recent order at
+    * event time. Implemented with the union-and-fill pattern: tag both
+    * streams, one sort per user over the merged timeline, `last(...,
+    * ignoreNulls)` carries the latest order forward. ONE shuffle + ONE
+    * sort total, no per-event probe blowup — at 100 TB this beats the
+    * join-then-filter plan (which materializes |events| × |orders/user|
+    * intermediates). Orders are pre-deduped to one per (cust, date)
+    * (max orderkey) to make the match deterministic.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val od = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    val oTagged = od.select(
+      $"o_custkey".as("uid"), $"o_orderdate".as("t"), $"o_orderkey",
+      lit(null).cast("long").as("event_id"), lit(null).cast("string").as("event_type"),
+      lit(0).as("is_event"))
+    val eTagged = Tables.load(spark, dir, "events").select(
+      $"user_id".as("uid"), $"ts".as("t"), lit(null).cast("long").as("o_orderkey"),
+      $"event_id", $"event_type", lit(1).as("is_event"))
+    val w = Window.partitionBy($"uid").orderBy($"t", $"is_event")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTagged.unionByName(eTagged)
+      .withColumn("last_ok", last($"o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("last_od", last(when($"is_event" === 0, $"t"), ignoreNulls = true).over(w))
+      .filter($"is_event" === 1 && $"last_ok".isNotNull)
+      .select($"event_id", $"uid".as("user_id"), $"event_type",
+        $"last_ok".as("o_orderkey"), $"last_od".cast("date").as("o_date"))
+      .orderBy($"event_id")
+  }
+
+  private def oracleAsof: String =
+    s"""WITH od AS (
+       |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+       |  FROM orders GROUP BY 1, 2),
+       |e AS ($eventsUsSql)
+       |SELECT e.event_id, e.user_id, e.event_type, o.o_orderkey,
+       |  CAST(o.o_orderdate AS DATE) AS o_date
+       |FROM e ASOF JOIN od o
+       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+       |ORDER BY e.event_id""".stripMargin
+
+  /** Range (interval) join: purchases within 5 minutes of a view by the
+    * same user — funnel attribution. Equi-join on user + range predicate
+    * on time: the shuffle is keyed on user_id only, the range filters
+    * within partitions.
+    */
+  def rangeJoinFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val v = events.filter($"event_type" === "view").select($"user_id", $"ts".as("t1"))
+    val p = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("u2"), $"ts".as("t2"))
+    v.join(p, $"user_id" === $"u2" && $"t2" > $"t1" &&
+        $"t2" <= $"t1" + expr("INTERVAL 5 MINUTES"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
+  private def oracleRangeJoin: String =
+    s"""WITH e AS ($eventsUsSql)
+       |SELECT v.user_id, count(*) AS n_pairs
+       |FROM e v JOIN e p
+       |  ON v.user_id = p.user_id AND p.ts > v.ts
+       |  AND p.ts <= v.ts + INTERVAL 5 MINUTE
+       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: daily event counts, event types to columns. Explicit pivot
+    * values → single pass, no extra distinct-values job.
+    */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "events")
+      .select(date_trunc("day", $"ts").cast("date").as("day"), $"event_type")
+      .groupBy($"day").pivot("event_type", EventTypes).agg(count(lit(1)))
+    EventTypes.foldLeft(base) { (df, t) => df.withColumnRenamed(t, s"n_$t") }
+      .na.fill(0L, EventTypes.map(t => s"n_$t"))
+      .orderBy($"day")
+  }
+
+  private def oraclePivot: String = {
+    val cols = EventTypes
+      .map(t => s"count(*) FILTER (event_type = '$t') AS n_$t").mkString(",\n  ")
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
+  /** Exact percentiles per group (Spark `percentile` == DuckDB
+    * `quantile_cont`, linear interpolation — verified bit-equal).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(percentile($"o_totalprice", lit(0.25)), 4).as("p25"),
+        round(percentile($"o_totalprice", lit(0.5)), 4).as("p50"),
+        round(percentile($"o_totalprice", lit(0.75)), 4).as("p75"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private def oraclePercentiles: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Histogram: fixed-width buckets over l_quantity (map-side bucketing
+    * then one low-cardinality shuffle).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .select(floor($"l_quantity" / 5.0).cast("long").as("bucket"), $"l_quantity")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"l_quantity"), 2).as("lo"),
+        round(max($"l_quantity"), 2).as("hi"))
+      .orderBy($"bucket")
+  }
+
+  private def oracleHistogram: String =
+    """SELECT floor(l_quantity / 5.0)::BIGINT AS bucket, count(*) AS n,
+      |  round(min(l_quantity), 2) AS lo, round(max(l_quantity), 2) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Sessionization (gaps-and-islands): session break at >30 min
+    * inactivity; per-session event count and µs duration. The batch
+    * shape of the streaming session-window operator — one shuffle on
+    * user_id, two window passes over one sort.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || unix_micros($"ts") - unix_micros($"prev") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(wRun).cast("long"))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("dur_us"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  private def oracleSessionize: String =
+    s"""WITH e AS ($eventsUsSql),
+       |l AS (SELECT user_id, event_id, ts,
+       |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |      FROM e),
+       |s AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+       |        THEN 1 ELSE 0 END AS new_sess FROM l),
+       |c AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS UNBOUNDED PRECEDING)::BIGINT AS sess_id FROM s)
+       |SELECT user_id, sess_id, count(*) AS n_events,
+       |  (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS dur_us
+       |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+
+  /** Sketch aggregates: HyperLogLog distinct + t-digest-style approximate
+    * percentile. Approximate results differ across engines by design —
+    * driver records the weaker rows-only check (no oracle entry).
+    */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_percentile($"l_extendedprice", lit(0.5), lit(1000)).as("approx_p50_price"))
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_semi_join" -> (semiJoin _),
+    "q33_anti_join" -> (antiJoin _),
+    "q34_rollup" -> (rollupAgg _),
+    "q35_grouping_sets" -> (groupingSets _),
+    "q36_window_running" -> (windowRunning _),
+    "q37_asof_join" -> (asofJoin _),
+    "q38_range_join_funnel" -> (rangeJoinFunnel _),
+    "q39_pivot_daily" -> (pivotDaily _),
+    "q40_percentiles" -> (percentiles _),
+    "q41_histogram" -> (histogram _),
+    "q42_sessionize" -> (sessionize _),
+    "q43_approx_sketches" -> (approxSketches _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q32_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q33_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q34_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q35_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q36_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  row_number() OVER w AS seq,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+        |  date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::BIGINT AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, seq""".stripMargin,
+    "q37_asof_join" -> oracleAsof,
+    "q38_range_join_funnel" -> oracleRangeJoin,
+    "q39_pivot_daily" -> oraclePivot,
+    "q40_percentiles" -> oraclePercentiles,
+    "q41_histogram" -> oracleHistogram,
+    "q42_sessionize" -> oracleSessionize,
+    // q43: approximate by design — rows-only check.
+  )
+}
