@@ -259,6 +259,33 @@ object ExtendedRelational {
        |  (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS dur_us
        |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 
+  /** The built-in `session_window` operator in batch mode — same 30-min
+    * gap semantics as the streaming session job and the q42
+    * gaps-and-islands formulation (session_window treats a gap of
+    * exactly 30:00.000000 as a new session — half-open window — hence
+    * `>=` in the oracle's break condition).
+    */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"w.start").as("sess_start_us"), $"n_events")
+      .orderBy($"user_id", $"sess_start_us")
+  }
+
+  private def oracleSessionWindow: String =
+    s"""WITH e AS ($eventsUsSql),
+       |l AS (SELECT user_id, event_id, ts,
+       |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |      FROM e),
+       |s AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+       |        THEN 1 ELSE 0 END AS new_sess FROM l),
+       |c AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS UNBOUNDED PRECEDING)::BIGINT AS sess_id FROM s)
+       |SELECT user_id, epoch_us(min(ts))::BIGINT AS sess_start_us, count(*) AS n_events
+       |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin
+
   /** Sketch aggregates: HyperLogLog distinct + t-digest-style approximate
     * percentile. Approximate results differ across engines by design —
     * driver records the weaker rows-only check (no oracle entry).
@@ -285,6 +312,7 @@ object ExtendedRelational {
     "q41_histogram" -> (histogram _),
     "q42_sessionize" -> (sessionize _),
     "q43_approx_sketches" -> (approxSketches _),
+    "q44_session_window" -> (sessionWindowBatch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +351,6 @@ object ExtendedRelational {
     "q41_histogram" -> oracleHistogram,
     "q42_sessionize" -> oracleSessionize,
     // q43: approximate by design — rows-only check.
+    "q44_session_window" -> oracleSessionWindow,
   )
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer — the net-new streaming surface (SURVEY
+  * §2.3: the reference has no watermarks/event-time; its closest analogs
+  * are the watchdog file-sync pipeline S31 and the DiskCache transfer
+  * state S30, both subsumed by checkpointed streaming below).
+  *
+  * Scale: file-source streams shard by file; stateful operators shuffle
+  * once on the group key and keep per-key state in the state store
+  * (RocksDB-backed on a real cluster) — no driver-side state, unlike the
+  * reference's in-memory progress dict.
+  */
+object StreamingJobs {
+
+  /** S31 analog — incremental file-watch migration: each trigger picks up
+    * only files not yet recorded in the checkpoint (exactly-once per
+    * file), transforms, appends to the sink. `Trigger.AvailableNow`
+    * drains the backlog then stops — the cron-style incremental copy the
+    * reference runs with `condition` pushdown + DiskCache state.
+    */
+  def incrementalFileCopy(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      format: String,
+      dstDir: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity,
+  ): StreamingQuery =
+    transform(spark.readStream.schema(schema).format(format).load(srcDir))
+      .writeStream
+      .format("parquet")
+      .option("path", dstDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Watermarked tumbling-window aggregation — the streaming shape of the
+    * q15 daily rollup. Late events beyond the watermark are dropped;
+    * windows finalize (Append) once the watermark passes window end.
+    */
+  def windowedEventCounts(
+      events: DataFrame, // needs ts: timestamp, event_type: string, value: double
+      watermarkDelay: String = "1 hour",
+      windowLength: String = "1 day",
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows via the built-in `session_window` (30-min gap): the
+    * streaming twin of the batch gaps-and-islands query q42.
+    */
+  def sessionWindowCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour",
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"), col("w.end").as("sess_end"), col("n_events"))
+
+  // ---- custom state: running per-user counters (mapGroupsWithState) ----
+
+  case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state — the `KeyValueGroupedDataset.mapGroupsWithState`
+    * escape hatch for logic session_window/agg can't express: a running
+    * per-user accumulator, updated per micro-batch, emitted in Update
+    * mode. State lives in the state store, partitioned by key.
+    */
+  def runningUserTotals(events: Dataset[Evt]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Evt], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(uid, n, math.rint(tot * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+}
