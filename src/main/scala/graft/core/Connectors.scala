@@ -14,7 +14,7 @@ import scala.jdk.CollectionConverters._
   * [[SchemaInfer]] DDL (create), `df.count()` (count pushed to parquet
   * footers / source stats by Catalyst), and a catalog listing.
   */
-sealed trait Connector {
+trait Connector {
   def name: String
   /** Scan: `get_data(index)` analog (S1/S6/S10…). */
   def read(spark: SparkSession, index: String): DataFrame
