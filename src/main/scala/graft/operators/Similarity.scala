@@ -44,15 +44,22 @@ object Similarity {
     }
   }
 
+  // Norms are precomputed per vector (O(n)) so the O(n·q) pair
+  // expression is a dot product only — same doubles, same result.
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        normD("embedding").as("qn"))
 
   private def corpusDf(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") >= NumQueries)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        normD("embedding").as("cn"))
+
+  private def pairCosine: org.apache.spark.sql.Column =
+    dotD("qe", "ce") / (col("qn") * col("cn"))
 
   /** Exact ANN baseline: 10 broadcast queries × corpus scan, top-5 per
     * query by cosine. Plan: BroadcastNestedLoopJoin over the tiny query
@@ -62,7 +69,7 @@ object Similarity {
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val scored = corpusDf(spark, dir)
       .crossJoin(broadcast(queriesDf(spark, dir)))
-      .withColumn("cos", cosineD("qe", "ce"))
+      .withColumn("cos", pairCosine)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -109,7 +116,7 @@ object Similarity {
     val q = queriesDf(spark, dir).withColumn("qb", bucketCol("qe"))
     val c = corpusDf(spark, dir).withColumn("cb", bucketCol("ce"))
     val scored = c.join(broadcast(q), col("qb") === col("cb"))
-      .withColumn("cos", cosineD("qe", "ce"))
+      .withColumn("cos", pairCosine)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -110,7 +110,7 @@ object TextDedup {
     * exactly.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val index = shingleIndex(spark, dir)
+    val index = shingleIndex(spark, dir).cache() // reused: signatures + verify
     val sig = index.groupBy(col("doc_id")).agg(
       min(hash64(concat(lit("0:"), col("s")))).as("m0"),
       (1 until MinhashPerms).map(i => min(hash64(concat(lit(s"$i:"), col("s")))).as(s"m$i")): _*)
@@ -123,9 +123,26 @@ object TextDedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val a = bands.toDF("a_id", "band", "bkey")
     val b = bands.toDF("b_id", "band2", "bkey2")
+    // cache: the candidate pair set is tiny and consumed three times
+    // (two candDocs legs + the verify join) — without it each consumer
+    // would replay the full signature+banding pipeline.
     val cand = a.join(b, a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    jaccardPairs(index).join(cand, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id")).distinct().cache()
+    // Verify ONLY candidate pairs: expand each pair's a-side shingles,
+    // then count matches against the b-side by (b_id, shingle) — both
+    // joins are keyed, so verify cost tracks candidate density (Σ|A|
+    // over pairs), never corpus².
+    val sizes = index.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ia = index.toDF("ia_id", "sa")
+    val ib = index.toDF("ib_id", "sb")
+    val common = cand
+      .join(ia, col("ia_id") === col("a_id"))
+      .join(ib, col("ib_id") === col("b_id") && col("sb") === col("sa"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= MinhashVerifyThreshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
@@ -194,11 +211,14 @@ object TextDedup {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Norms are per-vector: compute once per side (O(n)) instead of
+    // inside the O(pairs) join expression. Same doubles, same result.
     val e = Tables.load(spark, dir, "embeddings")
-    val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
-    val b = e.select($"vec_id".as("b_id"), $"label".as("label2"), $"embedding".as("eb"))
+      .withColumn("nrm", normD("embedding"))
+    val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("b_id"), $"label".as("label2"), $"embedding".as("eb"), $"nrm".as("nb"))
     a.join(b, a("label") === b("label2") && a("a_id") < b("b_id"))
-      .withColumn("cosine", cosineD("ea", "eb"))
+      .withColumn("cosine", dotD("ea", "eb") / ($"na" * $"nb"))
       .filter($"cosine" >= 0.4)
       .select($"a_id", $"b_id", $"label", round($"cosine", 6).as("cosine"))
       .orderBy($"a_id", $"b_id")

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Asserts the physical-plan properties the 100 TB story depends on:
+  * filter/column pushdown into the parquet scan, broadcast joins for
+  * dims, partial (map-side) aggregation, TakeOrderedAndProject for
+  * top-k, and whole-stage codegen coverage. A regression here is a
+  * performance bug even while results stay correct.
+  */
+class PlanQualitySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 scan: predicate AND projection pushed to parquet") {
+    val plan = planOf(RelationalQueries.scanProject(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"missing pushed filter in:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_returnflag"),
+      "projection not pruned — scan reads unneeded columns")
+  }
+
+  test("q07 merge join: dim side broadcast, no shuffle of the fact side") {
+    val plan = planOf(RelationalQueries.mergeLeftJoin(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q02 aggregation: partial (map-side) aggregate before the shuffle") {
+    val plan = planOf(RelationalQueries.aggGroupBy(spark, dir))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"expected partial aggregation:\n$plan")
+  }
+
+  test("q03 top-k: TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(RelationalQueries.topkSort(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("q10 3-way join: broadcast for the customer dim") {
+    val plan = planOf(RelationalQueries.topRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim join:\n$plan")
+  }
+
+  test("q29 cosine top-k: query side broadcast — corpus never shuffles before scoring") {
+    val plan = planOf(Similarity.cosineTopK(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast of query set:\n$plan")
+  }
+
+  test("q32 semi join plans as a real semi join (no payload materialization)") {
+    val plan = planOf(ExtendedRelational.semiJoin(spark, dir))
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi:\n$plan")
+  }
+
+  test("whole-stage codegen present on the hot scan paths") {
+    Seq(
+      RelationalQueries.aggGroupBy(spark, dir),
+      TextAnalysis.tokenCount(spark, dir),
+      ExtendedRelational.histogram(spark, dir),
+    ).foreach { df =>
+      df.collect() // finalize the AQE plan — codegen spans appear post-execution
+      val plan = planOf(df)
+      assert(plan.contains("*("), s"no whole-stage codegen span:\n$plan")
+    }
+  }
+}
