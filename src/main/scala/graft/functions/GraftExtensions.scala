@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.LongType
+
+/** SQL surface registration: users get the engine's primitives as SQL
+  * functions, either at session build time
+  * (`spark.sql.extensions=graft.functions.GraftExtensions` /
+  * `builder.withExtensions(new GraftExtensions)`) or into a live session
+  * via [[GraftExtensions.register]].
+  *
+  *  - `graft_cosine(a, b)` — fused native cosine ([[CosineSimilarity]]);
+  *  - `graft_hash64(s)`    — the project hash (md5-hex → 60-bit long),
+  *    composed from builtin expressions so it codegens end-to-end.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def hash64Expr(child: Expression): Expression =
+    Cast(Conv(Substring(Md5(child), Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+
+  /** The injectable (identifier, info, builder) triples. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(arrayA, arrayB)")
+        CosineSimilarity(args.head, args(1))
+      }),
+    (
+      new FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_hash64(str)")
+        hash64Expr(args.head)
+      }),
+  )
+
+  /** Register into an already-running session (extensions only apply at
+    * session construction; this covers notebooks/REPLs).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

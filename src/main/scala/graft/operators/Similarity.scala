@@ -44,22 +44,22 @@ object Similarity {
     }
   }
 
-  // Norms are precomputed per vector (O(n)) so the O(n·q) pair
-  // expression is a dot product only — same doubles, same result.
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        normD("embedding").as("qn"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
 
   private def corpusDf(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") >= NumQueries)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-        normD("embedding").as("cn"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
 
+  /** Native fused cosine ([[graft.functions.CosineSimilarity]]): one
+    * codegen'd loop per pair, bit-equal to the composed zip_with/
+    * aggregate formula (FunctionsSpec proves it) and to the oracle.
+    */
   private def pairCosine: org.apache.spark.sql.Column =
-    dotD("qe", "ce") / (col("qn") * col("cn"))
+    graft.functions.CosineSimilarity(col("qe"), col("ce"))
 
   /** Exact ANN baseline: 10 broadcast queries × corpus scan, top-5 per
     * query by cosine. Plan: BroadcastNestedLoopJoin over the tiny query

@@ -211,14 +211,13 @@ object TextDedup {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Norms are per-vector: compute once per side (O(n)) instead of
-    // inside the O(pairs) join expression. Same doubles, same result.
     val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("nrm", normD("embedding"))
-    val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"), $"nrm".as("na"))
-    val b = e.select($"vec_id".as("b_id"), $"label".as("label2"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("b_id"), $"label".as("label2"), $"embedding".as("eb"))
     a.join(b, a("label") === b("label2") && a("a_id") < b("b_id"))
-      .withColumn("cosine", dotD("ea", "eb") / ($"na" * $"nb"))
+      // native fused cosine — single codegen'd loop, bit-equal to the
+      // composed formula and the oracle (FunctionsSpec)
+      .withColumn("cosine", graft.functions.CosineSimilarity($"ea", $"eb"))
       .filter($"cosine" >= 0.4)
       .select($"a_id", $"b_id", $"label", round($"cosine", 6).as("cosine"))
       .orderBy($"a_id", $"b_id")

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.TextPrims
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(2.0f, 4.0f, 6.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+  ).toDF("id", "a", "b")
+
+  test("CosineSimilarity expression matches the composed zip_with/aggregate formula bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val pairs = e.toDF("id1", "e1", "l1").crossJoin(e.toDF("id2", "e2", "l2"))
+      .filter($"id1" < $"id2")
+    val composed = TextPrims.cosineD("e1", "e2")
+    val native = CosineSimilarity($"e1", $"e2")
+    val diffs = pairs.select(composed.as("c"), native.as("n"))
+      .filter($"c" =!= $"n") // bit-exact equality required
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("CosineSimilarity evals correctly and survives codegen") {
+    val out = vecs.select($"id", round(CosineSimilarity($"a", $"b"), 9).as("c"))
+      .orderBy($"id").as[(Long, Double)].collect()
+    assert(out(0)._2 == 1.0) // parallel vectors
+    assert(out(1)._2 == 0.0) // orthogonal vectors
+  }
+
+  test("MinHashAgg signature equals the k-column min formulation") {
+    val shingles = Seq(
+      (1L, "a b c"), (1L, "b c d"), (1L, "c d e"),
+      (2L, "x y z"), (2L, "a b c"),
+    ).toDF("doc_id", "s")
+    val viaAgg = shingles.groupBy($"doc_id")
+      .agg(MinHashAgg.column(8)($"s").as("sig"))
+    val viaCols = shingles.groupBy($"doc_id").agg(
+      min(TextPrims.hash64(concat(lit("0:"), $"s"))).as("m0"),
+      (1 until 8).map(i => min(TextPrims.hash64(concat(lit(s"$i:"), $"s"))).as(s"m$i")): _*)
+    val joined = viaAgg.join(viaCols, "doc_id")
+    val bad = joined.filter(
+      (0 until 8).map(i => element_at($"sig", i + 1) =!= col(s"m$i")).reduce(_ || _))
+    assert(bad.count() == 0)
+  }
+
+  test("GraftExtensions: SQL functions usable after registration") {
+    GraftExtensions.register(spark)
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS c").head().getDouble(0)
+    assert(cos == 1.0)
+    val h = spark.sql("SELECT graft_hash64('abc') AS h").head().getLong(0)
+    assert(h == 648541476951500027L) // the round-1 parity probe value
+    // and graft_hash64 agrees with the Column-side primitive everywhere
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    docs.createOrReplaceTempView("graft_fn_docs")
+    val viaSql = spark.sql("SELECT doc_id, graft_hash64(text) AS h FROM graft_fn_docs")
+    val viaCol = docs.select($"doc_id", TextPrims.hash64($"text").as("h2"))
+    assert(viaSql.join(viaCol, "doc_id").filter($"h" =!= $"h2").count() == 0)
+  }
+}
