@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Serializable Hadoop conf wrapper (private[spark] upstream) — needed
+    * to ship the driver's FS config to DSv2 partition readers.
+    */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration): SerializableHadoopConf =
+    new SerializableHadoopConf(new org.apache.spark.util.SerializableConfiguration(conf))
+}
+
+final class SerializableHadoopConf(
+    private val inner: org.apache.spark.util.SerializableConfiguration) extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = inner.value
 }
