@@ -70,6 +70,39 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("sess_start"), col("w.end").as("sess_end"), col("n_events"))
 
+  /** Streaming dedup (P4's streaming twin): drop duplicate keys with
+    * bounded state — `dropDuplicatesWithinWatermark` expires state once
+    * the watermark passes, so memory is bounded by the dedup horizon,
+    * not the stream's lifetime.
+    */
+  def streamingDedup(
+      events: DataFrame, // needs ts + the key columns
+      keys: Seq[String],
+      watermarkDelay: String = "1 hour",
+  ): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming keyed upsert into a [[graft.core.Connector]] sink via
+    * foreachBatch — each micro-batch applies InsertIgnore/Replace
+    * semantics (the reference's INSERT IGNORE default under retry,
+    * made exactly-once-ish by checkpoint + idempotent keyed writes).
+    */
+  def streamingUpsert(
+      source: DataFrame,
+      sink: graft.core.Connector,
+      index: String,
+      mode: graft.core.WriteMode,
+      checkpointDir: String,
+  ): StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink.write(batch.toDF(), index, mode)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- custom state: running per-user counters (mapGroupsWithState) ----
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

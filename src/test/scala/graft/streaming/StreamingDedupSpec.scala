@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{FileConnector, ProgressListener, WriteMode}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingDedupSpec extends SparkSpec {
+  import StreamingJobs._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streamingDedup drops duplicate keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF.toDF("ts", "event_id")
+    val q = streamingDedup(df, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:01:00"), 1L), // dup key within horizon → dropped
+      (ts("2024-01-01 00:02:00"), 2L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:03:00"), 2L)) // dup again → dropped
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").select($"event_id").as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("streamingUpsert applies keyed Replace per micro-batch via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = FileConnector("su", tmpDir("su"), "parquet")
+    sink.write(Seq((1L, "old"), (2L, "keep")).toDF("id", "v"), "t", WriteMode.Overwrite)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = streamingUpsert(mem.toDF.toDF("id", "v"), sink, "t",
+      WriteMode.Replace(Seq("id")), tmpDir("su-ckpt"))
+    mem.addData((1L, "new"), (3L, "add"))
+    q.awaitTermination()
+    val got = sink.read(spark, "t").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new", 2L -> "keep", 3L -> "add"))
+  }
+
+  test("ProgressListener reports rows written for a write action") {
+    import spark.implicits._
+    val l = ProgressListener.attach(spark)
+    try {
+      val dir = tmpDir("prog")
+      (1 to 42).toDF("n").write.mode("overwrite").parquet(dir)
+      // listener bus is async; poll briefly
+      val deadline = System.currentTimeMillis() + 5000
+      var rows: Option[Long] = None
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        rows = l.all.flatMap(_.rowsWritten).find(_ == 42L)
+        if (rows.isEmpty) Thread.sleep(50)
+      }
+      assert(rows.contains(42L), s"reports: ${l.all}")
+    } finally spark.listenerManager.unregister(l)
+  }
+}
