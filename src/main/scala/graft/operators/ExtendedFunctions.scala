@@ -64,9 +64,17 @@ object ExtendedFunctions {
   def fuzzyLevenshtein(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = Tables.load(spark, dir, "part").select($"p_partkey", $"p_name", $"p_brand")
+    // Blocking must be IN the equi-key: brand alone leaves ~(n/brands)²
+    // levenshtein evals. A key-bucket join key (a-side exploded to its
+    // bucket and the next, since b-a ≤ 2 can cross one boundary) makes
+    // the join selective; brand/range/distance filter the tiny bucket
+    // pairs after.
     val a = p.toDF("a_key", "a_name", "brand")
+      .withColumn("bucket", explode(array(floor($"a_key" / 4), floor($"a_key" / 4) + 1)))
     val b = p.toDF("b_key", "b_name", "brand2")
-    a.join(b, $"brand" === $"brand2" && $"a_key" < $"b_key" && $"b_key" - $"a_key" <= 2)
+      .withColumn("bucket2", floor($"b_key" / 4))
+    a.join(b, $"bucket" === $"bucket2" && $"brand" === $"brand2" &&
+        $"a_key" < $"b_key" && $"b_key" - $"a_key" <= 2)
       .select($"a_key", $"b_key", $"brand",
         levenshtein($"a_name", $"b_name").cast("long").as("dist"))
       .filter($"dist" <= 6)
