@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.LongType
   *    composed from builtin expressions so it codegens end-to-end.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => LevenshteinPrefilterRule)
+  }
 }
 
 object GraftExtensions {
