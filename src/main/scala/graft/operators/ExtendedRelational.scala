@@ -106,21 +106,13 @@ object ExtendedRelational {
     val od = Tables.load(spark, dir, "orders")
       .groupBy($"o_custkey", $"o_orderdate")
       .agg(max($"o_orderkey").as("o_orderkey"))
-    val oTagged = od.select(
-      $"o_custkey".as("uid"), $"o_orderdate".as("t"), $"o_orderkey",
-      lit(null).cast("long").as("event_id"), lit(null).cast("string").as("event_type"),
-      lit(0).as("is_event"))
-    val eTagged = Tables.load(spark, dir, "events").select(
-      $"user_id".as("uid"), $"ts".as("t"), lit(null).cast("long").as("o_orderkey"),
-      $"event_id", $"event_type", lit(1).as("is_event"))
-    val w = Window.partitionBy($"uid").orderBy($"t", $"is_event")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    oTagged.unionByName(eTagged)
-      .withColumn("last_ok", last($"o_orderkey", ignoreNulls = true).over(w))
-      .withColumn("last_od", last(when($"is_event" === 0, $"t"), ignoreNulls = true).over(w))
-      .filter($"is_event" === 1 && $"last_ok".isNotNull)
-      .select($"event_id", $"uid".as("user_id"), $"event_type",
-        $"last_ok".as("o_orderkey"), $"last_od".cast("date").as("o_date"))
+      .select($"o_custkey".as("user_id"), $"o_orderdate", $"o_orderkey")
+    val events = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    AsOf.join(events, od, "ts", "o_orderdate", "user_id",
+        rightPayload = Seq("o_orderkey", "o_orderdate"))
+      .select($"event_id", $"user_id", $"event_type",
+        $"o_orderkey", $"o_orderdate".cast("date").as("o_date"))
       .orderBy($"event_id")
   }
 

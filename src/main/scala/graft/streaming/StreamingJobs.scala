@@ -83,6 +83,28 @@ object StreamingJobs {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join (the streaming twin of the q38 funnel):
+    * purchases within `horizon` after a view by the same user. Both
+    * sides carry watermarks so the join state expires — bounded memory;
+    * the time-bound condition is what makes stream-stream inner joins
+    * feasible at all.
+    */
+  def streamingFunnel(
+      views: DataFrame, // user_id, ts
+      purchases: DataFrame, // user_id, ts
+      watermarkDelay: String = "10 minutes",
+      horizon: String = "5 minutes",
+  ): DataFrame = {
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") > col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+  }
+
   /** Streaming keyed upsert into a [[graft.core.Connector]] sink via
     * foreachBatch — each micro-batch applies InsertIgnore/Replace
     * semantics (the reference's INSERT IGNORE default under retry,

@@ -46,6 +46,27 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Map(1L -> "new", 2L -> "keep", 3L -> "add"))
   }
 
+  test("stream-stream interval join matches purchases within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingJobs.streamingFunnel(
+      views.toDF.toDF("user_id", "ts"), purchases.toDF.toDF("user_id", "ts"))
+    val q = joined.writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+
+    views.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+    purchases.addData(
+      (1L, ts("2024-01-01 00:03:00")), // within 5 min → match
+      (2L, ts("2024-01-01 00:09:00")), // beyond horizon → no match
+      (3L, ts("2024-01-01 00:01:00"))) // no view → no match
+    q.processAllAvailable()
+    val got = spark.table("funnel").select($"v_user").as[Long].collect().toSeq
+    q.stop()
+    assert(got == Seq(1L))
+  }
+
   test("ProgressListener reports rows written for a write action") {
     import spark.implicits._
     val l = ProgressListener.attach(spark)
