@@ -45,13 +45,17 @@ object TextDedup {
       |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input.
+    * Dedup happens per-document with `array_distinct` BEFORE the
+    * explode: duplicates only exist within a doc, so this replaces a
+    * full `distinct()` shuffle with map-side work — zero exchanges.
+    */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 3)
-    docs.select($"doc_id", explode(shingles3($"w")).as("s")).distinct()
+    docs.select($"doc_id", explode(array_distinct(shingles3($"w"))).as("s"))
   }
 
   private val shingleIndexSql: String =
