@@ -178,6 +178,10 @@ final case class JdbcConnector(
     name: String,
     url: String,
     options: Map[String, String] = Map.empty,
+    /** ClickHouse-style sinks: clamp timestamp columns into the store's
+      * representable range before write ([[Normalize.clampClickHouseDateTime]]).
+      */
+    clampTimestamps: Boolean = false,
 ) extends Connector {
   def read(spark: SparkSession, index: String): DataFrame = {
     val base = spark.read.format("jdbc").option("url", url)
@@ -188,12 +192,18 @@ final case class JdbcConnector(
     options.foldLeft(withTable) { case (r, (k, v)) => r.option(k, v) }.load()
   }
   def write(df: DataFrame, index: String, mode: WriteMode): Unit = {
+    val prepared =
+      if (!clampTimestamps) df
+      else df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+        .foldLeft(df) { (d, f) =>
+          d.withColumn(f.name, Normalize.clampClickHouseDateTime(d(f.name)))
+        }
     val saveMode = mode match {
       case WriteMode.Overwrite => SaveMode.Overwrite
       case _                   => SaveMode.Append
     }
     options.foldLeft(
-      df.write.format("jdbc").option("url", url).option("dbtable", index)
+      prepared.write.format("jdbc").option("url", url).option("dbtable", index)
         .option("batchsize", options.getOrElse("batchsize", "1000"))
     ) { case (w, (k, v)) => w.option(k, v) }.mode(saveMode).save()
   }

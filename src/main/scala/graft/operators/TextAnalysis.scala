@@ -188,7 +188,62 @@ object TextAnalysis {
       |  round(avg(n_chars), 4) AS avg_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** Vocabulary construction: corpus-wide word counts with rank — the
+    * tokenizer-training input. Partial aggregation map-side; the
+    * shuffle carries only distinct words.
+    */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(words($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"word")
+      .limit(50)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"freq".desc, $"word")).cast("long"))
+  }
+
+  private def oracleVocabulary: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+      |FROM (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word)
+      |ORDER BY freq DESC, word LIMIT 50""".stripMargin
+
+  /** Exact-substring near-dup candidates: documents sharing their
+    * minimum rolling 8-gram hash (the q27 winnowing fingerprint) —
+    * docs with any identical 8-char window tend to collide on the
+    * minimum. An equi-join on the fingerprint: candidate generation
+    * without pairwise comparison.
+    */
+  def sharedFingerprintPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = fingerprint(spark, dir).select($"doc_id", $"fp_rolling")
+    val a = fp.toDF("a_id", "fp")
+    val b = fp.toDF("b_id", "fp2")
+    a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"fp")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private def oracleSharedFp: String =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform(generate_series(1, length(norm) - 7),
+       |      i -> ('0x'||substr(md5(substr(norm, i, 8)),1,15))::BIGINT)) AS fp_rolling
+       |  FROM n WHERE length(norm) >= 8)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp_rolling AS fp
+       |FROM fp a JOIN fp b ON a.fp_rolling = b.fp_rolling AND a.doc_id < b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_vocabulary" -> (vocabulary _),
+    "q59_shared_fingerprint" -> (sharedFingerprintPairs _),
     "q24_text_quality" -> (textQuality _),
     "q25_lang_id" -> (langId _),
     "q26_token_count" -> (tokenCount _),
@@ -197,6 +252,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_vocabulary" -> oracleVocabulary,
+    "q59_shared_fingerprint" -> oracleSharedFp,
     "q24_text_quality" -> oracleQuality,
     "q25_lang_id" -> oracleLangId,
     "q26_token_count" -> oracleTokenCount,

@@ -55,6 +55,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"expected LeftSemi:\n$plan")
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_orders_b")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_cust_b")
+    try {
+      // disable auto-broadcast so the bucket co-location is what avoids the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_orders_b")
+        .join(spark.table("graft_cust_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(sum(col("o_totalprice")))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"scans not bucketed:\n$plan")
+      // the JOIN keys must not be shuffled — the only exchange allowed
+      // is the later aggregation on c_mktsegment
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+        !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join shuffled its keys:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+    }
+  }
+
   test("whole-stage codegen present on the hot scan paths") {
     Seq(
       RelationalQueries.aggGroupBy(spark, dir),
