@@ -219,7 +219,10 @@ object TextAnalysis {
     */
   def sharedFingerprintPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = fingerprint(spark, dir).select($"doc_id", $"fp_rolling")
+    // cache: the fingerprint is ~400 md5s per doc; without it the
+    // self-join recomputes the whole rolling-hash pipeline per side
+    // (and the join-key expression again inside exchange planning).
+    val fp = fingerprint(spark, dir).select($"doc_id", $"fp_rolling").cache()
     val a = fp.toDF("a_id", "fp")
     val b = fp.toDF("b_id", "fp2")
     a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
