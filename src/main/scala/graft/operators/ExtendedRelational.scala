@@ -291,7 +291,32 @@ object ExtendedRelational {
         approx_percentile($"l_extendedprice", lit(0.5), lit(1000)).as("approx_p50_price"))
   }
 
+  /** CDC apply (S28/P11's end state): fold an ordered change stream into
+    * final table state — last writer wins per key, `error` events act as
+    * deletes. One shuffle + one sort per key; the MERGE-INTO batch shape.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" =!= "error") // last op wins; delete drops the key
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"event_type".as("last_op"), round($"value", 4).as("value"))
+      .orderBy($"user_id")
+  }
+
+  private def oracleCdc: String =
+    s"""WITH e AS ($eventsUsSql),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+       |SELECT user_id, event_id AS last_event_id, event_type AS last_op,
+       |  round(value, 4) AS value
+       |FROM r WHERE rn = 1 AND event_type <> 'error'
+       |ORDER BY user_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_cdc_apply" -> (cdcApply _),
     "q32_semi_join" -> (semiJoin _),
     "q33_anti_join" -> (antiJoin _),
     "q34_rollup" -> (rollupAgg _),
@@ -308,6 +333,7 @@ object ExtendedRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q60_cdc_apply" -> oracleCdc,
     "q32_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
