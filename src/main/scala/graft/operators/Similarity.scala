@@ -166,13 +166,87 @@ object Similarity {
       |  round(sqrt(sum(mean_v * mean_v)), 6) AS l2_norm
       |FROM perdim GROUP BY label ORDER BY label""".stripMargin
 
+  private val IvfTopK = 3
+
+  /** IVF-style ANN: coarse quantizer = per-label mean vectors (the
+    * "train" pass a real IVF runs k-means for); each query probes ONLY
+    * its nearest centroid's posting list, then exact cosine re-ranks
+    * inside it. Corpus scan cost per query drops from n to n/k — the
+    * complement of the hyperplane-LSH path in [[annLsh]].
+    *
+    * Determinism across engines: centroid assignment is an argmax whose
+    * best-vs-second gaps (≥0.002 on this corpus) dwarf the ~1e-15
+    * cross-engine float-summation jitter in the per-dim averages; the
+    * final cosines are over raw vectors (bit-exact parity).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = e
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim").agg(avg($"v".cast("double")).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
+      .select($"label".as("c_label"), expr("transform(dm, x -> x.m)").as("cvec"))
+    val q = queriesDf(spark, dir)
+    // nearest centroid per query (centroids are tiny → broadcast)
+    val qcRanked = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", expr(
+        "aggregate(zip_with(qe, cvec, (x, v) -> cast(x as double) * v), 0D, (a, v) -> a + v)") /
+        (normD("qe") * expr("sqrt(aggregate(cvec, 0D, (a, v) -> a + v * v))")))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_label"))
+    val assigned = qcRanked.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") === 1)
+      .select(col("q_id"), col("qe"), col("c_label"))
+    // probe only the assigned label's vectors
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("c_id"), col("label"), col("embedding").as("ce"))
+    val scored = corpus.join(broadcast(assigned), col("label") === col("c_label"))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("label"), col("c_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def oracleAnnIvf: String =
+    s"""WITH perdim AS (
+       |  SELECT label, dim, avg(v::DOUBLE) AS m FROM (
+       |    SELECT label, unnest(embedding) AS v,
+       |           unnest(generate_series(1, len(embedding))) AS dim
+       |    FROM embeddings) GROUP BY label, dim),
+       |cent AS (SELECT label AS c_label, list(m ORDER BY dim) AS cvec FROM perdim GROUP BY label),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       |qc AS (
+       |  SELECT q_id, qe, c_label,
+       |    (list_sum(list_transform(list_zip(qe, cvec), p -> p[1]::DOUBLE * p[2])) /
+       |     (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE))) *
+       |      sqrt(list_sum(list_transform(cvec, x -> x * x))))) AS ccos
+       |  FROM q, cent),
+       |assigned AS (
+       |  SELECT q_id, qe, c_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_label) AS crn
+       |    FROM qc) WHERE crn = 1),
+       |scored AS (
+       |  SELECT a.q_id, c.label, c.vec_id AS c_id, ${cosineSql("a.qe", "c.embedding")} AS cos
+       |  FROM assigned a JOIN embeddings c
+       |    ON c.label = a.c_label AND c.vec_id >= $NumQueries),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+       |       FROM scored)
+       |SELECT q_id, label, c_id, round(cos, 6) AS cosine, rank FROM rk
+       |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_ann_ivf" -> (annIvf _),
     "q29_cosine_topk" -> (cosineTopK _),
     "q30_ann_lsh" -> (annLsh _),
     "q31_label_centroids" -> (labelCentroids _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_ann_ivf" -> oracleAnnIvf,
     "q29_cosine_topk" -> oracleTopK,
     "q30_ann_lsh" -> oracleAnnLsh,
     "q31_label_centroids" -> oracleCentroids,

@@ -247,7 +247,46 @@ object TextDedup {
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
 
+  private val DfCap = 20
+
+  /** n-gram Jaccard with a document-frequency cap (the PLANS.md 100 TB
+    * lever as its own operator): shingles appearing in more than
+    * [[DfCap]] docs are stop-shingles — dropped before pairing, so the
+    * Σ df² pair cost is bounded by df-cap² per shingle. Jaccard is then
+    * over the capped shingle sets (semantics change is explicit and
+    * oracle-checked).
+    */
+  def dedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val index = shingleIndex(spark, dir)
+    val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("s"))
+    val capped = index.join(rare, Seq("s"), "left_semi")
+    jaccardPairs(capped)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def oracleNgramCapped: String =
+    s"""WITH sh0 AS ($shingleIndexSql),
+       |sh AS (
+       |  SELECT * FROM sh0 WHERE s IN (
+       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT a_id, b_id, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM jac
+       |WHERE jaccard >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_dedup_jaccard_dfcap" -> (dedupNgramJaccardCapped _),
     "q19_dedup_exact" -> (dedupExact _),
     "q20_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q21_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -256,6 +295,7 @@ object TextDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_dedup_jaccard_dfcap" -> oracleNgramCapped,
     "q19_dedup_exact" -> oracleExact,
     "q20_dedup_ngram_jaccard" -> oracleNgram,
     "q21_dedup_minhash_lsh" -> oracleMinhash,
