@@ -267,7 +267,81 @@ object ExtendedFunctions {
       |  CAST(n_nationkey << 2 AS BIGINT) AS shl_v
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): rows with
+    * null keys MATCH each other — the semantics keyed dedup pipelines
+    * need when null is a real key value.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", $"o_orderpriority").as("prio"))
+    val pri = Seq(("1-URGENT", 1L), (null.asInstanceOf[String], 0L)).toDF("p", "weight")
+    orders.join(broadcast(pri), orders("prio") <=> pri("p"))
+      .groupBy($"weight")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"weight")
+  }
+
+  private val oracleNullSafeJoin =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END AS prio
+      |  FROM orders),
+      |pri AS (SELECT * FROM (VALUES ('1-URGENT', 1), (NULL, 0)) t(p, weight))
+      |SELECT weight::BIGINT AS weight, count(*) AS n
+      |FROM o JOIN pri ON o.prio IS NOT DISTINCT FROM pri.p
+      |GROUP BY 1 ORDER BY weight""".stripMargin
+
+  /** Schema-full JSON parsing (`from_json` with a declared struct, vs
+    * q14's path extraction): parse, validate, aggregate.
+    */
+  def fromJsonParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_type",
+        from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).as("p"))
+      .select($"event_type", $"p.k".as("k"), $"p".isNotNull.as("parsed"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"parsed", 1).otherwise(0)).as("n_parsed"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  private val oracleFromJson =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_parsed,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Calendar rollup: month + quarter buckets (dow/week conventions
+    * diverge across engines; month/quarter are safe).
+    */
+  def calendarRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy(
+        year($"o_orderdate").cast("long").as("y"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        month($"o_orderdate").cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"y", $"q", $"m")
+  }
+
+  private val oracleCalendar =
+    """SELECT year(o_orderdate)::BIGINT AS y, quarter(o_orderdate)::BIGINT AS q,
+      |  month(o_orderdate)::BIGINT AS m,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY y, q, m""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_null_safe_join" -> (nullSafeJoin _),
+    "q64_from_json" -> (fromJsonParse _),
+    "q65_calendar_rollup" -> (calendarRollup _),
     "q47_string_funcs" -> (stringFuncs _),
     "q48_regexp_extract" -> (regexpExtract _),
     "q49_fuzzy_levenshtein" -> (fuzzyLevenshtein _),
@@ -282,6 +356,9 @@ object ExtendedFunctions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_null_safe_join" -> oracleNullSafeJoin,
+    "q64_from_json" -> oracleFromJson,
+    "q65_calendar_rollup" -> oracleCalendar,
     "q47_string_funcs" -> oracleStringFuncs,
     "q48_regexp_extract" -> oracleRegexpExtract,
     "q49_fuzzy_levenshtein" -> oracleFuzzy,
