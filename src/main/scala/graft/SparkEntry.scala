@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.entries ++ TextDedup.entries ++ TextAnalysis.entries ++
       Similarity.entries ++ ExtendedRelational.entries ++
-      ExtendedFunctions.entries ++ graft.multimodal.Multimodal.entries
+      ExtendedFunctions.entries ++ PipelineOps.entries ++
+      graft.multimodal.Multimodal.entries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextDedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ ExtendedRelational.oracles ++
-      ExtendedFunctions.oracles ++ graft.multimodal.Multimodal.oracles
+      ExtendedFunctions.oracles ++ PipelineOps.oracles ++
+      graft.multimodal.Multimodal.oracles
 }
