@@ -68,4 +68,25 @@ class PipelineOpsSpec extends SparkSpec {
     val rows = TextAnalysis.tokenCount(spark, dir).collect()
     assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0))
   }
+
+  test("deterministic sample: identical across runs, roughly 10%") {
+    val a = PipelineOps.deterministicSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = PipelineOps.deterministicSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b) // no rand(): byte-identical reruns
+    assert(a.length > 20 && a.length < 100) // ~10% of 500
+  }
+
+  test("split assignment partitions every document exactly once") {
+    val splits = PipelineOps.splitAssignment(spark, dir)
+    val total = splits.agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(total == 500)
+    val names = splits.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("train", "val", "test"))
+  }
+
+  test("decontamination flags only train docs, by eval overlap") {
+    val rows = PipelineOps.decontamination(spark, dir).collect()
+    assert(rows.forall(_.getLong(0) >= 20)) // eval ids never flagged
+    assert(rows.forall(_.getLong(1) >= 5))
+  }
 }
