@@ -106,6 +106,13 @@ final case class FileConnector(
   /** Keyed upsert on a non-transactional file target: read-union-rewrite.
     * The anti-join side is the loser; at 100 TB this is `MERGE INTO` on
     * Delta/Iceberg — semantics identical, rewrite scoped to touched files.
+    *
+    * Staging: the plan reads the target path, so it cannot be overwritten
+    * in place. The result is written ONCE to a sibling directory on the
+    * SAME filesystem as the target, then swapped in with two renames
+    * (rename is atomic on one FS and is exactly what a cluster would do
+    * on HDFS/object-store-with-rename; a driver-local temp dir would not
+    * even be visible to executors off local mode).
     */
   private def mergeRewrite(df: DataFrame, index: String, pks: Seq[String], newWins: Boolean): Unit = {
     require(pks.nonEmpty, s"$name/$index: InsertIgnore/Replace need pk columns")
@@ -115,12 +122,31 @@ final case class FileConnector(
     val loser = if (newWins) existing else df
     val survivors = loser.join(winner.select(pks.map(winner.apply): _*).dropDuplicates(pks), pks, "left_anti")
     val out = winner.unionByName(survivors, allowMissingColumns = true)
-    // Stage through a temp dir: the plan still reads the target path, so
-    // overwriting it in place would clobber its own input partitions.
-    val tmp = Files.createTempDirectory(s"graft-$name-").resolve(index).toString
-    configureW(out.write).format(format).mode(SaveMode.Overwrite).save(tmp)
-    configureW(spark.read.format(format).load(tmp).write)
-      .format(format).mode(SaveMode.Overwrite).save(pathFor(index))
+    val target = Paths.get(pathFor(index))
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    def sibling(tag: String): Path =
+      target.resolveSibling(target.getFileName.toString + s".$tag-$stamp")
+    val staging = sibling("stage")
+    configureW(out.write).format(format).mode(SaveMode.Overwrite).save(staging.toString)
+    val retired = sibling("old")
+    Files.move(target, retired, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(staging, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable => // roll the old data back before failing
+      Files.move(retired, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE); throw e
+    }
+    deleteRecursively(retired)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** `Files.list` with the stream closed (it holds a directory handle). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
   }
 
   def listIndexes(spark: SparkSession): Seq[String] = {
@@ -131,16 +157,19 @@ final case class FileConnector(
     // holds part-/_SUCCESS files) as a leaf rather than recursing.
     def isTableDir(p: Path): Boolean =
       (ext.nonEmpty && p.getFileName.toString.endsWith(ext)) ||
-        Files.list(p).iterator().asScala.exists { f =>
+        listDir(p).exists { f =>
           val n = f.getFileName.toString
           n.startsWith("part-") || n == "_SUCCESS"
         }
+    def isStagingLeftover(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.contains(".stage-") || n.contains(".old-")
+    }
     def walk(p: Path): Seq[Path] =
-      if (Files.isDirectory(p) && !isTableDir(p))
-        Files.list(p).iterator().asScala.toSeq.sorted.flatMap(walk)
+      if (Files.isDirectory(p) && !isTableDir(p)) listDir(p).sorted.flatMap(walk)
       else Seq(p)
     walk(rootPath)
-      .filter(p => ext.isEmpty || p.toString.endsWith(ext))
+      .filter(p => !isStagingLeftover(p) && (ext.isEmpty || p.toString.endsWith(ext)))
       .map { p =>
         val rel = rootPath.relativize(p).toString
         rel.stripSuffix(ext).replace(java.io.File.separator, "-")
@@ -198,16 +227,47 @@ final case class JdbcConnector(
         .foldLeft(df) { (d, f) =>
           d.withColumn(f.name, Normalize.clampClickHouseDateTime(d(f.name)))
         }
-    val saveMode = mode match {
-      case WriteMode.Overwrite => SaveMode.Overwrite
-      case _                   => SaveMode.Append
+    mode match {
+      case WriteMode.InsertIgnore(pks) =>
+        ensureTable(prepared, index, pks)
+        JdbcExec.upsert(prepared, url, index, pks, newWins = false, options)
+      case WriteMode.Replace(pks) =>
+        ensureTable(prepared, index, pks)
+        JdbcExec.upsert(prepared, url, index, pks, newWins = true, options)
+      case m =>
+        val saveMode = m match {
+          case WriteMode.Overwrite => SaveMode.Overwrite
+          case _                   => SaveMode.Append
+        }
+        options.foldLeft(
+          prepared.write.format("jdbc").option("url", url).option("dbtable", index)
+            .option("batchsize", options.getOrElse("batchsize", "1000"))
+        ) { case (w, (k, v)) => w.option(k, v) }.mode(saveMode).save()
     }
-    options.foldLeft(
-      prepared.write.format("jdbc").option("url", url).option("dbtable", index)
-        .option("batchsize", options.getOrElse("batchsize", "1000"))
-    ) { case (w, (k, v)) => w.option(k, v) }.mode(saveMode).save()
   }
-  def listIndexes(spark: SparkSession): Seq[String] = Nil
+  /** Auto-create before a keyed write (P7, `create_index`): Spark's JDBC
+    * writer emits dialect-correct DDL from the DataFrame schema (empty
+    * Append), then we try to add the pk constraint — best-effort, since
+    * e.g. Derby rejects PKs on nullable columns; ANSI MERGE enforces the
+    * key via its ON predicate regardless.
+    */
+  private def ensureTable(df: DataFrame, index: String, pks: Seq[String]): Unit =
+    if (!JdbcExec.tableExists(url, index, options)) {
+      options.foldLeft(
+        df.limit(0).write.format("jdbc").option("url", url).option("dbtable", index)
+      ) { case (w, (k, v)) => w.option(k, v) }.mode(SaveMode.Append).save()
+      try {
+        JdbcExec.execute(url,
+          s"ALTER TABLE $index ADD PRIMARY KEY (${pks.mkString(", ")})", options)
+        ()
+      } catch { case _: java.sql.SQLException => () }
+    }
+
+  /** `get_indexes` over a live connection (`db/__init__.py:383-396`) —
+    * the catalog walk that powers the whole-database loop (P1).
+    */
+  def listIndexes(spark: SparkSession): Seq[String] =
+    JdbcExec.listTables(url, options)
 }
 
 /** Registry: name → connector (the reference passes connector instances

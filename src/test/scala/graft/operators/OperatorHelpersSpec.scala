@@ -34,6 +34,26 @@ class OperatorHelpersSpec extends SparkSpec {
     assert(outer.filter($"sym" === 3 && $"bid".isNull).count() == 1)
   }
 
+  test("AsOf.join: null payload on the matched right row stays null (no back-fill)") {
+    val trades = Seq((1L, ts("2024-01-01 10:01:00"), 100.0))
+      .toDF("sym", "t_time", "px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(99.5)),
+      (1L, ts("2024-01-01 10:00:30"), None), // latest as-of row: bid is null
+    ).toDF("sym", "q_time", "bid")
+
+    val out = AsOf.join(trades, quotes, "t_time", "q_time", "sym", Seq("bid"))
+    // The 10:00:30 row is the match; its null payload must NOT be
+    // back-filled from the older 10:00:00 row — and since the row
+    // matched, inner keeps it (DuckDB ASOF semantics).
+    assert(out.count() == 1)
+    assert(out.filter($"bid".isNull).count() == 1)
+
+    // A left row with no as-of right row at all is still dropped by inner.
+    val early = Seq((1L, ts("2023-12-31 00:00:00"), 5.0)).toDF("sym", "t_time", "px")
+    assert(AsOf.join(early, quotes, "t_time", "q_time", "sym", Seq("bid")).count() == 0)
+  }
+
   test("SkewJoin.saltedJoin equals the plain join on skewed data") {
     val fact = (1 to 5000).map(i => (if (i % 10 == 0) 7L else i.toLong % 100, i.toLong))
       .toDF("k", "v") // key 7 is hot
@@ -52,11 +72,13 @@ class OperatorHelpersSpec extends SparkSpec {
     assert(my.startsWith("INSERT INTO `t` (`id`, `v`) VALUES (1, 'o\\'x'), (2, NULL)"))
     assert(my.endsWith("ON DUPLICATE KEY UPDATE `v` = VALUES(`v`);"))
 
+    // Postgres: double-quoted identifiers, '' string escaping (no backslashes)
     val pg = JdbcUpsert.upsertSql(JdbcUpsert.Postgres, "t", Seq("id", "v"), rows, Seq("id"))
-    assert(pg.contains("ON CONFLICT (`id`) DO UPDATE SET `v` = EXCLUDED.`v`;"))
+    assert(pg.startsWith("""INSERT INTO "t" ("id", "v") VALUES (1, 'o''x'), (2, NULL)"""))
+    assert(pg.endsWith("""ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v";"""))
 
     val ig = JdbcUpsert.insertIgnoreSql(JdbcUpsert.Postgres, "t", Seq("id", "v"), rows, Seq("id"))
-    assert(ig.endsWith("ON CONFLICT (`id`) DO NOTHING;"))
+    assert(ig.endsWith("""ON CONFLICT ("id") DO NOTHING;"""))
 
     val expr = JdbcUpsert.upsertWithExprSql("t", Seq("id", "v"), rows,
       "v = GREATEST(VALUES(v), v)")
