@@ -110,13 +110,16 @@ object SchemaInfer {
     case _ => "String"
   }
 
-  /** ClickHouse DDL (S-ClickHouse create_index analog). Every column is
-    * Nullable except key columns (CH sorting keys cannot be Nullable).
+  /** ClickHouse DDL (S-ClickHouse create_index analog). Scalar columns
+    * are Nullable except key columns (CH sorting keys cannot be
+    * Nullable); composite types (Array/Map) cannot be wrapped in
+    * Nullable at all — CH represents missing arrays as empty.
     */
   def toClickHouseDdl(schema: StructType, table: String, orderBy: Seq[String] = Nil): String = {
     val cols = schema.fields.map { f =>
       val t = chType(f.dataType)
-      val wrapped = if (orderBy.contains(f.name)) t else s"Nullable($t)"
+      val composite = f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType]
+      val wrapped = if (orderBy.contains(f.name) || composite) t else s"Nullable($t)"
       s"  `${f.name}` $wrapped"
     }
     val ob = if (orderBy.nonEmpty) orderBy.mkString("(", ", ", ")") else "tuple()"

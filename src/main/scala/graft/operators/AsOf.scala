@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * (the join-then-filter alternative materializes |left| × |right-per-
   * key| intermediates before pruning).
   *
-  * Right-side payload columns are carried through `last(_, ignoreNulls)`
-  * over the time-ordered union; ties between a left and right row at
-  * the same instant resolve right-first (inclusive as-of, DuckDB ASOF
-  * semantics).
+  * The WHOLE right row rides through `last(_, ignoreNulls)` as one
+  * nullable struct (null on left rows, never null on right rows), so a
+  * matched right row with a null payload stays the match — no back-fill
+  * from an older row — and inner-ness is decided by the match marker,
+  * not payload nullability (DuckDB ASOF semantics for nullable
+  * payloads). Ties between a left and right row at the same instant
+  * resolve right-first (inclusive as-of).
   */
 object AsOf {
 
@@ -44,14 +47,22 @@ object AsOf {
 
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Null on left rows, non-null on every right row (struct() itself is
+    // never null), so last(ignoreNulls) lands on the latest RIGHT ROW —
+    // not the latest non-null payload value.
+    val rightRow = when(col("__side") === 0,
+      struct(rightPayload.map(col): _*))
     val filled = rTagged.unionByName(lTagged)
       .select((col("__k") +: col("__t") +: col("__side") +:
-        leftCols.filterNot(_ == key).map(col) ++:
-        rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        last(rightRow, ignoreNulls = true).over(w).as("__r")): _*)
 
     val out = filled.filter(col("__side") === 1)
-      .withColumnRenamed("__k", key)
-      .drop("__t", "__side")
-    if (inner) out.filter(rightPayload.map(c => col(c).isNotNull).reduce(_ || _)) else out
+      .select((col("__k").as(key) +: col("__r").as("__r") +:
+        leftCols.filterNot(_ == key).map(col)): _*)
+    val matched = if (inner) out.filter(col("__r").isNotNull) else out
+    matched
+      .select((key +: leftCols.filterNot(_ == key)).map(col) ++:
+        rightPayload.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

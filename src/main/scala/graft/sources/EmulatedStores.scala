@@ -44,15 +44,21 @@ final case class EsConnector(
     val fs = new Path(target).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(target))
     mode match {
-      case WriteMode.Overwrite | _ if !exists =>
+      case WriteMode.Overwrite => // drop & recreate, even over an existing index
+        keyed.write.mode(SaveMode.Overwrite).parquet(target)
+      case _ if !exists =>
         keyed.write.mode(SaveMode.Overwrite).parquet(target)
       case _ => // bulk index = upsert by _id, new doc wins
         val existing = read(df.sparkSession, index)
         val survivors = existing.join(keyed.select("_id"), Seq("_id"), "left_anti")
         val out = keyed.unionByName(survivors, allowMissingColumns = true)
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-es-").resolve(index).toString
-        out.write.mode(SaveMode.Overwrite).parquet(tmp)
-        df.sparkSession.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(target)
+        // Single write to a same-FS sibling, then swap (the plan reads
+        // the target, so in-place overwrite would clobber its own input).
+        val staging = new Path(target + ".stage-" + java.util.UUID.randomUUID().toString.take(8))
+        out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        fs.delete(new Path(target), true)
+        fs.rename(staging, new Path(target))
+        ()
     }
     writeMapping(df, index)
   }

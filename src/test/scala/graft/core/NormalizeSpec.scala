@@ -24,16 +24,18 @@ class NormalizeSpec extends SparkSpec {
     ))
   }
 
-  test("ClickHouse datetime clamp: below → floor, above → cap, in-range/null unchanged") {
+  test("ClickHouse datetime clamp: out-of-range in EITHER direction → min (reference format_data_range)") {
     val rows = Seq(
       Timestamp.valueOf("1950-06-01 12:00:00"),
       Timestamp.valueOf("2024-01-01 00:00:00"),
-      Timestamp.valueOf("2200-01-01 00:00:00"),
+      Timestamp.valueOf("2106-01-01 00:00:00"), // exactly max: kept
+      Timestamp.valueOf("2200-01-01 00:00:00"), // above max: → MIN, not max
       null,
     ).toDF("ts").select(Normalize.clampClickHouseDateTime($"ts").cast("string"))
       .as[String].collect().toSeq
     assert(rows == Seq(
-      "1971-01-01 00:00:00", "2024-01-01 00:00:00", "2106-01-01 00:00:00", null))
+      "1971-01-01 00:00:00", "2024-01-01 00:00:00", "2106-01-01 00:00:00",
+      "1971-01-01 00:00:00", null))
   }
 
   test("JSON value encodings: bytes→base64, timestamp→ISO-8601") {
@@ -53,5 +55,14 @@ class NormalizeSpec extends SparkSpec {
     val fps = df.select(Normalize.rowFingerprint(Seq($"a", $"b"))).as[String].collect()
     assert(fps(0) == fps(2)) // identical rows agree
     assert(fps(0) != fps(1)) // null vs empty differ
+  }
+
+  test("rowFingerprint: separator inside a value cannot fake a field boundary") {
+    // ("ab", "c") vs ("a", "bc"): same concatenation without
+    // escaping — must fingerprint differently.
+    val df = Seq(("ab", "c"), ("a", "bc"), ("a\\", "b"), ("a", "\\b"))
+      .toDF("a", "b")
+    val fps = df.select(Normalize.rowFingerprint(Seq($"a", $"b"))).as[String].collect()
+    assert(fps.distinct.length == 4)
   }
 }

@@ -58,15 +58,18 @@ class SchemaInferSpec extends SparkSpec {
     assert(ddl.contains("PRIMARY KEY (`name`)"))
   }
 
-  test("ClickHouse DDL: Nullable wrapping except order-by keys") {
+  test("ClickHouse DDL: Nullable wrapping except order-by keys and composites") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("v", DoubleType),
       StructField("ts", TimestampType),
+      StructField("emb", ArrayType(DoubleType)), // CH rejects Nullable(Array(...))
     ))
     val ddl = SchemaInfer.toClickHouseDdl(schema, "t", orderBy = Seq("id"))
     assert(ddl.contains("`id` Int64"))
     assert(ddl.contains("`v` Nullable(Float64)"))
     assert(ddl.contains("`ts` Nullable(DateTime)"))
+    assert(ddl.contains("`emb` Array(Float64)"))
+    assert(!ddl.contains("Nullable(Array"))
     assert(ddl.contains("ORDER BY (id)"))
   }
 

@@ -29,6 +29,16 @@ class EmulatedStoresSpec extends SparkSpec {
     assert(es.listIndexes(spark) == Seq("docs"))
   }
 
+  test("EsConnector: Overwrite over an EXISTING index drops old docs (no upsert fallthrough)") {
+    val es = EsConnector("es3", tmpDir("es3"), pks = Map("docs" -> Seq("k")))
+    es.write(Seq((1, "old1"), (2, "old2")).toDF("k", "v"), "docs", WriteMode.Overwrite)
+    // Overwrite again with a disjoint batch: old docs must NOT survive.
+    es.write(Seq((9, "new")).toDF("k", "v"), "docs", WriteMode.Overwrite)
+    val after = es.read(spark, "docs")
+    assert(after.count() == 1)
+    assert(after.select("v").as[String].head() == "new")
+  }
+
   test("EsConnector: content md5 _id when no pks; search applies query") {
     val es = EsConnector("es2", tmpDir("es2"))
     es.write(Seq((1, "x")).toDF("a", "b"), "i", WriteMode.Overwrite)
