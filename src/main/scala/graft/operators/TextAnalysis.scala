@@ -133,10 +133,13 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Document fingerprinting: md5 of the whitespace/punct-normalized
-    * text (fuzzy-exact dedup key) plus a rolling-hash minimum over char
-    * 8-grams (winnowing-style content fingerprint, robust to local
-    * edits). Map-only; the fingerprint then feeds the same hash-groupBy
-    * as exact dedup.
+    * text (fuzzy-exact dedup key) plus a TRUE rolling-hash minimum over
+    * char 8-grams (winnowing-style content fingerprint, robust to local
+    * edits) — [[graft.functions.RollingMinHash]], a codegen'd
+    * Rabin–Karp pass: O(n) adds/multiplies per document instead of the
+    * ~400 md5 calls the md5-per-window formulation cost (round-1
+    * bench's slowest query). Map-only; the fingerprint then feeds the
+    * same hash-groupBy as exact dedup.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -147,9 +150,7 @@ object TextAnalysis {
       .select(
         $"doc_id",
         md5($"norm").as("fp_md5"),
-        expr("array_min(transform(sequence(1, length(norm) - 7), " +
-          "i -> cast(conv(substring(md5(substring(norm, i, 8)), 1, 15), 16, 10) as bigint)))")
-          .as("fp_rolling"))
+        graft.functions.RollingMinHash($"norm").as("fp_rolling"))
       .orderBy($"doc_id")
   }
 
@@ -159,8 +160,7 @@ object TextAnalysis {
        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
        |  FROM documents)
        |SELECT doc_id, md5(norm) AS fp_md5,
-       |  list_min(list_transform(generate_series(1, length(norm) - 7),
-       |    i -> ('0x'||substr(md5(substr(norm, i, 8)),1,15))::BIGINT)) AS fp_rolling
+       |  ${graft.functions.RollingMinHash.duckDbSql("norm")} AS fp_rolling
        |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin
 
   /** Corpus rollup: per (lang, source) quality/token statistics — the
@@ -211,20 +211,33 @@ object TextAnalysis {
       |FROM (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word)
       |ORDER BY freq DESC, word LIMIT 50""".stripMargin
 
+  private val FpDfCap = 20
+
   /** Exact-substring near-dup candidates: documents sharing their
     * minimum rolling 8-gram hash (the q27 winnowing fingerprint) —
     * docs with any identical 8-char window tend to collide on the
     * minimum. An equi-join on the fingerprint: candidate generation
     * without pairwise comparison.
+    *
+    * Document-frequency cap (the q61 lever): a fingerprint shared by
+    * more than [[FpDfCap]] docs is boilerplate (a common substring —
+    * headers, licenses), and its bucket would blow up quadratically in
+    * the self-join; such fps are dropped before pairing, bounding the
+    * per-key pair cost at cap² regardless of corpus size.
     */
   def sharedFingerprintPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cache: the fingerprint is ~400 md5s per doc; without it the
-    // self-join recomputes the whole rolling-hash pipeline per side
-    // (and the join-key expression again inside exchange planning).
+    // cache: the fingerprint is ~400 md5s per doc; without it the df
+    // count AND both self-join sides recompute the whole rolling-hash
+    // pipeline (and the join-key expression again in exchange planning).
     val fp = fingerprint(spark, dir).select($"doc_id", $"fp_rolling").cache()
-    val a = fp.toDF("a_id", "fp")
-    val b = fp.toDF("b_id", "fp2")
+    val rare = fp.groupBy($"fp_rolling")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= FpDfCap)
+      .select($"fp_rolling")
+    val kept = fp.join(rare, "fp_rolling")
+    val a = kept.select($"doc_id".as("a_id"), $"fp_rolling".as("fp"))
+    val b = kept.select($"doc_id".as("b_id"), $"fp_rolling".as("fp2"))
     a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
       .select($"a_id", $"b_id", $"fp")
       .orderBy($"a_id", $"b_id")
@@ -237,11 +250,13 @@ object TextAnalysis {
        |  FROM documents),
        |fp AS (
        |  SELECT doc_id,
-       |    list_min(list_transform(generate_series(1, length(norm) - 7),
-       |      i -> ('0x'||substr(md5(substr(norm, i, 8)),1,15))::BIGINT)) AS fp_rolling
-       |  FROM n WHERE length(norm) >= 8)
+       |    ${graft.functions.RollingMinHash.duckDbSql("norm")} AS fp_rolling
+       |  FROM n WHERE length(norm) >= 8),
+       |rare AS (
+       |  SELECT fp_rolling FROM fp GROUP BY fp_rolling HAVING count(*) <= $FpDfCap),
+       |kept AS (SELECT fp.* FROM fp JOIN rare USING (fp_rolling))
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp_rolling AS fp
-       |FROM fp a JOIN fp b ON a.fp_rolling = b.fp_rolling AND a.doc_id < b.doc_id
+       |FROM kept a JOIN kept b ON a.fp_rolling = b.fp_rolling AND a.doc_id < b.doc_id
        |ORDER BY a_id, b_id""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

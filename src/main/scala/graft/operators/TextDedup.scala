@@ -219,33 +219,92 @@ object TextDedup {
        |SELECT doc_id, $sim AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  /** Embedding near-dup: exact cosine over LSH-style label blocking is
-    * covered in [[Similarity]]; here the pairwise near-dup check runs
-    * within `label` blocks only (a pre-clustered corpus at 100 TB joins
-    * within blocks, never across the full corpus). Threshold keeps the
-    * closest pairs.
+  private val EmbBands = 4
+  private val EmbPlanesPerBand = 6 // 64 buckets per band
+  private val EmbDim = 64
+  private val EmbThreshold = 0.4
+
+  /** Deterministic hyperplanes for the embedding-dedup bands, same
+    * md5-derived construction as [[Similarity.hyperplanes]] but its own
+    * seed family — computed on the driver, embedded as literals in both
+    * the Spark plan and the oracle SQL.
+    */
+  private lazy val embPlanes: Array[Array[Array[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(EmbBands, EmbPlanesPerBand, EmbDim) { (b, j, i) =>
+      val hex = md.digest(s"edband:$b:$j:$i".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+  }
+
+  private def embBucketCol(band: Int, embCol: String): Column =
+    (0 until EmbPlanesPerBand).map { j =>
+      val plane = embPlanes(band)(j).mkString("array(", "D, ", "D)")
+      val dot = s"aggregate(zip_with($embCol, $plane, (x, v) -> cast(x as double) * v), 0D, (a, v) -> a + v)"
+      expr(s"CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END")
+    }.reduce(_ + _)
+
+  private def embBucketSql(band: Int, embCol: String): String =
+    (0 until EmbPlanesPerBand).map { j =>
+      val plane = embPlanes(band)(j).mkString("[", ", ", "]")
+      val dot = s"list_sum(list_transform(list_zip($embCol, $plane), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+      s"CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Embedding near-dup, blocked on banded random-hyperplane LSH
+    * buckets: candidate pairs must share a bucket in at least one of
+    * [[EmbBands]] bands, then exact cosine verifies. Every join is an
+    * equi-join on (band, bucket id) over ids only — embeddings are
+    * fetched per CANDIDATE pair afterwards, so shuffle volume is
+    * id-sized and the pair cost is Σ bucket² with random-hyperplane
+    * balanced buckets — never n²/|blocks| over a handful of coarse
+    * pre-labels. Recall < 1 by construction (banding probability);
+    * the oracle replays the identical bands, so the result is exactly
+    * checkable.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
-    val a = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
-    val b = e.select($"vec_id".as("b_id"), $"label".as("label2"), $"embedding".as("eb"))
-    a.join(b, a("label") === b("label2") && a("a_id") < b("b_id"))
+    val banded = e.select($"vec_id", explode(array(
+      (0 until EmbBands).map(b =>
+        struct(lit(b).as("band"), embBucketCol(b, "embedding").as("bucket"))): _*
+    )).as("bb")).select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct() // a pair may collide in several bands
+    val ea = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val eb = e.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    pairs.join(ea, "a_id").join(eb, "b_id")
       // native fused cosine — single codegen'd loop, bit-equal to the
       // composed formula and the oracle (FunctionsSpec)
       .withColumn("cosine", graft.functions.CosineSimilarity($"ea", $"eb"))
-      .filter($"cosine" >= 0.4)
-      .select($"a_id", $"b_id", $"label", round($"cosine", 6).as("cosine"))
+      .filter($"cosine" >= EmbThreshold)
+      .select($"a_id", $"b_id", round($"cosine", 6).as("cosine"))
       .orderBy($"a_id", $"b_id")
   }
 
-  private def oracleEmbedding: String =
-    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-       |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+  private def oracleEmbedding: String = {
+    val bandSelects = (0 until EmbBands).map { b =>
+      s"SELECT vec_id, $b AS band, ${embBucketSql(b, "embedding")} AS bucket FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT p.a_id, p.b_id,
+       |  round(${cosineSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+       |FROM pairs p
+       |JOIN embeddings ea ON ea.vec_id = p.a_id
+       |JOIN embeddings eb ON eb.vec_id = p.b_id
+       |WHERE ${cosineSql("ea.embedding", "eb.embedding")} >= $EmbThreshold
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
   private val DfCap = 20
 

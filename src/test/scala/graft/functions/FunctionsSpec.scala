@@ -32,6 +32,28 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1)._2 == 0.0) // orthogonal vectors
   }
 
+  test("RollingMinHash matches brute-force per-window polynomial; null under window") {
+    def brute(s: String, w: Int = 8, b: Long = 31L): Option[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      if (bytes.length < w) None
+      else Some(bytes.sliding(w).map(_.foldLeft(0L)((h, c) => h * b + (c & 0xFFL))).min)
+    }
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaa", "exactly8", "short", "z" * 200 + "abcdefgh" + "z" * 200)
+    val got = docs.toDF("s")
+      .select(RollingMinHash($"s").as("h"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == docs.map(brute(_)))
+    // interpreted eval path agrees with codegen
+    docs.foreach { s =>
+      val e = RollingMinHash(
+        org.apache.spark.sql.catalyst.expressions.Literal(s),
+        RollingMinHash.DefaultWindow, RollingMinHash.DefaultBase)
+      val interp = Option(e.eval(null)).map(_.asInstanceOf[Long])
+      assert(interp == brute(s), s"interpreted eval mismatch for '$s'")
+    }
+  }
+
   test("MinHashAgg signature equals the k-column min formulation") {
     val shingles = Seq(
       (1L, "a b c"), (1L, "b c d"), (1L, "c d e"),

@@ -31,6 +31,40 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("streamingDedup state is keyed-store-backed and bounded by the watermark (eviction observed)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF.toDF("ts", "event_id")
+    val q = streamingDedup(df, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two keys enter state
+    mem.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:02:00"), 2L))
+    q.processAllAvailable()
+    // batch 2 advances max event time 3h; batch 3 runs with the advanced
+    // watermark and must EVICT the expired keys (bounded state).
+    mem.addData((ts("2024-01-01 03:00:00"), 3L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 03:01:00"), 4L))
+    q.processAllAvailable()
+
+    val progresses = q.recentProgress.toSeq
+    q.stop()
+    val stateOps = progresses.flatMap(_.stateOperators)
+    // keyed state store, the *WithinWatermark* variant (not unbounded dropDuplicates)
+    assert(stateOps.nonEmpty)
+    assert(stateOps.forall(_.operatorName == "dedupeWithinWatermark"),
+      s"unexpected state operator(s): ${stateOps.map(_.operatorName).distinct}")
+    // watermark actually propagated to the operator…
+    assert(progresses.flatMap(p => Option(p.eventTime.get("watermark"))).exists(_ != "1970-01-01T00:00:00.000Z"))
+    // …and expired keys were removed: state never exceeds the live
+    // horizon even though 4 distinct keys passed through.
+    assert(stateOps.map(_.numRowsRemoved).sum > 0, "no state eviction observed")
+    assert(stateOps.last.numRowsTotal < 4,
+      s"state grew unbounded: ${stateOps.last.numRowsTotal} rows")
+  }
+
   test("streamingUpsert applies keyed Replace per micro-batch via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
