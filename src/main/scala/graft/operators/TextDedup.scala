@@ -344,8 +344,97 @@ object TextDedup {
        |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM jac
        |WHERE jaccard >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin
 
+  private val MaxCcIters = 25
+
+  /** Duplicate-cluster assembly (q70): pair lists (from LSH/Jaccard)
+    * are only half of dedup — production pipelines need each document
+    * assigned to a duplicate CLUSTER, with one canonical survivor per
+    * cluster. Edges = the df-capped Jaccard pairs (the q61 scale
+    * shape); components via iterative min-label propagation:
+    * every node starts labeled with its own id, and each round takes
+    * the min label over itself and its neighbors — a join keyed on
+    * node id plus a groupBy keyed on neighbor, both well-partitioned
+    * shuffles, converging in ≤ component-diameter rounds (near-dup
+    * clusters are shallow; [[MaxCcIters]] is an assertion, not a hope —
+    * non-convergence throws rather than returning wrong clusters).
+    * Each round is `localCheckpoint`ed so lineage (and the DAG Catalyst
+    * must re-optimize) stays O(1), not O(iterations) — the standard
+    * iterative-algorithm discipline on Spark. At 100 TB the same loop
+    * holds (it is how GraphX/GraphFrames' connectedComponents works
+    * underneath); the large-star/small-star variant halves round count
+    * on deep graphs but near-dup graphs are not deep.
+    *
+    * Output: every document with its cluster id (= min doc_id in the
+    * component) and a canonical flag — singleton docs are their own
+    * cluster.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val index = shingleIndex(spark, dir)
+    val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("s"))
+    val capped = index.join(rare, Seq("s"), "left_semi")
+    val dup = jaccardPairs(capped).filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"))
+    // materialize once: the iteration must not replay the pair pipeline
+    val edges = dup.union(dup.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < MaxCcIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("next"))
+        .localCheckpoint()
+      converged = stepped.filter(col("next") =!= col("comp")).isEmpty
+      labels = stepped.select(col("id"), col("next").as("comp"))
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $MaxCcIters rounds")
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id")
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select($"doc_id",
+        coalesce(col("comp"), $"doc_id").as("cluster_id"),
+        (coalesce(col("comp"), $"doc_id") === $"doc_id").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleClusters: String =
+    s"""WITH RECURSIVE sh0 AS ($shingleIndexSql),
+       |sh AS (
+       |  SELECT * FROM sh0 WHERE s IN (
+       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT a_id, b_id FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= $JaccardThreshold),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM dup
+       |  UNION ALL SELECT b_id, a_id FROM dup),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+       |SELECT d.doc_id,
+       |  coalesce(l.comp, d.doc_id) AS cluster_id,
+       |  coalesce(l.comp, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_dedup_jaccard_dfcap" -> (dedupNgramJaccardCapped _),
+    "q70_dedup_clusters" -> (dedupClusters _),
     "q19_dedup_exact" -> (dedupExact _),
     "q20_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q21_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -355,6 +444,7 @@ object TextDedup {
 
   val oracles: Map[String, String] = Map(
     "q61_dedup_jaccard_dfcap" -> oracleNgramCapped,
+    "q70_dedup_clusters" -> oracleClusters,
     "q19_dedup_exact" -> oracleExact,
     "q20_dedup_ngram_jaccard" -> oracleNgram,
     "q21_dedup_minhash_lsh" -> oracleMinhash,
