@@ -114,7 +114,153 @@ object PipelineOps {
        |WHERE doc_id >= 20
        |GROUP BY doc_id HAVING count(*) >= 5 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q72 PII
+
+  /** PII patterns — character classes only (no lookahead), so Java
+    * regex (Spark) and RE2 (DuckDB) agree on every match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]-[0-9]{3}-[0-9]{4}"
+
+  /** Redact all three PII classes in a text column (email → [EMAIL],
+    * IPv4 → [IP], phone → [PHONE]) — reusable library surface; the q72
+    * query demonstrates it corpus-wide.
+    */
+  def redactPii(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(EmailRe), lit("[EMAIL]")),
+        lit(IpRe), lit("[IP]")),
+      lit(PhoneRe), lit("[PHONE]"))
+
+  def piiCounts(t: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+    regexp_count(t, lit(IpRe)).cast("long").as("n_ips"),
+    regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"))
+
+  /** PII detection + redaction: email / IPv4 / phone regex counts and a
+    * fully-redacted text column. Map-only (regexes are codegen'd string
+    * expressions — no UDF), so it scales as a pure scan. The synthetic
+    * corpus carries no natural PII, so the query plants deterministic
+    * PII derived from corpus fields (same construction in the oracle) —
+    * the detection/redaction machinery is value-checked end to end;
+    * on real data the same columns run over raw `text`. Patterns stick
+    * to character classes (no lookahead) so Java regex and RE2 agree.
+    */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pii = concat($"text", lit(" contact "), $"source", lit("@example.com via 10.0."),
+      pmod($"doc_id", lit(256)).cast("string"), lit(".7 or +1-555-"),
+      lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", pii.as("t"))
+      .select($"doc_id" +: piiCounts($"t") :+ redactPii($"t").as("redacted"): _*)
+      .orderBy($"doc_id")
+  }
+
+  private def oraclePii = {
+    val t = "text || ' contact ' || source || '@example.com via 10.0.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.7 or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    s"""WITH p AS (SELECT doc_id, $t AS t FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(t, '$IpRe')) AS n_ips,
+       |  len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EmailRe', '[EMAIL]', 'g'), '$IpRe', '[IP]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g') AS redacted
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- q73 packing
+
+  private val PackBudget = 2048L
+
+  /** Token-budget packing: assign documents (in deterministic doc_id
+    * order) to fixed-budget training chunks — pack_id = exclusive
+    * running token count ÷ budget. The running sum is NOT a global
+    * single-partition window (the classic scale-killer): range-partition
+    * on the pack order, windowed sum WITHIN each partition, then each
+    * partition's total (one row per partition) is collected, prefix-
+    * summed on the driver, and broadcast back as offsets — the textbook
+    * two-phase distributed prefix sum. `localCheckpoint` pins the
+    * partitioning so the offsets join the same data they were computed
+    * from (on a cluster: persist to reliable storage instead).
+    */
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(words($"text")).cast("long").as("tokens"))
+      .repartitionByRange(8, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("cum_in", sum($"tokens").over(w))
+      .localCheckpoint()
+    val totals = local.groupBy($"pid").agg(max($"cum_in").as("psum"))
+      .orderBy($"pid").collect() // one row per partition — driver-tiny
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }.toSeq.toDF("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("cum_excl", $"offset" + $"cum_in" - $"tokens")
+      .select($"doc_id", $"tokens",
+        floor($"cum_excl" / lit(PackBudget.toDouble)).cast("long").as("pack_id"))
+      .orderBy($"doc_id")
+  }
+
+  private def oraclePacking =
+    s"""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tokens,
+       |  CAST(floor((sum(len(string_split(text, ' '))) OVER
+       |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - len(string_split(text, ' '))) / $PackBudget.0) AS BIGINT) AS pack_id
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- q74 stratified
+
+  private val StratRates = Seq("en" -> 0.2, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.8)
+  private val StratDefault = 0.1
+
+  /** Stratified deterministic sampling, the no-shuffle formulation:
+    * keep a row iff its hash bucket (0..9999) falls under the stratum's
+    * rate — a map-only filter, vs the rank-per-stratum formulation
+    * whose per-group sort is a shuffle. Rates rebalance the corpus
+    * (downsample the dominant language, keep rare ones). Output is the
+    * per-stratum audit: total, kept, target rate.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = StratRates.foldLeft(lit(StratDefault)) {
+      case (acc, (l, r)) => when($"lang" === l, lit(r)).otherwise(acc)
+    }
+    val bucket = pmod(hash64(concat(lit("strat:"), $"doc_id".cast("string"))), lit(10000))
+    Tables.load(spark, dir, "documents")
+      .withColumn("kept", (bucket < rate * 10000).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"), sum($"kept").as("n_kept"),
+        max(rate).as("target_rate"))
+      .orderBy($"lang")
+  }
+
+  private def oracleStratified = {
+    val rate = StratRates.reverse.foldLeft(StratDefault.toString) {
+      case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    val bucket = s"${hash64Sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 10000"
+    s"""SELECT lang, count(*) AS n_total,
+       |  sum(CASE WHEN $bucket < ($rate) * 10000 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  max($rate) AS target_rate
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_pii_scan" -> (piiScan _),
+    "q73_token_packing" -> (tokenPacking _),
+    "q74_stratified_sample" -> (stratifiedSample _),
     "q66_data_quality" -> (dataQuality _),
     "q67_deterministic_sample" -> (deterministicSample _),
     "q68_split_assignment" -> (splitAssignment _),
@@ -122,6 +268,9 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_pii_scan" -> oraclePii,
+    "q73_token_packing" -> oraclePacking,
+    "q74_stratified_sample" -> oracleStratified,
     "q66_data_quality" -> oracleQuality,
     "q67_deterministic_sample" -> oracleSample,
     "q68_split_assignment" -> oracleSplit,

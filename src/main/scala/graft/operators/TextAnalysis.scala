@@ -259,7 +259,102 @@ object TextAnalysis {
        |FROM kept a JOIN kept b ON a.fp_rolling = b.fp_rolling AND a.doc_id < b.doc_id
        |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------- q71 repetition
+
+  /** Gopher-style repetition signals: top-word fraction and duplicate
+    * word-n-gram fractions per document, plus the composite keep flag.
+    * Pure per-row array expressions (map-only, codegen'd): the top-word
+    * count is a nested transform over the distinct words — O(distinct ×
+    * n) per row on ~100-word docs, still scan-bound; the dup-n-gram
+    * fraction is 1 − distinct/total over in-row n-gram arrays. These are
+    * the standard repetition filters a pre-training pipeline runs
+    * alongside [[textQuality]].
+    */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = size($"w")
+    val topCnt = expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+    val g2 = expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")
+    val g3 = shingles3($"w")
+    def dupFrac(g: Column): Column =
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
+    val topFrac = topCnt.cast("double") / n
+    val d2 = dupFrac(g2)
+    val d3 = dupFrac(g3)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .filter(n >= 3)
+      .select($"doc_id",
+        n.cast("long").as("n_words"),
+        round(topFrac, 4).as("top_word_frac"),
+        round(d2, 4).as("dup_2gram_frac"),
+        round(d3, 4).as("dup_3gram_frac"),
+        (topFrac <= 0.2 && d3 <= 0.3).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleRepetition: String = {
+    val w = "string_split(text, ' ')"
+    val top = s"list_max(list_transform(list_distinct($w), x -> len(list_filter($w, y -> y = x))))"
+    val g2 = s"list_transform(generate_series(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1])"
+    val g3 = shingles3Sql(w)
+    def dup(g: String) = s"(1.0 - len(list_distinct($g))::DOUBLE / len($g))"
+    s"""SELECT doc_id,
+       |  len($w)::BIGINT AS n_words,
+       |  round($top::DOUBLE / len($w), 4) AS top_word_frac,
+       |  round(${dup(g2)}, 4) AS dup_2gram_frac,
+       |  round(${dup(g3)}, 4) AS dup_3gram_frac,
+       |  ($top::DOUBLE / len($w) <= 0.2 AND ${dup(g3)} <= 0.3) AS keep
+       |FROM documents WHERE len($w) >= 3 ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- q75 tf-idf
+
+  private val TfidfTopK = 3
+
+  /** TF-IDF top-k terms per document. Shuffle inventory (all keyed,
+    * all with map-side partial agg): tf on (doc, term), df on term,
+    * the df join back on term, and the per-doc top-k window on doc —
+    * no step is corpus²; N arrives via a broadcast 1-row cross join.
+    * Ranking uses the 6-decimal-rounded score so cross-engine double
+    * ulp noise cannot flip ranks; ties break on the term itself.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs.select($"doc_id", explode(words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val nDf = docs.agg(countDistinct($"doc_id").as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"w".asc)
+    tf.join(df, "w").crossJoin(broadcast(nDf))
+      .withColumn("score", round($"tf" * log($"n".cast("double") / $"df"), 6))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter($"rank" <= TfidfTopK)
+      .select($"doc_id", $"w".as("term"), $"rank", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private def oracleTfidf: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w, round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS score
+       |  FROM tf JOIN df ON df.w = tf.w CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, w, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+       |  FROM scored)
+       |SELECT doc_id, w AS term, rank, score FROM ranked
+       |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_repetition_profile" -> (repetitionProfile _),
+    "q75_tfidf_top_terms" -> (tfidfTopTerms _),
     "q58_vocabulary" -> (vocabulary _),
     "q59_shared_fingerprint" -> (sharedFingerprintPairs _),
     "q24_text_quality" -> (textQuality _),
@@ -270,6 +365,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_repetition_profile" -> oracleRepetition,
+    "q75_tfidf_top_terms" -> oracleTfidf,
     "q58_vocabulary" -> oracleVocabulary,
     "q59_shared_fingerprint" -> oracleSharedFp,
     "q24_text_quality" -> oracleQuality,

@@ -368,16 +368,16 @@ object TextDedup {
     * component) and a canonical flag — singleton docs are their own
     * cluster.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val index = shingleIndex(spark, dir)
-    val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select(col("s"))
-    val capped = index.join(rare, Seq("s"), "left_semi")
-    val dup = jaccardPairs(capped).filter(col("jaccard") >= JaccardThreshold)
-      .select(col("a_id"), col("b_id"))
-    // materialize once: the iteration must not replay the pair pipeline
-    val edges = dup.union(dup.select(col("b_id"), col("a_id")))
+  /** Connected components over an undirected pair list — the reusable
+    * core under [[dedupClusters]]. `pairs` needs columns (a_id, b_id);
+    * returns (id, comp) for every node that appears in a pair, comp =
+    * min node id in the component. See [[dedupClusters]] for the
+    * iteration-shape discussion.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // materialize once: the iteration must not replay the edge pipeline
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
@@ -395,6 +395,18 @@ object TextDedup {
       iter += 1
     }
     require(converged, s"connected components did not converge in $MaxCcIters rounds")
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val index = shingleIndex(spark, dir)
+    val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("s"))
+    val capped = index.join(rare, Seq("s"), "left_semi")
+    val dup = jaccardPairs(capped).filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"))
+    val labels = connectedComponents(dup)
     val docs = Tables.load(spark, dir, "documents").select($"doc_id")
     docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select($"doc_id",

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chain, triangle, and isolated pairs resolve to min-id labels") {
+    // components: {1,2,3,4,5} (a path), {10,11,12} (a triangle), {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L),
+    ).toDF("a_id", "b_id")
+    val labels = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+    assert(labels.size == 10)
+  }
+
+  test("redactPii / piiCounts on genuine PII text") {
+    val df = Seq(
+      ("mail me at jane.doe+spam@sub.example.co.uk or bob@x.io",
+        2L, 0L, 0L),
+      ("server 192.168.0.1 and 10.255.3.77 up, call +1-555-0123", 0L, 2L, 1L),
+      ("nothing sensitive here", 0L, 0L, 0L),
+    ).toDF("t", "e", "i", "p")
+    val cols = Seq(PipelineOps.redactPii($"t").as("r"), $"e", $"i", $"p") ++
+      PipelineOps.piiCounts($"t")
+    val got = df.select(cols: _*).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == r.getAs[Long]("e"))
+      assert(r.getAs[Long]("n_ips") == r.getAs[Long]("i"))
+      assert(r.getAs[Long]("n_phones") == r.getAs[Long]("p"))
+    }
+    val redacted = got.map(_.getAs[String]("r"))
+    assert(redacted(0) == "mail me at [EMAIL] or [EMAIL]")
+    assert(redacted(1) == "server [IP] and [IP] up, call [PHONE]")
+    assert(redacted(2) == "nothing sensitive here")
+  }
+
+  test("tokenPacking: packs are contiguous, budget-aligned, and cover every doc") {
+    val out = PipelineOps.tokenPacking(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // doc order ascending, pack ids non-decreasing, and each pack's
+    // exclusive start offset is below (pack_id+1) * budget
+    var cum = 0L
+    var lastPack = 0L
+    out.foreach { case (_, tokens, pack) =>
+      assert(pack >= lastPack)
+      assert(pack == cum / 2048L, s"pack $pack != ${cum / 2048L}")
+      cum += tokens
+      lastPack = pack
+    }
+  }
+}
