@@ -238,7 +238,64 @@ object Similarity {
        |SELECT q_id, label, c_id, round(cos, 6) AS cosine, rank FROM rk
        |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin
 
+  // ----------------------------------------------------------- q77 bm25
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = Seq("table", "join", "query")
+
+  /** BM25 retrieval scoring of the whole corpus against a fixed query
+    * term set — the lexical leg of a hybrid (BM25 + dense-vector)
+    * retrieval stack. Shapes: doc lengths are a map-only projection;
+    * term frequencies come from an explode filtered to the query terms
+    * BEFORE the aggregation (so the shuffle carries only query-term
+    * hits, not the whole token stream); corpus stats (N, avgdl) are a
+    * broadcast 1-row cross join; document frequencies per term are a
+    * tiny broadcast join. Nothing scales with corpus² — at 100 TB this
+    * is one filtered scan plus keyed aggs.
+    */
+  def bm25Score(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val dl = docs.select($"doc_id", size(words($"text")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg($"dl").as("avgdl"))
+    val tf = docs.select($"doc_id", explode(words($"text")).as("w"))
+      .filter($"w".isin(Bm25Query: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "w").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("s",
+        $"idf" * $"tf" * (lit(Bm25K1) + 1.0) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id").agg(round(sum($"s"), 6).as("bm25"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleBm25: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
+       |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (
+       |  SELECT doc_id, w, count(*)::DOUBLE AS tf FROM toks
+       |  WHERE w IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * tf.tf * ($Bm25K1 + 1.0)
+       |      / (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl / s.avgdl)) AS sc
+       |  FROM tf JOIN df ON df.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats s)
+       |SELECT doc_id, round(sum(sc), 6) AS bm25 FROM scored
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_bm25_score" -> (bm25Score _),
     "q62_ann_ivf" -> (annIvf _),
     "q29_cosine_topk" -> (cosineTopK _),
     "q30_ann_lsh" -> (annLsh _),
@@ -246,6 +303,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_bm25_score" -> oracleBm25,
     "q62_ann_ivf" -> oracleAnnIvf,
     "q29_cosine_topk" -> oracleTopK,
     "q30_ann_lsh" -> oracleAnnLsh,

@@ -352,7 +352,82 @@ object TextAnalysis {
        |SELECT doc_id, w AS term, rank, score FROM ranked
        |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------------ q76 textrank
+
+  private val PrIters = 10
+  private val PrDamping = 0.85
+  private val PrTeleport = 0.15 // literal, NOT 1-0.85 (which is 0.15000000000000002)
+
+  /** TextRank keyword scoring: PageRank over the word co-occurrence
+    * graph (consecutive-word edges, both directions, co-occurrence
+    * weighted) — the standard graph-based keyword/quality prior, and
+    * the same iteration shape as host-graph PageRank over a web crawl.
+    * Fixed [[PrIters]] iterations; each iteration is one keyed join
+    * (edge src → rank) + one aggregation (inflow per dst) + one left
+    * join back to the node set — all hash-partitioned on the word, no
+    * broadcast of rank state needed at scale. Per-iteration
+    * `localCheckpoint` keeps lineage O(1). Ranks are rounded to 9
+    * decimals every iteration ON BOTH ENGINES, so double-sum
+    * reassociation noise (~1e-16/step) can never compound into the
+    * 6-decimal compare.
+    */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val adj = Tables.load(spark, dir, "documents")
+      .select(words($"text").as("w")).filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) as src, element_at(w, i + 1) as dst))"
+      )).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+    val edges = adj.union(adj.select($"dst".as("src"), $"src".as("dst")))
+      .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("wt"))
+    val outw = edges.groupBy($"src").agg(sum($"wt").as("ow"))
+    val norm = edges.join(outw, "src")
+      .select($"src", $"dst", ($"wt" / $"ow").as("p")).localCheckpoint()
+    val nodes = norm.select($"src".as("word")).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    var rank = nodes.select($"word", round(lit(1.0) / lit(n), 9).as("r"))
+    (1 to PrIters).foreach { _ =>
+      val inflow = norm.join(rank, norm("src") === rank("word"))
+        .groupBy($"dst").agg(sum($"p" * $"r").as("inflow"))
+      rank = nodes.join(inflow, nodes("word") === inflow("dst"), "left")
+        .select($"word",
+          round(lit(PrTeleport) / lit(n) + lit(PrDamping) * coalesce($"inflow", lit(0.0)), 9).as("r"))
+        .localCheckpoint()
+    }
+    rank.select($"word", round($"r", 6).as("rank")).orderBy($"word")
+  }
+
+  private def oracleTextrank: String = {
+    val w = "string_split(text, ' ')"
+    val prSteps = (1 to PrIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.word,
+         |    round($PrTeleport / nn.n + $PrDamping * coalesce(s.inflow, 0.0), 9) AS r
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(e.p * p.r) AS inflow
+         |    FROM norm e JOIN pr${i - 1} p ON p.word = e.src GROUP BY e.dst) s
+         |  ON s.dst = nd.word)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH adj AS (
+       |  SELECT e.src AS src, e.dst AS dst FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len($w) - 1),
+       |      i -> struct_pack(src := $w[i], dst := $w[i+1]))) AS e
+       |    FROM documents WHERE len($w) >= 2)),
+       |sym AS (SELECT src, dst FROM adj UNION ALL SELECT dst, src FROM adj),
+       |edges AS (SELECT src, dst, count(*)::DOUBLE AS wt FROM sym GROUP BY 1, 2),
+       |outw AS (SELECT src, sum(wt) AS ow FROM edges GROUP BY src),
+       |norm AS (SELECT e.src, e.dst, e.wt / o.ow AS p FROM edges e JOIN outw o ON o.src = e.src),
+       |nodes AS (SELECT DISTINCT src AS word FROM norm),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |pr0 AS (SELECT word, round(1.0 / nn.n, 9) AS r FROM nodes CROSS JOIN nn),
+       |$prSteps
+       |SELECT word, round(r, 6) AS rank FROM pr$PrIters ORDER BY word""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_textrank_keywords" -> (textrankKeywords _),
     "q71_repetition_profile" -> (repetitionProfile _),
     "q75_tfidf_top_terms" -> (tfidfTopTerms _),
     "q58_vocabulary" -> (vocabulary _),
@@ -365,6 +440,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_textrank_keywords" -> oracleTextrank,
     "q71_repetition_profile" -> oracleRepetition,
     "q75_tfidf_top_terms" -> oracleTfidf,
     "q58_vocabulary" -> oracleVocabulary,

@@ -85,6 +85,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q73 token packing: no single-partition global window (the scale-killer shape)") {
+    val df = PipelineOps.tokenPacking(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // a naive Window.orderBy(doc_id) would plan Exchange SinglePartition
+    // under the running-sum window; the two-phase prefix sum must not
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global single-partition window detected:\n$plan")
+  }
+
+  test("q74 stratified sample: map-only filter — no shuffle before the audit agg") {
+    val df = PipelineOps.stratifiedSample(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // exactly the aggregation exchange on lang (plus AQE reads); the
+    // sampling itself must add no exchange. Count only the AQE final
+    // plan — the plan string repeats the initial plan below it.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (the lang agg), got $exchanges:\n$plan")
+  }
+
+  test("q75 tf-idf: corpus count N is broadcast, not a shuffled join") {
+    val df = TextAnalysis.tfidfTopTerms(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast of the 1-row N:\n$plan")
+  }
+
   test("whole-stage codegen present on the hot scan paths") {
     Seq(
       RelationalQueries.aggGroupBy(spark, dir),
