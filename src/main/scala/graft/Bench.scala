@@ -29,7 +29,13 @@ object Bench {
     // Per-query time = min over iterations: strips host-noise spikes
     // (observed ±30% on shared hardware) without changing the plan.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name-prefix filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val selected = only match {
+      case None => SparkEntry.queries
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -44,8 +50,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.4f"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => }
+    // only persist full-catalog runs — a filtered run must not clobber
+    // the canonical local bench record
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+      catch { case _: Throwable => }
     println(line)
     spark.stop()
   }

@@ -98,7 +98,12 @@ object TextDedup {
        |  JOIN sizes sa ON sa.doc_id = a_id
        |  JOIN sizes sb ON sb.doc_id = b_id)""".stripMargin
 
-  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8. */
+  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8. Deliberately
+    * UNcached index: it is consumed twice, but it is a map-only
+    * scan+explode — measured, caching it buys nothing (recompute is
+    * scan-speed), unlike the df-capped variant whose index embeds a
+    * shuffle (q61 caches and measured 44% faster).
+    */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     jaccardPairs(shingleIndex(spark, dir))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -319,7 +324,9 @@ object TextDedup {
     val index = shingleIndex(spark, dir)
     val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("s"))
-    val capped = index.join(rare, Seq("s"), "left_semi")
+    // cache: consumed twice inside jaccardPairs (sizes + posting lists);
+    // uncached, the scan+explode+df-cap join replays per consumer
+    val capped = index.join(rare, Seq("s"), "left_semi").cache()
     jaccardPairs(capped)
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
@@ -384,6 +391,12 @@ object TextDedup {
     var iter = 0
     var converged = false
     while (!converged && iter < MaxCcIters) {
+      // plain hash-min, deliberately WITHOUT pointer-doubling/path
+      // halving: measured at sf0.1 the extra label-of-label join per
+      // round made q70 1.6× SLOWER — near-dup graphs converge in ~2
+      // rounds, so per-round job overhead dominates and O(log d) vs
+      // O(d) never pays. On a deep graph (d >> 10) add the
+      // comp(comp(v)) term back.
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
       val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
@@ -403,10 +416,11 @@ object TextDedup {
     val index = shingleIndex(spark, dir)
     val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("s"))
-    val capped = index.join(rare, Seq("s"), "left_semi")
+    val capped = index.join(rare, Seq("s"), "left_semi").cache()
     val dup = jaccardPairs(capped).filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id"))
-    val labels = connectedComponents(dup)
+    val labels = connectedComponents(dup) // materializes edges, so:
+    capped.unpersist()
     val docs = Tables.load(spark, dir, "documents").select($"doc_id")
     docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select($"doc_id",
