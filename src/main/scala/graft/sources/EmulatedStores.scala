@@ -132,3 +132,63 @@ final case class MongoConnector(name: String, root: String) extends Connector {
       .map(_.getPath.getName).filterNot(_.contains("_bak_")).sorted
   }
 }
+
+/** GridFS-style chunked binary store (S19): each bucket is a pair of
+  * tables, `<bucket>.files` (filename, length, md5) and
+  * `<bucket>.chunks` (files_id, n, data) with fixed-size binary chunks
+  * — the GridFS layout on parquet. Everything is Column expressions:
+  * chunking is an explode over `substring` windows of the binary
+  * column (distributed — a 10 GB file becomes parallel chunk rows, the
+  * point of GridFS), reassembly is a sorted `collect_list` +
+  * binary-concat fold per file. Mirrors the reference's
+  * `save_gridfs`/`get_gridfs` surface; multimodal corpora (q45/q46
+  * binary columns) ride the same layout.
+  *
+  * `write` expects columns (filename: string, content: binary).
+  * Overwrite replaces the bucket; every other mode appends.
+  */
+final case class GridFsConnector(name: String, root: String, chunkSize: Int = 255 * 1024)
+    extends Connector {
+  private def filesPath(bucket: String) = s"$root/$bucket.files"
+  private def chunksPath(bucket: String) = s"$root/$bucket.chunks"
+
+  def write(df: DataFrame, index: String, mode: WriteMode): Unit = {
+    val saveMode = mode match {
+      case WriteMode.Overwrite => SaveMode.Overwrite
+      case _ => SaveMode.Append
+    }
+    val files = df.select(
+      col("filename"),
+      length(col("content")).cast("long").as("length"),
+      md5(col("content")).as("md5"))
+    val chunks = df.select(col("filename").as("files_id"), expr(
+      s"""explode(transform(
+         |  sequence(0, CAST(greatest(ceil(length(content) / $chunkSize.0) - 1, 0) AS INT)),
+         |  i -> struct(i as n, substring(content, i * $chunkSize + 1, $chunkSize) as data)))
+         |""".stripMargin).as("c"))
+      .select(col("files_id"), col("c.n").as("n"), col("c.data").as("data"))
+    files.write.mode(saveMode).parquet(filesPath(index))
+    chunks.write.mode(saveMode).parquet(chunksPath(index))
+  }
+
+  def read(spark: SparkSession, index: String): DataFrame = {
+    val files = spark.read.parquet(filesPath(index))
+    val assembled = spark.read.parquet(chunksPath(index))
+      .groupBy(col("files_id"))
+      .agg(sort_array(collect_list(struct(col("n"), col("data")))).as("cs"))
+      .select(col("files_id"),
+        expr("aggregate(cs, CAST('' AS BINARY), (acc, c) -> concat(acc, c.data))").as("content"))
+    files.join(assembled, files("filename") === assembled("files_id"), "left")
+      .select(col("filename"), col("length"), col("md5"),
+        coalesce(col("content"), lit(Array.emptyByteArray)).as("content"))
+      .orderBy(col("filename"))
+  }
+
+  def listIndexes(spark: SparkSession): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".files")).map(_.stripSuffix(".files")).sorted
+  }
+}
