@@ -125,13 +125,14 @@ object TextDedup {
     * Deterministic (md5 hash family), so the DuckDB oracle replays it
     * exactly.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val index = shingleIndex(spark, dir).cache() // reused: signatures + verify
-    // Signature as 16 codegen'd min-agg columns. The MinHashAgg UDAF is
-    // faster for the agg stage alone (measured 1.6x) but its
-    // ObjectHashAggregate output breaks whole-stage codegen for the
-    // downstream banding/self-join — measured 3x slower end-to-end, so
-    // the column formulation stays.
+  /** MinHash signatures → LSH band keys for an (doc_id, shingle) index:
+    * (doc_id, band, bkey) rows. Signature as 16 codegen'd min-agg
+    * columns. The MinHashAgg UDAF is faster for the agg stage alone
+    * (measured 1.6x) but its ObjectHashAggregate output breaks
+    * whole-stage codegen for the downstream banding/self-join —
+    * measured 3x slower end-to-end, so the column formulation stays.
+    */
+  private def minhashBands(index: DataFrame): DataFrame = {
     val sig = index.groupBy(col("doc_id")).agg(
       min(hash64(concat(lit("0:"), col("s")))).as("m0"),
       (1 until MinhashPerms).map(i => min(hash64(concat(lit(s"$i:"), col("s")))).as(s"m$i")): _*)
@@ -140,8 +141,29 @@ object TextDedup {
       val key = md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  /** DuckDB CTEs mirroring [[minhashBands]] (`sig`, `bands`); requires
+    * the `sh` CTE (shingle index) in scope.
+    */
+  private def minhashBandsSql: String = {
+    val minCols = (0 until MinhashPerms)
+      .map(i => s"min(${hash64Sql(s"$i || ':' || s")}) AS m$i").mkString(", ")
+    val rowsPerBand = MinhashPerms / Bands
+    val bandRows = (0 until Bands).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $key)) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)""".stripMargin
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val index = shingleIndex(spark, dir).cache() // reused: signatures + verify
+    val bands = minhashBands(index)
     val a = bands.toDF("a_id", "band", "bkey")
     val b = bands.toDF("b_id", "band2", "bkey2")
     // cache: the candidate pair set is tiny and consumed three times
@@ -170,17 +192,8 @@ object TextDedup {
   }
 
   private def oracleMinhash: String = {
-    val minCols = (0 until MinhashPerms)
-      .map(i => s"min(${hash64Sql(s"$i || ':' || s")}) AS m$i").mkString(", ")
-    val rowsPerBand = MinhashPerms / Bands
-    val bandRows = (0 until Bands).map { b =>
-      val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $key)) AS bkey FROM sig"
-    }.mkString("\n  UNION ALL ")
     s"""WITH $jaccardPairsSql,
-       |sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
-       |bands AS (
-       |  $bandRows),
+       |$minhashBandsSql,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
@@ -351,6 +364,77 @@ object TextDedup {
        |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM jac
        |WHERE jaccard >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin
 
+  private val IncrVerifyThreshold = 0.7
+
+  /** Incremental near-dedup (q78) — the daily-ingest shape: dedup a NEW
+    * batch against the EXISTING corpus without ever pairing corpus ×
+    * corpus. New arrivals are the `doc_id % 10 >= 8` slice (a stable,
+    * scale-independent 20%). Candidates come from the MinHash band join
+    * of new-side bands against corpus-side bands only; exact-Jaccard
+    * verification runs on candidates; each new doc reports its best
+    * corpus match (max jaccard, ties to the smallest corpus id). At
+    * 100 TB the corpus band table is a precomputed, bucketed artifact
+    * the daily batch joins against — cost tracks batch size, not
+    * corpus size.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val index = shingleIndex(spark, dir).cache() // signatures + verify
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    val bands = minhashBands(index)
+    val nb = bands.filter(isNew).toDF("new_id", "band", "bkey")
+    val cb = bands.filter(!isNew).toDF("corp_id", "band2", "bkey2")
+    val cand = nb.join(cb, col("band") === col("band2") && col("bkey") === col("bkey2"))
+      .select(col("new_id"), col("corp_id")).distinct().cache()
+    val sizes = index.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ia = index.toDF("ia_id", "sa")
+    val ib = index.toDF("ib_id", "sb")
+    val common = cand
+      .join(ia, col("ia_id") === col("new_id"))
+      .join(ib, col("ib_id") === col("corp_id") && col("sb") === col("sa"))
+      .groupBy(col("new_id"), col("corp_id")).agg(count(lit(1)).as("common"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id")).orderBy(col("jaccard").desc, col("corp_id").asc)
+    common
+      .join(sizes.toDF("new_id", "na"), "new_id")
+      .join(sizes.toDF("corp_id", "nb2"), "corp_id")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb2") - col("common")))
+      .filter(col("jaccard") >= IncrVerifyThreshold)
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("corp_id").as("dup_of"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def oracleIncremental: String =
+    s"""WITH sh0 AS ($shingleIndexSql),
+       |sh AS (SELECT * FROM sh0),
+       |$minhashBandsSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+       |  FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+       |  WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+       |common AS (
+       |  SELECT cd.new_id, cd.corp_id, count(*) AS common
+       |  FROM cand cd
+       |  JOIN sh a ON a.doc_id = cd.new_id
+       |  JOIN sh b ON b.doc_id = cd.corp_id AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT cm.new_id, cm.corp_id,
+       |    cm.common::DOUBLE / (sa.n + sb.n - cm.common) AS j
+       |  FROM common cm
+       |  JOIN sizes sa ON sa.doc_id = cm.new_id
+       |  JOIN sizes sb ON sb.doc_id = cm.corp_id
+       |  WHERE cm.common::DOUBLE / (sa.n + sb.n - cm.common) >= $IncrVerifyThreshold),
+       |ranked AS (
+       |  SELECT new_id, corp_id, j,
+       |    row_number() OVER (PARTITION BY new_id ORDER BY j DESC, corp_id) AS rn
+       |  FROM jac)
+       |SELECT new_id AS doc_id, corp_id AS dup_of, round(j, 4) AS jaccard
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   private val MaxCcIters = 25
 
   /** Duplicate-cluster assembly (q70): pair lists (from LSH/Jaccard)
@@ -461,6 +545,7 @@ object TextDedup {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_dedup_jaccard_dfcap" -> (dedupNgramJaccardCapped _),
     "q70_dedup_clusters" -> (dedupClusters _),
+    "q78_dedup_incremental" -> (dedupIncremental _),
     "q19_dedup_exact" -> (dedupExact _),
     "q20_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q21_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -471,6 +556,7 @@ object TextDedup {
   val oracles: Map[String, String] = Map(
     "q61_dedup_jaccard_dfcap" -> oracleNgramCapped,
     "q70_dedup_clusters" -> oracleClusters,
+    "q78_dedup_incremental" -> oracleIncremental,
     "q19_dedup_exact" -> oracleExact,
     "q20_dedup_ngram_jaccard" -> oracleNgram,
     "q21_dedup_minhash_lsh" -> oracleMinhash,

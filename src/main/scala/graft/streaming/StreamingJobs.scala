@@ -41,6 +41,28 @@ object StreamingJobs {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming corpus cleaning — the ingest-time twin of the batch
+    * quality/PII operators (q71/q72): per-row repetition + quality
+    * filters and PII redaction are STATELESS Column expressions, so the
+    * exact same logic runs in a `readStream` micro-batch with no state
+    * store at all — the batch/stream unification Spark's model buys.
+    * Filters: ≥ `minWords` words, top-word fraction ≤ `maxTopWordFrac`;
+    * then emails/IPs/phones are redacted in place.
+    */
+  def cleanDocumentStream(
+      docs: DataFrame, // needs doc_id: long, text: string
+      minWords: Int = 5,
+      maxTopWordFrac: Double = 0.5,
+  ): DataFrame = {
+    val w = split(col("text"), " ")
+    val topCnt = expr("array_max(transform(array_distinct(split(text, ' ')), x -> size(filter(split(text, ' '), y -> y = x))))")
+    docs
+      .withColumn("n_words", size(w))
+      .filter(col("n_words") >= minWords &&
+        topCnt.cast("double") / col("n_words") <= maxTopWordFrac)
+      .withColumn("text", graft.operators.PipelineOps.redactPii(col("text")))
+  }
+
   /** Watermarked tumbling-window aggregation — the streaming shape of the
     * q15 daily rollup. Late events beyond the watermark are dropped;
     * windows finalize (Append) once the watermark passes window end.
