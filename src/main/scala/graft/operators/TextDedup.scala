@@ -237,6 +237,58 @@ object TextDedup {
        |SELECT doc_id, $sim AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  private val SimhashBandBits = 8 // 32-bit fingerprint → 4 byte-bands
+  private val SimhashMaxHamming = 3 // ≤ 3 ⇒ 4-band candidates have FULL recall (pigeonhole)
+
+  /** SimHash near-dup pairs (q79) — completes the SimHash family: q22
+    * builds the 32-bit fingerprint, this pairs documents whose
+    * fingerprints differ in ≤ [[SimhashMaxHamming]] bits. Candidate
+    * generation is the classic SimHash trick: split the fingerprint
+    * into 4 bytes and equi-join on (band, byte value) — by pigeonhole
+    * any pair within Hamming distance 3 shares at least one untouched
+    * byte, so at the ≤ 3 threshold the banded candidates have FULL
+    * recall (no LSH recall loss — exactness and bucketing at once).
+    * Never all-pairs; on a corpus with skewed band-value buckets the
+    * q61 df-cap pattern applies to (band, bval) keys the same way.
+    * Verification is `bit_count(xor)` — a codegen'd instruction pair,
+    * identical builtin in DuckDB.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = textSimhash(spark, dir) // (doc_id, simhash), oracle-shared
+    val banded = sim.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 32 / SimhashBandBits).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND((1 << SimhashBandBits) - 1).as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.toDF("a_id", "sim_a", "band", "bval")
+    val b = banded.toDF("b_id", "sim_b", "band2", "bval2")
+    a.join(b, col("band") === col("band2") && col("bval") === col("bval2") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def oracleSimhashPairs: String = {
+    val simSql = oracleSimhash.replace(" ORDER BY doc_id", "")
+    val bands = (0 until 32 / SimhashBandBits).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1} AS bval FROM sim"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sim AS ($simSql),
+       |banded AS (
+       |  $bands)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   private val EmbBands = 4
   private val EmbPlanesPerBand = 6 // 64 buckets per band
   private val EmbDim = 64
@@ -546,6 +598,7 @@ object TextDedup {
     "q61_dedup_jaccard_dfcap" -> (dedupNgramJaccardCapped _),
     "q70_dedup_clusters" -> (dedupClusters _),
     "q78_dedup_incremental" -> (dedupIncremental _),
+    "q79_simhash_pairs" -> (simhashPairs _),
     "q19_dedup_exact" -> (dedupExact _),
     "q20_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q21_dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -557,6 +610,7 @@ object TextDedup {
     "q61_dedup_jaccard_dfcap" -> oracleNgramCapped,
     "q70_dedup_clusters" -> oracleClusters,
     "q78_dedup_incremental" -> oracleIncremental,
+    "q79_simhash_pairs" -> oracleSimhashPairs,
     "q19_dedup_exact" -> oracleExact,
     "q20_dedup_ngram_jaccard" -> oracleNgram,
     "q21_dedup_minhash_lsh" -> oracleMinhash,
