@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance utilities for file-backed stores — the ops layer a
+  * long-running pipeline needs. Every incremental append (streaming
+  * micro-batches, daily ingests, keyed-upsert rewrites) fragments a
+  * parquet directory; at 100 TB scan setup cost and listing pressure
+  * grow with FILE COUNT, not bytes, so periodic compaction is part of
+  * the write path's contract, not an afterthought.
+  */
+object Maintenance {
+
+  /** Rewrite the parquet directory at `path` into ≈`targetBytes` files.
+    *
+    * - Sizing: output partition count = ceil(current bytes /
+    *   targetBytes) — parquet re-encodes on write, so sizes are an
+    *   estimate from current on-disk bytes (documented heuristic, the
+    *   same one table formats' OPTIMIZE uses).
+    * - `coalesce`, not `repartition`: partition merging without an
+    *   exchange — the rewrite is a scan + write, zero shuffles.
+    * - Staging: written ONCE to a same-filesystem sibling, then two
+    *   atomic renames swap it in (the FileConnector.mergeRewrite
+    *   discipline); a crash leaves either the old or the new directory
+    *   intact, never a mix.
+    *
+    * Returns (filesBefore, filesAfter) for the caller's audit log.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter(_.isFile)
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+    val before = dataFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val staging = p.suffix(s".compact-$stamp")
+    val retired = p.suffix(s".old-$stamp")
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(p, retired))
+      throw new java.io.IOException(s"compact: could not retire $p")
+    if (!fs.rename(staging, p)) { // roll back before failing
+      fs.rename(retired, p)
+      throw new java.io.IOException(s"compact: could not swap in $staging")
+    }
+    fs.delete(retired, true)
+    (before.size, dataFiles(p).size)
+  }
+}
