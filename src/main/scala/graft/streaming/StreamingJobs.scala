@@ -63,6 +63,23 @@ object StreamingJobs {
       .withColumn("text", graft.operators.PipelineOps.redactPii(col("text")))
   }
 
+  /** Streaming incremental dedup — the streaming twin of batch q78:
+    * only documents whose content fingerprint is NOT already in the
+    * static corpus pass through, via a stream-static LEFT ANTI join.
+    * The static side is a plain DataFrame (the corpus fingerprint
+    * table, re-read per micro-batch if backed by files — swap in a
+    * Delta/Iceberg snapshot on a real cluster); no streaming state is
+    * held at all, so the operator's memory is O(1) regardless of
+    * stream length — corpus membership lives in the join, not the
+    * state store.
+    */
+  def streamingNovelDocs(
+      docs: DataFrame, // streaming; needs text: string
+      corpusFingerprints: DataFrame, // static; one column fp: string
+  ): DataFrame =
+    docs.withColumn("fp", md5(col("text")))
+      .join(corpusFingerprints, Seq("fp"), "left_anti")
+
   /** Watermarked tumbling-window aggregation — the streaming shape of the
     * q15 daily rollup. Late events beyond the watermark are dropped;
     * windows finalize (Append) once the watermark passes window end.
