@@ -315,7 +315,30 @@ object ExtendedRelational {
        |FROM r WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY user_id""".stripMargin
 
+  /** Salted skew join (q80): the [[SkewJoin.saltedJoin]] lever run as
+    * an oracle-gated query — events (the skew-prone fact) joined to
+    * customer over (key, salt), then aggregated by segment. The oracle
+    * is the PLAIN join: salting must be invisible in the result, and
+    * the value-exact compare proves it (no row loss, no duplication,
+    * salt column dropped).
+    */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val customer = Tables.load(spark, dir, "customer")
+    SkewJoin.saltedJoin(events, customer, "user_id", "c_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def oracleSalted: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events JOIN customer ON c_custkey = user_id
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
     "q32_semi_join" -> (semiJoin _),
     "q33_anti_join" -> (antiJoin _),
@@ -333,6 +356,7 @@ object ExtendedRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,
     "q32_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
