@@ -426,7 +426,62 @@ object TextAnalysis {
        |SELECT word, round(r, 6) AS rank FROM pr$PrIters ORDER BY word""".stripMargin
   }
 
+  // ---------------------------------------------- q81 bigram lm score
+
+  /** Bigram language-model scoring (q81): each document's mean log
+    * probability under an add-one-smoothed bigram model estimated from
+    * the corpus itself — the (simplified) KenLM-style fluency score
+    * pre-training pipelines use to rank/filter text. Per-bigram score
+    * ln((c(w1,w2)+1) / (c(w1)+V)); per-doc mean + perplexity. Shapes:
+    * bigram/unigram count tables are keyed aggs; scoring joins are
+    * keyed on the bigram/unigram; V arrives broadcast. At 100 TB the
+    * count tables are the big side — they shuffle once each and the
+    * scoring join stays key-partitioned; nothing is corpus².
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", words($"text").as("w")).filter(size($"w") >= 2)
+    val bg = docs.select($"doc_id", explode(expr(
+      "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"
+    )).as("b")).select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = bg.select($"w1").union(bg.select($"w2")).agg(countDistinct($"w1").as("v"))
+    val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log(($"c2" + 1.0) / ($"c1" + $"v")))
+    scored.groupBy($"doc_id")
+      .agg(round(avg($"lp"), 6).as("avg_logprob"),
+        round(exp(-avg($"lp")), 4).as("perplexity"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleBigramLm: String = {
+    val w = "string_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 2),
+       |bg AS (
+       |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+       |      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+       |    FROM d)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |vocab AS (
+       |  SELECT count(DISTINCT w1) AS v FROM (
+       |    SELECT w1 FROM bg UNION ALL SELECT w2 FROM bg)),
+       |scored AS (
+       |  SELECT bg.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + vocab.v)) AS lp
+       |  FROM bg JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+       |  JOIN c1 ON c1.w1 = bg.w1 CROSS JOIN vocab)
+       |SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+       |  round(exp(-avg(lp)), 4) AS perplexity
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_bigram_lm_score" -> (bigramLmScore _),
     "q76_textrank_keywords" -> (textrankKeywords _),
     "q71_repetition_profile" -> (repetitionProfile _),
     "q75_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -440,6 +495,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_bigram_lm_score" -> oracleBigramLm,
     "q76_textrank_keywords" -> oracleTextrank,
     "q71_repetition_profile" -> oracleRepetition,
     "q75_tfidf_top_terms" -> oracleTfidf,
