@@ -337,7 +337,29 @@ object ExtendedRelational {
       |FROM events JOIN customer ON c_custkey = user_id
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Top-k per key via the custom [[graft.plans.TopKPerKey]] physical
+    * operator (q82): bounded heap per key instead of Exchange + full
+    * Sort + Window — O(n log k), no sort buffer. The oracle is the
+    * window formulation, proving the custom operator's semantics
+    * value-exactly (output compared as (key, value) rows, which ties
+    * cannot perturb).
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    graft.plans.TopKPerKey(orders, Seq("o_custkey"), col("o_totalprice"), 3)
+      .select(col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("price").desc)
+  }
+
+  private def oracleTopOrders: String =
+    """SELECT o_custkey, round(o_totalprice, 2) AS price FROM (
+      |  SELECT o_custkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, price DESC""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_topk_per_key" -> (topOrdersPerCustomer _),
     "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
     "q32_semi_join" -> (semiJoin _),
@@ -356,6 +378,7 @@ object ExtendedRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_topk_per_key" -> oracleTopOrders,
     "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,
     "q32_semi_join" ->

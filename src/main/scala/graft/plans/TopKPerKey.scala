@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Bridge
+import scala.collection.mutable
+
+/** Custom whole-operator plan: top-k rows per key WITHOUT a sort.
+  *
+  * The DataFrame-expressible formulation —
+  * `row_number().over(Window.partitionBy(keys).orderBy(order))` then
+  * `filter(rn <= k)` — plans as Exchange + FULL SORT of every
+  * partition + WindowExec, i.e. O(n log n) per partition and the whole
+  * input materialized through the sort, when only k rows per key
+  * survive. That inefficiency is structural (Catalyst has no per-key
+  * top-k operator to plan into), which makes this the textbook case
+  * for the custom-operator escape hatch: a logical node
+  * ([[TopKPerKeyNode]]), a planner strategy ([[TopKPerKeyStrategy]]),
+  * and a physical operator ([[TopKPerKeyExec]]) that keeps one bounded
+  * heap per key — O(n log k) time, O(#keys × k) memory, no sort
+  * buffer, spill never needed for the data (only the heaps).
+  *
+  * The exec declares `ClusteredDistribution(keys)`, so Catalyst still
+  * owns the shuffle (and AQE still coalesces it); this operator only
+  * replaces the sort+window on the reduce side. Registration: the
+  * [[TopKPerKey.apply]] API arms `spark.experimental.extraStrategies`
+  * on the live session; session builders can instead inject
+  * [[TopKPerKeyStrategy]] via `GraftExtensions`.
+  */
+final case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Expression,
+    k: Int,
+    descending: Boolean,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, desc, child) =>
+      TopKPerKeyExec(keys, order, k, desc, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Expression,
+    k: Int,
+    descending: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val orderExpr = order
+    val childOutput = child.output
+    val desc = descending
+    val limit = k
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val boundOrder = BindReferences.bindReference(orderExpr, childOutput)
+      val base = Bridge.interpretedOrdering(orderExpr.dataType)
+      // heap head must be the WORST kept row (the eviction candidate):
+      // for top-k-largest that's the smallest value, so reverse
+      val heapOrd: Ordering[(Any, InternalRow)] = {
+        val v = if (desc) base.reverse else base
+        Ordering.by[(Any, InternalRow), Any](_._1)(v)
+      }
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(), mutable.PriorityQueue.empty(heapOrd))
+        val v = boundOrder.eval(row)
+        if (v != null) {
+          if (heap.size < limit) heap.enqueue((v, row.copy()))
+          else if (heapOrd.lt((v, row), heap.head)) { // beats the worst kept
+            heap.dequeue(); heap.enqueue((v, row.copy()))
+          }
+        }
+      }
+      // emit best→worst per key (dequeue yields worst-first; reverse)
+      heaps.iterator.flatMap { case (_, heap) =>
+        val drained = mutable.ArrayBuffer.empty[InternalRow]
+        while (heap.nonEmpty) drained += heap.dequeue()._2
+        drained.reverseIterator
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+object TopKPerKey {
+
+  /** Top-k rows per key by `order` (largest first when `descending`).
+    * Null order values never win a slot, matching `row_number` over a
+    * NULLS-LAST ordering. The order expression is projected to a temp
+    * column first and the node is built on already-RESOLVED attribute
+    * references — a custom logical node cannot rely on the analyzer to
+    * unwrap Spark 4's ColumnNodeExpression wrappers inside unknown
+    * plan types.
+    */
+  def apply(df: DataFrame, keyCols: Seq[String], orderCol: Column, k: Int,
+      descending: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val tmp = "__graft_topk_order"
+    val analyzed = df.withColumn(tmp, orderCol).queryExecution.analyzed
+    val out = analyzed.output
+    def attr(n: String): Attribute = out.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"topKPerKey: no column '$n' in ${out.map(_.name)}"))
+    Bridge.ofRows(spark,
+      TopKPerKeyNode(keyCols.map(attr), attr(tmp), k, descending, analyzed))
+      .drop(tmp)
+  }
+}

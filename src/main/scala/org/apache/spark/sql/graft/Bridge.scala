@@ -13,6 +13,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `Dataset.ofRows` for a custom logical plan (private[sql] upstream) —
+    * the entry point for graft's custom operators ([[graft.plans]]).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Interpreted ordering for a data type (private[sql] upstream). */
+  def interpretedOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
   /** Serializable Hadoop conf wrapper (private[spark] upstream) — needed
     * to ship the driver's FS config to DSv2 partition readers.
     */

@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the window formulation (value multisets), plans without a sort") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val topk = TopKPerKey(orders, Seq("o_custkey"), $"o_totalprice", 3)
+    val got = topk.select($"o_custkey", $"o_totalprice")
+      .as[(Long, Double)].collect().sorted
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    val expected = orders
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"o_custkey", $"o_totalprice")
+      .as[(Long, Double)].collect().sorted
+    assert(got.sameElements(expected))
+
+    topk.collect()
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
+    assert(!plan.contains("Sort"), s"sort leaked into plan:\n$plan")
+  }
+
+  test("keys with fewer than k rows keep all rows; ascending mode; nulls never win") {
+    val df = Seq(
+      ("a", Some(3.0)), ("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Some(9.0)),
+      ("c", None),
+    ).toDF("k", "v")
+    val top2asc = TopKPerKey(df, Seq("k"), $"v", 2, descending = false)
+      .select($"k", $"v").as[(String, Option[Double])].collect().sortBy(r => (r._1, r._2))
+    assert(top2asc.toSeq == Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", Some(9.0))))
+  }
+
+  test("per-key emission order is best-first") {
+    val df = Seq(("x", 1.0), ("x", 5.0), ("x", 3.0), ("x", 4.0)).toDF("k", "v")
+    val rows = TopKPerKey(df.repartition(1), Seq("k"), $"v", 3)
+      .select($"v").as[Double].collect()
+    assert(rows.toSeq == Seq(5.0, 4.0, 3.0))
+  }
+}
