@@ -25,14 +25,18 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .withExtensions(new functions.GraftExtensions)
 
-  /** Install graft's SQL functions + optimizer rule into a live session
-    * (extensions only apply at construction time).
+  /** Install graft's SQL functions, optimizer rule, and planner
+    * strategy into a live session (extensions only apply at
+    * construction time).
     */
   def install(spark: SparkSession): SparkSession = {
     functions.GraftExtensions.register(spark)
     if (!spark.experimental.extraOptimizations.contains(functions.LevenshteinPrefilterRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ functions.LevenshteinPrefilterRule
+    if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
     spark
   }
 }
