@@ -25,9 +25,12 @@ import scala.collection.mutable
   * heap per key — O(n log k) time, O(#keys × k) memory, no sort
   * buffer, spill never needed for the data (only the heaps).
   *
-  * The exec declares `ClusteredDistribution(keys)`, so Catalyst still
-  * owns the shuffle (and AQE still coalesces it); this operator only
-  * replaces the sort+window on the reduce side. Registration: the
+  * Planned TWO-PHASE like partial aggregation: a map-side pass bounds
+  * the shuffle to ≤ k rows per (key, input partition) — something the
+  * window formulation fundamentally cannot do (row_number needs every
+  * row of the partition on one reducer) — then the final exec declares
+  * `ClusteredDistribution(keys)`, so Catalyst still owns the shuffle
+  * (and AQE still coalesces it). Registration: the
   * [[TopKPerKey.apply]] API arms `spark.experimental.extraStrategies`
   * on the live session; session builders can instead inject
   * [[TopKPerKeyStrategy]] via `GraftExtensions`.
@@ -47,7 +50,12 @@ final case class TopKPerKeyNode(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, desc, child) =>
-      TopKPerKeyExec(keys, order, k, desc, planLater(child)) :: Nil
+      // two-phase, like partial aggregation: a map-side pass bounds the
+      // SHUFFLE to ≤ k rows per (key, input partition) — sound because
+      // per-key top-k of a union is contained in the union of per-slice
+      // top-k's — then the final pass runs on the clustered data
+      val partial = TopKPerKeyExec(keys, order, k, desc, planLater(child), partial = true)
+      TopKPerKeyExec(keys, order, k, desc, partial) :: Nil
     case _ => Nil
   }
 }
@@ -57,12 +65,16 @@ final case class TopKPerKeyExec(
     order: Expression,
     k: Int,
     descending: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 

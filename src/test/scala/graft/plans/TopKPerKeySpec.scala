@@ -23,6 +23,8 @@ class TopKPerKeySpec extends SparkSpec {
     topk.collect()
     val plan = topk.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"custom exec missing:\n$plan")
+    assert(plan.contains("TopKPerKeyPartial"),
+      s"map-side partial top-k missing — shuffle is unbounded:\n$plan")
     assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
     assert(!plan.contains("Sort"), s"sort leaked into plan:\n$plan")
   }
