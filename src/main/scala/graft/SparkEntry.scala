@@ -19,6 +19,7 @@ object SparkEntry {
     RelationalQueries.entries ++ TextDedup.entries ++ TextAnalysis.entries ++
       Similarity.entries ++ ExtendedRelational.entries ++
       ExtendedFunctions.entries ++ PipelineOps.entries ++
+      TrainingPipeline.entries ++
       graft.multimodal.Multimodal.entries
 
   def oracleSql: Map[String, String] =

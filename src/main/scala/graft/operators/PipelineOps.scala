@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import TextPrims._
 
@@ -188,28 +188,57 @@ object PipelineOps {
     * partitioning so the offsets join the same data they were computed
     * from (on a cluster: persist to reliable storage instead).
     */
-  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Generalized two-phase packing core: assign `pack_id` within each
+    * stratum (empty `strata` = one global sequence) from the exclusive
+    * running sum of `tokens` in doc_id order. Range-partitioned on
+    * (strata, doc_id); per-(partition, stratum) totals — one row each —
+    * are collected, prefix-summed per stratum on the driver, and
+    * broadcast back. Strata never share a pack (a training batch must
+    * not straddle a train/val split).
+    */
+  def packTokensBy(df: DataFrame, strata: Seq[String], budget: Long): DataFrame = {
+    import df.sparkSession.implicits._
+    val stratCols = strata.map(col)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"pid").orderBy($"doc_id")
+      .partitionBy((col("pid") +: stratCols): _*).orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val local = Tables.load(spark, dir, "documents")
-      .select($"doc_id", size(words($"text")).cast("long").as("tokens"))
-      .repartitionByRange(8, $"doc_id")
+    val local = df
+      .repartitionByRange(8, (stratCols :+ $"doc_id"): _*)
       .withColumn("pid", spark_partition_id())
       .withColumn("cum_in", sum($"tokens").over(w))
       .localCheckpoint()
-    val totals = local.groupBy($"pid").agg(max($"cum_in").as("psum"))
-      .orderBy($"pid").collect() // one row per partition — driver-tiny
+    val totals = local.groupBy((col("pid") +: stratCols): _*)
+      .agg(max($"cum_in").as("psum"))
+      .orderBy((stratCols :+ col("pid")): _*).collect() // one row per (partition, stratum)
+    var prevKey: Seq[Any] = null
     var acc = 0L
     val offsets = totals.map { r =>
-      val o = (r.getInt(0), acc); acc += r.getLong(1); o
-    }.toSeq.toDF("pid", "offset")
-    local.join(broadcast(offsets), "pid")
+      val key = strata.indices.map(i => r.get(i + 1))
+      if (key != prevKey) { acc = 0L; prevKey = key }
+      val o = Row.fromSeq(r.get(0) +: key :+ acc)
+      acc += r.getLong(strata.length + 1)
+      o
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.IntegerType) +:
+        strata.map(s => df.schema(s)) :+
+        org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType))
+    val offsetsDf = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(offsets).asJava),
+      offSchema)
+    local.join(broadcast(offsetsDf), "pid" +: strata)
       .withColumn("cum_excl", $"offset" + $"cum_in" - $"tokens")
-      .select($"doc_id", $"tokens",
-        floor($"cum_excl" / lit(PackBudget.toDouble)).cast("long").as("pack_id"))
+      .withColumn("pack_id", floor($"cum_excl" / lit(budget.toDouble)).cast("long"))
+      .drop("pid", "cum_in", "offset", "cum_excl")
+  }
+
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(words($"text")).cast("long").as("tokens"))
+    packTokensBy(toks, Nil, PackBudget)
+      .select($"doc_id", $"tokens", $"pack_id")
       .orderBy($"doc_id")
   }
 
