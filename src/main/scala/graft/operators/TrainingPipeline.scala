@@ -82,13 +82,15 @@ object TrainingPipeline {
     val docs = Tables.load(spark, dir, "documents")
     val cleaned = graft.streaming.StreamingJobs
       .cleanDocumentStream(docs, MinWords, MaxTopWordFrac)
-    val corpus = buildCorpus(spark, dir)
-    Seq(
+    val corpus = buildCorpus(spark, dir).cache() // consumed twice below
+    val out = Seq(
       ("0_raw", docs.count()),
       ("1_cleaned", cleaned.count()),
       ("2_corpus", corpus.count()),
       ("3_packs", corpus.select($"split", $"pack_id").distinct().count()),
     ).toDF("stage", "n_docs")
+    corpus.unpersist()
+    out
   }
 
   /** q83 is rows-only by design: the pipeline composes operators that
