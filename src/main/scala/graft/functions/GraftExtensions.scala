@@ -38,6 +38,13 @@ object GraftExtensions {
         CosineSimilarity(args.head, args(1))
       }),
     (
+      new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[ArrayJaccard].getName, "graft_jaccard"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaccard(arrayA, arrayB)")
+        ArrayJaccard(args.head, args(1))
+      }),
+    (
       new FunctionIdentifier("graft_hash64"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_hash64"),
       (args: Seq[Expression]) => {

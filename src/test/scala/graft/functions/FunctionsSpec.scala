@@ -32,6 +32,32 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1)._2 == 0.0) // orthogonal vectors
   }
 
+  test("ArrayJaccard matches size(intersect)/size(union) bit-for-bit over corpus shingles") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+      .select($"doc_id", TextPrims.shingles3(split($"text", " ")).as("sh"))
+      .filter(size(split($"text", " ")) >= 3)
+    val pairs = docs.toDF("id1", "s1").crossJoin(docs.toDF("id2", "s2"))
+      .filter($"id1" < $"id2")
+    val composed = size(array_intersect($"s1", $"s2")).cast("double") /
+      size(array_union($"s1", $"s2"))
+    val diffs = pairs.select(composed.as("c"), ArrayJaccard($"s1", $"s2").as("n"))
+      .filter($"c" =!= $"n").count()
+    assert(diffs == 0)
+  }
+
+  test("ArrayJaccard edge cases: duplicates are set-collapsed, empty arrays, nulls ignored") {
+    val df = Seq(
+      (1L, Seq("a", "a", "b"), Seq("b", "b", "c")), // sets {a,b} {b,c} → 1/3
+      (2L, Seq.empty[String], Seq("x")),            // 0/1 → 0
+      (3L, Seq.empty[String], Seq.empty[String]),   // 0/0 → 0 by convention
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", round(ArrayJaccard($"a", $"b"), 6).as("j"))
+      .orderBy($"id").as[(Long, Double)].collect()
+    assert(out(0)._2 == math.round(1.0 / 3 * 1e6) / 1e6)
+    assert(out(1)._2 == 0.0)
+    assert(out(2)._2 == 0.0)
+  }
+
   test("RollingMinHash matches brute-force per-window polynomial; null under window") {
     def brute(s: String, w: Int = 8, b: Long = 31L): Option[Long] = {
       val bytes = s.getBytes("UTF-8")
