@@ -39,7 +39,17 @@ object Maintenance {
           val n = s.getPath.getName
           n.startsWith("_") || n.startsWith(".")
         }
+    // a Hive-partitioned layout (dt=.../part-*.parquet) must be
+    // compacted per partition directory — rewriting it flat through
+    // this path would destroy the partitioning and mis-size the output
+    val subDirs = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+    require(subDirs.isEmpty,
+      s"compactParquet: $path has partition subdirectories " +
+        s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compact each partition directory individually")
     val before = dataFiles(p)
+    require(before.nonEmpty, s"compactParquet: no data files under $path")
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val stamp = java.util.UUID.randomUUID().toString.take(8)

@@ -13,8 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   * a single hash set, `doGenCode` included so it stays inside
   * whole-stage codegen. Value-identical to the composed
   * `size(array_intersect(a,b)) / size(array_union(a,b))` formulation
-  * (both use set semantics; null elements are ignored), so swapping it
-  * into an oracle-gated query cannot change results.
+  * for arrays of non-null elements (asserted bit-for-bit over corpus
+  * shingles in FunctionsSpec). Two deliberate divergences: null
+  * ELEMENTS are ignored here but count as a set member in
+  * array_intersect/union, and two empty arrays yield 0.0 here vs
+  * null (0/0) there — check both before swapping it into an
+  * oracle-gated query over data where those cases occur.
   *
   * Use it on the CANDIDATE side of dedup — per-pair shingle arrays
   * after LSH blocking (q21's verify join is the at-scale shape; this

@@ -273,7 +273,7 @@ object TextAnalysis {
   def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = size($"w")
-    val topCnt = expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+    val topCnt = topWordCount("w")
     val g2 = expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")
     val g3 = shingles3($"w")
     def dupFrac(g: Column): Column =

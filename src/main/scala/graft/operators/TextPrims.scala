@@ -28,6 +28,14 @@ object TextPrims {
     */
   def words(text: Column): Column = split(text, " ")
 
+  /** Occurrence count of the most frequent element of a word-array
+    * column (named by `arr`) — the shared core of the q71 repetition
+    * profile and the streaming ingest filter; one definition so the
+    * batch and streaming keep-logic cannot diverge.
+    */
+  def topWordCount(arr: String): Column =
+    expr(s"array_max(transform(array_distinct($arr), x -> size(filter($arr, y -> y = x))))")
+
   /** Word k-shingles (k=3): the n-gram unit for Jaccard/MinHash. Caller
     * must filter `size(words) >= 3` first — `sequence(1, n-2)` runs
     * DESCENDING when n < 3 (Spark auto-negates the step), which would

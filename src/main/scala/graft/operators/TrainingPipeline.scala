@@ -44,15 +44,20 @@ object TrainingPipeline {
       .filter($"doc_id" === $"canonical_id")
       .drop("fp", "canonical_id")
 
-    // 3. near-dedup: LSH candidate pairs → clusters → keep cluster min.
-    //    Pairs come from the corpus-wide MinHash operator; survivors of
-    //    step 2 keep their cluster's canonical representative only.
+    // 3. near-dedup: LSH candidate pairs → clusters → keep, per cluster,
+    //    the smallest doc_id that SURVIVED steps 1-2 — not the raw
+    //    cluster label: the raw min may have been filtered out earlier,
+    //    and "keep comp == doc_id" would then drop the whole cluster's
+    //    content from the corpus.
     val pairs = TextDedup.dedupMinhashLsh(spark, dir).select($"a_id", $"b_id")
     val clusters = TextDedup.connectedComponents(pairs)
     val nearDeduped = canonical
       .join(clusters, canonical("doc_id") === clusters("id"), "left")
-      .filter($"id".isNull || $"comp" === $"doc_id") // keep only cluster canonicals
-      .drop("id", "comp")
+      .withColumn("cluster", coalesce($"comp", $"doc_id"))
+      .withColumn("min_surviving",
+        min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster")))
+      .filter($"doc_id" === $"min_surviving")
+      .drop("id", "comp", "cluster", "min_surviving")
 
     // 4. stratified sampling (map-only hash threshold per lang)
     val rate = StratRates.foldLeft(lit(StratDefault)) {

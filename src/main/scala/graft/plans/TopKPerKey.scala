@@ -97,7 +97,14 @@ final case class TopKPerKeyExec(
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
       it.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(), mutable.PriorityQueue.empty(heapOrd))
+        // copy the projected key ONLY on first sight — getOrElseUpdate's
+        // key argument is strict, so key.copy() there would allocate
+        // per input row
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = mutable.PriorityQueue.empty(heapOrd)
+          heaps.put(key.copy(), heap)
+        }
         val v = boundOrder.eval(row)
         if (v != null) {
           if (heap.size < limit) heap.enqueue((v, row.copy()))
@@ -119,8 +126,12 @@ final case class TopKPerKeyExec(
 object TopKPerKey {
 
   /** Top-k rows per key by `order` (largest first when `descending`).
-    * Null order values never win a slot, matching `row_number` over a
-    * NULLS-LAST ordering. The order expression is projected to a temp
+    * Rows with a NULL order value are EXCLUDED — unlike `row_number`
+    * over a NULLS-LAST ordering, which still ranks null rows into
+    * remaining slots; a key whose rows are all null-ordered yields no
+    * output. (q82's oracle column is non-null, so the window oracle
+    * stays value-exact there; on nullable columns filter nulls first
+    * if window parity matters.) The order expression is projected to a temp
     * column first and the node is built on already-RESOLVED attribute
     * references — a custom logical node cannot rely on the analyzer to
     * unwrap Spark 4's ColumnNodeExpression wrappers inside unknown

@@ -157,28 +157,42 @@ final case class GridFsConnector(name: String, root: String, chunkSize: Int = 25
       case WriteMode.Overwrite => SaveMode.Overwrite
       case _ => SaveMode.Append
     }
+    // every write is a distinct upload generation — re-appending an
+    // existing filename must never interleave its chunks with the old
+    // version's (GridFS's files_id role); read() picks the latest
+    val upload = java.util.UUID.randomUUID().toString
+    val uploadedAt = System.currentTimeMillis()
     val files = df.select(
       col("filename"),
       length(col("content")).cast("long").as("length"),
-      md5(col("content")).as("md5"))
-    val chunks = df.select(col("filename").as("files_id"), expr(
+      md5(col("content")).as("md5"),
+      lit(upload).as("upload"),
+      lit(uploadedAt).as("uploaded_at"))
+    val chunks = df.select(col("filename").as("files_id"), lit(upload).as("upload"), expr(
       s"""explode(transform(
          |  sequence(0, CAST(greatest(ceil(length(content) / $chunkSize.0) - 1, 0) AS INT)),
          |  i -> struct(i as n, substring(content, i * $chunkSize + 1, $chunkSize) as data)))
          |""".stripMargin).as("c"))
-      .select(col("files_id"), col("c.n").as("n"), col("c.data").as("data"))
+      .select(col("files_id"), col("upload"), col("c.n").as("n"), col("c.data").as("data"))
     files.write.mode(saveMode).parquet(filesPath(index))
     chunks.write.mode(saveMode).parquet(chunksPath(index))
   }
 
   def read(spark: SparkSession, index: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val files = spark.read.parquet(filesPath(index))
+    val latest = files
+      .withColumn("rn", row_number().over(Window.partitionBy(col("filename"))
+        .orderBy(col("uploaded_at").desc, col("upload").desc)))
+      .filter(col("rn") === 1).drop("rn")
     val assembled = spark.read.parquet(chunksPath(index))
+      .join(latest.select(col("filename").as("fid"), col("upload").as("u")),
+        col("files_id") === col("fid") && col("upload") === col("u"), "left_semi")
       .groupBy(col("files_id"))
       .agg(sort_array(collect_list(struct(col("n"), col("data")))).as("cs"))
       .select(col("files_id"),
         expr("aggregate(cs, CAST('' AS BINARY), (acc, c) -> concat(acc, c.data))").as("content"))
-    files.join(assembled, files("filename") === assembled("files_id"), "left")
+    latest.join(assembled, latest("filename") === assembled("files_id"), "left")
       .select(col("filename"), col("length"), col("md5"),
         coalesce(col("content"), lit(Array.emptyByteArray)).as("content"))
       .orderBy(col("filename"))

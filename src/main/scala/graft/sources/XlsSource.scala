@@ -259,9 +259,12 @@ object XlsSource {
   private[sources] def workbookStream(
       header: Seq[String], rows: Iterator[Seq[Any]], rolloverRows: Int): Array[Byte] = {
     val perSheet = math.min(math.max(rolloverRows, 1), SheetRowLimit)
+    // grouped() is the DEFINED way to chunk an iterator (reusing the
+    // source after take() is unspecified), and there is no sheet cap:
+    // silently dropping rows past a cap would be data loss on a write
+    // path
     val sheets = ArrayBuffer.empty[Seq[Seq[Any]]]
-    while (rows.hasNext && sheets.size < 1000)
-      sheets += rows.take(perSheet).toSeq
+    rows.grouped(perSheet).foreach(chunk => sheets += chunk)
     if (sheets.isEmpty) sheets += Seq.empty
 
     // shared string table over every string cell (header included)
@@ -363,7 +366,9 @@ object XlsSource {
     private def ensure(): Unit =
       while (fi < frags.length && pos >= frags(fi).length) { fi += 1; pos = 0 }
     def hasMore: Boolean = { ensure(); fi < frags.length }
-    def u8(): Int = { ensure(); val v = frags(fi)(pos) & 0xFF; pos += 1; v }
+    // truncated input degrades to zeros / partial strings, never an
+    // out-of-bounds crash
+    def u8(): Int = { ensure(); if (fi >= frags.length) 0 else { val v = frags(fi)(pos) & 0xFF; pos += 1; v } }
     def u16(): Int = u8() | (u8() << 8)
     def u32(): Int = u16() | (u16() << 16)
     def skip(n: Long): Unit = { var i = 0L; while (i < n && hasMore) { u8(); i += 1 } }
@@ -374,10 +379,8 @@ object XlsSource {
       var read = 0
       while (read < cch) {
         ensure()
+        if (fi >= frags.length) return sb.toString // truncated: partial string
         val remaining = frags(fi).length - pos
-        if (remaining == 0) { // exhausted all fragments
-          return sb.toString
-        }
         val unit = if (wide) 2 else 1
         val canRead = math.min(cch - read, remaining / unit)
         if (canRead == 0) {

@@ -80,11 +80,10 @@ object XlsxSource {
   /** Build one workbook (bytes) with sheet rollover. */
   private[sources] def workbookBytes(
       header: Seq[String], rows: Iterator[Seq[Any]], rolloverRows: Int): Array[Byte] = {
+    // grouped() is the DEFINED way to chunk an iterator, and no sheet
+    // cap: dropping rows past a cap would be silent data loss
     val sheets = ArrayBuffer.empty[String]
-    while (rows.hasNext && sheets.size < 1000) {
-      val chunk = rows.take(rolloverRows)
-      sheets += sheetXml(header, chunk)
-    }
+    rows.grouped(rolloverRows).foreach(chunk => sheets += sheetXml(header, chunk.iterator))
     if (sheets.isEmpty) sheets += sheetXml(header, Iterator.empty)
 
     val bos = new java.io.ByteArrayOutputStream()

@@ -53,15 +53,14 @@ object StreamingJobs {
       docs: DataFrame, // needs doc_id: long, text: string
       minWords: Int = 5,
       maxTopWordFrac: Double = 0.5,
-  ): DataFrame = {
-    val w = split(col("text"), " ")
-    val topCnt = expr("array_max(transform(array_distinct(split(text, ' ')), x -> size(filter(split(text, ' '), y -> y = x))))")
+  ): DataFrame =
     docs
-      .withColumn("n_words", size(w))
+      .withColumn("__w", graft.operators.TextPrims.words(col("text")))
+      .withColumn("n_words", size(col("__w")))
       .filter(col("n_words") >= minWords &&
-        topCnt.cast("double") / col("n_words") <= maxTopWordFrac)
+        graft.operators.TextPrims.topWordCount("__w").cast("double") / col("n_words") <= maxTopWordFrac)
       .withColumn("text", graft.operators.PipelineOps.redactPii(col("text")))
-  }
+      .drop("__w")
 
   /** Streaming incremental dedup — the streaming twin of batch q78:
     * only documents whose content fingerprint is NOT already in the

@@ -28,6 +28,18 @@ class MaintenanceSpec extends SparkSpec {
       f.getName.contains(".compact-") || f.getName.contains(".old-")))
   }
 
+  test("compactParquet refuses a Hive-partitioned layout instead of flattening it") {
+    val dir = tmpDir("compact3") + "/t"
+    (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "part")
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("partition subdirectories"))
+    // table untouched
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("compactParquet splits to multiple files when bytes exceed the target") {
     val dir = tmpDir("compact2") + "/t"
     (1 to 5000).map(i => (i.toLong, "x" * 100)).toDF("id", "v")

@@ -42,6 +42,20 @@ class GridFsSpec extends SparkSpec {
     assert(chunks.toSeq == Seq((0, 8), (1, 8), (2, 4)))
   }
 
+  test("re-appending an existing filename: latest upload wins, no chunk interleaving") {
+    val c = GridFsConnector("gridfs", tmpDir("gridfs-ver"), chunkSize = 8)
+    val v1 = bytes(20, 7)
+    val v2 = bytes(33, 8)
+    c.write(Seq(("f.bin", v1)).toDF("filename", "content"), "b", WriteMode.Overwrite)
+    c.write(Seq(("f.bin", v2)).toDF("filename", "content"), "b", WriteMode.Append)
+    val rows = c.read(spark, "b")
+      .select($"filename", $"length", $"content")
+      .as[(String, Long, Array[Byte])].collect()
+    assert(rows.length == 1) // one logical file, not two
+    assert(rows.head._2 == 33L)
+    assert(rows.head._3.sameElements(v2)) // exactly v2 — never a chunk mix
+  }
+
   test("append mode adds files; listIndexes sees buckets") {
     val c = GridFsConnector("gridfs", tmpDir("gridfs-app"))
     c.write(Seq(("a", bytes(3, 4))).toDF("filename", "content"), "b1", WriteMode.Overwrite)
