@@ -286,7 +286,79 @@ object PipelineOps {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // -------------------------------------------------- q84 k-anonymity
+
+  private val KAnon = 5L
+
+  /** K-anonymous aggregate release (q84): publish (segment, nation)
+    * cell counts only where the cell holds ≥ k individuals; all
+    * smaller cells collapse into one `__suppressed__` rollup row, so
+    * the release never exposes a group small enough to re-identify.
+    * One agg shuffle + a tiny driver-free conditional union — the
+    * shape is identical at any scale.
+    */
+  def kAnonymousRelease(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.load(spark, dir, "customer")
+      .groupBy($"c_mktsegment".as("seg"), $"c_nationkey".cast("string").as("nat"))
+      .agg(count(lit(1)).as("n"))
+    val released = cells.filter($"n" >= KAnon).select($"seg", $"nat", $"n")
+    val suppressed = cells.filter($"n" < KAnon)
+      .agg(sum($"n").as("n")).filter($"n".isNotNull)
+      .select(lit("__suppressed__").as("seg"), lit("*").as("nat"), $"n")
+    released.union(suppressed).orderBy($"seg", $"nat")
+  }
+
+  private def oracleKAnon: String =
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nat,
+       |    count(*) AS n
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT seg, nat, n FROM cells WHERE n >= $KAnon
+       |UNION ALL
+       |SELECT '__suppressed__' AS seg, '*' AS nat, sum(n)::BIGINT AS n
+       |FROM cells WHERE n < $KAnon HAVING sum(n) IS NOT NULL
+       |ORDER BY seg, nat""".stripMargin
+
+  // ---------------------------------------- q85 per-stratum top-N sample
+
+  private val SampleN = 20
+
+  /** Deterministic per-stratum fixed-SIZE sample (q85): exactly N docs
+    * per language, chosen by smallest deterministic hash — the
+    * fixed-count companion to q74's fixed-RATE sampler, built on the
+    * custom [[graft.plans.TopKPerKey]] operator (bounded heap per
+    * stratum; no per-stratum sort, no rand()). The sort key appends
+    * the doc id to the hash, so selection is total-ordered and
+    * engine-independent even under hash collisions.
+    */
+  def stratifiedTopNSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        concat(lpad(hash64(concat(lit("smp:"), $"doc_id".cast("string"))).cast("string"), 20, "0"),
+          lit(":"), lpad($"doc_id".cast("string"), 10, "0")).as("score"))
+    graft.plans.TopKPerKey(scored, Seq("lang"), $"score", SampleN, descending = false)
+      .select($"lang", $"doc_id")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  private def oracleTopNSample: String = {
+    val score = s"lpad(CAST(${hash64Sql("'smp:' || CAST(doc_id AS VARCHAR)")} AS VARCHAR), 20, '0') " +
+      "|| ':' || lpad(CAST(doc_id AS VARCHAR), 10, '0')"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $score AS score FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY score) AS rn
+       |  FROM scored)
+       |SELECT lang, doc_id FROM ranked WHERE rn <= $SampleN
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_k_anonymous_release" -> (kAnonymousRelease _),
+    "q85_stratified_topn" -> (stratifiedTopNSample _),
     "q72_pii_scan" -> (piiScan _),
     "q73_token_packing" -> (tokenPacking _),
     "q74_stratified_sample" -> (stratifiedSample _),
@@ -297,6 +369,8 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_k_anonymous_release" -> oracleKAnon,
+    "q85_stratified_topn" -> oracleTopNSample,
     "q72_pii_scan" -> oraclePii,
     "q73_token_packing" -> oraclePacking,
     "q74_stratified_sample" -> oracleStratified,

@@ -107,9 +107,17 @@ final case class TopKPerKeyExec(
         }
         val v = boundOrder.eval(row)
         if (v != null) {
-          if (heap.size < limit) heap.enqueue((v, row.copy()))
+          // eval of a string/binary over an unsafe row returns a view
+          // into the REUSED row buffer — copy before storing in the
+          // heap or the kept values mutate as the iterator advances
+          def owned: Any = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case b: Array[Byte] => b.clone()
+            case other => other
+          }
+          if (heap.size < limit) heap.enqueue((owned, row.copy()))
           else if (heapOrd.lt((v, row), heap.head)) { // beats the worst kept
-            heap.dequeue(); heap.enqueue((v, row.copy()))
+            heap.dequeue(); heap.enqueue((owned, row.copy()))
           }
         }
       }

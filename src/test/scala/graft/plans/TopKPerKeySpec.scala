@@ -40,6 +40,19 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top2asc.toSeq == Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", Some(9.0))))
   }
 
+  test("string order column: heap-stored values are owned copies (unsafe-row reuse regression)") {
+    // enough rows per partition that the row buffer is recycled many
+    // times; order by a STRING — eval returns a view into the reused
+    // buffer, which must be copied before living in the heap
+    val df = (1 to 5000).map(i => (i % 7, f"s$i%05d")).toDF("k", "v").repartition(2)
+    val got = TopKPerKey(df, Seq("k"), $"v", 2, descending = false)
+      .select($"k", $"v").as[(Int, String)].collect().sorted
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"v")
+    val expected = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .select($"k", $"v").as[(Int, String)].collect().sorted
+    assert(got.sameElements(expected))
+  }
+
   test("per-key emission order is best-first") {
     val df = Seq(("x", 1.0), ("x", 5.0), ("x", 3.0), ("x", 4.0)).toDF("k", "v")
     val rows = TopKPerKey(df.repartition(1), Seq("k"), $"v", 3)
