@@ -43,19 +43,24 @@ object Bench {
       }
       name -> times.min
     }
-    // Compact values (4 decimals ≈ 0.1 ms resolution) keep the line
-    // short enough to survive the driver's output tail; the full line is
-    // also written to a file so a truncated stdout is never the only copy.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.4f"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The stdout line must survive the driver's fixed-size output tail
+    // (r03 came back parsed:null at ~2.9KB), so it uses the short unique
+    // qNN keys at 3 decimals (~1.3KB for 85 queries). The full-name map
+    // is written to BENCH_LOCAL.json so a truncated stdout is never the
+    // only copy.
+    def render(keyOf: String => String, dec: String): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + dec.format(v) }
+        .mkString("{", ",", "}")
+      val total = dec.format(results.map(_._2).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     // only persist full-catalog runs — a filtered run must not clobber
     // the canonical local bench record
     if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        render(identity, "%.4f") + "\n")
       catch { case _: Throwable => }
-    println(line)
+    println(render(_.takeWhile(_ != '_'), "%.3f"))
     spark.stop()
   }
 }

@@ -22,8 +22,11 @@ object Maintenance {
     *   exchange — the rewrite is a scan + write, zero shuffles.
     * - Staging: written ONCE to a same-filesystem sibling, then two
     *   atomic renames swap it in (the FileConnector.mergeRewrite
-    *   discipline); a crash leaves either the old or the new directory
-    *   intact, never a mix.
+    *   discipline). The data is never in a mixed state, but a crash in
+    *   the instant BETWEEN the two renames leaves nothing at `path`
+    *   (the old data parked intact at `<path>.old-<stamp>`); the next
+    *   compactParquet call detects that state and restores the parked
+    *   directory before proceeding, so recovery is automatic — rerun.
     *
     * Returns (filesBefore, filesAfter) for the caller's audit log.
     */
@@ -33,6 +36,18 @@ object Maintenance {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      // crash-between-renames recovery: restore the newest parked copy
+      val parent = p.getParent
+      val parked =
+        if (parent == null || !fs.exists(parent)) Nil
+        else fs.listStatus(parent).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(p.getName + ".old-"))
+      require(parked.nonEmpty, s"compactParquet: no data files under $path")
+      val newest = parked.maxBy(_.getModificationTime).getPath
+      if (!fs.rename(newest, p))
+        throw new java.io.IOException(s"compact: could not restore parked $newest to $p")
+    }
     def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.filter(_.isFile)
         .filterNot { s =>

@@ -152,11 +152,18 @@ object TopKPerKey {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
-    val tmp = "__graft_topk_order"
+    // collision-proof temp name: an input column of the same name would
+    // otherwise be overwritten and then dropped
+    val tmp = "__graft_topk_order_" + java.util.UUID.randomUUID().toString.take(8)
     val analyzed = df.withColumn(tmp, orderCol).queryExecution.analyzed
     val out = analyzed.output
-    def attr(n: String): Attribute = out.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(s"topKPerKey: no column '$n' in ${out.map(_.name)}"))
+    def attr(n: String): Attribute = out.filter(_.name == n) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"topKPerKey: no column '$n' in ${out.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        s"topKPerKey: ambiguous column '$n' (${many.size} matches) — rename inputs first")
+    }
     Bridge.ofRows(spark,
       TopKPerKeyNode(keyCols.map(attr), attr(tmp), k, descending, analyzed))
       .drop(tmp)

@@ -51,18 +51,34 @@ object XlsSource {
   private def le16(i: Int): Array[Byte] =
     ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(i.toShort).array()
 
-  /** Wrap one stream into a minimal v3 CFB container (512-byte sectors,
-    * regular FAT only — see class doc for the mini-stream padding note).
+  private val DifSect = 0xFFFFFFFC
+
+  /** Wrap one stream into a minimal v3 CFB container (512-byte sectors;
+    * DIFAT sectors are chained when the FAT outgrows the header's 109
+    * slots, i.e. workbook streams past ~7 MB — see class doc for the
+    * mini-stream padding note).
     */
   private[sources] def cfbBytes(streamName: String, stream0: Array[Byte]): Array[Byte] = {
     val stream = if (stream0.length >= MiniCutoff) stream0
       else java.util.Arrays.copyOf(stream0, MiniCutoff)
     val streamSectors = (stream.length + 511) / 512
+    // FAT covers every sector (DIFAT + FAT + dir + stream); each FAT
+    // sector indexes 128 sectors, each DIFAT sector lists 127 FAT
+    // sectors past the header's 109. Sizes are interdependent → fixpoint.
     var fatSectors = 1
-    while (128 * fatSectors < fatSectors + 1 + streamSectors) fatSectors += 1
-    val totalSectors = fatSectors + 1 + streamSectors
-    val dirSector = fatSectors // sector index of the directory
-    val firstStreamSector = fatSectors + 1
+    var difatSectors = 0
+    var stable = false
+    while (!stable) {
+      val total = difatSectors + fatSectors + 1 + streamSectors
+      val needFat = (total + 127) / 128
+      val needDifat = math.max(0, (needFat - 109 + 126) / 127)
+      stable = needFat == fatSectors && needDifat == difatSectors
+      fatSectors = needFat; difatSectors = needDifat
+    }
+    val totalSectors = difatSectors + fatSectors + 1 + streamSectors
+    val firstFat = difatSectors // layout: [DIFAT][FAT][dir][stream]
+    val dirSector = difatSectors + fatSectors
+    val firstStreamSector = dirSector + 1
 
     val out = ByteBuffer.allocate(512 * (1 + totalSectors)).order(ByteOrder.LITTLE_ENDIAN)
     // header
@@ -80,14 +96,24 @@ object XlsSource {
     out.putInt(MiniCutoff)                // mini stream cutoff
     out.putInt(EndOfChain)                // first mini FAT sector (none)
     out.putInt(0)                         // mini FAT sector count
-    out.putInt(EndOfChain)                // first DIFAT sector (none)
-    out.putInt(0)                         // DIFAT sector count
-    (0 until 109).foreach(i => out.putInt(if (i < fatSectors) i else FreeSect))
+    out.putInt(if (difatSectors > 0) 0 else EndOfChain) // first DIFAT sector
+    out.putInt(difatSectors)              // DIFAT sector count
+    (0 until 109).foreach(i => out.putInt(if (i < fatSectors) firstFat + i else FreeSect))
+    // DIFAT sectors: FAT ids 109+, 127 per sector + next-DIFAT pointer
+    (0 until difatSectors).foreach { s =>
+      out.position(512 * (1 + s))
+      (0 until 127).foreach { j =>
+        val fatIdx = 109 + s * 127 + j
+        out.putInt(if (fatIdx < fatSectors) firstFat + fatIdx else FreeSect)
+      }
+      out.putInt(if (s == difatSectors - 1) EndOfChain else s + 1)
+    }
     // FAT sectors
-    out.position(512)
+    out.position(512 * (1 + firstFat))
     (0 until totalSectors).foreach { s =>
       val v =
-        if (s < fatSectors) FatSect
+        if (s < difatSectors) DifSect
+        else if (s < difatSectors + fatSectors) FatSect
         else if (s == dirSector) EndOfChain
         else if (s == totalSectors - 1) EndOfChain
         else s + 1 // stream chain is laid out sequentially
@@ -209,11 +235,16 @@ object XlsSource {
     le16(0x0600) ++ le16(dt) ++ le16(0x0DBB) ++ le16(0x07CC) ++ le(0x41) ++ le(0x06)
 
   /** XLUnicodeString, always UTF-16 (flags bit0 set) — uniform 2-byte
-    * code units make CONTINUE splitting trivial and lossless.
+    * code units make CONTINUE splitting trivial and lossless. Cell text
+    * past BIFF8's 32,767-char cap FAILS the write (silent truncation on
+    * a write path is data loss); route longer documents to parquet/csv.
     */
-  private def encodeString(s: String): Array[Byte] =
-    le16(math.min(s.length, 32767)) ++ Array(1.toByte) ++
-      s.take(32767).getBytes(StandardCharsets.UTF_16LE)
+  private def encodeString(s: String): Array[Byte] = {
+    require(s.length <= 32767,
+      s"xls write: cell text of ${s.length} chars exceeds the BIFF8 cell " +
+        "limit of 32,767 — refusing to truncate; use parquet/csv for long text")
+    le16(s.length) ++ Array(1.toByte) ++ s.getBytes(StandardCharsets.UTF_16LE)
+  }
 
   /** SST + CONTINUE records. Splits at string boundaries when possible;
     * a string that straddles the record cap is split mid-characters with
@@ -530,13 +561,15 @@ object XlsSource {
   }
 
   /** Distributed read over all workbooks under `path`; all-string
-    * schema from the first workbook's header (parity with xlsx path).
+    * schema from the path-ordered FIRST workbook's header (deterministic
+    * across runs, matching the DSv2 WorkbookScan's listing order; other
+    * workbooks' rows are padded/truncated to that header's width).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val bin = spark.read.format("binaryFile").load(
       if (path.endsWith(".xls")) path else s"$path/*.xls")
-      .select("content")
-    val first = bin.limit(1).collect().headOption
+      .select("path", "content")
+    val first = bin.orderBy("path").limit(1).collect().headOption
       .map(_.getAs[Array[Byte]]("content"))
       .getOrElse(throw new IllegalArgumentException(s"no workbooks at $path"))
     val header = parseWorkbook(first)._1

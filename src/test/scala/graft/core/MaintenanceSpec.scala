@@ -40,6 +40,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("crash between the two swap renames: next call restores the parked directory") {
+    val dir = tmpDir("compact4") + "/t"
+    (1 to 300).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartition(5).write.parquet(dir)
+    // simulate the crash window: table retired, swap-in never happened
+    val parked = new java.io.File(dir + ".old-deadbeef")
+    assert(new java.io.File(dir).renameTo(parked))
+    assert(!new java.io.File(dir).exists())
+    val (before, after) = Maintenance.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(before == 5 && after == 1)
+    assert(spark.read.parquet(dir).count() == 300)
+    assert(!parked.exists())
+  }
+
   test("compactParquet splits to multiple files when bytes exceed the target") {
     val dir = tmpDir("compact2") + "/t"
     (1 to 5000).map(i => (i.toLong, "x" * 100)).toDF("id", "v")

@@ -53,6 +53,19 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("ambiguous column name fails loudly; same-named user column survives intact") {
+    val df = Seq((1, 2.0)).toDF("k", "v")
+    val dup = df.select($"k", $"v", $"v".as("k")) // two columns named k
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey(dup, Seq("k"), $"v", 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    // a user column that collides with the old fixed temp name is kept
+    val marked = Seq(("a", 1.0, 42), ("a", 2.0, 43)).toDF("k", "v", "__graft_topk_order")
+    val out = TopKPerKey(marked, Seq("k"), $"v", 1).collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(43))
+  }
+
   test("per-key emission order is best-first") {
     val df = Seq(("x", 1.0), ("x", 5.0), ("x", 3.0), ("x", 4.0)).toDF("k", "v")
     val rows = TopKPerKey(df.repartition(1), Seq("k"), $"v", 3)

@@ -141,6 +141,36 @@ class XlsSpec extends SparkSpec {
     out.array()
   }
 
+  test("DIFAT chaining: container for a >7MB stream (FAT past the header's 109 slots) round-trips") {
+    // 8 MiB stream → ~129 FAT sectors → header DIFAT overflows into a
+    // chained DIFAT sector; the repo's own reader walks the chain back
+    val stream = Array.tabulate[Byte](8 << 20)(i => (i * 31 + (i >> 13)).toByte)
+    val container = XlsSource.cfbBytes("Workbook", stream)
+    assert(XlsSource.cfbStream(container, Set("Workbook")).sameElements(stream))
+  }
+
+  test("cell text past the BIFF8 32,767-char cap fails the write instead of truncating") {
+    val e = intercept[IllegalArgumentException] {
+      XlsSource.workbookStream(Seq("v"), Iterator(Seq("x" * 40000)), 65535)
+    }
+    assert(e.getMessage.contains("32,767"))
+    // at the cap exactly: still writes
+    XlsSource.workbookStream(Seq("v"), Iterator(Seq("y" * 32767)), 65535)
+  }
+
+  test("read schema comes from the path-ordered first workbook (deterministic header)") {
+    val dir = new java.io.File(tmpDir("xls-order") + "/t.xls")
+    dir.mkdirs()
+    def put(name: String, header: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        XlsSource.xlsBytes(header, Iterator(Seq("1", "2")), 65535))
+    put("b-second.xls", Seq("zcol1", "zcol2"))
+    put("a-first.xls", Seq("acol1", "acol2"))
+    val back = XlsSource.read(spark, dir.toString)
+    assert(back.columns.toSeq == Seq("acol1", "acol2"))
+    assert(back.count() == 2)
+  }
+
   test("XlsConnector registry protocol") {
     val c = XlsConnector("xls", tmpDir("xls-conn"))
     c.write(Seq((1, "a")).toDF("id", "v"), "t1", WriteMode.Overwrite)
