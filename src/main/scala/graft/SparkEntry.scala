@@ -19,12 +19,13 @@ object SparkEntry {
     RelationalQueries.entries ++ TextDedup.entries ++ TextAnalysis.entries ++
       Similarity.entries ++ ExtendedRelational.entries ++
       ExtendedFunctions.entries ++ PipelineOps.entries ++
-      TrainingPipeline.entries ++
+      TrainingPipeline.entries ++ CorpusOps.entries ++
       graft.multimodal.Multimodal.entries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextDedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ ExtendedRelational.oracles ++
       ExtendedFunctions.oracles ++ PipelineOps.oracles ++
+      CorpusOps.oracles ++
       graft.multimodal.Multimodal.oracles
 }

@@ -1,0 +1,361 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextPrims._
+
+/** Round-4 corpus-curation operators: k-means clustering over
+  * embeddings, document chunking, temperature-based language mixture
+  * reweighting, int8-quantized ANN, shingle containment dedup, and a
+  * fixed-weight quality classifier. Each is a standard step of a
+  * large-scale training-data build; each is value-oracled against
+  * DuckDB.
+  *
+  * Scale notes per operator are on the methods; the common discipline:
+  * model state (centroids, mixture weights, corpus stats) is O(k) or
+  * O(langs) and rides broadcast joins — document/vector data only ever
+  * moves through keyed shuffles or map-only projections.
+  */
+object CorpusOps {
+
+  // ------------------------------------------------------ q86 k-means
+
+  private val K = 4
+  private val KmeansIters = 2
+
+  /** Lloyd's k-means over the embedding corpus, k=4, fixed 2
+    * iterations, deterministic init (centroid j = vector with
+    * vec_id=j). Per iteration: assignment = argmin squared-L2 against
+    * the broadcast centroid set (tiny — k×64 doubles), recompute =
+    * per-dimension mean via posexplode + keyed agg. No driver-side
+    * collect: centroids stay a DataFrame, so the same plan shape runs
+    * on a 1000-executor corpus — the per-iteration cost is one
+    * broadcast join + one groupBy(cluster, dim) shuffle whose
+    * cardinality is k×dim, not n.
+    *
+    * Cross-engine determinism (see [[Similarity.annIvf]] for the
+    * pattern): centroid means are rounded to 9 decimals each iteration
+    * — the only cross-engine drift point (sum order inside avg) — and
+    * distances are then integer-free but bit-exact (zip_with/list_zip
+    * accumulate in array order on both engines); argmin ties break on
+    * cluster id.
+    */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    var centroids = e.filter($"vec_id" < K)
+      .select($"vec_id".as("cid"), expr("transform(v, x -> round(x, 9))").as("cvec"))
+    val dist2 = expr(
+      "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)), 0D, (a, t) -> a + t)")
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"d", $"cid")
+      e.crossJoin(broadcast(cents))
+        .withColumn("d", dist2)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"v", $"cid", $"d")
+    }
+    (1 to KmeansIters).foreach { _ =>
+      centroids = assign(centroids)
+        .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cid", $"dim").agg(round(avg($"x"), 9).as("m"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
+        .select($"cid", expr("transform(dm, t -> t.m)").as("cvec"))
+    }
+    assign(centroids)
+      .select($"vec_id", $"cid".as("cluster"), round($"d", 6).as("dist2"))
+      .orderBy($"vec_id")
+  }
+
+  /** One assignment pass as SQL: vectors × centroids `cents` → best
+    * cluster per vector with its squared distance.
+    */
+  private def assignSql(cents: String, out: String): String =
+    s"""${out}_d AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    list_sum(list_transform(list_zip(e.v, c.cvec),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM ev e, $cents c),
+       |$out AS (
+       |  SELECT vec_id, v, cid, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM ${out}_d) WHERE rn = 1)""".stripMargin
+
+  private def recomputeSql(assigned: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT cid, dim, round(avg(x), 9) AS m FROM (
+       |    SELECT cid, unnest(v) AS x,
+       |           unnest(generate_series(1, len(v))) AS dim FROM $assigned)
+       |  GROUP BY cid, dim),
+       |$out AS (SELECT cid, list(m ORDER BY dim) AS cvec FROM ${out}_m GROUP BY cid)""".stripMargin
+
+  private def oracleKmeans: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cid, list_transform(v, x -> round(x, 9)) AS cvec
+       |  FROM ev WHERE vec_id < $K),
+       |${assignSql("c0", "a1")},
+       |${recomputeSql("a1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${recomputeSql("a2", "c2")},
+       |${assignSql("c2", "af")}
+       |SELECT vec_id, cid AS cluster, round(d, 6) AS dist2 FROM af ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------------------------- q87 chunking
+
+  private val ChunkSize = 20
+  private val ChunkStride = 15
+
+  /** Fixed-window document chunking with overlap (size 20 words,
+    * stride 15) — the step that turns documents into training-context
+    * pieces. Map-only: one generator per document (`posexplode` of the
+    * stride sequence), chunk text re-joined and fingerprinted in the
+    * same projection; no shuffle at all except the output sort, so it
+    * scales with corpus bytes.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(1), size($"w"), lit(ChunkStride))).as(Seq("k", "s")))
+      .withColumn("c", expr(s"slice(w, s, $ChunkSize)"))
+      .select(
+        $"doc_id",
+        $"k".cast("long").as("chunk_id"),
+        size($"c").cast("long").as("chunk_words"),
+        md5(concat_ws(" ", $"c")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private def oracleChunks: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |st AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w), $ChunkStride)) AS s FROM w),
+       |ch AS (
+       |  SELECT doc_id, (s - 1) // $ChunkStride AS chunk_id,
+       |         list_slice(w, s, least(s + ${ChunkSize - 1}, len(w))) AS c
+       |  FROM st)
+       |SELECT doc_id, chunk_id::BIGINT AS chunk_id, len(c)::BIGINT AS chunk_words,
+       |       md5(array_to_string(c, ' ')) AS chunk_md5
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------- q88 mixture reweighting
+
+  private val MixtureAlpha = 0.5
+
+  /** Temperature-based language-mixture reweighting (the mT5/XLM-R
+    * recipe): empirical share p_l, tempered share q_l ∝ p_l^α
+    * (α = 0.5), and the per-document sampling weight q_l/p_l that
+    * realizes the tempered mixture. One keyed agg over the corpus plus
+    * arithmetic over |langs| rows — the model output is O(langs) and
+    * broadcasts back onto documents for the actual resample step.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum($"n_docs").as("total"))
+    val p = counts.crossJoin(broadcast(total))
+      .withColumn("p", $"n_docs".cast("double") / $"total")
+      .withColumn("q_un", pow($"p", MixtureAlpha))
+    val z = p.agg(sum($"q_un").as("z"))
+    p.crossJoin(broadcast(z))
+      .withColumn("q", $"q_un" / $"z")
+      .select($"lang", $"n_docs", round($"p", 6).as("p"),
+        round($"q", 6).as("q"), round($"q" / $"p", 6).as("sample_weight"))
+      .orderBy($"lang")
+  }
+
+  private def oracleMixture: String =
+    s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |p AS (
+       |  SELECT lang, n_docs, n_docs::DOUBLE / (SELECT sum(n_docs) FROM counts) AS p,
+       |         pow(n_docs::DOUBLE / (SELECT sum(n_docs) FROM counts), $MixtureAlpha) AS q_un
+       |  FROM counts)
+       |SELECT lang, n_docs, round(p, 6) AS p,
+       |       round(q_un / (SELECT sum(q_un) FROM p), 6) AS q,
+       |       round((q_un / (SELECT sum(q_un) FROM p)) / p, 6) AS sample_weight
+       |FROM p ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------- q89 int8-quant ANN
+
+  private val NumQueries = 10
+  private val QuantTopK = 3
+
+  /** Symmetric per-vector int8 quantization + ANN re-rank — the memory
+    * lever that makes a 100 TB embedding store scannable (4× smaller
+    * than float32, integer dot products): scale = 127/max|x|,
+    * q_i = floor(x_i·scale + 0.5), cosine on the int vectors (scales
+    * cancel). The integer dots are exact in both engines, so the
+    * quantized cosine is bit-reproducible — no rounding discipline
+    * needed until the final display rounding. Exact float cosine is
+    * computed alongside to expose the quantization error. Plan shape =
+    * [[Similarity.cosineTopK]]: broadcast query set, one corpus scan.
+    */
+  def annInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def quantized(idCol: String, vecCol: String, prefix: String): DataFrame = {
+      val e = Tables.load(spark, dir, "embeddings")
+      val side = if (prefix == "q") e.filter($"vec_id" < NumQueries)
+        else e.filter($"vec_id" >= NumQueries)
+      side.select(
+        $"vec_id".as(idCol),
+        $"embedding".as(s"${prefix}e"),
+        expr(s"""transform(embedding, x ->
+            cast(floor(cast(x as double) *
+              (127.0D / array_max(transform(embedding, y -> abs(cast(y as double))))) + 0.5D) as bigint))""")
+          .as(s"${prefix}v"))
+    }
+    val q = quantized("q_id", "qe", "q")
+    val c = quantized("c_id", "ce", "c")
+    def idot(a: String, b: String): Column =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, t) -> acc + t)")
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("icos",
+        idot("qv", "cv").cast("double") /
+          (sqrt(idot("qv", "qv").cast("double")) * sqrt(idot("cv", "cv").cast("double"))))
+      .withColumn("ecos", graft.functions.CosineSimilarity($"qe", $"ce"))
+    val w = Window.partitionBy($"q_id").orderBy($"icos".desc, $"c_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= QuantTopK)
+      .select($"q_id", $"c_id", round($"icos", 6).as("int8_cosine"),
+        round($"ecos", 6).as("exact_cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def oracleInt8: String = {
+    def quantSql(src: String) =
+      s"""SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> floor(x::DOUBLE *
+         |    (127.0 / list_max(list_transform(embedding, y -> abs(y::DOUBLE)))) + 0.5)::BIGINT) AS qv
+         |FROM embeddings WHERE $src""".stripMargin
+    def idotSql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))::DOUBLE"
+    s"""WITH q AS (${quantSql(s"vec_id < $NumQueries")}),
+       |c AS (${quantSql(s"vec_id >= $NumQueries")}),
+       |s AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${idotSql("q.qv", "c.qv")} /
+       |      (sqrt(${idotSql("q.qv", "q.qv")}) * sqrt(${idotSql("c.qv", "c.qv")})) AS icos,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS ecos
+       |  FROM q, c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY icos DESC, c_id) AS rank
+       |      FROM s)
+       |SELECT q_id, c_id, round(icos, 6) AS int8_cosine, round(ecos, 6) AS exact_cosine, rank
+       |FROM r WHERE rank <= $QuantTopK ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------ q90 containment dedup
+
+  private val ContainThreshold = 0.8
+
+  /** Asymmetric near-dup: shingle containment |A∩B| / |A| ≥ 0.8 flags
+    * document A as (near-)contained in B — catches the
+    * small-doc-quoted-inside-big-doc duplicates that symmetric Jaccard
+    * misses (the union term drowns them). Reuses the q20 posting-list
+    * pair expansion (one shuffle on the shingle, never a self-join of
+    * documents); both directions of each unordered pair are tested, so
+    * the output is ordered (contained, container).
+    */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = TextDedup.jaccardPairs(TextDedup.shingleIndex(spark, dir))
+    val ab = pairs.select($"a_id".as("doc_id"), $"b_id".as("container_id"),
+      ($"common" / $"na").as("containment"))
+    val ba = pairs.select($"b_id".as("doc_id"), $"a_id".as("container_id"),
+      ($"common" / $"nb").as("containment"))
+    ab.unionAll(ba)
+      .filter($"containment" >= ContainThreshold)
+      .select($"doc_id", $"container_id", round($"containment", 4).as("containment"))
+      .orderBy($"doc_id", $"container_id")
+  }
+
+  private def oracleContainment: String =
+    s"""WITH ${TextDedup.jaccardPairsSql},
+       |dir AS (
+       |  SELECT p.a_id AS doc_id, p.b_id AS container_id,
+       |         p.common::DOUBLE / sa.n AS containment
+       |  FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id
+       |  UNION ALL
+       |  SELECT p.b_id, p.a_id, p.common::DOUBLE / sb.n
+       |  FROM pairs p JOIN sizes sb ON sb.doc_id = p.b_id)
+       |SELECT doc_id, container_id, round(containment, 4) AS containment
+       |FROM dir WHERE containment >= $ContainThreshold
+       |ORDER BY doc_id, container_id""".stripMargin
+
+  // --------------------------------------------- q91 quality classifier
+
+  /** Fixed-weight logistic quality model — the shape of a fastText-style
+    * quality classifier's inference pass (weights would come from
+    * training; here they are published literals, which keeps the
+    * operator deterministic and oracle-replayable). Features are all
+    * derivable in one map-only projection: word count, average word
+    * length ((chars − spaces)/words on the single-space corpus —
+    * exact, no second pass), top-word fraction (the q71 repetition
+    * core), distinct-word ratio. score = σ(w·x + b); keep at 0.5.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val feats = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", w.as("w"), size(w).cast("double").as("n"))
+      .withColumn("awl", (length($"text") - ($"n" - 1)) / $"n")
+      .withColumn("twf", topWordCount("w").cast("double") / $"n")
+      .withColumn("dr", size(array_distinct($"w")).cast("double") / $"n")
+    val z = lit(-2.0) + lit(0.02) * $"n" + lit(0.5) * $"awl" -
+      lit(3.0) * $"twf" + lit(2.0) * $"dr"
+    feats
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+      .select($"doc_id", $"n".cast("long").as("n_words"),
+        round($"awl", 6).as("avg_word_len"), round($"twf", 6).as("top_word_frac"),
+        round($"dr", 6).as("distinct_ratio"), round($"score", 6).as("quality"),
+        ($"score" >= 0.5).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleQuality: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' '))::DOUBLE AS n,
+       |    (len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+       |      / len(string_split(text, ' ')) AS awl,
+       |    list_max(list_transform(list_distinct(string_split(text, ' ')),
+       |      x -> len(list_filter(string_split(text, ' '), y -> y = x))))::DOUBLE
+       |      / len(string_split(text, ' ')) AS twf,
+       |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |      / len(string_split(text, ' ')) AS dr
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n, awl, twf, dr,
+       |    1.0 / (1.0 + exp(-(-2.0 + 0.02 * n + 0.5 * awl - 3.0 * twf + 2.0 * dr))) AS score
+       |  FROM f)
+       |SELECT doc_id, n::BIGINT AS n_words, round(awl, 6) AS avg_word_len,
+       |       round(twf, 6) AS top_word_frac, round(dr, 6) AS distinct_ratio,
+       |       round(score, 6) AS quality, score >= 0.5 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_kmeans_clusters" -> (kmeansClusters _),
+    "q87_doc_chunking" -> (docChunks _),
+    "q88_mixture_weights" -> (mixtureWeights _),
+    "q89_ann_int8" -> (annInt8 _),
+    "q90_containment_dedup" -> (containmentDedup _),
+    "q91_quality_classifier" -> (qualityClassifier _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q86_kmeans_clusters" -> oracleKmeans,
+    "q87_doc_chunking" -> oracleChunks,
+    "q88_mixture_weights" -> oracleMixture,
+    "q89_ann_int8" -> oracleInt8,
+    "q90_containment_dedup" -> oracleContainment,
+    "q91_quality_classifier" -> oracleQuality,
+  )
+}

@@ -50,7 +50,7 @@ object TextDedup {
     * explode: duplicates only exist within a doc, so this replaces a
     * full `distinct()` shuffle with map-side work — zero exchanges.
     */
-  private def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", words($"text").as("w"))
@@ -58,7 +58,7 @@ object TextDedup {
     docs.select($"doc_id", explode(array_distinct(shingles3($"w"))).as("s"))
   }
 
-  private val shingleIndexSql: String =
+  private[operators] val shingleIndexSql: String =
     s"""SELECT DISTINCT doc_id, unnest(${shingles3Sql("string_split(text, ' ')")}) AS s
        |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
 
@@ -69,7 +69,7 @@ object TextDedup {
     * faster) and cost ∝ Σ df(shingle)² either way. |A∪B| by
     * inclusion-exclusion from per-doc sizes.
     */
-  private def jaccardPairs(index: DataFrame): DataFrame = {
+  private[operators] def jaccardPairs(index: DataFrame): DataFrame = {
     val sizes = index.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = index.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -85,7 +85,7 @@ object TextDedup {
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
   }
 
-  private val jaccardPairsSql: String =
+  private[operators] val jaccardPairsSql: String =
     s"""sh AS ($shingleIndexSql),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (

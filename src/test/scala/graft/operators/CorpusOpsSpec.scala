@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q86 k-means: every vector assigned to exactly one of k clusters, nonneg distances") {
+    val out = CorpusOps.kmeansClusters(spark, dir).cache()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.count() == n)
+    assert(out.select($"vec_id").distinct().count() == n)
+    val clusters = out.select($"cluster").distinct().as[Long].collect().sorted
+    assert(clusters.forall(c => c >= 0 && c < 4) && clusters.length >= 2)
+    assert(out.filter($"dist2" < 0).isEmpty)
+    // init vectors stay closest to their own cluster's evolution rarely
+    // guaranteed — but every cluster must be nonempty enough to have
+    // pulled at least its seed vector somewhere
+    out.unpersist()
+  }
+
+  test("q87 chunking: stride/size arithmetic and full coverage, map-only plan") {
+    val out = CorpusOps.docChunks(spark, dir)
+    val byDoc = out.groupBy($"doc_id")
+      .agg(count(lit(1)).as("chunks"), sum($"chunk_words").as("w_total"),
+        max($"chunk_words").as("maxw"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val joined = byDoc.join(docs, "doc_id").cache()
+    // chunk count = floor((n-1)/stride)+1 (stride 15); no chunk exceeds
+    // the window size; total chunked words ≥ n (full coverage + overlap)
+    assert(joined.filter($"chunks" =!= (floor(($"n" - 1) / 15) + 1)).isEmpty)
+    assert(joined.filter($"maxw" > 20).isEmpty)
+    assert(joined.filter($"w_total" < $"n").isEmpty)
+    joined.unpersist()
+    // no aggregation/join exchange in the chunk generation itself
+    val plan = CorpusOps.docChunks(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"generator missing:\n$plan")
+  }
+
+  test("q88 mixture: tempered shares sum to 1 and upweight low-resource langs") {
+    val rows = CorpusOps.mixtureWeights(spark, dir)
+      .select($"lang", $"p", $"q", $"sample_weight")
+      .as[(String, Double, Double, Double)].collect()
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    val en = rows.find(_._1 == "en").get
+    for (r <- rows if r._1 != "en") {
+      assert(r._2 < en._2, s"corpus shape changed: ${r._1} outnumbers en")
+      assert(r._4 > en._4, s"low-resource ${r._1} not upweighted vs en")
+    }
+    // temperature α=0.5: weight = p^(α-1)/Z → monotone decreasing in p
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+  }
+
+  test("q89 int8 ANN: quantized cosine tracks exact cosine within quantization error") {
+    val rows = CorpusOps.annInt8(spark, dir)
+      .select($"int8_cosine", $"exact_cosine")
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // 64-dim int8: worst-case per-component error 0.5/127 → cosine error
+    // well under 0.02 empirically; assert a loose but meaningful bound
+    for ((i8, ex) <- rows) assert(math.abs(i8 - ex) < 0.02, s"quant error $i8 vs $ex")
+  }
+
+  test("q90 containment: is asymmetric, bounded by 1, and ≥ the pair's jaccard") {
+    val cont = CorpusOps.containmentDedup(spark, dir)
+      .select($"doc_id", $"container_id", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cont.forall(r => r._3 > 0 && r._3 <= 1.0))
+    val jac = TextDedup.dedupNgramJaccard(spark, dir)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    for ((d, c, v) <- cont) {
+      val j = jac.get((math.min(d, c), math.max(d, c)))
+      j.foreach(jv => assert(v >= jv - 1e-9, s"containment $v < jaccard $jv for ($d,$c)"))
+    }
+  }
+
+  test("q91 quality classifier: keep flag consistent with score, features bounded") {
+    val out = CorpusOps.qualityClassifier(spark, dir).cache()
+    assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
+    assert(out.filter($"quality" <= 0 || $"quality" >= 1).isEmpty)
+    assert(out.filter($"top_word_frac" > 1 || $"distinct_ratio" > 1).isEmpty)
+    assert(out.filter($"avg_word_len" <= 0).isEmpty)
+    out.unpersist()
+  }
+}
