@@ -341,7 +341,90 @@ object CorpusOps {
        |       round(score, 6) AS quality, score >= 0.5 AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- q92 duplicated-span frac
+
+  /** Cross-document duplicated-span profile: the fraction of a
+    * document's word 5-grams that also occur in ANY other document —
+    * the doc-level signal substring-granular dedup (Lee et al. 2022)
+    * thresholds on, complementing q71 (intra-doc repetition) and
+    * q20/q90 (pairwise similarity). Shape: explode 5-gram instances
+    * (map-only generator), one keyed agg for per-gram distinct-doc
+    * counts, one keyed join back (output = instance count, no fanout —
+    * a hot gram stays one row per instance), one per-doc agg. Cost is
+    * ∝ total grams; nothing is pairwise.
+    */
+  def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 5) // sequence(1, n-4) runs DESCENDING below 5
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))"))
+        .as("gram"))
+    val docsPerGram = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("nd"))
+    grams.join(docsPerGram, "gram")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_grams", $"n_dup",
+        round($"n_dup" / $"n_grams", 6).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleDupSpan: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+      |  FROM w),
+      |nd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |       sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+      |       round(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+      |FROM g JOIN nd ON nd.gram = g.gram
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // ------------------------------------------------- q93 embedding QA
+
+  /** Embedding-store QA: per-dimension drift statistics (mean, sample
+    * std, min, max) over the whole store — the pre-indexing check that
+    * catches dead dimensions, scale drift between embedding-model
+    * versions, and outliers. One posexplode (map-only) + one agg keyed
+    * by dimension — 64 output rows regardless of corpus size, so the
+    * reduce side is constant.
+    */
+  def embeddingQa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"dim", $"v".cast("double").as("v"))
+      .groupBy($"dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"v"), 6).as("mean_v"),
+        round(stddev_samp($"v"), 6).as("std_v"),
+        round(min($"v"), 6).as("min_v"),
+        round(max($"v"), 6).as("max_v"))
+      .orderBy($"dim")
+  }
+
+  private def oracleEmbeddingQa: String =
+    """WITH x AS (
+      |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+      |         unnest(list_transform(embedding, e -> e::DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT dim::INTEGER AS dim, count(*) AS n, round(avg(v), 6) AS mean_v,
+      |       round(stddev_samp(v), 6) AS std_v,
+      |       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_dup_span_fraction" -> (dupSpanFraction _),
+    "q93_embedding_qa" -> (embeddingQa _),
     "q86_kmeans_clusters" -> (kmeansClusters _),
     "q87_doc_chunking" -> (docChunks _),
     "q88_mixture_weights" -> (mixtureWeights _),
@@ -351,6 +434,8 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q92_dup_span_fraction" -> oracleDupSpan,
+    "q93_embedding_qa" -> oracleEmbeddingQa,
     "q86_kmeans_clusters" -> oracleKmeans,
     "q87_doc_chunking" -> oracleChunks,
     "q88_mixture_weights" -> oracleMixture,

@@ -80,6 +80,33 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q92 dup-span: fractions bounded; exact-duplicate docs score 1.0") {
+    val out = CorpusOps.dupSpanFraction(spark, dir).cache()
+    assert(out.filter($"dup_frac" < 0 || $"dup_frac" > 1).isEmpty)
+    assert(out.filter($"n_dup" > $"n_grams").isEmpty)
+    // a doc whose full text occurs in another doc shares every 5-gram
+    val dupDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(md5($"text")).agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("c"))
+      .filter($"c" >= 2)
+      .select(explode($"ids").as("doc_id"))
+    val n = dupDocs.count()
+    if (n > 0) {
+      val wrong = out.join(dupDocs, "doc_id").filter($"dup_frac" < 1.0)
+      assert(wrong.isEmpty, "exact duplicate doc with dup_frac < 1")
+    }
+    out.unpersist()
+  }
+
+  test("q93 embedding QA: one row per dimension, coherent stats") {
+    val out = CorpusOps.embeddingQa(spark, dir).cache()
+    assert(out.count() == 64)
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.filter($"n" =!= nVecs).isEmpty)
+    assert(out.filter($"min_v" > $"mean_v" || $"mean_v" > $"max_v").isEmpty)
+    assert(out.filter($"std_v" <= 0).isEmpty)
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
