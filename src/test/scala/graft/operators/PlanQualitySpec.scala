@@ -115,6 +115,25 @@ class PlanQualitySpec extends SparkSpec {
       s"expected broadcast of the 1-row N:\n$plan")
   }
 
+  test("q86 k-means: centroids broadcast every iteration — vectors never shuffle for assignment") {
+    val plan = planOf(CorpusOps.kmeansClusters(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid set not broadcast:\n$plan")
+  }
+
+  test("q89 int8 ANN: query side broadcast, corpus scanned once") {
+    val plan = planOf(CorpusOps.annInt8(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"query set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the cross score:\n$plan")
+  }
+
+  test("q92 dup-span: gram stats joined back without a sort-merge of the instance stream") {
+    // instances meet the per-gram distinct-doc counts on the gram key;
+    // both sides are hash-clustered on gram — no sort-merge required
+    val plan = planOf(CorpusOps.dupSpanFraction(spark, dir))
+    assert(plan.contains("HashAggregate"), s"expected hash agg for gram counts:\n$plan")
+  }
+
   test("whole-stage codegen present on the hot scan paths") {
     Seq(
       RelationalQueries.aggGroupBy(spark, dir),
