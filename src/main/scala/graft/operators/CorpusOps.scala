@@ -301,18 +301,45 @@ object CorpusOps {
     * exact, no second pass), top-word fraction (the q71 repetition
     * core), distinct-word ratio. score = σ(w·x + b); keep at 0.5.
     */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** documents → + (n, awl, twf, dr, score) columns — the q91 feature/
+    * score projection, shared with the weighted-sample and quota ops.
+    */
+  private def withQualityScore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = words($"text")
-    val feats = Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"text", w.as("w"), size(w).cast("double").as("n"))
+    val feats = docs
+      .select(docs.col("*"), w.as("w"), size(w).cast("double").as("n"))
       .withColumn("awl", (length($"text") - ($"n" - 1)) / $"n")
       .withColumn("twf", topWordCount("w").cast("double") / $"n")
       .withColumn("dr", size(array_distinct($"w")).cast("double") / $"n")
     val z = lit(-2.0) + lit(0.02) * $"n" + lit(0.5) * $"awl" -
       lit(3.0) * $"twf" + lit(2.0) * $"dr"
-    feats
-      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+    feats.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
+  /** DuckDB CTEs computing the same (doc_id, …, score) — compose as
+    * `WITH $qualitySqlCtes, …`.
+    */
+  private val qualitySqlCtes: String =
+    """qf AS (
+      |  SELECT *,
+      |    len(string_split(text, ' '))::DOUBLE AS n,
+      |    (len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+      |      / len(string_split(text, ' ')) AS awl,
+      |    list_max(list_transform(list_distinct(string_split(text, ' ')),
+      |      x -> len(list_filter(string_split(text, ' '), y -> y = x))))::DOUBLE
+      |      / len(string_split(text, ' ')) AS twf,
+      |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |      / len(string_split(text, ' ')) AS dr
+      |  FROM documents),
+      |qs AS (
+      |  SELECT *,
+      |    1.0 / (1.0 + exp(-(-2.0 + 0.02 * n + 0.5 * awl - 3.0 * twf + 2.0 * dr))) AS score
+      |  FROM qf)""".stripMargin
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withQualityScore(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"n".cast("long").as("n_words"),
         round($"awl", 6).as("avg_word_len"), round($"twf", 6).as("top_word_frac"),
         round($"dr", 6).as("distinct_ratio"), round($"score", 6).as("quality"),
@@ -321,25 +348,80 @@ object CorpusOps {
   }
 
   private def oracleQuality: String =
-    s"""WITH f AS (
-       |  SELECT doc_id,
-       |    len(string_split(text, ' '))::DOUBLE AS n,
-       |    (len(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
-       |      / len(string_split(text, ' ')) AS awl,
-       |    list_max(list_transform(list_distinct(string_split(text, ' ')),
-       |      x -> len(list_filter(string_split(text, ' '), y -> y = x))))::DOUBLE
-       |      / len(string_split(text, ' ')) AS twf,
-       |    len(list_distinct(string_split(text, ' ')))::DOUBLE
-       |      / len(string_split(text, ' ')) AS dr
-       |  FROM documents),
-       |s AS (
-       |  SELECT doc_id, n, awl, twf, dr,
-       |    1.0 / (1.0 + exp(-(-2.0 + 0.02 * n + 0.5 * awl - 3.0 * twf + 2.0 * dr))) AS score
-       |  FROM f)
+    s"""WITH $qualitySqlCtes
        |SELECT doc_id, n::BIGINT AS n_words, round(awl, 6) AS avg_word_len,
        |       round(twf, 6) AS top_word_frac, round(dr, 6) AS distinct_ratio,
        |       round(score, 6) AS quality, score >= 0.5 AS keep
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM qs ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- q94 weighted sample
+
+  private val SampleN = 100
+
+  /** Quality-weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): per-doc uniform u from the shared 60-bit hash, sample key
+    * ln(u)/w (equivalent to ranking u^(1/w)), keep the global top-N
+    * keys. Runs on the custom [[graft.plans.TopKPerKey]] operator with
+    * a constant grouping key: the map-side partial pass bounds the
+    * shuffle to ≤ N rows PER INPUT PARTITION, so "global top-N of 100
+    * TB" moves N×partitions rows instead of the corpus — the shape a
+    * window/orderBy formulation cannot produce. Hash-deterministic:
+    * same corpus → same sample, and the DuckDB oracle replays it.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = withQualityScore(Tables.load(spark, dir, "documents"))
+      .withColumn("u",
+        (hash64(concat(lit("ws:"), $"doc_id".cast("string"))) + 1).cast("double") /
+          lit(1152921504606846976.0)) // 2^60; u ∈ (0, 1]
+      .withColumn("samp_key", log($"u") / $"score")
+      .withColumn("g", lit(1))
+    graft.plans.TopKPerKey(scored, Seq("g"), $"samp_key", SampleN)
+      .select($"doc_id", round($"score", 6).as("weight"),
+        round($"samp_key", 6).as("samp_key"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleWeightedSample: String =
+    s"""WITH $qualitySqlCtes,
+       |k AS (
+       |  SELECT doc_id, score,
+       |    ln((${hash64Sql("'ws:' || doc_id::VARCHAR")} + 1)::DOUBLE
+       |        / 1152921504606846976.0) / score AS samp_key
+       |  FROM qs),
+       |r AS (SELECT *, row_number() OVER (ORDER BY samp_key DESC) AS rn FROM k)
+       |SELECT doc_id, round(score, 6) AS weight, round(samp_key, 6) AS samp_key
+       |FROM r WHERE rn <= $SampleN ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ q95 source quota
+
+  private val QuotaK = 10 // binds at every sf (sources hold ≥ 25 docs)
+
+  /** Per-source quota cap — keep at most K docs per `source`, best
+    * quality first (doc_id breaks score ties, which exact-duplicate
+    * texts DO produce) — the domain-balancing step that stops one
+    * crawl domain from flooding the corpus. Runs on
+    * [[graft.plans.TopKPerKey]] ordered by a (score, −doc_id) struct:
+    * per-key bounded heaps, map-side partial pass, no sort of the
+    * corpus — vs the window formulation's full per-source sort.
+    */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = withQualityScore(Tables.load(spark, dir, "documents"))
+      .withColumn("qord", struct($"score", (-$"doc_id").as("neg_id")))
+    graft.plans.TopKPerKey(scored, Seq("source"), $"qord", QuotaK)
+      .select($"source", $"doc_id", round($"score", 6).as("quality"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  private def oracleSourceQuota: String =
+    s"""WITH $qualitySqlCtes,
+       |r AS (
+       |  SELECT *, row_number()
+       |    OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM qs)
+       |SELECT source, doc_id, round(score, 6) AS quality
+       |FROM r WHERE rn <= $QuotaK ORDER BY source, doc_id""".stripMargin
 
   // -------------------------------------------- q92 duplicated-span frac
 
@@ -425,6 +507,8 @@ object CorpusOps {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_dup_span_fraction" -> (dupSpanFraction _),
     "q93_embedding_qa" -> (embeddingQa _),
+    "q94_weighted_sample" -> (weightedSample _),
+    "q95_source_quota" -> (sourceQuota _),
     "q86_kmeans_clusters" -> (kmeansClusters _),
     "q87_doc_chunking" -> (docChunks _),
     "q88_mixture_weights" -> (mixtureWeights _),
@@ -436,6 +520,8 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q92_dup_span_fraction" -> oracleDupSpan,
     "q93_embedding_qa" -> oracleEmbeddingQa,
+    "q94_weighted_sample" -> oracleWeightedSample,
+    "q95_source_quota" -> oracleSourceQuota,
     "q86_kmeans_clusters" -> oracleKmeans,
     "q87_doc_chunking" -> oracleChunks,
     "q88_mixture_weights" -> oracleMixture,

@@ -107,12 +107,14 @@ final case class TopKPerKeyExec(
         }
         val v = boundOrder.eval(row)
         if (v != null) {
-          // eval of a string/binary over an unsafe row returns a view
-          // into the REUSED row buffer — copy before storing in the
-          // heap or the kept values mutate as the iterator advances
+          // eval of a string/binary/struct over an unsafe row returns a
+          // view into the REUSED row buffer — copy before storing in
+          // the heap or the kept values mutate as the iterator advances
           def owned: Any = v match {
             case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
             case b: Array[Byte] => b.clone()
+            case r: InternalRow => r.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
             case other => other
           }
           if (heap.size < limit) heap.enqueue((owned, row.copy()))

@@ -107,6 +107,33 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q94 weighted sample: exactly N docs, higher-quality docs oversampled") {
+    val out = CorpusOps.weightedSample(spark, dir).cache()
+    assert(out.count() == 100)
+    assert(out.select($"doc_id").distinct().count() == 100)
+    // A-ES keys are ln(u)/w with u ∈ (0,1], w > 0 → all ≤ 0
+    assert(out.filter($"samp_key" > 0).isEmpty)
+    // hash-deterministic: a second run selects the identical set
+    val again = CorpusOps.weightedSample(spark, dir).select($"doc_id")
+      .as[Long].collect().sorted
+    assert(out.select($"doc_id").as[Long].collect().sorted.sameElements(again))
+    out.unpersist()
+  }
+
+  test("q95 source quota: at most K per source, keeps the best-scoring docs") {
+    val out = CorpusOps.sourceQuota(spark, dir).cache()
+    assert(out.groupBy($"source").count().filter($"count" > 10).isEmpty)
+    // kept min quality per source ≥ max quality among that source's dropped docs
+    val all = CorpusOps.qualityClassifier(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"source"), "doc_id")
+    val dropped = all.join(out.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val keptMin = out.groupBy($"source").agg(min($"quality").as("kmin"))
+    val dropMax = dropped.groupBy($"source").agg(max($"quality").as("dmax"))
+    val bad = keptMin.join(dropMax, "source").filter($"dmax" > $"kmin")
+    assert(bad.isEmpty, "a dropped doc outscores a kept doc in the same source")
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)

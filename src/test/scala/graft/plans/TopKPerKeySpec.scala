@@ -66,6 +66,21 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out.map(_.getInt(2)).toSeq == Seq(43))
   }
 
+  test("struct order column: tie-break inside the struct, heap values owned (aliasing regression)") {
+    // score collides across rows (i % 5), so the long field inside the
+    // struct decides — and struct eval over unsafe rows returns a VIEW
+    // that must be copied into the heap
+    val df = (1 to 5000).map(i => (i % 7, (i % 5).toDouble, i.toLong))
+      .toDF("k", "score", "id").repartition(3)
+    val got = TopKPerKey(df, Seq("k"), struct($"score", -$"id"), 3)
+      .select($"k", $"score", $"id").as[(Int, Double, Long)].collect().sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"score".desc, $"id".asc)
+    val expected = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"k", $"score", $"id").as[(Int, Double, Long)].collect().sorted
+    assert(got.sameElements(expected))
+  }
+
   test("per-key emission order is best-first") {
     val df = Seq(("x", 1.0), ("x", 5.0), ("x", 3.0), ("x", 4.0)).toDF("k", "v")
     val rows = TopKPerKey(df.repartition(1), Seq("k"), $"v", 3)
