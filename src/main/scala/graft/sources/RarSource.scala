@@ -1,0 +1,169 @@
+package graft.sources
+
+import graft.core.{Connector, WriteMode}
+import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+/** RAR 4.x container reader (S17's rar half — `RarD`,
+  * `/root/reference/d22d/utils/db/__init__.py:676-694`, which extracts a
+  * rar and parses each member file as CSV lines).
+  *
+  * Dependency-free subset: parses the public RARv4 block structure
+  * (marker → archive header → file headers, little-endian fields,
+  * CRC32-checked data) and extracts members with method 0x30 = STORED.
+  * RAR's compressed methods (0x31-0x35) are a proprietary LZSS/PPMd
+  * family with no pure-JVM decoder available offline — those members
+  * fail loudly rather than silently skipping, so a user never gets a
+  * partial table. Encrypted members and RAR5 (8-byte marker) likewise.
+  *
+  * Scale shape: identical to [[ZipSource]] — one `binaryFile` row per
+  * archive, member extraction + CSV parse in executors, parallelism =
+  * archive count (rar is not splittable; a 100 TB corpus should land as
+  * many medium archives).
+  */
+object RarSource extends Serializable {
+  // Serializable: executor-side closures call `members` through the
+  // module instance (unlike ZipSource, whose lifted closure is
+  // self-contained), so the stateless module ships with the task.
+
+  private val Marker = Array[Byte](0x52, 0x61, 0x72, 0x21, 0x1a, 0x07, 0x00)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (u16(b, off) & 0xffffL) | ((u16(b, off + 2) & 0xffffL) << 16)
+
+  /** All members of a RARv4 archive as (name, bytes). Directories are
+    * skipped; stored members are CRC-verified; anything this subset
+    * cannot faithfully extract throws.
+    */
+  def members(content: Array[Byte]): Seq[(String, Array[Byte])] = {
+    require(content.length >= 7 && Marker.indices.forall(i => content(i) == Marker(i)),
+      "not a RAR 4.x archive (bad marker; RAR5/SFX unsupported)")
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var pos = 7
+    var done = false
+    while (!done && pos + 7 <= content.length) {
+      val headType = content(pos + 2) & 0xff
+      val flags = u16(content, pos + 3)
+      val headSize = u16(content, pos + 5)
+      require(headSize >= 7, s"corrupt RAR header at offset $pos (size $headSize)")
+      // LONG_BLOCK (0x8000): data of ADD_SIZE bytes follows the header.
+      // For file headers that field IS the packed size.
+      val addSize =
+        if ((flags & 0x8000) != 0) {
+          require(pos + 11 <= content.length, s"truncated RAR header at $pos")
+          u32(content, pos + 7)
+        } else 0L
+      headType match {
+        case 0x74 => // file header
+          require(pos + 32 <= content.length, s"truncated file header at $pos")
+          val packSize = u32(content, pos + 7)
+          val unpSize = u32(content, pos + 11)
+          val method = content(pos + 25) & 0xff
+          val nameSize = u16(content, pos + 26)
+          require((flags & 0x100) == 0, "RAR >4GB (LHD_LARGE) members unsupported")
+          require((flags & 0x04) == 0, "encrypted RAR members unsupported")
+          val nameOff = pos + 32
+          require(nameOff + nameSize <= content.length, s"truncated file name at $pos")
+          val nameBytes = content.slice(nameOff, nameOff + nameSize)
+          // LHD_UNICODE (0x200): name is ascii NUL encoded-unicode; take
+          // the ascii half (members we read are data files with ascii names)
+          val zero = nameBytes.indexOf(0.toByte)
+          val name = new String(
+            if ((flags & 0x200) != 0 && zero >= 0) nameBytes.take(zero) else nameBytes,
+            StandardCharsets.UTF_8)
+          val isDir = (flags & 0xe0) == 0xe0
+          val dataOff = pos + headSize
+          require(dataOff + packSize <= content.length, s"truncated member data for $name")
+          if (!isDir) {
+            if (method != 0x30)
+              throw new UnsupportedOperationException(
+                f"RAR member '$name' uses compression method 0x$method%02x; " +
+                  "only STORED (0x30) members are supported without the native unrar library")
+            require(packSize == unpSize, s"stored member $name has packSize != unpSize")
+            val data = content.slice(dataOff, dataOff + packSize.toInt)
+            val crc = new CRC32
+            crc.update(data)
+            val expected = u32(content, pos + 16)
+            require(crc.getValue == expected,
+              f"CRC mismatch for RAR member '$name': got ${crc.getValue}%08x want $expected%08x")
+            out += name -> data
+          }
+          pos = dataOff + packSize.toInt
+        case 0x7b => // end-of-archive
+          done = true
+        case _ => // marker/archive header/comment/sub-blocks: skip
+          pos += headSize + addSize.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** Archives of CSV members → one table, members concatenated —
+    * same contract as [[ZipSource.read]].
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      memberFilter: String => Boolean = _.toLowerCase.endsWith(".csv"),
+  ): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+
+    def parseMembers(content: Array[Byte]): Iterator[(String, Array[Array[String]])] =
+      members(content).iterator
+        .filter { case (name, _) => memberFilter(name) }
+        .map { case (name, body) =>
+          val settings = new CsvParserSettings()
+          settings.setLineSeparatorDetectionEnabled(true)
+          settings.setMaxCharsPerColumn(1 << 20)
+          val rows = new CsvParser(settings)
+            .parseAll(new ByteArrayInputStream(body), StandardCharsets.UTF_8)
+          name -> rows.toArray(Array.empty[Array[String]])
+        }
+
+    // Schema pass: first matching member's header — deterministic
+    // archive choice (path order), same rule as the xls sources.
+    val firstContent = bin.orderBy("path").limit(1).collect().headOption
+      .map(_.getAs[Array[Byte]]("content"))
+      .getOrElse(throw new IllegalArgumentException(s"no archives at $path"))
+    val header = parseMembers(firstContent)
+      .flatMap { case (_, rows) => rows.headOption }
+      .toSeq.headOption
+      .getOrElse(throw new IllegalArgumentException(s"no CSV members in $path"))
+    val schema = StructType(header.map(c => StructField(c, StringType, nullable = true)))
+    val nCols = header.length
+
+    val rowsRdd = bin.rdd.flatMap { r =>
+      parseMembers(r.getAs[Array[Byte]]("content")).flatMap { case (_, rows) =>
+        rows.iterator.drop(1).map { vals =>
+          Row.fromSeq(vals.padTo(nCols, null).take(nCols).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rowsRdd, schema)
+  }
+}
+
+/** Registry connector: `root/<index>.rar` archives of CSVs. Scan-only,
+  * like the reference's `RarD`.
+  */
+final case class RarConnector(name: String, root: String) extends Connector {
+  def read(spark: SparkSession, index: String): DataFrame =
+    RarSource.read(spark, s"$root/$index.rar")
+  def write(df: DataFrame, index: String, mode: WriteMode): Unit =
+    throw new UnsupportedOperationException("rar connector is scan-only (S17)")
+  def listIndexes(spark: SparkSession): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".rar")).map(_.stripSuffix(".rar")).sorted
+  }
+}

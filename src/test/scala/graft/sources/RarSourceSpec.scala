@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.WriteMode
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+/** RAR 4.x stored-entry reader spec. The fixture builder below emits
+  * spec-conformant RARv4 containers (marker + archive header + stored
+  * file headers with real CRC32s + end block) — the same public layout
+  * `RarSource.members` parses, built independently from the write side
+  * here so both directions of the format logic are exercised.
+  */
+class RarSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def u32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Header CRC: low 16 bits of CRC32 over the header bytes after the
+    * HEAD_CRC field (RARv4 rule).
+    */
+  private def withHeadCrc(rest: Array[Byte]): Array[Byte] = {
+    val c = new CRC32
+    c.update(rest)
+    u16((c.getValue & 0xffff).toInt) ++ rest
+  }
+
+  private def block(headType: Int, flags: Int, tail: Array[Byte]): Array[Byte] = {
+    val headSize = 7 + tail.length
+    withHeadCrc(Array(headType.toByte) ++ u16(flags) ++ u16(headSize) ++ tail)
+  }
+
+  /** A RARv4 archive of STORED members (method 0x30). */
+  private def makeRar(members: (String, String)*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0x52, 0x61, 0x72, 0x21, 0x1a, 0x07, 0x00)) // marker
+    out.write(block(0x73, 0x0000, Array.fill[Byte](6)(0))) // archive header (reserved1/2)
+    members.foreach { case (name, text) =>
+      val data = text.getBytes(StandardCharsets.UTF_8)
+      val nameBytes = name.getBytes(StandardCharsets.UTF_8)
+      val crc = new CRC32; crc.update(data)
+      val tail =
+        u32(data.length.toLong) ++ // PACK_SIZE
+          u32(data.length.toLong) ++ // UNP_SIZE
+          Array(0x02.toByte) ++ // HOST_OS = unix
+          u32(crc.getValue) ++ // FILE_CRC
+          u32(0x5a000000L) ++ // FTIME (arbitrary DOS time)
+          Array(29.toByte, 0x30.toByte) ++ // UNP_VER, METHOD = stored
+          u16(nameBytes.length) ++
+          u32(0x81a4) ++ // ATTR
+          nameBytes
+      out.write(block(0x74, 0x8000, tail)) // LONG_BLOCK: data follows
+      out.write(data)
+    }
+    out.write(block(0x7b, 0x4000, Array.empty)) // end-of-archive
+    out.toByteArray
+  }
+
+  private def writeRar(path: String, members: (String, String)*): Unit = {
+    val f = new FileOutputStream(path)
+    f.write(makeRar(members: _*)); f.close()
+  }
+
+  test("RarSource.members: stored members extract with CRC verification") {
+    val rar = makeRar("a.csv" -> "id,v\n1,x\n", "b.txt" -> "hello")
+    val ms = RarSource.members(rar)
+    assert(ms.map(_._1) == Seq("a.csv", "b.txt"))
+    assert(new String(ms(1)._2, StandardCharsets.UTF_8) == "hello")
+  }
+
+  test("RarSource.members: corrupt data fails the CRC check loudly") {
+    val rar = makeRar("a.csv" -> "id,v\n1,x\n")
+    rar(rar.length - 10) = (rar(rar.length - 10) ^ 0x1).toByte // flip a data bit
+    val e = intercept[IllegalArgumentException](RarSource.members(rar))
+    assert(e.getMessage.contains("CRC mismatch"))
+  }
+
+  test("RarSource.members: compressed members fail loudly, not silently") {
+    val rar = makeRar("a.csv" -> "id,v\n1,x\n")
+    // method byte of the first file header: marker(7) + archive(13) +
+    // header offset 25 (base 7 + pack 4 + unp 4 + host 1 + crc 4 + ftime 4 + ver 1)
+    val methodOff = 7 + 13 + 25
+    assert(rar(methodOff) == 0x30.toByte)
+    rar(methodOff) = 0x33.toByte
+    val e = intercept[UnsupportedOperationException](RarSource.members(rar))
+    assert(e.getMessage.contains("0x33"))
+  }
+
+  test("RarSource.members: rejects non-RAR and RAR5 markers") {
+    intercept[IllegalArgumentException](RarSource.members("PKjunk".getBytes))
+    // RAR5 marker has an extra 0x01 0x00 — first 7 bytes differ at index 6
+    val rar5 = Array[Byte](0x52, 0x61, 0x72, 0x21, 0x1a, 0x07, 0x01, 0x00)
+    intercept[IllegalArgumentException](RarSource.members(rar5))
+  }
+
+  test("RarSource.read: members concatenate, headers dropped, non-csv filtered") {
+    val dir = tmpDir("rars")
+    writeRar(s"$dir/t.rar",
+      "part1.csv" -> "id,name\n1,alice\n2,\"bob, jr\"\n",
+      "part2.csv" -> "id,name\n3,carol\n",
+      "notes.txt" -> "ignored non-csv member")
+    val df = RarSource.read(spark, s"$dir/t.rar")
+    assert(df.columns.toSeq == Seq("id", "name"))
+    val rows = df.orderBy($"id").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("1", "alice"), ("2", "bob, jr"), ("3", "carol")))
+  }
+
+  test("RarConnector: catalog listing and scan-only contract") {
+    val dir = tmpDir("rarconn")
+    writeRar(s"$dir/a.rar", "m.csv" -> "c\n1\n")
+    writeRar(s"$dir/b.rar", "m.csv" -> "c\n2\n")
+    val rc = RarConnector("rar", dir)
+    assert(rc.listIndexes(spark) == Seq("a", "b"))
+    assert(rc.read(spark, "a").count() == 1)
+    intercept[UnsupportedOperationException] {
+      rc.write(Seq(1).toDF("c"), "a", WriteMode.Append)
+    }
+  }
+}
