@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.LongType
 
 /** SQL surface registration: users get the engine's primitives as SQL
@@ -50,6 +51,30 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_hash64(str)")
         hash64Expr(args.head)
+      }),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime join filtering but does not register them as SQL
+    // functions; exposing them gives pipelines the classic 100 TB
+    // pattern — build a KB-scale sketch of the small side, prefilter
+    // the big scan, exact-verify only survivors (q96). The bloom side
+    // of graft_might_contain must be foldable or a scalar subquery
+    // (Spark's own type check enforces it).
+    (
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => new BloomFilterAggregate(child)
+        case Seq(child, items) => new BloomFilterAggregate(child, items)
+        case Seq(child, items, bits) => new BloomFilterAggregate(child, items, bits)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(xxhash64_value[, est_items[, num_bits]])")
+      }),
+    (
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_might_contain(bloom, xxhash64_value)")
+        BloomFilterMightContain(args.head, args(1))
       }),
   )
 

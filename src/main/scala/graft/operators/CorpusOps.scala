@@ -504,7 +504,60 @@ object CorpusOps {
       |       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
       |FROM x GROUP BY dim ORDER BY dim""".stripMargin
 
+  // ----------------------------------------------- q96 bloom decontam
+
+  private val BloomOverlapMin = 3
+  private val BloomItems = 20000L // ≥ distinct eval shingles at sf0.1
+  private val BloomBits = 8 * BloomItems // ~8 bits/item ≈ 2% false-positive rate
+
+  /** Bloom-prefiltered benchmark decontamination — q69's semantics in
+    * the shape a 100 TB corpus needs when the eval set is too big to
+    * broadcast as rows but fits as a SKETCH: aggregate the eval
+    * shingles into a KB-scale Bloom filter (`graft_bloom_agg`, Spark's
+    * own runtime-join-filter machinery exposed as SQL — see
+    * [[graft.functions.GraftExtensions]]), prefilter the corpus scan
+    * with `graft_might_contain` (a scalar subquery: one sketch build,
+    * reused by every task), and run the exact overlap join only on
+    * surviving grams (~fpp of the corpus instead of all of it). The
+    * result is EXACT — false positives die in the verify join, false
+    * negatives cannot happen — which is precisely what the value-gate
+    * proves: the DuckDB oracle computes plain exact decontamination
+    * with no bloom anywhere.
+    */
+  def bloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(array_distinct(shingles3($"w"))).as("s"))
+      .createOrReplaceTempView("g96_sh")
+    spark.sql(
+      s"""WITH ev AS (SELECT DISTINCT s FROM g96_sh WHERE doc_id < 20),
+         |bf AS (SELECT graft_bloom_agg(xxhash64(s), CAST($BloomItems AS BIGINT), CAST($BloomBits AS BIGINT)) AS b FROM ev),
+         |hits AS (
+         |  SELECT t.doc_id, t.s FROM g96_sh t
+         |  WHERE t.doc_id >= 20
+         |    AND graft_might_contain((SELECT b FROM bf), xxhash64(t.s)))
+         |SELECT h.doc_id, count(*) AS n_overlap
+         |FROM hits h JOIN ev ON ev.s = h.s
+         |GROUP BY h.doc_id HAVING count(*) >= $BloomOverlapMin
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  private def oracleBloomDecontam: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shingles3Sql("string_split(text, ' ')")}) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |d AS (SELECT DISTINCT doc_id, s FROM sh),
+       |ev AS (SELECT DISTINCT s FROM d WHERE doc_id < 20)
+       |SELECT doc_id, count(*) AS n_overlap
+       |FROM d JOIN ev USING (s)
+       |WHERE doc_id >= 20
+       |GROUP BY doc_id HAVING count(*) >= $BloomOverlapMin ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_bloom_decontam" -> (bloomDecontam _),
     "q92_dup_span_fraction" -> (dupSpanFraction _),
     "q93_embedding_qa" -> (embeddingQa _),
     "q94_weighted_sample" -> (weightedSample _),
@@ -518,6 +571,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_bloom_decontam" -> oracleBloomDecontam,
     "q92_dup_span_fraction" -> oracleDupSpan,
     "q93_embedding_qa" -> oracleEmbeddingQa,
     "q94_weighted_sample" -> oracleWeightedSample,

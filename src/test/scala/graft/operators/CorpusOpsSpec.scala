@@ -134,6 +134,27 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q96 bloom decontam: exact result (bloom is prefilter only); sketch visible in plan") {
+    val out = CorpusOps.bloomDecontam(spark, dir)
+    // Recompute the same overlap exactly, no bloom anywhere: the sketch
+    // must not change the answer (false positives die in the verify
+    // join; false negatives are impossible for a Bloom filter).
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))).as("s"))
+    val ev = sh.filter($"doc_id" < 20).select($"s").distinct()
+    val exact = sh.filter($"doc_id" >= 20).join(ev, "s")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter($"n_overlap" >= 3)
+      .as[(Long, Long)].collect().toSet
+    assert(out.as[(Long, Long)].collect().toSet == exact)
+    // the prefilter must actually be in the executed plan
+    val plan = CorpusOps.bloomDecontam(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
