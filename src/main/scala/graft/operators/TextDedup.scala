@@ -511,7 +511,9 @@ object TextDedup {
     * are only half of dedup — production pipelines need each document
     * assigned to a duplicate CLUSTER, with one canonical survivor per
     * cluster. Edges = the df-capped Jaccard pairs (the q61 scale
-    * shape); components via iterative min-label propagation:
+    * shape); components via driver-side union-find when the edge list
+    * is broadcast-small (the common case — see [[SmallGraphEdgeMax]]),
+    * else iterative min-label propagation:
     * every node starts labeled with its own id, and each round takes
     * the min label over itself and its neighbors — a join keyed on
     * node id plus a groupBy keyed on neighbor, both well-partitioned
@@ -529,17 +531,33 @@ object TextDedup {
     * component) and a canonical flag — singleton docs are their own
     * cluster.
     */
+  /** Edge count up to which components are solved with driver-side
+    * union-find instead of the distributed loop. Same philosophy as the
+    * broadcast-join threshold: a near-dup EDGE list is tiny relative to
+    * the corpus it came from (pairs above 0.8 Jaccard are rare by
+    * construction), so even a 100 TB corpus usually lands here — 2M
+    * edges ≈ 32 MB on the driver, milliseconds of union-find vs
+    * several scheduled-job rounds of hash-min. Above the cap the exact
+    * same labels come out of the distributed loop.
+    */
+  private val SmallGraphEdgeMax = 2000000L
+
   /** Connected components over an undirected pair list — the reusable
     * core under [[dedupClusters]]. `pairs` needs columns (a_id, b_id);
     * returns (id, comp) for every node that appears in a pair, comp =
     * min node id in the component. See [[dedupClusters]] for the
-    * iteration-shape discussion.
+    * iteration-shape discussion. `smallGraphMax` overrides
+    * [[SmallGraphEdgeMax]] (tests use -1 to force the distributed
+    * loop).
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+                          smallGraphMax: Long = SmallGraphEdgeMax): DataFrame = {
     // materialize once: the iteration must not replay the edge pipeline
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").localCheckpoint()
+    val nEdges = edges.count() // free scan: just checkpointed
+    if (nEdges <= smallGraphMax) return unionFindLocal(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
@@ -563,6 +581,42 @@ object TextDedup {
     }
     require(converged, s"connected components did not converge in $MaxCcIters rounds")
     labels
+  }
+
+  /** Driver-side union-find (path compression + union by rank) for
+    * small edge lists; labels each node with the min id in its
+    * component — identical output contract to the distributed loop.
+    */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (cra, crb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (cra < crb) parent(ra) = rb
+        else if (cra > crb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = cra + 1 }
+      }
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (n <- parent.keys) {
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
+    }
+    parent.keys.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "comp")
   }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,42 @@
+package graft.operators
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Ad-hoc q70 stage timing (not part of the library surface). */
+object ProfileQ70 {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warm table footers
+    Tables.load(spark, dir, "documents").count()
+    val index = TextDedup.shingleIndex(spark, dir)
+    val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("s"))
+    val capped = index.join(rare, Seq("s"), "left_semi").cache()
+    time("capped materialize")(capped.count())
+    val dup = TextDedup.jaccardPairs(capped).filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    val edges = time("pairs+edges checkpoint") {
+      dup.select(col("a_id"), col("b_id"))
+        .union(dup.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").localCheckpoint()
+    }
+    println(s"[prof] edges=${edges.count()}")
+    val labels = time("cc loop")(TextDedup.connectedComponents(dup))
+    time("final join + sort") {
+      val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id")).count()
+    }
+    spark.stop()
+  }
+}

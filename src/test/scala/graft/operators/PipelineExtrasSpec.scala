@@ -19,6 +19,11 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
     assert(labels.size == 10)
+    // the distributed hash-min loop (forced past the union-find
+    // fast path) must produce the identical labeling
+    val distributed = TextDedup.connectedComponents(pairs, smallGraphMax = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == labels)
   }
 
   test("redactPii / piiCounts on genuine PII text") {
