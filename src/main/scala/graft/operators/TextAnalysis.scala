@@ -357,6 +357,12 @@ object TextAnalysis {
   private val PrIters = 10
   private val PrDamping = 0.85
   private val PrTeleport = 0.15 // literal, NOT 1-0.85 (which is 0.15000000000000002)
+  private val PrSmallEdgeMax = 2000000L
+
+  // Spark's round() is HALF_UP on the BigDecimal of the double — match
+  // it exactly on the driver path (math.rint would be HALF_EVEN).
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** TextRank keyword scoring: PageRank over the word co-occurrence
     * graph (consecutive-word edges, both directions, co-occurrence
@@ -384,6 +390,29 @@ object TextAnalysis {
     val outw = edges.groupBy($"src").agg(sum($"wt").as("ow"))
     val norm = edges.join(outw, "src")
       .select($"src", $"dst", ($"wt" / $"ow").as("p")).localCheckpoint()
+    // Driver-side power iteration when the WORD graph is small: vocab
+    // grows ~log-ish with corpus size, so even big corpora often fit —
+    // 2M edges ≈ tens of MB and milliseconds per iteration on the
+    // driver vs ~3 scheduled jobs per iteration distributed. The
+    // per-iteration 9-decimal rounding makes both paths (and the DuckDB
+    // oracle) agree exactly despite different summation orders. Above
+    // the cap (a true web-scale vocab), the distributed loop below is
+    // the shape that holds.
+    if (norm.count() <= PrSmallEdgeMax) {
+      val es = norm.as[(String, String, Double)].collect()
+      val words = es.iterator.map(_._1).toArray.distinct.sorted
+      val idx = words.zipWithIndex.toMap
+      val n = words.length.toDouble
+      var r = Array.fill(words.length)(round9(1.0 / n))
+      val compact = es.map { case (s, d, p) => (idx(s), idx(d), p) }
+      for (_ <- 1 to PrIters) {
+        val inflow = new Array[Double](words.length)
+        for ((s, d, p) <- compact) inflow(d) += p * r(s)
+        r = Array.tabulate(words.length)(i => round9(PrTeleport / n + PrDamping * inflow(i)))
+      }
+      return words.zip(r).toSeq.toDF("word", "r")
+        .select($"word", round($"r", 6).as("rank")).orderBy($"word")
+    }
     val nodes = norm.select($"src".as("word")).distinct().localCheckpoint()
     val n = nodes.count().toDouble
     var rank = nodes.select($"word", round(lit(1.0) / lit(n), 9).as("r"))
