@@ -509,7 +509,57 @@ object TextAnalysis {
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- q98 entropy signals
+
+  /** Shannon-entropy quality signals (q98): character-level and
+    * word-level entropy per document — the standard gibberish /
+    * mojibake / boilerplate detector (random noise scores near the
+    * alphabet's max entropy, templated text scores far below its
+    * language's norm). Map-only per-row list arithmetic, full codegen,
+    * parquet-scan speed at 100 TB. Determinism: the Σ p·log2 p term
+    * list is SORTED before summation on BOTH engines, so accumulation
+    * order is identical and the compare is exact, not just
+    * round-absorbed.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def entropy(listExpr: String): Column = expr(
+      s"""-aggregate(
+         |  transform(array_sort(array_distinct($listExpr)),
+         |    c -> (cast(size(filter($listExpr, x -> x = c)) as double) / size($listExpr))
+         |         * log2(cast(size(filter($listExpr, x -> x = c)) as double) / size($listExpr))),
+         |  0D, (a, v) -> a + v)""".stripMargin)
+    Tables.load(spark, dir, "documents")
+      .withColumn("cs", expr("regexp_extract_all(text, '.', 0)"))
+      .withColumn("ws", words($"text"))
+      .filter(size($"ws") >= 1)
+      .select(
+        $"doc_id",
+        round(entropy("cs"), 6).as("char_entropy"),
+        round(entropy("ws"), 6).as("word_entropy"),
+        size(array_distinct($"cs")).cast("long").as("n_distinct_chars"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleEntropy: String = {
+    def entropy(l: String): String =
+      s"""-list_sum(list_transform(list_sort(list_distinct($l)),
+         |  c -> (len(list_filter($l, x -> x = c))::DOUBLE / len($l))
+         |       * log2(len(list_filter($l, x -> x = c))::DOUBLE / len($l))))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(text, '.') AS cs,
+       |    string_split(text, ' ') AS ws
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 1)
+       |SELECT doc_id,
+       |  round(${entropy("cs")}, 6) AS char_entropy,
+       |  round(${entropy("ws")}, 6) AS word_entropy,
+       |  len(list_distinct(cs))::BIGINT AS n_distinct_chars
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_text_entropy" -> (textEntropy _),
     "q81_bigram_lm_score" -> (bigramLmScore _),
     "q76_textrank_keywords" -> (textrankKeywords _),
     "q71_repetition_profile" -> (repetitionProfile _),
@@ -524,6 +574,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_text_entropy" -> oracleEntropy,
     "q81_bigram_lm_score" -> oracleBigramLm,
     "q76_textrank_keywords" -> oracleTextrank,
     "q71_repetition_profile" -> oracleRepetition,

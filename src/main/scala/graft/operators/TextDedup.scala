@@ -189,24 +189,84 @@ object TextDedup {
     // would replay the full signature+banding pipeline.
     val cand = a.join(b, a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
       .select(col("a_id"), col("b_id")).distinct().cache()
-    // Verify ONLY candidate pairs: expand each pair's a-side shingles,
-    // then count matches against the b-side by (b_id, shingle) — both
-    // joins are keyed, so verify cost tracks candidate density (Σ|A|
-    // over pairs), never corpus².
-    val sizes = index.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ia = index.toDF("ia_id", "sa")
-    val ib = index.toDF("ib_id", "sb")
-    val common = cand
-      .join(ia, col("ia_id") === col("a_id"))
-      .join(ib, col("ib_id") === col("b_id") && col("sb") === col("sa"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.toDF("a_id", "na"), "a_id")
-      .join(sizes.toDF("b_id", "nb"), "b_id")
-      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+    verifyJaccard(cand, index)
       .filter(col("jaccard") >= MinhashVerifyThreshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Exact Jaccard on CANDIDATE pairs only (shared by the LSH and
+    * sorted-neighborhood paths): expand each pair's a-side shingles,
+    * then count matches against the b-side by (b_id, shingle) — both
+    * joins are keyed, so verify cost tracks candidate density (Σ|A|
+    * over pairs), never corpus².
+    */
+  private[operators] def verifyJaccard(cand: DataFrame, index: DataFrame): DataFrame = {
+    val sizes = index.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ia = index.toDF("ia_id", "sa")
+    val ib = index.toDF("ib_id", "sb")
+    cand
+      .join(ia, col("ia_id") === col("a_id"))
+      .join(ib, col("ib_id") === col("b_id") && col("sb") === col("sa"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+  }
+
+  private val SnmWindow = 4
+
+  /** Sorted-neighborhood near-dedup (q97): the third classic blocking
+    * family next to LSH banding and df-capped posting lists. Sort the
+    * corpus by content (block = first word, then lexicographic text
+    * order within the block), pair each document with its next
+    * [[SnmWindow]] neighbors in sort order, and exact-verify only those
+    * pairs. Near-copies sort adjacently, so the candidate set is
+    * O(n·W) by construction — no join explosion is even possible, and
+    * the sort is Spark's own range-partitioned exchange (scales as a
+    * sort, not a join). Window is partitioned by the block prefix, so
+    * no single-partition window anywhere. Misses dups whose first
+    * words differ (the classic SNM blind spot — that is what the
+    * multi-pass LSH family is for); the oracle replays the same sort
+    * and window exactly.
+    */
+  def dedupSnm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .filter(size(words($"text")) >= 3)
+      .withColumn("blk", substring_index($"text", " ", 1))
+    val win = Window.partitionBy($"blk").orderBy($"text", $"doc_id")
+    val nbrs = docs.select(
+      ($"doc_id" +: (1 to SnmWindow).map(k => lead($"doc_id", k).over(win).as(s"n$k"))): _*)
+    val cand = nbrs
+      .select($"doc_id".as("x"), explode(array((1 to SnmWindow).map(k => col(s"n$k")): _*)).as("y"))
+      .filter($"y".isNotNull)
+      .select(least($"x", $"y").as("a_id"), greatest($"x", $"y").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, shingleIndex(spark, dir))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def oracleSnm: String = {
+    val leads = (1 to SnmWindow).map(k => s"lead(doc_id, $k) OVER w AS n$k").mkString(", ")
+    val ns = (1 to SnmWindow).map(k => s"n$k").mkString(", ")
+    s"""WITH $jaccardPairsSql,
+       |keyed AS (
+       |  SELECT doc_id, text, string_split(text, ' ')[1] AS blk
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |nbr AS (
+       |  SELECT doc_id, $leads
+       |  FROM keyed WINDOW w AS (PARTITION BY blk ORDER BY text, doc_id)),
+       |flat AS (SELECT doc_id, unnest([$ns]) AS n FROM nbr),
+       |cand AS (
+       |  SELECT DISTINCT least(doc_id, n) AS a_id, greatest(doc_id, n) AS b_id
+       |  FROM flat WHERE n IS NOT NULL)
+       |SELECT c.a_id, c.b_id, round(j.jaccard, 4) AS jaccard
+       |FROM cand c JOIN jac j ON j.a_id = c.a_id AND j.b_id = c.b_id
+       |WHERE j.jaccard >= $JaccardThreshold ORDER BY c.a_id, c.b_id""".stripMargin
   }
 
   private def oracleMinhash: String = {
@@ -687,6 +747,7 @@ object TextDedup {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_dedup_jaccard_dfcap" -> (dedupNgramJaccardCapped _),
     "q70_dedup_clusters" -> (dedupClusters _),
+    "q97_dedup_snm" -> (dedupSnm _),
     "q78_dedup_incremental" -> (dedupIncremental _),
     "q79_simhash_pairs" -> (simhashPairs _),
     "q19_dedup_exact" -> (dedupExact _),
@@ -699,6 +760,7 @@ object TextDedup {
   val oracles: Map[String, String] = Map(
     "q61_dedup_jaccard_dfcap" -> oracleNgramCapped,
     "q70_dedup_clusters" -> oracleClusters,
+    "q97_dedup_snm" -> oracleSnm,
     "q78_dedup_incremental" -> oracleIncremental,
     "q79_simhash_pairs" -> oracleSimhashPairs,
     "q19_dedup_exact" -> oracleExact,

