@@ -556,7 +556,60 @@ object CorpusOps {
        |WHERE doc_id >= 20
        |GROUP BY doc_id HAVING count(*) >= $BloomOverlapMin ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- q99 source overlap
+
+  /** Cross-source overlap matrix (q99): Jaccard similarity of the
+    * word-3-gram VOCABULARIES of every source pair — the corpus-level
+    * leakage/contamination audit (which feeds overlap-aware mixture
+    * weighting and dedup priorities). Scale shape: the distinct
+    * (source, shingle) index is one shuffle; pair expansion happens on
+    * the per-shingle posting list of SOURCES, whose length is bounded
+    * by the (small) source count — so the join can never explode the
+    * way a doc-level pairing can, regardless of corpus size. Source
+    * pairs with zero shared shingles are absent by construction.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = Tables.load(spark, dir, "documents")
+      .select($"source", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"source", explode(array_distinct(shingles3($"w"))).as("s"))
+      .distinct()
+    val sizes = idx.groupBy($"source").agg(count(lit(1)).as("n"))
+    val common = idx.groupBy($"s")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> transform(slice(srcs, i + 2, size(srcs)), y -> struct(x as a_source, y as b_source))))"
+      )).as("p"))
+      .groupBy($"p.a_source".as("a_source"), $"p.b_source".as("b_source"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("a_source", "n_a"), "a_source")
+      .join(sizes.toDF("b_source", "n_b"), "b_source")
+      .select($"a_source", $"b_source", $"n_common", $"n_a", $"n_b",
+        round($"n_common" / ($"n_a" + $"n_b" - $"n_common"), 6).as("jaccard"))
+      .orderBy($"a_source", $"b_source")
+  }
+
+  private def oracleSourceOverlap: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, unnest(${shingles3Sql("string_split(text, ' ')")}) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS a_source, b.source AS b_source, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.a_source, p.b_source, p.n_common, sa.n AS n_a, sb.n AS n_b,
+       |  round(p.n_common::DOUBLE / (sa.n + sb.n - p.n_common), 6) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON sa.source = p.a_source
+       |JOIN sizes sb ON sb.source = p.b_source
+       |ORDER BY p.a_source, p.b_source""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_source_overlap" -> (sourceOverlap _),
     "q96_bloom_decontam" -> (bloomDecontam _),
     "q92_dup_span_fraction" -> (dupSpanFraction _),
     "q93_embedding_qa" -> (embeddingQa _),
@@ -571,6 +624,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_source_overlap" -> oracleSourceOverlap,
     "q96_bloom_decontam" -> oracleBloomDecontam,
     "q92_dup_span_fraction" -> oracleDupSpan,
     "q93_embedding_qa" -> oracleEmbeddingQa,

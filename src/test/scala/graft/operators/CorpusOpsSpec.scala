@@ -155,6 +155,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
   }
 
+  test("q99 source overlap: ordered pairs, bounded jaccard, common <= min side") {
+    val out = CorpusOps.sourceOverlap(spark, dir).cache()
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source").distinct().count()
+    assert(out.count() <= nSources * (nSources - 1) / 2)
+    assert(out.filter($"a_source" >= $"b_source").isEmpty)
+    assert(out.filter($"jaccard" <= 0 || $"jaccard" > 1).isEmpty)
+    assert(out.filter($"n_common" > least($"n_a", $"n_b")).isEmpty)
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
