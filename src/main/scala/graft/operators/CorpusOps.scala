@@ -608,7 +608,41 @@ object CorpusOps {
        |JOIN sizes sb ON sb.source = p.b_source
        |ORDER BY p.a_source, p.b_source""".stripMargin
 
+  // --------------------------------------------- q100 length deciles
+
+  /** Per-language length-decile profile (q100): ntile(10) over
+    * deterministic (n_chars, doc_id) order within each language, then
+    * decile-level stats — the length-distribution audit behind
+    * truncation/packing budget choices. The window partitions by lang
+    * (never a single global partition); the decile assignment is
+    * tie-broken by doc_id so both engines bucket identically.
+    */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    Tables.load(spark, dir, "documents")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+      .orderBy($"lang", $"decile")
+  }
+
+  private def oracleLengthDeciles: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      |  FROM documents)
+      |SELECT lang, decile, count(*)::BIGINT AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(avg(n_chars), 4) AS avg_chars
+      |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_length_deciles" -> (lengthDeciles _),
     "q99_source_overlap" -> (sourceOverlap _),
     "q96_bloom_decontam" -> (bloomDecontam _),
     "q92_dup_span_fraction" -> (dupSpanFraction _),
@@ -624,6 +658,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_length_deciles" -> oracleLengthDeciles,
     "q99_source_overlap" -> oracleSourceOverlap,
     "q96_bloom_decontam" -> oracleBloomDecontam,
     "q92_dup_span_fraction" -> oracleDupSpan,

@@ -166,6 +166,20 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q100 length deciles: 10 per lang, balanced counts, monotone ranges") {
+    val out = CorpusOps.lengthDeciles(spark, dir).cache()
+    val perLang = out.groupBy($"lang").agg(
+      count(lit(1)).as("k"), max($"n_docs").as("mx"), min($"n_docs").as("mn"))
+    assert(perLang.filter($"k" =!= 10).isEmpty)
+    assert(perLang.filter($"mx" - $"mn" > 1).isEmpty, "ntile buckets must differ by at most 1")
+    // decile ranges are non-overlapping and ordered within a lang
+    val rows = out.select($"lang", $"decile", $"min_chars", $"max_chars")
+      .as[(String, Long, Long, Long)].collect().groupBy(_._1)
+    for ((_, ds) <- rows; Array(lo, hi) <- ds.sortBy(_._2).sliding(2).map(_.toArray))
+      assert(lo._4 <= hi._3, s"decile ranges overlap: $lo vs $hi")
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
