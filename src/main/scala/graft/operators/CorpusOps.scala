@@ -556,6 +556,148 @@ object CorpusOps {
        |WHERE doc_id >= 20
        |GROUP BY doc_id HAVING count(*) >= $BloomOverlapMin ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ q101 PQ ANN
+
+  private val PqM = 4 // subspaces (64 dims → 4 × 16)
+  private val PqSub = 16
+  private val PqK = 4 // codebook size per subspace
+  private val PqIters = 2
+
+  /** Product-quantization ANN (q101): the codebook compression that
+    * makes billion-vector stores searchable — each vector becomes
+    * [[PqM]] one-byte codes (here 4), and query scoring is a lookup
+    * table sum (ADC), never a float-vector scan. Pipeline, all
+    * deterministic and oracle-replayed:
+    *  1. codebooks: per-subspace k-means ([[PqK]] centroids,
+    *     [[PqIters]] Lloyd iterations, init = first vectors'
+    *     subvectors, means rounded to 9 decimals per iteration — the
+    *     q86 discipline, keyed by (m, cid));
+    *  2. encode: argmin centroid per (vector, subspace) — broadcast
+    *     centroids, corpus never shuffles;
+    *  3. ADC: per-query lookup table (NumQueries × PqM × PqK rows,
+    *     broadcast), approximate dist² = fixed-order sum of the PqM
+    *     table entries (no float-agg reassociation anywhere);
+    *  4. top-[[QuantTopK]] per query on the ROUNDED ADC distance,
+    *     tie-broken by corpus id; exact dist² joined alongside to
+    *     expose the quantization error.
+    * At 100 TB: codebooks and LUTs are KBs (broadcast), encoding and
+    * scoring are map-side; the only shuffle is the per-query top-k.
+    */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val ms = 0 until PqM
+    val subs = ev.select($"vec_id", explode(array(ms.map(m =>
+        struct(lit(m).as("m"), expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("sub"))): _*)).as("t"))
+      .select($"vec_id", $"t.m".as("m"), $"t.sub".as("sub"))
+    var cents = subs.filter($"vec_id" < PqK)
+      .select($"m", $"vec_id".as("cid"), expr("transform(sub, x -> round(x, 9))").as("cvec"))
+    val d2 = expr("aggregate(zip_with(sub, cvec, (x, c) -> (x - c) * (x - c)), 0D, (a, t) -> a + t)")
+    def assign(cs: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id", $"m").orderBy($"d", $"cid")
+      subs.join(broadcast(cs), "m")
+        .withColumn("d", d2)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"m", $"sub", $"cid", $"d")
+    }
+    (1 to PqIters).foreach { _ =>
+      cents = assign(cents)
+        .select($"m", $"cid", posexplode($"sub").as(Seq("dim", "x")))
+        .groupBy($"m", $"cid", $"dim").agg(round(avg($"x"), 9).as("c"))
+        .groupBy($"m", $"cid").agg(array_sort(collect_list(struct($"dim", $"c"))).as("dm"))
+        .select($"m", $"cid", expr("transform(dm, t -> t.c)").as("cvec"))
+    }
+    val codes = assign(cents).filter($"vec_id" >= NumQueries)
+      .groupBy($"vec_id").agg(
+        ms.map(m => max(when($"m" === m, $"cid")).as(s"c$m")).head,
+        ms.map(m => max(when($"m" === m, $"cid")).as(s"c$m")).tail: _*)
+      .withColumnRenamed("vec_id", "c_id")
+    val lut = subs.filter($"vec_id" < NumQueries)
+      .join(broadcast(cents), "m")
+      .select($"vec_id".as("q_id"), $"m", $"cid", round(d2, 9).as("d"))
+    var scored: DataFrame = codes
+    ms.foreach { m =>
+      val lm = lut.filter($"m" === m)
+        .select((if (m == 0) $"q_id" else $"q_id".as(s"q$m")), $"cid".as(s"k$m"), $"d".as(s"d$m"))
+      val joined = scored.join(broadcast(lm), col(s"c$m") === col(s"k$m"))
+      scored = if (m == 0) joined
+        else joined.filter(col(s"q$m") === col("q_id")).drop(s"q$m")
+    }
+    val adc = ms.map(m => col(s"d$m")).reduce(_ + _)
+    val w = Window.partitionBy($"q_id").orderBy($"adc_r", $"c_id")
+    val ranked = scored.withColumn("adc_r", round(adc, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= QuantTopK)
+    val exact = expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
+    ranked
+      .join(ev.select($"vec_id".as("q_id"), $"v".as("qv")), "q_id")
+      .join(ev.select($"vec_id".as("c_id"), $"v".as("cv")), "c_id")
+      .select($"q_id", $"c_id", $"adc_r".as("pq_dist2"),
+        round(exact, 6).as("exact_dist2"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def oraclePqAnn: String = {
+    val ms = 0 until PqM
+    def d2Sql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    def assignCte(cents: String, out: String): String =
+      s"""${out}_d AS (
+         |  SELECT s.vec_id, s.m, s.sub, c.cid, ${d2Sql("s.sub", "c.cvec")} AS d
+         |  FROM subs s JOIN $cents c ON c.m = s.m),
+         |$out AS (
+         |  SELECT vec_id, m, sub, cid, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM ${out}_d) WHERE rn = 1)""".stripMargin
+    def recomputeCte(assigned: String, out: String): String =
+      s"""${out}_m AS (
+         |  SELECT m, cid, dim, round(avg(x), 9) AS c FROM (
+         |    SELECT m, cid, unnest(sub) AS x,
+         |           unnest(generate_series(1, len(sub))) AS dim FROM $assigned)
+         |  GROUP BY m, cid, dim),
+         |$out AS (SELECT m, cid, list(c ORDER BY dim) AS cvec FROM ${out}_m GROUP BY m, cid)""".stripMargin
+    val iterCtes = (1 to PqIters).map { i =>
+      val prev = if (i == 1) "cents0" else s"cents${i - 1}"
+      s"${assignCte(prev, s"a$i")},\n${recomputeCte(s"a$i", s"cents$i")}"
+    }.mkString(",\n")
+    val codeCols = ms.map(m => s"max(CASE WHEN m = $m THEN cid END) AS c$m").mkString(", ")
+    val lutJoins = ms.map(m =>
+      s"JOIN lut l$m ON l$m.m = $m AND l$m.cid = k.c$m${if (m > 0) s" AND l$m.q_id = l0.q_id" else ""}")
+      .mkString("\n  ")
+    val adcSum = ms.map(m => s"l$m.d").mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, m, v[m * $PqSub + 1 : m * $PqSub + $PqSub] AS sub
+       |  FROM ev CROSS JOIN (SELECT unnest([${ms.mkString(", ")}]) AS m)),
+       |cents0 AS (
+       |  SELECT m, vec_id AS cid, list_transform(sub, x -> round(x, 9)) AS cvec
+       |  FROM subs WHERE vec_id < $PqK),
+       |$iterCtes,
+       |${assignCte(s"cents$PqIters", "acode")},
+       |codes AS (
+       |  SELECT vec_id AS c_id, $codeCols FROM acode
+       |  WHERE vec_id >= $NumQueries GROUP BY vec_id),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.cid, round(${d2Sql("s.sub", "c.cvec")}, 9) AS d
+       |  FROM subs s JOIN cents$PqIters c ON c.m = s.m
+       |  WHERE s.vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT l0.q_id, k.c_id, round($adcSum, 6) AS adc_r
+       |  FROM codes k
+       |  $lutJoins),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_r, c_id) AS rank
+       |  FROM scored)
+       |SELECT r.q_id, r.c_id, r.adc_r AS pq_dist2,
+       |  round(${d2Sql("q.v", "c.v")}, 6) AS exact_dist2, r.rank
+       |FROM ranked r
+       |JOIN ev q ON q.vec_id = r.q_id
+       |JOIN ev c ON c.vec_id = r.c_id
+       |WHERE r.rank <= $QuantTopK ORDER BY r.q_id, r.rank""".stripMargin
+  }
+
   // --------------------------------------------- q99 source overlap
 
   /** Cross-source overlap matrix (q99): Jaccard similarity of the
@@ -643,6 +785,7 @@ object CorpusOps {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_length_deciles" -> (lengthDeciles _),
+    "q101_pq_ann" -> (pqAnn _),
     "q99_source_overlap" -> (sourceOverlap _),
     "q96_bloom_decontam" -> (bloomDecontam _),
     "q92_dup_span_fraction" -> (dupSpanFraction _),
@@ -659,6 +802,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q100_length_deciles" -> oracleLengthDeciles,
+    "q101_pq_ann" -> oraclePqAnn,
     "q99_source_overlap" -> oracleSourceOverlap,
     "q96_bloom_decontam" -> oracleBloomDecontam,
     "q92_dup_span_fraction" -> oracleDupSpan,

@@ -180,6 +180,25 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q101 PQ ANN: 3 ranked rows per query, ADC monotone with rank, dists nonneg") {
+    val out = CorpusOps.pqAnn(spark, dir).cache()
+    val perQ = out.groupBy($"q_id").agg(count(lit(1)).as("k"),
+      max($"rank").as("mr"), min($"rank").as("nr"))
+    assert(perQ.filter($"k" =!= 3 || $"mr" =!= 3 || $"nr" =!= 1).isEmpty)
+    assert(out.filter($"pq_dist2" < 0 || $"exact_dist2" < 0).isEmpty)
+    // within a query, ADC distance is non-decreasing in rank by construction
+    val rows = out.select($"q_id", $"rank", $"pq_dist2")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    for ((_, rs) <- rows) {
+      val sorted = rs.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // quantization is coarse (K=4) but ADC must stay in the ballpark of
+    // the exact distance for the selected neighbors
+    assert(out.filter($"pq_dist2" > $"exact_dist2" * 3 + 1.0).isEmpty)
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
