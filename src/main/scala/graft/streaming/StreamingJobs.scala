@@ -163,6 +163,78 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ---- streaming MinHash-LSH near-dup candidates (flatMapGroupsWithState) ----
+
+  case class BandHit(doc_id: Long, band: Int, bkey: String)
+  case class BucketState(first_id: Long)
+  case class DupCandidate(doc_id: Long, band: Int, bkey: String, dup_of: Long)
+
+  /** Map-only MinHash banding for a document stream: the per-doc
+    * signature needs no aggregation at all — 16 `array_min(transform)`
+    * expressions over the shingle array (same salted-md5/32-bit-chunk
+    * family as batch q21, so stream and batch bucket IDENTICALLY and a
+    * doc can be checked against either index). Stateless, codegen'd,
+    * runs unchanged on batch or streaming frames.
+    */
+  def lshBands(docs: DataFrame): DataFrame = {
+    val salts = Seq("A", "B", "C", "D")
+    def perm(i: Int): String = {
+      val salt = salts(i / 4); val j = i % 4
+      s"array_min(transform(__sh, s -> cast(conv(substring(md5(concat('$salt:', s)), ${j * 8 + 1}, 8), 16, 10) as long)))"
+    }
+    val bandStructs = (0 until 4).map { b =>
+      val key = md5(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    docs
+      .withColumn("__w", graft.operators.TextPrims.words(col("text")))
+      .filter(size(col("__w")) >= 3)
+      .withColumn("__sh", array_distinct(graft.operators.TextPrims.shingles3(col("__w"))))
+      .select(col("doc_id") +: (0 until 16).map(i => expr(perm(i)).as(s"m$i")): _*)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  /** Streaming near-dup candidate filter — the streaming twin of q21's
+    * LSH stage: each arriving document's 4 band buckets are checked
+    * against keyed state holding the FIRST document ever seen in that
+    * bucket; later arrivals are emitted as (doc, dup_of) candidates for
+    * exact verification downstream. State is one long per non-empty
+    * bucket, partitioned by (band, bkey) in the state store
+    * (RocksDB-backed on a real cluster); with `stateTtl` set it expires
+    * after that much processing-time inactivity, so memory is bounded
+    * by the dedup horizon, not stream lifetime — the same discipline as
+    * [[streamingDedup]]. (`stateTtl = None` keeps state forever —
+    * for tests and short-lived backfills; a perpetual ingest should
+    * always set the TTL.)
+    */
+  def streamingLshCandidates(
+      docs: DataFrame, // streaming; needs doc_id: long, text: string
+      stateTtl: Option[String] = Some("1 hour"),
+  ): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val timeoutConf = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    lshBands(docs).as[BandHit]
+      .groupByKey(h => (h.band, h.bkey))
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append(), timeoutConf) {
+        case ((band, bkey), hits, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = hits.toSeq.sortBy(_.doc_id)
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val first = state.getOption.map(_.first_id).getOrElse(sorted.head.doc_id)
+              state.update(BucketState(first))
+              stateTtl.foreach(state.setTimeoutDuration)
+              sorted.iterator.filter(_.doc_id != first)
+                .map(h => DupCandidate(h.doc_id, band, bkey, first))
+            }
+          }
+      }
+  }
+
   // ---- custom state: running per-user counters (mapGroupsWithState) ----
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -65,6 +65,46 @@ class StreamingDedupSpec extends SparkSpec {
       s"state grew unbounded: ${stateOps.last.numRowsTotal} rows")
   }
 
+  test("streamingLshCandidates flags near-dups across micro-batches, first doc owns the bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF.toDF("doc_id", "text")
+    // NoTimeout in the spec: ProcessingTimeTimeout keeps the no-data
+    // trigger loop busy and processAllAvailable cannot settle
+    val q = StreamingJobs.streamingLshCandidates(docs, stateTtl = None)
+      .writeStream.format("memory").queryName("lsh_out")
+      .outputMode(OutputMode.Append()).start()
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine"
+    mem.addData((1L, a))
+    q.processAllAvailable()
+    mem.addData((2L, a), (3L, other)) // 2 = exact copy of 1; 3 = disjoint
+    q.processAllAvailable()
+    val got = spark.table("lsh_out")
+      .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((2L, 1L)), s"expected doc 2 flagged against doc 1, got $got")
+    // all 4 bands of the identical doc collide
+    assert(spark.table("lsh_out").count() == 4)
+  }
+
+  test("lshBands buckets (stream family) cover every batch q21 verified pair") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bands = StreamingJobs.lshBands(docs)
+    val cand = bands.toDF("a_id", "band", "bkey")
+      .join(bands.toDF("b_id", "band2", "bkey2"),
+        $"band" === $"band2" && $"bkey" === $"bkey2" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    val verified = graft.operators.TextDedup.dedupMinhashLsh(spark, "/root/testdata/sf0.001")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(verified.nonEmpty)
+    assert(verified.subsetOf(cand),
+      s"stream banding missed batch pairs: ${verified -- cand}")
+  }
+
   test("streamingUpsert applies keyed Replace per micro-batch via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
