@@ -698,6 +698,56 @@ object CorpusOps {
        |WHERE r.rank <= $QuantTopK ORDER BY r.q_id, r.rank""".stripMargin
   }
 
+  // ------------------------------------------- q102 source KL divergence
+
+  /** Per-source KL divergence (q102): D_KL(p_source ‖ p_corpus) over
+    * unigram distributions, in bits — the drift/outlier audit that
+    * ranks sources by how far their language deviates from the corpus
+    * mix (domain skew, format artifacts, wrong-language dumps all
+    * surface here). Shapes: one (source, word) count shuffle, two
+    * O(|vocab|)-sized side aggs, a broadcast total; the KL sum itself
+    * is computed over the per-source term list SORTED by word on both
+    * engines, so float accumulation order is pinned and the compare is
+    * exact. (At web-scale vocabularies, swap the sorted-list sum for a
+    * round-per-term groupBy sum — same 6-decimal contract.)
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = Tables.load(spark, dir, "documents")
+      .select($"source", explode(words($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c_sw"))
+    val totS = wc.groupBy($"source").agg(sum($"c_sw").as("n_s"))
+    val totW = wc.groupBy($"w").agg(sum($"c_sw").as("c_w"))
+    val n = wc.agg(sum($"c_sw").as("n"))
+    val terms = wc.join(totS, "source").join(totW, "w").crossJoin(broadcast(n))
+      .withColumn("ps", $"c_sw".cast("double") / $"n_s")
+      .withColumn("p", $"c_w".cast("double") / $"n")
+      .withColumn("term", $"ps" * log2($"ps" / $"p"))
+    terms.groupBy($"source")
+      .agg(sum($"c_sw").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        array_sort(collect_list(struct($"w", $"term"))).as("ts"))
+      .select($"source", $"n_words", $"n_distinct",
+        round(expr("aggregate(transform(ts, t -> t.term), 0D, (a, v) -> a + v)"), 6).as("kl_bits"))
+      .orderBy($"source")
+  }
+
+  private def oracleSourceKl: String =
+    """WITH wx AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT source, w, count(*) AS c_sw FROM wx GROUP BY source, w),
+      |tot_s AS (SELECT source, sum(c_sw) AS n_s FROM wc GROUP BY source),
+      |tot_w AS (SELECT w, sum(c_sw) AS c_w FROM wc GROUP BY w),
+      |n AS (SELECT sum(c_sw) AS n FROM wc),
+      |terms AS (
+      |  SELECT wc.source, wc.w, wc.c_sw,
+      |    (wc.c_sw::DOUBLE / s.n_s) * log2((wc.c_sw::DOUBLE / s.n_s) / (t.c_w::DOUBLE / n.n)) AS term
+      |  FROM wc JOIN tot_s s ON s.source = wc.source
+      |  JOIN tot_w t ON t.w = wc.w CROSS JOIN n)
+      |SELECT source, sum(c_sw)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct,
+      |  round(list_sum(list(term ORDER BY w)), 6) AS kl_bits
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------- q99 source overlap
 
   /** Cross-source overlap matrix (q99): Jaccard similarity of the
@@ -786,6 +836,7 @@ object CorpusOps {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_length_deciles" -> (lengthDeciles _),
     "q101_pq_ann" -> (pqAnn _),
+    "q102_source_kl" -> (sourceKl _),
     "q99_source_overlap" -> (sourceOverlap _),
     "q96_bloom_decontam" -> (bloomDecontam _),
     "q92_dup_span_fraction" -> (dupSpanFraction _),
@@ -803,6 +854,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q100_length_deciles" -> oracleLengthDeciles,
     "q101_pq_ann" -> oraclePqAnn,
+    "q102_source_kl" -> oracleSourceKl,
     "q99_source_overlap" -> oracleSourceOverlap,
     "q96_bloom_decontam" -> oracleBloomDecontam,
     "q92_dup_span_fraction" -> oracleDupSpan,

@@ -199,6 +199,21 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q102 source KL: nonnegative (Gibbs), one row per source, counts consistent") {
+    val out = CorpusOps.sourceKl(spark, dir).cache()
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source").distinct().count()
+    assert(out.count() == nSources)
+    // KL(p_s || p) >= 0 always (within rounding granularity)
+    assert(out.filter($"kl_bits" < -1e-6).isEmpty)
+    assert(out.filter($"n_distinct" > $"n_words").isEmpty)
+    val totalWords = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum($"n")).as[Long].collect()(0)
+    assert(out.agg(sum($"n_words")).as[Long].collect()(0) == totalWords)
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
