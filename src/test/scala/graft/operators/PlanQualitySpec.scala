@@ -85,6 +85,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q96 bloom decontam: sketch prefilter reaches the corpus-side scan leg") {
+    val plan = planOf(CorpusOps.bloomDecontam(spark, dir))
+    assert(plan.contains("might_contain"), s"bloom prefilter missing:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"sketch should build once as a (scalar) subquery:\n$plan")
+  }
+
+  test("q97 SNM: no cartesian/nested-loop product anywhere — candidates come from lead()") {
+    val plan = planOf(TextDedup.dedupSnm(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in SNM plan:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected windowed neighbor pairing:\n$plan")
+  }
+
+  test("q101 PQ ANN: codebooks and LUTs broadcast — corpus side never shuffles for encoding") {
+    val plan = planOf(CorpusOps.pqAnn(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in PQ plan:\n$plan")
+  }
+
   test("q73 token packing: no single-partition global window (the scale-killer shape)") {
     val df = PipelineOps.tokenPacking(spark, dir)
     df.collect()
