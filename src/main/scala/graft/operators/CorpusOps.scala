@@ -753,6 +753,51 @@ object CorpusOps {
       |  round(list_sum(list(term ORDER BY w)), 6) AS kl_bits
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------- q103 robust outliers
+
+  /** Robust length-outlier detection per language (q103): median/MAD
+    * z-scores (the outlier filter that, unlike mean/stddev, is not
+    * itself dragged by the outliers it hunts). Two grouped EXACT
+    * percentile passes (Spark `percentile` == DuckDB `quantile_cont`,
+    * the q40-proven parity) with the O(|langs|) stats broadcast back —
+    * the corpus never shuffles, only lang-keyed aggregates do. MAD = 0
+    * (degenerate constant-length stratum) yields NULL z / NULL flag on
+    * both engines via nullif.
+    */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val med = docs.groupBy($"lang")
+      .agg(percentile($"n_chars", lit(0.5)).as("med"))
+    val stats = docs.join(broadcast(med), "lang")
+      .withColumn("adev", abs($"n_chars" - $"med"))
+      .groupBy($"lang")
+      .agg(max($"med").as("med"), percentile($"adev", lit(0.5)).as("mad"))
+    val z = ($"n_chars" - $"med") / (lit(1.4826) * nullif($"mad", lit(0.0)))
+    docs.join(broadcast(stats), "lang")
+      .select($"doc_id", $"lang", $"n_chars",
+        round($"med", 4).as("med"), round($"mad", 4).as("mad"),
+        round(z, 4).as("robust_z"),
+        (abs(z) > 3.0).as("is_outlier"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleRobustOutliers: String =
+    """WITH med AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY lang),
+      |stats AS (
+      |  SELECT d.lang, max(m.med) AS med,
+      |    quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+      |  FROM documents d JOIN med m ON m.lang = d.lang GROUP BY d.lang)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  round(s.med, 4) AS med, round(s.mad, 4) AS mad,
+      |  round((d.n_chars - s.med) / (1.4826 * nullif(s.mad, 0)), 4) AS robust_z,
+      |  abs((d.n_chars - s.med) / (1.4826 * nullif(s.mad, 0))) > 3.0 AS is_outlier
+      |FROM documents d JOIN stats s ON s.lang = d.lang
+      |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------- q99 source overlap
 
   /** Cross-source overlap matrix (q99): Jaccard similarity of the
@@ -842,6 +887,7 @@ object CorpusOps {
     "q100_length_deciles" -> (lengthDeciles _),
     "q101_pq_ann" -> (pqAnn _),
     "q102_source_kl" -> (sourceKl _),
+    "q103_robust_outliers" -> (robustOutliers _),
     "q99_source_overlap" -> (sourceOverlap _),
     "q96_bloom_decontam" -> (bloomDecontam _),
     "q92_dup_span_fraction" -> (dupSpanFraction _),
@@ -860,6 +906,7 @@ object CorpusOps {
     "q100_length_deciles" -> oracleLengthDeciles,
     "q101_pq_ann" -> oraclePqAnn,
     "q102_source_kl" -> oracleSourceKl,
+    "q103_robust_outliers" -> oracleRobustOutliers,
     "q99_source_overlap" -> oracleSourceOverlap,
     "q96_bloom_decontam" -> oracleBloomDecontam,
     "q92_dup_span_fraction" -> oracleDupSpan,

@@ -214,6 +214,22 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q103 robust outliers: median inside [min,max], z sign tracks deviation, flag = |z|>3") {
+    val out = CorpusOps.robustOutliers(spark, dir).cache()
+    assert(out.count() == 500)
+    val perLang = out.groupBy($"lang").agg(
+      min($"n_chars").as("mn"), max($"n_chars").as("mx"), max($"med").as("md"))
+    assert(perLang.filter($"md" < $"mn" || $"md" > $"mx").isEmpty)
+    assert(out.filter($"mad" < 0).isEmpty)
+    // sign consistency and flag definition
+    assert(out.filter($"robust_z".isNotNull &&
+      (($"n_chars" > $"med" && $"robust_z" < 0) || ($"n_chars" < $"med" && $"robust_z" > 0))).isEmpty)
+    // flag is defined on the unrounded z; compare away from the boundary
+    assert(out.filter($"robust_z".isNotNull && abs(abs($"robust_z") - 3.0) > 0.001 &&
+      ($"is_outlier" =!= (abs($"robust_z") > 3.0))).isEmpty)
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
