@@ -798,6 +798,60 @@ object CorpusOps {
       |FROM documents d JOIN stats s ON s.lang = d.lang
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------ q104 Zipf slope
+
+  /** Zipf rank-frequency slope per source (q104): OLS fit of
+    * ln(count) against ln(rank) over each source's word-frequency
+    * table — natural text sits near slope −1; templated or synthetic
+    * text drifts far from it, making this a cheap corpus-health
+    * fingerprint. One (source, word) count shuffle, a per-source rank
+    * window, then closed-form OLS over the per-source term list sorted
+    * by rank (same pinned-accumulation discipline as q102). Rank ties
+    * break on the word itself, so both engines rank identically.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = Tables.load(spark, dir, "documents")
+      .select($"source", explode(words($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val rw = Window.partitionBy($"source").orderBy($"c".desc, $"w")
+    val terms = wc.withColumn("rank", row_number().over(rw).cast("long"))
+      .withColumn("x", log($"rank".cast("double")))
+      .withColumn("y", log($"c".cast("double")))
+    def s(f: String) = expr(s"aggregate(transform(ts, t -> $f), 0D, (a, v) -> a + v)")
+    terms.groupBy($"source")
+      .agg(count(lit(1)).as("n_vocab"),
+        array_sort(collect_list(struct($"rank", $"x", $"y"))).as("ts"))
+      .withColumn("n", $"n_vocab".cast("double"))
+      .withColumn("sx", s("t.x")).withColumn("sy", s("t.y"))
+      .withColumn("sxy", s("t.x * t.y")).withColumn("sxx", s("t.x * t.x"))
+      .select($"source", $"n_vocab",
+        round(($"sxy" - $"sx" * $"sy" / $"n") / ($"sxx" - $"sx" * $"sx" / $"n"), 6).as("slope"),
+        round(($"sy" - ($"sxy" - $"sx" * $"sy" / $"n") / ($"sxx" - $"sx" * $"sx" / $"n") * $"sx") / $"n", 6).as("intercept"))
+      .orderBy($"source")
+  }
+
+  private def oracleZipfSlope: String =
+    """WITH wx AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT source, w, count(*) AS c FROM wx GROUP BY source, w),
+      |terms AS (
+      |  SELECT source, ln(c::DOUBLE) AS y,
+      |    ln(row_number() OVER (PARTITION BY source ORDER BY c DESC, w)::DOUBLE) AS x,
+      |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
+      |  FROM wc),
+      |sums AS (
+      |  SELECT source, count(*)::BIGINT AS n_vocab, count(*)::DOUBLE AS n,
+      |    list_sum(list(x ORDER BY rank)) AS sx,
+      |    list_sum(list(y ORDER BY rank)) AS sy,
+      |    list_sum(list(x * y ORDER BY rank)) AS sxy,
+      |    list_sum(list(x * x ORDER BY rank)) AS sxx
+      |  FROM terms GROUP BY source)
+      |SELECT source, n_vocab,
+      |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+      |  round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6) AS intercept
+      |FROM sums ORDER BY source""".stripMargin
+
   // --------------------------------------------- q99 source overlap
 
   /** Cross-source overlap matrix (q99): Jaccard similarity of the
@@ -888,6 +942,7 @@ object CorpusOps {
     "q101_pq_ann" -> (pqAnn _),
     "q102_source_kl" -> (sourceKl _),
     "q103_robust_outliers" -> (robustOutliers _),
+    "q104_zipf_slope" -> (zipfSlope _),
     "q99_source_overlap" -> (sourceOverlap _),
     "q96_bloom_decontam" -> (bloomDecontam _),
     "q92_dup_span_fraction" -> (dupSpanFraction _),
@@ -907,6 +962,7 @@ object CorpusOps {
     "q101_pq_ann" -> oraclePqAnn,
     "q102_source_kl" -> oracleSourceKl,
     "q103_robust_outliers" -> oracleRobustOutliers,
+    "q104_zipf_slope" -> oracleZipfSlope,
     "q99_source_overlap" -> oracleSourceOverlap,
     "q96_bloom_decontam" -> oracleBloomDecontam,
     "q92_dup_span_fraction" -> oracleDupSpan,

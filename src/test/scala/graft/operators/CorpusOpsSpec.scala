@@ -230,6 +230,17 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q104 zipf slope: negative slope (frequency decreases with rank), one row per source") {
+    val out = CorpusOps.zipfSlope(spark, dir).cache()
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source").distinct().count()
+    assert(out.count() == nSources)
+    // frequency is non-increasing in rank by construction → OLS slope < 0
+    assert(out.filter($"slope" >= 0).isEmpty)
+    assert(out.filter($"n_vocab" < 2).isEmpty, "degenerate vocab breaks the fit")
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
