@@ -852,6 +852,59 @@ object CorpusOps {
       |  round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6) AS intercept
       |FROM sums ORDER BY source""".stripMargin
 
+  // --------------------------------------------- q105 ANN recall audit
+
+  /** ANN recall audit (q105): recall@3 of each approximate index —
+    * hyperplane LSH (q30), IVF (q62), PQ/ADC (q101) — against the exact
+    * cosine top-3 (q29), per query. The quality dial every ANN
+    * deployment needs next to its speed dial; composing it from the
+    * catalog keeps one definition of each method. (PQ ranks by L2 ADC,
+    * not cosine, so its recall also prices the metric mismatch.) All
+    * inputs are deterministic, so the audit itself is value-oracled:
+    * the oracle nests the component queries' own oracle SQL as
+    * subquery CTEs — one source of truth per method on both engines.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact3 = Similarity.cosineTopK(spark, dir)
+      .filter($"rank" <= 3).select($"q_id", $"c_id").cache()
+    val qs = exact3.select($"q_id").distinct()
+    val methods = Seq(
+      "lsh" -> Similarity.annLsh(spark, dir),
+      "ivf" -> Similarity.annIvf(spark, dir),
+      "pq" -> pqAnn(spark, dir))
+    methods.map { case (name, df) =>
+      val hits = df.select($"q_id", $"c_id").join(exact3, Seq("q_id", "c_id"))
+        .groupBy($"q_id").agg(count(lit(1)).as("n"))
+      qs.join(hits, Seq("q_id"), "left")
+        .select(lit(name).as("method"), $"q_id",
+          coalesce($"n", lit(0L)).as("n_hits"),
+          round(coalesce($"n", lit(0L)) / 3.0, 6).as("recall"))
+    }.reduce(_.unionAll(_)).orderBy($"method", $"q_id")
+  }
+
+  private def oracleAnnRecall: String =
+    s"""WITH exact_r AS (${Similarity.oracles("q29_cosine_topk")}),
+       |lsh_r AS (${Similarity.oracles("q30_ann_lsh")}),
+       |ivf_r AS (${Similarity.oracles("q62_ann_ivf")}),
+       |pq_r AS ($oraclePqAnn),
+       |exact3 AS (SELECT q_id, c_id FROM exact_r WHERE rank <= 3),
+       |qs AS (SELECT DISTINCT q_id FROM exact3),
+       |m AS (
+       |  SELECT 'lsh' AS method, q_id, c_id FROM lsh_r
+       |  UNION ALL SELECT 'ivf', q_id, c_id FROM ivf_r
+       |  UNION ALL SELECT 'pq', q_id, c_id FROM pq_r),
+       |hits AS (
+       |  SELECT m.method, m.q_id, count(*) AS n
+       |  FROM m JOIN exact3 e ON e.q_id = m.q_id AND e.c_id = m.c_id
+       |  GROUP BY m.method, m.q_id),
+       |methods AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method)
+       |SELECT mt.method, qs.q_id, coalesce(h.n, 0)::BIGINT AS n_hits,
+       |  round(coalesce(h.n, 0) / 3.0, 6) AS recall
+       |FROM methods mt CROSS JOIN qs
+       |LEFT JOIN hits h ON h.method = mt.method AND h.q_id = qs.q_id
+       |ORDER BY mt.method, qs.q_id""".stripMargin
+
   // --------------------------------------------- q99 source overlap
 
   /** Cross-source overlap matrix (q99): Jaccard similarity of the
@@ -943,6 +996,7 @@ object CorpusOps {
     "q102_source_kl" -> (sourceKl _),
     "q103_robust_outliers" -> (robustOutliers _),
     "q104_zipf_slope" -> (zipfSlope _),
+    "q105_ann_recall" -> (annRecall _),
     "q99_source_overlap" -> (sourceOverlap _),
     "q96_bloom_decontam" -> (bloomDecontam _),
     "q92_dup_span_fraction" -> (dupSpanFraction _),
@@ -963,6 +1017,7 @@ object CorpusOps {
     "q102_source_kl" -> oracleSourceKl,
     "q103_robust_outliers" -> oracleRobustOutliers,
     "q104_zipf_slope" -> oracleZipfSlope,
+    "q105_ann_recall" -> oracleAnnRecall,
     "q99_source_overlap" -> oracleSourceOverlap,
     "q96_bloom_decontam" -> oracleBloomDecontam,
     "q92_dup_span_fraction" -> oracleDupSpan,

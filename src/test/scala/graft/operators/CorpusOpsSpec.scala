@@ -241,6 +241,16 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q105 ANN recall: 3 methods x every query, recall in [0,1], n_hits <= 3") {
+    val out = CorpusOps.annRecall(spark, dir).cache()
+    assert(out.count() == 30)
+    assert(out.select($"method").distinct().count() == 3)
+    assert(out.filter($"recall" < 0 || $"recall" > 1).isEmpty)
+    assert(out.filter($"n_hits" > 3 || $"n_hits" < 0).isEmpty)
+    assert(out.filter(abs($"recall" * 3 - $"n_hits") > 1e-6).isEmpty)
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
