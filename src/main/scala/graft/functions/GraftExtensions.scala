@@ -60,6 +60,13 @@ object GraftExtensions {
     // of graft_might_contain must be foldable or a scalar subquery
     // (Spark's own type check enforces it).
     (
+      new FunctionIdentifier("graft_rolling_minhash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rolling_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_rolling_minhash(str)")
+        RollingMinHash(args.head, RollingMinHash.DefaultWindow, RollingMinHash.DefaultBase)
+      }),
+    (
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (args: Seq[Expression]) => args match {

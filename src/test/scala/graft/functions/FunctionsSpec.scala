@@ -110,5 +110,19 @@ class FunctionsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT doc_id, graft_hash64(text) AS h FROM graft_fn_docs")
     val viaCol = docs.select($"doc_id", TextPrims.hash64($"text").as("h2"))
     assert(viaSql.join(viaCol, "doc_id").filter($"h" =!= $"h2").count() == 0)
+    // rolling minhash via SQL == the Column-side expression
+    val viaSqlRmh = spark.sql(
+      "SELECT doc_id, graft_rolling_minhash(text) AS f FROM graft_fn_docs")
+    val viaColRmh = docs.select($"doc_id", RollingMinHash($"text").as("f2"))
+    assert(viaSqlRmh.join(viaColRmh, "doc_id").filter(
+      $"f".isNotNull && $"f" =!= $"f2").count() == 0)
+    // bloom: build a sketch of half the ids, the other half mostly misses
+    docs.limit(50).createOrReplaceTempView("graft_fn_bloom_in")
+    val hit = spark.sql(
+      """WITH b AS (SELECT graft_bloom_agg(xxhash64(text)) AS bf FROM graft_fn_bloom_in)
+        |SELECT count(*) AS n FROM graft_fn_docs
+        |WHERE graft_might_contain((SELECT bf FROM b), xxhash64(text))""".stripMargin)
+      .head().getLong(0)
+    assert(hit >= 50, "bloom must contain every inserted value (no false negatives)")
   }
 }
