@@ -358,7 +358,51 @@ object ExtendedRelational {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, price DESC""".stripMargin
 
+  /** Weekly retention cohorts (q106): users grouped by first-active
+    * week; the (cohort, week-offset) matrix of distinct active users
+    * with retention rates — the standard product-analytics rollup. Two
+    * keyed aggs (per-user cohort, then per-cell distinct count) and a
+    * broadcast-sized cohort-size join; nothing is user², and the
+    * distinct count shuffles on (cohort, offset, user) exactly once.
+    * Week truncation lands on Monday in both engines.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+    val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val matrix = ev.join(cohort, "user_id")
+      .withColumn("offset_wk", floor(datediff($"wk", $"cohort_wk") / 7).cast("long"))
+      .groupBy($"cohort_wk", $"offset_wk")
+      .agg(countDistinct($"user_id").as("n_active"))
+    val sizes = cohort.groupBy($"cohort_wk").agg(count(lit(1)).as("cohort_n"))
+    matrix.join(sizes, "cohort_wk")
+      .select($"cohort_wk", $"offset_wk", $"n_active", $"cohort_n",
+        round($"n_active" / $"cohort_n", 6).as("retention"))
+      .orderBy($"cohort_wk", $"offset_wk")
+  }
+
+  private def oracleRetention: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    date_trunc('week', make_timestamp(epoch_ns(ts) // 1000))::DATE AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+      |j AS (
+      |  SELECT e.user_id, c.cohort_wk, (e.wk - c.cohort_wk) // 7 AS offset_wk
+      |  FROM e JOIN c USING (user_id)),
+      |m AS (
+      |  SELECT cohort_wk, offset_wk, count(DISTINCT user_id) AS n_active
+      |  FROM j GROUP BY cohort_wk, offset_wk),
+      |s AS (SELECT cohort_wk, count(*) AS cohort_n FROM c GROUP BY cohort_wk)
+      |SELECT m.cohort_wk, m.offset_wk::BIGINT AS offset_wk,
+      |  m.n_active::BIGINT AS n_active, s.cohort_n::BIGINT AS cohort_n,
+      |  round(m.n_active::DOUBLE / s.cohort_n, 6) AS retention
+      |FROM m JOIN s ON s.cohort_wk = m.cohort_wk
+      |ORDER BY m.cohort_wk, m.offset_wk""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_retention_cohorts" -> (retentionCohorts _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
     "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
@@ -378,6 +422,7 @@ object ExtendedRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q106_retention_cohorts" -> oracleRetention,
     "q82_topk_per_key" -> oracleTopOrders,
     "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,

@@ -105,6 +105,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in PQ plan:\n$plan")
   }
 
+  test("q106 retention: offset-0 retention is 1.0 (every user is active in their cohort week)") {
+    import org.apache.spark.sql.functions._
+    val out = ExtendedRelational.retentionCohorts(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("offset_wk") === 0 && col("retention") =!= 1.0).isEmpty,
+      "cohort week must retain 100% by definition")
+    assert(out.filter(col("n_active") > col("cohort_n")).isEmpty)
+    assert(out.filter(col("offset_wk") < 0).isEmpty)
+    out.unpersist()
+  }
+
   test("q73 token packing: no single-partition global window (the scale-killer shape)") {
     val df = PipelineOps.tokenPacking(spark, dir)
     df.collect()
