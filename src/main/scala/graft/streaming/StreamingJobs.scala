@@ -235,6 +235,59 @@ object StreamingJobs {
       }
   }
 
+  /** Incremental corpus build — the production composition of the
+    * streaming layer: per micro-batch, (1) quality-clean + redact
+    * ([[cleanDocumentStream]] semantics already applied upstream by the
+    * caller or here), (2) drop exact duplicates of the existing corpus
+    * (md5 anti-join — the corpus IS the state, no state store), (3)
+    * drop LSH near-dup candidates against both the corpus and
+    * lower-id docs of the same batch (bucket-level, recall-oriented:
+    * same q21 band family; run the exact-verify offline if precision
+    * matters), (4) append survivors to the corpus directory. Restart
+    * safety comes from the checkpoint (a replayed batch re-drops its
+    * own docs via the exact filter). At scale the corpus side is a
+    * parquet/Delta snapshot re-read per batch — membership lives in
+    * the join, bounded by corpus size on disk, not memory.
+    */
+  def incrementalCorpusBuild(
+      docs: DataFrame, // streaming; needs doc_id: long, text: string
+      corpusDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    cleanDocumentStream(docs).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val batchDf = batch.toDF()
+        val corpus = scala.util.Try(spark.read.parquet(corpusDir)).toOption
+        // exact novelty vs corpus
+        val novel = corpus match {
+          case Some(c) =>
+            batchDf.withColumn("__fp", md5(col("text")))
+              .join(c.select(md5(col("text")).as("__fp")), Seq("__fp"), "left_anti")
+              .drop("__fp")
+          case None => batchDf
+        }
+        // LSH bucket-level near-dup: vs corpus, then vs lower-id batch docs
+        val newBands = lshBands(novel).localCheckpoint()
+        val dupVsCorpus = corpus match {
+          case Some(c) => newBands
+            .join(lshBands(c).select(col("band").as("b2"), col("bkey").as("k2")),
+              col("band") === col("b2") && col("bkey") === col("k2"), "left_semi")
+            .select(col("doc_id")).distinct()
+          case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        }
+        val dupInBatch = newBands.toDF("a_id", "band", "bkey")
+          .join(newBands.toDF("b_id", "band2", "bkey2"),
+            col("band") === col("band2") && col("bkey") === col("bkey2") &&
+              col("b_id") < col("a_id"))
+          .select(col("a_id").as("doc_id")).distinct()
+        novel.join(dupVsCorpus.union(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(corpusDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- custom state: running per-user counters (mapGroupsWithState) ----
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
