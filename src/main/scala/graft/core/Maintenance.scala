@@ -12,6 +12,28 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** Write a Hive-partitioned parquet table with write-side alignment:
+    * the frame is repartitioned ON the partition columns first, so each
+    * output directory is written by the task(s) owning that key —
+    * without this, every task writes a file into every partition value
+    * it sees, and a 1000-task job over 100 partitions fragments into
+    * up to 100,000 files. One shuffle buys file counts proportional to
+    * partition values, and reads get partition PRUNING (the scan skips
+    * non-matching directories entirely — asserted in PlanQualitySpec):
+    * the cheapest 100 TB lever there is, because pruned bytes are
+    * never listed, opened, or decoded at all.
+    */
+  def writePartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Rewrite the parquet directory at `path` into ≈`targetBytes` files.
     *
     * - Sizing: output partition count = ceil(current bytes /

@@ -105,6 +105,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in PQ plan:\n$plan")
   }
 
+  test("partitioned write: scan prunes non-matching partition dirs; aligned write keeps file counts low") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("part_write").toString + "/docs"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.core.Maintenance.writePartitioned(docs, path, Seq("lang"))
+    // aligned write: each lang dir holds O(1) files, not O(tasks)
+    val fs = new java.io.File(path).listFiles().filter(_.isDirectory)
+    assert(fs.nonEmpty)
+    for (d <- fs)
+      assert(d.listFiles().count(f => f.getName.endsWith(".parquet")) <= 2,
+        s"unaligned write fragmented ${d.getName}")
+    // partition pruning: the lang filter must become a PartitionFilter,
+    // never a row-level DataFilter
+    val plan = planOf(spark.read.parquet(path).filter(col("lang") === "en"))
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter not pruned to partitions:\n$plan")
+    assert(!plan.replaceAll("(?s).*PushedFilters", "").contains("lang") ||
+      plan.contains("PushedFilters: []"),
+      s"lang should not appear as a pushed row filter:\n$plan")
+  }
+
   test("q106 retention: offset-0 retention is 1.0 (every user is active in their cohort week)") {
     import org.apache.spark.sql.functions._
     val out = ExtendedRelational.retentionCohorts(spark, dir).cache()
