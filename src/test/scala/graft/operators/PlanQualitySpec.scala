@@ -126,6 +126,38 @@ class PlanQualitySpec extends SparkSpec {
       s"lang should not appear as a pushed row filter:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 200k rows on ONE key vs 200 keys of 10 — force a sort-merge join
+    // and thresholds low enough that local data trips the skew logic
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val skewed = spark.range(200000).select(
+        when($"id" < 190000, lit(7L)).otherwise($"id" % 200).as("k"),
+        concat(lit("payload-"), $"id").as(s"v"))
+      val dim = spark.range(200).select($"id".as("k"), concat(lit("d"), $"id").as("d"))
+      val joined = skewed.join(dim, "k")
+      // collect() executes THIS dataset's QueryExecution, finalizing AQE
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q106 retention: offset-0 retention is 1.0 (every user is active in their cohort week)") {
     import org.apache.spark.sql.functions._
     val out = ExtendedRelational.retentionCohorts(spark, dir).cache()
