@@ -358,6 +358,89 @@ object ExtendedRelational {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, price DESC""".stripMargin
 
+  /** Unpivot / melt (q107): the wide daily matrix from [[pivotDaily]]
+    * stacked back to long (day, event_type, n) form — the inverse
+    * reshape every reporting pipeline needs in both directions. Spark
+    * side uses the native `unpivot` (STACK) operator on the q39 result,
+    * dropping zero-count cells so the round trip reproduces exactly the
+    * observed (day, type) pairs; map-side only on top of q39's agg.
+    */
+  def unpivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pivotDaily(spark, dir)
+      .unpivot(Array($"day"), EventTypes.map(t => col(s"n_$t")).toArray,
+        "event_type", "n")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .filter($"n" > 0)
+      .orderBy($"day", $"event_type")
+  }
+
+  private def oracleUnpivot: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Snapshot diff (q108): the verification operator a migration engine
+    * owes its users — given two keyed snapshots, classify every key as
+    * added / removed / changed by comparing a deterministic row
+    * fingerprint, full-outer-joined on the key (one shuffle each side,
+    * nothing row²). Here the two snapshots are derived views of
+    * `orders` (old = keys with hash%10 ∉ {2}; new = keys with hash%10 ∉
+    * {0}, prices bumped on hash%10 = 1), so both engines build
+    * byte-identical inputs; the fingerprint hashes only
+    * stably-rendered columns (strings and a cents-scaled BIGINT — no
+    * float-to-string formatting anywhere).
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val slot = pmod($"o_orderkey", lit(10))
+    // decimal, not double: double→long CASt truncates in Spark but
+    // rounds in DuckDB; decimal(18,2)*100 is exact in both engines
+    def fp(price: org.apache.spark.sql.Column) = md5(concat_ws("|",
+      $"o_orderstatus", $"o_orderpriority",
+      (price.cast("decimal(18,2)") * 100).cast("long").cast("string")))
+    val old = orders.filter(slot =!= 2)
+      .select($"o_orderkey", fp($"o_totalprice").as("fp_old"))
+    val neu = orders.filter(slot =!= 0)
+      .select($"o_orderkey",
+        fp(when(slot === 1, $"o_totalprice" + 1.0).otherwise($"o_totalprice")).as("fp_new"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when($"fp_old".isNull, "added")
+          .when($"fp_new".isNull, "removed")
+          .when($"fp_old" =!= $"fp_new", "changed")
+          .otherwise("same"))
+      .filter($"change" =!= "same")
+      .select($"o_orderkey", $"change")
+      .orderBy($"o_orderkey")
+  }
+
+  private def oracleSnapshotDiff: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderkey % 10 AS slot, o_orderstatus,
+      |         o_orderpriority, o_totalprice
+      |  FROM orders),
+      |old AS (
+      |  SELECT o_orderkey, md5(o_orderstatus || '|' || o_orderpriority || '|' ||
+      |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)) AS fp_old
+      |  FROM o WHERE slot <> 2),
+      |neu AS (
+      |  SELECT o_orderkey, md5(o_orderstatus || '|' || o_orderpriority || '|' ||
+      |    CAST(CAST(CAST((CASE WHEN slot = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END) AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)) AS fp_new
+      |  FROM o WHERE slot <> 0)
+      |SELECT coalesce(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+      |  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |       WHEN neu.o_orderkey IS NULL THEN 'removed'
+      |       WHEN fp_old <> fp_new THEN 'changed'
+      |       ELSE 'same' END AS change
+      |FROM old FULL OUTER JOIN neu ON neu.o_orderkey = old.o_orderkey
+      |WHERE (CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |       WHEN neu.o_orderkey IS NULL THEN 'removed'
+      |       WHEN fp_old <> fp_new THEN 'changed'
+      |       ELSE 'same' END) <> 'same'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Weekly retention cohorts (q106): users grouped by first-active
     * week; the (cohort, week-offset) matrix of distinct active users
     * with retention rates — the standard product-analytics rollup. Two
@@ -403,6 +486,8 @@ object ExtendedRelational {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_retention_cohorts" -> (retentionCohorts _),
+    "q107_unpivot_daily" -> (unpivotDaily _),
+    "q108_snapshot_diff" -> (snapshotDiff _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
     "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
@@ -423,6 +508,8 @@ object ExtendedRelational {
 
   val oracles: Map[String, String] = Map(
     "q106_retention_cohorts" -> oracleRetention,
+    "q107_unpivot_daily" -> oracleUnpivot,
+    "q108_snapshot_diff" -> oracleSnapshotDiff,
     "q82_topk_per_key" -> oracleTopOrders,
     "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,

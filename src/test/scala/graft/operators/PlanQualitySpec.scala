@@ -158,6 +158,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q107 unpivot is the exact inverse of q39 pivot on observed cells") {
+    import org.apache.spark.sql.functions._
+    val long = ExtendedRelational.unpivotDaily(spark, dir)
+      .select(col("day").cast("string"), col("event_type"), col("n")).collect().toSet
+    val direct = graft.Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").cast("string").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n")).collect().toSet
+    assert(long == direct)
+  }
+
+  test("q108 snapshot diff: classes partition the hash slots by construction") {
+    import org.apache.spark.sql.functions._
+    val out = ExtendedRelational.snapshotDiff(spark, dir).cache()
+    // slot 2 = added, slot 0 = removed, slot 1 = changed; nothing else
+    assert(out.filter(col("change") === "added" && pmod(col("o_orderkey"), lit(10)) =!= 2).isEmpty)
+    assert(out.filter(col("change") === "removed" && pmod(col("o_orderkey"), lit(10)) =!= 0).isEmpty)
+    assert(out.filter(col("change") === "changed" && pmod(col("o_orderkey"), lit(10)) =!= 1).isEmpty)
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val expected = orders.filter(pmod(col("o_orderkey"), lit(10)).isin(0, 1, 2)).count()
+    assert(out.count() == expected, "every touched key classified exactly once")
+    out.unpersist()
+  }
+
   test("q106 retention: offset-0 retention is 1.0 (every user is active in their cohort week)") {
     import org.apache.spark.sql.functions._
     val out = ExtendedRelational.retentionCohorts(spark, dir).cache()
