@@ -583,6 +583,53 @@ object TextDedup {
        |SELECT new_id AS doc_id, corp_id AS dup_of, round(j, 4) AS jaccard
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Triangle listing over the df-capped dup-pair graph (q109): the
+    * motif that separates a genuine duplicate CLUSTER (mutually similar
+    * triples) from chains of borderline pairs — a standard graph
+    * analytic (here: dedup-cluster quality). Edges are oriented a<b at
+    * the source, so each triangle is enumerated exactly once via two
+    * keyed self-joins (E(a,b)⋈E(b,c)⋈E(a,c)) — the classic
+    * ordered-wedge plan whose cost is Σ deg(v)², never n³; on the
+    * skew-prone giant-degree case the q61 df-cap has already bounded
+    * degrees upstream.
+    */
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val index = shingleIndex(spark, dir)
+    val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("s"))
+    val capped = index.join(rare, Seq("s"), "left_semi").cache()
+    val e = jaccardPairs(capped).filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    capped.unpersist()
+    val ab = e.toDF("a", "b")
+    val bc = e.toDF("b", "c")
+    val ac = e.toDF("a", "c")
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
+  private def oracleTriangles: String =
+    s"""WITH sh0 AS ($shingleIndexSql),
+       |sh AS (
+       |  SELECT * FROM sh0 WHERE s IN (
+       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT a_id, b_id FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= $JaccardThreshold)
+       |SELECT ab.a_id AS a, ab.b_id AS b, bc.b_id AS c
+       |FROM e ab
+       |JOIN e bc ON bc.a_id = ab.b_id
+       |JOIN e ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
+       |ORDER BY a, b, c""".stripMargin
+
   private val MaxCcIters = 25
 
   /** Duplicate-cluster assembly (q70): pair lists (from LSH/Jaccard)
@@ -748,6 +795,7 @@ object TextDedup {
     "q61_dedup_jaccard_dfcap" -> (dedupNgramJaccardCapped _),
     "q70_dedup_clusters" -> (dedupClusters _),
     "q97_dedup_snm" -> (dedupSnm _),
+    "q109_dup_triangles" -> (dupTriangles _),
     "q78_dedup_incremental" -> (dedupIncremental _),
     "q79_simhash_pairs" -> (simhashPairs _),
     "q19_dedup_exact" -> (dedupExact _),
@@ -761,6 +809,7 @@ object TextDedup {
     "q61_dedup_jaccard_dfcap" -> oracleNgramCapped,
     "q70_dedup_clusters" -> oracleClusters,
     "q97_dedup_snm" -> oracleSnm,
+    "q109_dup_triangles" -> oracleTriangles,
     "q78_dedup_incremental" -> oracleIncremental,
     "q79_simhash_pairs" -> oracleSimhashPairs,
     "q19_dedup_exact" -> oracleExact,

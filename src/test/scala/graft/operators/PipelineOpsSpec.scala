@@ -72,6 +72,18 @@ class PipelineOpsSpec extends SparkSpec {
     // word entropy of a constant-word doc is 0 by the same formula on ws
   }
 
+  test("q109 triangles: strictly ordered vertices, every edge is a capped-jaccard pair") {
+    val tris = TextDedup.dupTriangles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tris.forall { case (a, b, c) => a < b && b < c })
+    val pairs = TextDedup.dedupNgramJaccardCapped(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((a, b, c) <- tris) {
+      assert(pairs((a, b)) && pairs((b, c)) && pairs((a, c)),
+        s"triangle ($a,$b,$c) has a missing edge")
+    }
+  }
+
   test("simhash emits one 32-bit fingerprint per doc") {
     val rows = TextDedup.textSimhash(spark, dir).collect()
     assert(rows.length == 500)
