@@ -34,7 +34,16 @@ object TextPrims {
     * batch and streaming keep-logic cannot diverge.
     */
   def topWordCount(arr: String): Column =
-    expr(s"array_max(transform(array_distinct($arr), x -> size(filter($arr, y -> y = x))))")
+    // longest run in the sorted array — O(n log n) vs the naive
+    // distinct×filter O(d·n) (measured ~2s of the q83/q71 scan at
+    // sf0.1); same value: count of the most frequent element
+    expr(s"""aggregate(array_sort($arr),
+      named_struct('p', '', 'r', 0, 'b', 0),
+      (a, x) -> named_struct(
+        'p', x,
+        'r', IF(x = a.p, a.r + 1, 1),
+        'b', greatest(a.b, IF(x = a.p, a.r + 1, 1))),
+      a -> a.b)""")
 
   /** Word k-shingles (k=3): the n-gram unit for Jaccard/MinHash. Caller
     * must filter `size(words) >= 3` first — `sequence(1, n-2)` runs
