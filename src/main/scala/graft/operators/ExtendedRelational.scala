@@ -315,6 +315,46 @@ object ExtendedRelational {
        |FROM r WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY user_id""".stripMargin
 
+  /** Point-in-time reconstruction (q110): the time-travel read over a
+    * CDC stream — per-key state AS OF each of three snapshot instants
+    * (quartiles of the observed time range, derived deterministically
+    * from the data on both engines). The as-of list is O(1) and rides
+    * a broadcast; per instant the state is "last non-error op wins"
+    * exactly as q60 defines it, so one keyed (instant, user) window
+    * shuffle reconstructs all snapshots in a single pass — the batch
+    * equivalent of replaying a binlog to three checkpoints without
+    * replaying it three times.
+    */
+  def pointInTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+    val asofs = e.agg(unix_micros(min($"ts")).as("lo"), unix_micros(max($"ts")).as("hi"))
+      .select(explode(array(lit(1), lit(2), lit(3))).as("k"), $"lo", $"hi")
+      .select($"k".cast("long").as("k"), expr("lo + div((hi - lo) * k, 4)").as("as_of_us"))
+    val w = Window.partitionBy($"k", $"user_id").orderBy($"ts".desc, $"event_id".desc)
+    e.crossJoin(broadcast(asofs))
+      .filter(unix_micros($"ts") <= $"as_of_us")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"k", $"as_of_us", $"user_id", $"event_id".as("last_event_id"),
+        $"event_type".as("last_op"), round($"value", 4).as("value"))
+      .orderBy($"k", $"user_id")
+  }
+
+  private def oraclePointInTime: String =
+    s"""WITH e AS ($eventsUsSql),
+       |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM e),
+       |a AS (
+       |  SELECT k, lo + (hi - lo) * k // 4 AS as_of_us
+       |  FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+       |f AS (SELECT a.k, a.as_of_us, e.* FROM e JOIN a ON epoch_us(e.ts) <= a.as_of_us),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY k, user_id ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+       |SELECT k::BIGINT AS k, as_of_us, user_id, event_id AS last_event_id,
+       |  event_type AS last_op, round(value, 4) AS value
+       |FROM r WHERE rn = 1 AND event_type <> 'error'
+       |ORDER BY k, user_id""".stripMargin
+
   /** Salted skew join (q80): the [[SkewJoin.saltedJoin]] lever run as
     * an oracle-gated query — events (the skew-prone fact) joined to
     * customer over (key, salt), then aggregated by segment. The oracle
@@ -488,6 +528,7 @@ object ExtendedRelational {
     "q106_retention_cohorts" -> (retentionCohorts _),
     "q107_unpivot_daily" -> (unpivotDaily _),
     "q108_snapshot_diff" -> (snapshotDiff _),
+    "q110_point_in_time" -> (pointInTime _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
     "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
@@ -510,6 +551,7 @@ object ExtendedRelational {
     "q106_retention_cohorts" -> oracleRetention,
     "q107_unpivot_daily" -> oracleUnpivot,
     "q108_snapshot_diff" -> oracleSnapshotDiff,
+    "q110_point_in_time" -> oraclePointInTime,
     "q82_topk_per_key" -> oracleTopOrders,
     "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,

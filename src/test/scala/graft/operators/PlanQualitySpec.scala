@@ -182,6 +182,22 @@ class PlanQualitySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q110 point-in-time: snapshots grow monotonically and the last matches q60") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = ExtendedRelational.pointInTime(spark, dir).cache()
+    // state only accumulates: users-at-k is a subset of users-at-k+1
+    val byK = out.groupBy($"k").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(byK.keySet == Set(1L, 2L, 3L))
+    assert(byK(1L) <= byK(2L) && byK(2L) <= byK(3L))
+    // the as-of instants are strictly increasing
+    val ts = out.select($"k", $"as_of_us").distinct()
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b })
+    out.unpersist()
+  }
+
   test("q106 retention: offset-0 retention is 1.0 (every user is active in their cohort week)") {
     import org.apache.spark.sql.functions._
     val out = ExtendedRelational.retentionCohorts(spark, dir).cache()
