@@ -636,6 +636,64 @@ object TextDedup {
        |JOIN e ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
        |ORDER BY a, b, c""".stripMargin
 
+  /** Per-source duplication audit (q111): for every source, the exact-
+    * duplicate rate (md5 groups, corpus-wide canonical) and the
+    * near-dup exposure rate (membership in any df-capped Jaccard pair)
+    * — the rollup that tells a corpus owner WHERE its duplication
+    * lives before any dedup runs. Reuses the shared cached pair
+    * pipeline and the q19 window; one extra broadcast-sized join per
+    * rate, aggregated per source.
+    */
+  def sourceDupRates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"source")
+    val exact = dedupExact(spark, dir).select($"doc_id", $"is_dup")
+    val pairs = cappedPairs(spark, dir)
+    val near = pairs.select($"a_id".as("doc_id"))
+      .union(pairs.select($"b_id".as("doc_id"))).distinct()
+      .withColumn("is_near", lit(true))
+    docs.join(exact, "doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when($"is_near".isNotNull, 1L).otherwise(0L)).as("n_near_dup"))
+      .select($"source", $"n_docs", $"n_exact_dup", $"n_near_dup",
+        round($"n_exact_dup" / $"n_docs", 6).as("exact_rate"),
+        round($"n_near_dup" / $"n_docs", 6).as("near_rate"))
+      .orderBy($"source")
+  }
+
+  private def oracleSourceDupRates: String =
+    s"""WITH sh0 AS ($shingleIndexSql),
+       |sh AS (
+       |  SELECT * FROM sh0 WHERE s IN (
+       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT a_id, b_id FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= $JaccardThreshold),
+       |near AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT a_id AS doc_id FROM e UNION ALL SELECT b_id FROM e)),
+       |ex AS (
+       |  SELECT doc_id, source,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+       |  FROM documents)
+       |SELECT ex.source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN ex.is_dup THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup,
+       |  sum(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_near_dup,
+       |  round(sum(CASE WHEN ex.is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS exact_rate,
+       |  round(sum(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS near_rate
+       |FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
+       |GROUP BY ex.source ORDER BY ex.source""".stripMargin
+
   private val MaxCcIters = 25
 
   /** Duplicate-cluster assembly (q70): pair lists (from LSH/Jaccard)
@@ -796,6 +854,7 @@ object TextDedup {
     "q70_dedup_clusters" -> (dedupClusters _),
     "q97_dedup_snm" -> (dedupSnm _),
     "q109_dup_triangles" -> (dupTriangles _),
+    "q111_source_dup_rates" -> (sourceDupRates _),
     "q78_dedup_incremental" -> (dedupIncremental _),
     "q79_simhash_pairs" -> (simhashPairs _),
     "q19_dedup_exact" -> (dedupExact _),
@@ -810,6 +869,7 @@ object TextDedup {
     "q70_dedup_clusters" -> oracleClusters,
     "q97_dedup_snm" -> oracleSnm,
     "q109_dup_triangles" -> oracleTriangles,
+    "q111_source_dup_rates" -> oracleSourceDupRates,
     "q78_dedup_incremental" -> oracleIncremental,
     "q79_simhash_pairs" -> oracleSimhashPairs,
     "q19_dedup_exact" -> oracleExact,

@@ -84,6 +84,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q111 source dup rates: bounded rates, totals reconcile with q19 and the pair set") {
+    val out = TextDedup.sourceDupRates(spark, dir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_exact_dup") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_near_dup") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("exact_rate") >= 0 && r.getAs[Double]("exact_rate") <= 1)
+    }
+    val totalExact = out.map(_.getAs[Long]("n_exact_dup")).sum
+    val q19Dups = TextDedup.dedupExact(spark, dir)
+      .filter("is_dup").count()
+    assert(totalExact == q19Dups, "per-source exact dups must sum to the corpus total")
+  }
+
   test("simhash emits one 32-bit fingerprint per doc") {
     val rows = TextDedup.textSimhash(spark, dir).collect()
     assert(rows.length == 500)
