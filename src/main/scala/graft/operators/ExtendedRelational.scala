@@ -355,6 +355,58 @@ object ExtendedRelational {
        |FROM r WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY k, user_id""".stripMargin
 
+  /** Referential-integrity audit (q112): orphan rates for every FK
+    * edge of the schema (lineitem→orders, orders→customer,
+    * customer→nation, events→customer) — the post-migration
+    * verification a data-movement engine owes its users alongside the
+    * q108 row diff. Each edge is one left-anti join against the
+    * distinct parent key set (parent sides are dimension-sized →
+    * broadcast; the fact side never shuffles), aggregated to a
+    * one-row-per-edge report.
+    */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val total = child.count()
+      val orphans = child.select(col(fk).as("k"))
+        .join(broadcast(parent.select(col(pk).as("k")).distinct()), Seq("k"), "left_anti")
+        .count()
+      Seq((name, total, orphans)).toDF("fk_edge", "n_child", "n_orphan")
+    }
+    val edges = Seq(
+      edge("lineitem.l_orderkey->orders", Tables.load(spark, dir, "lineitem"),
+        "l_orderkey", Tables.load(spark, dir, "orders"), "o_orderkey"),
+      edge("orders.o_custkey->customer", Tables.load(spark, dir, "orders"),
+        "o_custkey", Tables.load(spark, dir, "customer"), "c_custkey"),
+      edge("customer.c_nationkey->nation", Tables.load(spark, dir, "customer"),
+        "c_nationkey", Tables.load(spark, dir, "nation"), "n_nationkey"),
+      edge("events.user_id->customer", Tables.load(spark, dir, "events"),
+        "user_id", Tables.load(spark, dir, "customer"), "c_custkey"))
+    edges.reduce(_.unionAll(_))
+      .select($"fk_edge", $"n_child", $"n_orphan",
+        round($"n_orphan" / $"n_child", 6).as("orphan_rate"))
+      .orderBy($"fk_edge")
+  }
+
+  private def oracleRefIntegrity: String = {
+    def edge(name: String, child: String, fk: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS fk_edge,
+         |  (SELECT count(*) FROM $child)::BIGINT AS n_child,
+         |  (SELECT count(*) FROM $child c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))::BIGINT AS n_orphan""".stripMargin
+    val edges = Seq(
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ).mkString("\nUNION ALL\n")
+    s"""SELECT fk_edge, n_child, n_orphan,
+       |  round(n_orphan::DOUBLE / n_child, 6) AS orphan_rate
+       |FROM ($edges)
+       |ORDER BY fk_edge""".stripMargin
+  }
+
   /** Salted skew join (q80): the [[SkewJoin.saltedJoin]] lever run as
     * an oracle-gated query — events (the skew-prone fact) joined to
     * customer over (key, salt), then aggregated by segment. The oracle
@@ -529,6 +581,7 @@ object ExtendedRelational {
     "q107_unpivot_daily" -> (unpivotDaily _),
     "q108_snapshot_diff" -> (snapshotDiff _),
     "q110_point_in_time" -> (pointInTime _),
+    "q112_ref_integrity" -> (refIntegrity _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
     "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
@@ -552,6 +605,7 @@ object ExtendedRelational {
     "q107_unpivot_daily" -> oracleUnpivot,
     "q108_snapshot_diff" -> oracleSnapshotDiff,
     "q110_point_in_time" -> oraclePointInTime,
+    "q112_ref_integrity" -> oracleRefIntegrity,
     "q82_topk_per_key" -> oracleTopOrders,
     "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,
