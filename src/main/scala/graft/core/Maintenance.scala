@@ -69,6 +69,11 @@ object Maintenance {
       val newest = parked.maxBy(_.getModificationTime).getPath
       if (!fs.rename(newest, p))
         throw new java.io.IOException(s"compact: could not restore parked $newest to $p")
+      // the crash also orphaned the staging copy of that run — drop it,
+      // or every crash permanently doubles the table's disk footprint
+      fs.listStatus(p.getParent).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(p.getName + ".compact-"))
+        .foreach(s => fs.delete(s.getPath, true))
     }
     def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.filter(_.isFile)

@@ -201,9 +201,9 @@ object CorpusOps {
     */
   def annInt8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def quantized(idCol: String, vecCol: String, prefix: String): DataFrame = {
+    def quantized(idCol: String, prefix: String, isQuery: Boolean): DataFrame = {
       val e = Tables.load(spark, dir, "embeddings")
-      val side = if (prefix == "q") e.filter($"vec_id" < NumQueries)
+      val side = if (isQuery) e.filter($"vec_id" < NumQueries)
         else e.filter($"vec_id" >= NumQueries)
       side.select(
         $"vec_id".as(idCol),
@@ -213,8 +213,8 @@ object CorpusOps {
               (127.0D / array_max(transform(embedding, y -> abs(cast(y as double))))) + 0.5D) as bigint))""")
           .as(s"${prefix}v"))
     }
-    val q = quantized("q_id", "qe", "q")
-    val c = quantized("c_id", "ce", "c")
+    val q = quantized("q_id", "q", isQuery = true)
+    val c = quantized("c_id", "c", isQuery = false)
     def idot(a: String, b: String): Column =
       expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, t) -> acc + t)")
     val scored = c.crossJoin(broadcast(q))
@@ -866,8 +866,11 @@ object CorpusOps {
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint, not cache(): consumed four times below, but a
+    // cache entry would outlive the query with no cross-query reuse —
+    // checkpoint blocks are GC-reclaimed with the plan instead
     val exact3 = Similarity.cosineTopK(spark, dir)
-      .filter($"rank" <= 3).select($"q_id", $"c_id").cache()
+      .filter($"rank" <= 3).select($"q_id", $"c_id").localCheckpoint()
     val qs = exact3.select($"q_id").distinct()
     val methods = Seq(
       "lsh" -> Similarity.annLsh(spark, dir),

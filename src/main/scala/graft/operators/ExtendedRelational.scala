@@ -366,14 +366,17 @@ object ExtendedRelational {
     */
   def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one pass per edge: left join against the distinct parent keys and
+    // count total + misses in the same agg (a count() + anti-join count()
+    // formulation would scan every child table twice, eagerly)
     def edge(name: String, child: DataFrame, fk: String,
-             parent: DataFrame, pk: String): DataFrame = {
-      val total = child.count()
-      val orphans = child.select(col(fk).as("k"))
-        .join(broadcast(parent.select(col(pk).as("k")).distinct()), Seq("k"), "left_anti")
-        .count()
-      Seq((name, total, orphans)).toDF("fk_edge", "n_child", "n_orphan")
-    }
+             parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk).as("k"))
+        .join(broadcast(parent.select(col(pk).as("k"), lit(1).as("__hit")).distinct()),
+          Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"))
     val edges = Seq(
       edge("lineitem.l_orderkey->orders", Tables.load(spark, dir, "lineitem"),
         "l_orderkey", Tables.load(spark, dir, "orders"), "o_orderkey"),

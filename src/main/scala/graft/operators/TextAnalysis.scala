@@ -532,7 +532,11 @@ object TextAnalysis {
     Tables.load(spark, dir, "documents")
       .withColumn("cs", expr("regexp_extract_all(text, '.', 0)"))
       .withColumn("ws", words($"text"))
-      .filter(size($"ws") >= 1)
+      // length >= 1, not size(ws) >= 1: split('', ' ') is [''] so the
+      // word filter passes empty docs, where Spark's aggregate over an
+      // empty char list yields the -0.0 seed but DuckDB list_sum yields
+      // NULL — a latent cross-engine gate break
+      .filter(length($"text") >= 1)
       .select(
         $"doc_id",
         round(entropy("cs"), 6).as("char_entropy"),
@@ -550,7 +554,7 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    regexp_extract_all(text, '.') AS cs,
        |    string_split(text, ' ') AS ws
-       |  FROM documents WHERE len(string_split(text, ' ')) >= 1)
+       |  FROM documents WHERE length(text) >= 1)
        |SELECT doc_id,
        |  round(${entropy("cs")}, 6) AS char_entropy,
        |  round(${entropy("ws")}, 6) AS word_entropy,

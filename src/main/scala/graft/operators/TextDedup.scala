@@ -21,8 +21,7 @@ import TextPrims._
   */
 object TextDedup {
 
-  private val MinhashPerms = 16
-  private val Bands = 4 // 4 rows/band → ~(j^4) band-collision prob per band
+  import TextPrims.{MinhashPerms, MinhashBands => Bands}
   private val JaccardThreshold = 0.8
   private val MinhashVerifyThreshold = 0.7
 
@@ -134,27 +133,24 @@ object TextDedup {
     * measured 3x slower end-to-end, so the column formulation stays.
     */
   private def minhashBands(index: DataFrame): DataFrame = {
-    // Hash family: FOUR salted md5 digests per shingle, each split
-    // into four 32-bit hex chunks → 16 independent-enough permutations
-    // for the price of 4 md5 calls instead of 16 (md5 dominates the
-    // signature stage; measured on the sf0.1 bench). 32-bit min-hash
-    // values are ample: per-shingle collision odds are 2^-32 and the
-    // estimator only needs rank order. DuckDB replays the same
-    // substr(md5(salt||s), j, 8) chunking bit-exactly.
-    val salts = Seq("A", "B", "C", "D")
-    val withH = salts.foldLeft(index) { (df, t) =>
+    // The family (salts, chunking, band shape) lives in TextPrims and
+    // is SHARED with streaming lshBands and the oracle — see there for
+    // the 4-digest/32-bit-chunk rationale. The digest columns are
+    // computed once per row; perms are chunk views into them.
+    val withH = TextPrims.MinhashSalts.foldLeft(index) { (df, t) =>
       df.withColumn(s"h$t", md5(concat(lit(s"$t:"), col("s"))))
     }
     def perm(i: Int): Column = {
-      val (src, j) = (s"h${salts(i / 4)}", i % 4)
-      conv(substring(col(src), j * 8 + 1, 8), 16, 10).cast("long")
+      val (salt, j) = TextPrims.minhashSaltChunk(i)
+      TextPrims.minhashChunk(col(s"h$salt"), j)
     }
     val sig = withH.groupBy(col("doc_id")).agg(
       min(perm(0)).as("m0"),
       (1 until MinhashPerms).map(i => min(perm(i)).as(s"m$i")): _*)
-    val rowsPerBand = MinhashPerms / Bands
+    val rowsPerBand = TextPrims.minhashRowsPerBand
     val bandStructs = (0 until Bands).map { b =>
-      val key = md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+      val key = TextPrims.minhashBandKey(
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")))
       struct(lit(b).as("band"), key.as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
@@ -165,11 +161,9 @@ object TextDedup {
     * the `sh` CTE (shingle index) in scope.
     */
   private def minhashBandsSql: String = {
-    val minCols = (0 until MinhashPerms).map { i =>
-      val salt = Seq("A", "B", "C", "D")(i / 4)
-      s"min(('0x'||substr(md5('$salt:' || s), ${(i % 4) * 8 + 1}, 8))::BIGINT) AS m$i"
-    }.mkString(", ")
-    val rowsPerBand = MinhashPerms / Bands
+    val minCols = (0 until MinhashPerms)
+      .map(i => s"min(${TextPrims.minhashPermDuckSql(i, "s")}) AS m$i").mkString(", ")
+    val rowsPerBand = TextPrims.minhashRowsPerBand
     val bandRows = (0 until Bands).map { b =>
       val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $key)) AS bkey FROM sig"

@@ -28,6 +28,43 @@ object TextPrims {
     */
   def words(text: Column): Column = split(text, " ")
 
+  // ---- MinHash family: ONE definition for batch (TextDedup), ----
+  // ---- streaming (StreamingJobs.lshBands) and the DuckDB oracle ----
+  // 16 permutations from 4 salted md5 digests split into 32-bit hex
+  // chunks (md5 dominates the signature stage; 4 digests instead of 16
+  // measured 4x); 4 bands of 4 rows. Batch and streaming MUST bucket
+  // identically — both sides derive every salt/chunk/band from here.
+  val MinhashSalts: Seq[String] = Seq("A", "B", "C", "D")
+  val MinhashPerms = 16
+  val MinhashBands = 4
+  def minhashRowsPerBand: Int = MinhashPerms / MinhashBands
+
+  /** (salt, hex-chunk index) of permutation i. */
+  def minhashSaltChunk(i: Int): (String, Int) =
+    (MinhashSalts(i / (MinhashPerms / MinhashSalts.length)),
+      i % (MinhashPerms / MinhashSalts.length))
+
+  /** 32-bit chunk j of an md5-hex digest column. */
+  def minhashChunk(digest: Column, j: Int): Column =
+    conv(substring(digest, j * 8 + 1, 8), 16, 10).cast("long")
+
+  /** Permutation i of a shingle as a SQL snippet (for lambda contexts
+    * like `array_min(transform(...))` where Columns can't reach).
+    */
+  def minhashPermSql(i: Int, shingleExpr: String): String = {
+    val (salt, j) = minhashSaltChunk(i)
+    s"cast(conv(substring(md5(concat('$salt:', $shingleExpr)), ${j * 8 + 1}, 8), 16, 10) as long)"
+  }
+
+  /** DuckDB rendering of permutation i over shingle expression `s`. */
+  def minhashPermDuckSql(i: Int, shingleExpr: String): String = {
+    val (salt, j) = minhashSaltChunk(i)
+    s"('0x'||substr(md5('$salt:' || $shingleExpr), ${j * 8 + 1}, 8))::BIGINT"
+  }
+
+  /** Band key from the band's signature columns. */
+  def minhashBandKey(ms: Seq[Column]): Column = md5(concat_ws(",", ms: _*))
+
   /** Occurrence count of the most frequent element of a word-array
     * column (named by `arr`) — the shared core of the q71 repetition
     * profile and the streaming ingest filter; one definition so the

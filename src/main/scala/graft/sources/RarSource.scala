@@ -99,6 +99,11 @@ object RarSource extends Serializable {
         case 0x7b => // end-of-archive
           done = true
         case _ => // marker/archive header/comment/sub-blocks: skip
+          // validate before the Long→Int narrowing: a crafted ADD_SIZE
+          // near 2^32 would otherwise wrap negative and stall (advance
+          // by 0) or crash with AIOOBE instead of failing loudly
+          require(addSize >= 0 && pos + headSize + addSize <= content.length,
+            s"corrupt RAR skip block at $pos (addSize=$addSize)")
           pos += headSize + addSize.toInt
       }
     }

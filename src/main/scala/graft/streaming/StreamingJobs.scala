@@ -177,20 +177,22 @@ object StreamingJobs {
     * runs unchanged on batch or streaming frames.
     */
   def lshBands(docs: DataFrame): DataFrame = {
-    val salts = Seq("A", "B", "C", "D")
-    def perm(i: Int): String = {
-      val salt = salts(i / 4); val j = i % 4
-      s"array_min(transform(__sh, s -> cast(conv(substring(md5(concat('$salt:', s)), ${j * 8 + 1}, 8), 16, 10) as long)))"
-    }
-    val bandStructs = (0 until 4).map { b =>
-      val key = md5(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*))
+    import graft.operators.TextPrims
+    // every salt/chunk/band constant comes from TextPrims — the ONE
+    // definition of the family shared with batch q21 and its oracle
+    def perm(i: Int): String =
+      s"array_min(transform(__sh, s -> ${TextPrims.minhashPermSql(i, "s")}))"
+    val rpb = TextPrims.minhashRowsPerBand
+    val bandStructs = (0 until TextPrims.MinhashBands).map { b =>
+      val key = TextPrims.minhashBandKey((0 until rpb).map(r => col(s"m${b * rpb + r}")))
       struct(lit(b).as("band"), key.as("bkey"))
     }
     docs
-      .withColumn("__w", graft.operators.TextPrims.words(col("text")))
+      .withColumn("__w", TextPrims.words(col("text")))
       .filter(size(col("__w")) >= 3)
-      .withColumn("__sh", array_distinct(graft.operators.TextPrims.shingles3(col("__w"))))
-      .select(col("doc_id") +: (0 until 16).map(i => expr(perm(i)).as(s"m$i")): _*)
+      .withColumn("__sh", array_distinct(TextPrims.shingles3(col("__w"))))
+      .select(col("doc_id") +:
+        (0 until TextPrims.MinhashPerms).map(i => expr(perm(i)).as(s"m$i")): _*)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
   }
@@ -258,7 +260,15 @@ object StreamingJobs {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val batchDf = batch.toDF()
-        val corpus = scala.util.Try(spark.read.parquet(corpusDir)).toOption
+        // only a MISSING corpus dir means "first batch" — any other read
+        // failure (transient FS error, corrupt footer) must fail the
+        // batch loudly, or dedup would be silently skipped for it
+        val corpus =
+          try Some(spark.read.parquet(corpusDir))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" => None
+          }
         // exact novelty vs corpus
         val novel = corpus match {
           case Some(c) =>
