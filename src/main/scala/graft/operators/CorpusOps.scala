@@ -42,7 +42,13 @@ object CorpusOps {
     * accumulate in array order on both engines); argmin ties break on
     * cluster id.
     */
-  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared Lloyd's fit: (final centroids, final assignments) —
+    * q86 reports the assignments, q113 evaluates the model. Centroids
+    * are localCheckpoint'ed so both consumers (and the assignment's
+    * broadcast) read the materialized 4-row table instead of re-running
+    * the iterations.
+    */
+  private def kmeansFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -66,7 +72,13 @@ object CorpusOps {
         .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
         .select($"cid", expr("transform(dm, t -> t.m)").as("cvec"))
     }
-    assign(centroids)
+    val cents = centroids.localCheckpoint()
+    (cents, assign(cents))
+  }
+
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kmeansFit(spark, dir)._2
       .select($"vec_id", $"cid".as("cluster"), round($"d", 6).as("dist2"))
       .orderBy($"vec_id")
   }
@@ -105,6 +117,65 @@ object CorpusOps {
        |${recomputeSql("a2", "c2")},
        |${assignSql("c2", "af")}
        |SELECT vec_id, cid AS cluster, round(d, 6) AS dist2 FROM af ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------- q113 cluster quality
+
+  /** Clustering-quality report (q113) over the q86 fit: per cluster
+    * size, inertia (Σ dist² to own centroid) and the squared distance
+    * to the NEAREST other centroid — the separation/compactness pair
+    * behind silhouette-style model review, as a cluster-count-sized
+    * table. Inertia sums are order-pinned (per-cluster term list
+    * sorted by vec_id on both engines); centroid separation is a
+    * k×k cross of the 4-row centroid table. One keyed agg over the
+    * assignments, everything else is O(k).
+    */
+  def clusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cents, assigned) = kmeansFit(spark, dir)
+    val sep = cents.toDF("cid", "cvec")
+      .join(cents.toDF("cid2", "cvec2"), col("cid") =!= col("cid2"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(cvec, cvec2, (x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)"))
+      .groupBy($"cid").agg(min($"d2").as("min_other_d2"))
+    assigned
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        array_sort(collect_list(struct($"vec_id", $"d"))).as("ds"))
+      .withColumn("inertia",
+        expr("aggregate(transform(ds, t -> t.d), 0D, (a, v) -> a + v)"))
+      .join(broadcast(sep), "cid")
+      .select($"cid".as("cluster"), $"n_vecs",
+        round($"inertia", 6).as("inertia"),
+        round($"inertia" / $"n_vecs", 6).as("mean_dist2"),
+        round($"min_other_d2", 6).as("min_other_centroid_d2"))
+      .orderBy($"cluster")
+  }
+
+  private def oracleClusterQuality: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cid, list_transform(v, x -> round(x, 9)) AS cvec
+       |  FROM ev WHERE vec_id < $K),
+       |${assignSql("c0", "a1")},
+       |${recomputeSql("a1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${recomputeSql("a2", "c2")},
+       |${assignSql("c2", "af")},
+       |sep AS (
+       |  SELECT a.cid, min(list_sum(list_transform(list_zip(a.cvec, b.cvec),
+       |    p -> (p[1] - p[2]) * (p[1] - p[2])))) AS min_other_d2
+       |  FROM c2 a JOIN c2 b ON a.cid <> b.cid GROUP BY a.cid),
+       |agg AS (
+       |  SELECT cid, count(*)::BIGINT AS n_vecs,
+       |    list_sum(list(d ORDER BY vec_id)) AS inertia
+       |  FROM af GROUP BY cid)
+       |SELECT agg.cid AS cluster, agg.n_vecs,
+       |  round(agg.inertia, 6) AS inertia,
+       |  round(agg.inertia / agg.n_vecs, 6) AS mean_dist2,
+       |  round(sep.min_other_d2, 6) AS min_other_centroid_d2
+       |FROM agg JOIN sep ON sep.cid = agg.cid
+       |ORDER BY cluster""".stripMargin
 
   // ----------------------------------------------------- q87 chunking
 
@@ -1007,6 +1078,7 @@ object CorpusOps {
     "q94_weighted_sample" -> (weightedSample _),
     "q95_source_quota" -> (sourceQuota _),
     "q86_kmeans_clusters" -> (kmeansClusters _),
+    "q113_cluster_quality" -> (clusterQuality _),
     "q87_doc_chunking" -> (docChunks _),
     "q88_mixture_weights" -> (mixtureWeights _),
     "q89_ann_int8" -> (annInt8 _),
@@ -1028,6 +1100,7 @@ object CorpusOps {
     "q94_weighted_sample" -> oracleWeightedSample,
     "q95_source_quota" -> oracleSourceQuota,
     "q86_kmeans_clusters" -> oracleKmeans,
+    "q113_cluster_quality" -> oracleClusterQuality,
     "q87_doc_chunking" -> oracleChunks,
     "q88_mixture_weights" -> oracleMixture,
     "q89_ann_int8" -> oracleInt8,

@@ -252,6 +252,20 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q113 cluster quality: sizes sum to corpus, inertia consistent with q86 distances") {
+    val out = CorpusOps.clusterQuality(spark, dir).cache()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.agg(sum($"n_vecs")).as[Long].collect()(0) == n)
+    assert(out.filter($"inertia" < 0 || $"min_other_centroid_d2" <= 0).isEmpty)
+    // inertia per cluster equals the sum of q86's per-vector dist2
+    val fromQ86 = CorpusOps.kmeansClusters(spark, dir)
+      .groupBy($"cluster").agg(sum($"dist2").as("s"))
+      .as[(Long, Double)].collect().toMap
+    for ((c, i) <- out.select($"cluster", $"inertia").as[(Long, Double)].collect())
+      assert(math.abs(fromQ86(c) - i) < 1e-2, s"cluster $c inertia $i vs q86 ${fromQ86(c)}")
+    out.unpersist()
+  }
+
   test("q91 quality classifier: keep flag consistent with score, features bounded") {
     val out = CorpusOps.qualityClassifier(spark, dir).cache()
     assert(out.filter(($"quality" >= 0.5) =!= $"keep").isEmpty)
