@@ -410,6 +410,52 @@ object ExtendedRelational {
        |ORDER BY fk_edge""".stripMargin
   }
 
+  /** Daily event-count anomaly detection (q114): the q103 median/MAD
+    * robust-z machinery applied to the per-type daily time series —
+    * spike/outage detection over pipeline telemetry. Two exact
+    * percentile passes over an already-aggregated (type, day) table
+    * (O(types × days) rows — the expensive part is the one daily
+    * rollup shuffle, same as q15), stats broadcast back, map-side
+    * flagging. Degenerate MAD=0 series yield NULL z via nullif.
+    */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", $"ts").cast("date").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy($"event_type")
+      .agg(percentile($"n", lit(0.5)).as("med"))
+    val stats = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"n" - $"med"))
+      .groupBy($"event_type")
+      .agg(max($"med").as("med"), percentile($"adev", lit(0.5)).as("mad"))
+    val z = ($"n" - $"med") / (lit(1.4826) * nullif($"mad", lit(0.0)))
+    daily.join(broadcast(stats), "event_type")
+      .select($"event_type", $"day", $"n",
+        round($"med", 4).as("med"), round($"mad", 4).as("mad"),
+        round(z, 4).as("robust_z"),
+        (z > 3.0).as("is_spike"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private def oracleEventAnomalies: String =
+    s"""WITH e AS ($eventsUsSql),
+       |daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+       |  FROM e GROUP BY 1, 2),
+       |med AS (
+       |  SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY event_type),
+       |stats AS (
+       |  SELECT d.event_type, max(m.med) AS med,
+       |    quantile_cont(abs(d.n - m.med), 0.5) AS mad
+       |  FROM daily d JOIN med m ON m.event_type = d.event_type GROUP BY d.event_type)
+       |SELECT d.event_type, d.day, d.n::BIGINT AS n,
+       |  round(s.med, 4) AS med, round(s.mad, 4) AS mad,
+       |  round((d.n - s.med) / (1.4826 * nullif(s.mad, 0)), 4) AS robust_z,
+       |  (d.n - s.med) / (1.4826 * nullif(s.mad, 0)) > 3.0 AS is_spike
+       |FROM daily d JOIN stats s ON s.event_type = d.event_type
+       |ORDER BY d.event_type, d.day""".stripMargin
+
   /** Salted skew join (q80): the [[SkewJoin.saltedJoin]] lever run as
     * an oracle-gated query — events (the skew-prone fact) joined to
     * customer over (key, salt), then aggregated by segment. The oracle
@@ -585,6 +631,7 @@ object ExtendedRelational {
     "q108_snapshot_diff" -> (snapshotDiff _),
     "q110_point_in_time" -> (pointInTime _),
     "q112_ref_integrity" -> (refIntegrity _),
+    "q114_event_anomalies" -> (eventAnomalies _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
     "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
@@ -609,6 +656,7 @@ object ExtendedRelational {
     "q108_snapshot_diff" -> oracleSnapshotDiff,
     "q110_point_in_time" -> oraclePointInTime,
     "q112_ref_integrity" -> oracleRefIntegrity,
+    "q114_event_anomalies" -> oracleEventAnomalies,
     "q82_topk_per_key" -> oracleTopOrders,
     "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,
