@@ -198,6 +198,17 @@ class PlanQualitySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q114 anomalies: one row per (type, day), flags match the z definition away from 3.0") {
+    import org.apache.spark.sql.functions._
+    val out = ExtendedRelational.eventAnomalies(spark, dir).cache()
+    assert(out.groupBy(col("event_type"), col("day")).count().filter(col("count") > 1).isEmpty)
+    assert(out.filter(col("mad") < 0).isEmpty)
+    assert(out.filter(col("robust_z").isNotNull &&
+      abs(abs(col("robust_z")) - 3.0) > 0.001 &&
+      (col("is_spike") =!= (col("robust_z") > 3.0))).isEmpty)
+    out.unpersist()
+  }
+
   test("q106 retention: offset-0 retention is 1.0 (every user is active in their cohort week)") {
     import org.apache.spark.sql.functions._
     val out = ExtendedRelational.retentionCohorts(spark, dir).cache()
