@@ -92,6 +92,13 @@ object Maintenance {
         "compact each partition directory individually")
     val before = dataFiles(p)
     require(before.nonEmpty, s"compactParquet: no data files under $path")
+    // a crash DURING a previous staging write (path still present)
+    // leaves `<path>.compact-*` siblings behind — sweep them here too,
+    // not only in the crash-between-renames branch, or they live forever
+    if (p.getParent != null && fs.exists(p.getParent))
+      fs.listStatus(p.getParent).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(p.getName + ".compact-"))
+        .foreach(s => fs.delete(s.getPath, true))
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val stamp = java.util.UUID.randomUUID().toString.take(8)

@@ -598,22 +598,27 @@ object CorpusOps {
   def bloomDecontam(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(spark)
     import spark.implicits._
+    // uniquified view name, dropped after analysis: never clobbers (or
+    // leaks) a user view — spark.sql() analyzes eagerly, so the returned
+    // plan holds the resolved subtree and survives the drop
+    val view = s"graft_bloom_sh_${java.util.UUID.randomUUID().toString.take(8)}"
     Tables.load(spark, dir, "documents")
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", explode(array_distinct(shingles3($"w"))).as("s"))
-      .createOrReplaceTempView("g96_sh")
-    spark.sql(
-      s"""WITH ev AS (SELECT DISTINCT s FROM g96_sh WHERE doc_id < 20),
+      .createOrReplaceTempView(view)
+    try spark.sql(
+      s"""WITH ev AS (SELECT DISTINCT s FROM $view WHERE doc_id < 20),
          |bf AS (SELECT graft_bloom_agg(xxhash64(s), CAST($BloomItems AS BIGINT), CAST($BloomBits AS BIGINT)) AS b FROM ev),
          |hits AS (
-         |  SELECT t.doc_id, t.s FROM g96_sh t
+         |  SELECT t.doc_id, t.s FROM $view t
          |  WHERE t.doc_id >= 20
          |    AND graft_might_contain((SELECT b FROM bf), xxhash64(t.s)))
          |SELECT h.doc_id, count(*) AS n_overlap
          |FROM hits h JOIN ev ON ev.s = h.s
          |GROUP BY h.doc_id HAVING count(*) >= $BloomOverlapMin
          |ORDER BY doc_id""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   private def oracleBloomDecontam: String =

@@ -394,8 +394,11 @@ object TextAnalysis {
     // grows ~log-ish with corpus size, so even big corpora often fit —
     // 2M edges ≈ tens of MB and milliseconds per iteration on the
     // driver vs ~3 scheduled jobs per iteration distributed. The
-    // per-iteration 9-decimal rounding makes both paths (and the DuckDB
-    // oracle) agree exactly despite different summation orders. Above
+    // per-iteration 9-decimal rounding absorbs cross-path summation-
+    // order drift (the distributed sum and the oracle each accumulate
+    // in their own order); the driver path additionally PINS its
+    // accumulation order — edges sorted by (dst, src) — so it is
+    // bit-deterministic run to run, not merely round-absorbed. Above
     // the cap (a true web-scale vocab), the distributed loop below is
     // the shape that holds.
     if (norm.count() <= PrSmallEdgeMax) {
@@ -404,7 +407,7 @@ object TextAnalysis {
       val idx = words.zipWithIndex.toMap
       val n = words.length.toDouble
       var r = Array.fill(words.length)(round9(1.0 / n))
-      val compact = es.map { case (s, d, p) => (idx(s), idx(d), p) }
+      val compact = es.map { case (s, d, p) => (idx(s), idx(d), p) }.sortBy(t => (t._2, t._1))
       for (_ <- 1 to PrIters) {
         val inflow = new Array[Double](words.length)
         for ((s, d, p) <- compact) inflow(d) += p * r(s)
