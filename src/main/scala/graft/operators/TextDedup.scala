@@ -412,6 +412,16 @@ object TextDedup {
       s"CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** Degenerate-bucket bound: (band, bucket) cells above this size are
+    * dropped before pairing — same discipline as [[SimhashBucketCap]].
+    * Random hyperplanes keep buckets balanced (~n/2^planes), but a
+    * pathological embedding distribution (all vectors one side of every
+    * plane) would otherwise make one bucket quadratic. Binds at sf0.1
+    * (hot buckets reach 76 of 2000 vectors), so the capped path — and
+    * its oracle replay — is value-verified by the gate, not dead code.
+    */
+  private val EmbBucketCap = 50
+
   /** Embedding near-dup, blocked on banded random-hyperplane LSH
     * buckets: candidate pairs must share a bucket in at least one of
     * [[EmbBands]] bands, then exact cosine verifies. Every join is an
@@ -419,17 +429,25 @@ object TextDedup {
     * fetched per CANDIDATE pair afterwards, so shuffle volume is
     * id-sized and the pair cost is Σ bucket² with random-hyperplane
     * balanced buckets — never n²/|blocks| over a handful of coarse
-    * pre-labels. Recall < 1 by construction (banding probability);
-    * the oracle replays the identical bands, so the result is exactly
-    * checkable.
+    * pre-labels, and [[EmbBucketCap]] bounds any single bucket's
+    * contribution at cap² even under adversarial distributions.
+    * Recall < 1 by construction (banding probability + the cap);
+    * the oracle replays the identical bands and cap, so the result is
+    * exactly checkable.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
-    val banded = e.select($"vec_id", explode(array(
+    val banded0 = e.select($"vec_id", explode(array(
       (0 until EmbBands).map(b =>
         struct(lit(b).as("band"), embBucketCol(b, "embedding").as("bucket"))): _*
     )).as("bb")).select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+    val cool = banded0.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("bn")).filter($"bn" <= EmbBucketCap)
+      .select($"band", $"bucket")
+    // NOTE: USING join moves join columns first — re-select original order
+    val banded = banded0.join(cool, Seq("band", "bucket"), "left_semi")
+      .select($"vec_id", $"band", $"bucket")
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -451,8 +469,14 @@ object TextDedup {
     val bandSelects = (0 until EmbBands).map { b =>
       s"SELECT vec_id, $b AS band, ${embBucketSql(b, "embedding")} AS bucket FROM embeddings"
     }.mkString("\n  UNION ALL ")
-    s"""WITH banded AS (
+    s"""WITH banded0 AS (
        |  $bandSelects),
+       |cool AS (
+       |  SELECT band, bucket FROM banded0
+       |  GROUP BY band, bucket HAVING count(*) <= $EmbBucketCap),
+       |banded AS (
+       |  SELECT b.* FROM banded0 b JOIN cool c
+       |    ON b.band = c.band AND b.bucket = c.bucket),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM banded a JOIN banded b

@@ -92,6 +92,13 @@ class PlanQualitySpec extends SparkSpec {
       s"sketch should build once as a (scalar) subquery:\n$plan")
   }
 
+  test("q23 embedding near-dup: banded equi-joins only — no cartesian or nested-loop pairing") {
+    val plan = planOf(TextDedup.dedupEmbedding(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q23 plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop pairing in q23 plan:\n$plan")
+  }
+
   test("q97 SNM: no cartesian/nested-loop product anywhere — candidates come from lead()") {
     val plan = planOf(TextDedup.dedupSnm(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"cartesian in SNM plan:\n$plan")
