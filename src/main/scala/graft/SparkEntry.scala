@@ -26,6 +26,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextDedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ ExtendedRelational.oracles ++
       ExtendedFunctions.oracles ++ PipelineOps.oracles ++
-      CorpusOps.oracles ++
+      TrainingPipeline.oracles ++ CorpusOps.oracles ++
       graft.multimodal.Multimodal.oracles
 }

@@ -23,7 +23,7 @@ object TextDedup {
 
   import TextPrims.{MinhashPerms, MinhashBands => Bands}
   private val JaccardThreshold = 0.8
-  private val MinhashVerifyThreshold = 0.7
+  private[operators] val MinhashVerifyThreshold = 0.7
 
   /** Exact dedup: md5(text) groups; canonical = min doc_id per group
     * (hash-agg, one shuffle on the 128-bit fingerprint — the 100 TB
@@ -160,7 +160,7 @@ object TextDedup {
   /** DuckDB CTEs mirroring [[minhashBands]] (`sig`, `bands`); requires
     * the `sh` CTE (shingle index) in scope.
     */
-  private def minhashBandsSql: String = {
+  private[operators] def minhashBandsSql: String = {
     val minCols = (0 until MinhashPerms)
       .map(i => s"min(${TextPrims.minhashPermDuckSql(i, "s")}) AS m$i").mkString(", ")
     val rowsPerBand = TextPrims.minhashRowsPerBand

@@ -93,19 +93,96 @@ object TrainingPipeline {
       ("1_cleaned", cleaned.count()),
       ("2_corpus", corpus.count()),
       ("3_packs", corpus.select($"split", $"pack_id").distinct().count()),
-    ).toDF("stage", "n_docs")
+    ).toDF("stage", "n_docs").orderBy($"stage")
     corpus.unpersist()
     out
   }
 
-  /** q83 is rows-only by design: the pipeline composes operators that
-    * are each individually oracle-gated (q71/q72/q19/q21/q70/q74/q68/
-    * q73); the integration property (determinism, dedup, packing) is
-    * asserted in TrainingPipelineSpec.
+  /** q83 oracle: the whole pipeline replayed in DuckDB by composing the
+    * stage oracles as CTEs (the q105 pattern) — cleaning = the q71
+    * filter + q72 redaction, exact dedup on the redacted text, near-dup
+    * clusters = the q21 banded candidates + exact-Jaccard verify fed
+    * into the q70 recursive component walk, then the q74 hash sampler,
+    * q68 split buckets and the q73 exclusive-cumsum packing, all over
+    * the shared md5 hash family so every stage is value-exact across
+    * engines.
     */
+  private def oracleFunnel: String = {
+    val w = "string_split(text, ' ')"
+    val topCnt = s"list_max(list_transform(list_distinct($w), x -> len(list_filter($w, y -> y = x))))"
+    val redacted = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"'${PipelineOps.EmailRe}', '[EMAIL]', 'g'), '${PipelineOps.IpRe}', '[IP]', 'g'), " +
+      s"'${PipelineOps.PhoneRe}', '[PHONE]', 'g')"
+    val rate = StratRates.reverse.foldLeft(StratDefault.toString) {
+      case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    val sampBucket = s"${hash64Sql("'tp:' || CAST(doc_id AS VARCHAR)")} % 10000"
+    val splitBucket = s"${hash64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10"
+    val rtoks = "len(string_split(rtext, ' '))"
+    s"""WITH RECURSIVE ${TextDedup.jaccardPairsSql},
+       |${TextDedup.minhashBandsSql},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |dup AS (
+       |  SELECT j.a_id, j.b_id FROM jac j
+       |  JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
+       |  WHERE j.jaccard >= ${TextDedup.MinhashVerifyThreshold}),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM dup
+       |  UNION ALL SELECT b_id, a_id FROM dup),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w2.comp FROM walk w2 JOIN edges e ON e.src = w2.id),
+       |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |cleaned AS (
+       |  SELECT doc_id, lang, $redacted AS rtext
+       |  FROM documents
+       |  WHERE len($w) >= $MinWords
+       |    AND $topCnt::DOUBLE / len($w) <= $MaxTopWordFrac),
+       |canon AS (
+       |  SELECT doc_id, lang, rtext FROM (
+       |    SELECT doc_id, lang, rtext,
+       |      min(doc_id) OVER (PARTITION BY md5(rtext)) AS cid
+       |    FROM cleaned) WHERE doc_id = cid),
+       |nd AS (
+       |  SELECT c.doc_id, c.lang, c.rtext,
+       |    coalesce(l.comp, c.doc_id) AS cluster
+       |  FROM canon c LEFT JOIN lab l ON l.id = c.doc_id),
+       |survive AS (
+       |  SELECT doc_id, lang, rtext FROM (
+       |    SELECT doc_id, lang, rtext,
+       |      min(doc_id) OVER (PARTITION BY cluster) AS m
+       |    FROM nd) WHERE doc_id = m),
+       |samp AS (
+       |  SELECT * FROM survive WHERE $sampBucket < ($rate) * 10000),
+       |spl AS (
+       |  SELECT doc_id, rtext,
+       |    CASE WHEN $splitBucket < 8 THEN 'train'
+       |         WHEN $splitBucket = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM samp),
+       |packed AS (
+       |  SELECT split,
+       |    CAST(floor((sum($rtoks) OVER (PARTITION BY split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - $rtoks)
+       |      / $PackBudget.0) AS BIGINT) AS pack_id
+       |  FROM spl)
+       |SELECT stage, n_docs FROM (
+       |  SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs FROM documents
+       |  UNION ALL SELECT '1_cleaned', count(*)::BIGINT FROM cleaned
+       |  UNION ALL SELECT '2_corpus', count(*)::BIGINT FROM samp
+       |  UNION ALL SELECT '3_packs', count(*)::BIGINT FROM
+       |    (SELECT DISTINCT split, pack_id FROM packed))
+       |ORDER BY stage""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_training_funnel" -> (funnel _),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q83_training_funnel" -> oracleFunnel,
+  )
 }
