@@ -279,17 +279,41 @@ object ExtendedRelational {
        |FROM c GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin
 
   /** Sketch aggregates: HyperLogLog distinct + t-digest-style approximate
-    * percentile. Approximate results differ across engines by design —
-    * driver records the weaker rows-only check (no oracle entry).
+    * percentile. The sketch VALUES differ across engines by design, so
+    * they cannot be hash-compared directly; instead the query emits the
+    * exact companions (value-oracled) plus in-engine error-bound flags —
+    * |approx − exact| / exact within the sketch's advertised bound
+    * (HLL default rsd 0.05 → 0.1 ≈ 2σ; percentile accuracy 1000 → rank
+    * slop n/1000 → 0.05 on this distribution). The oracle asserts the
+    * flags are literally TRUE: a sketch drifting out of bound turns the
+    * row red. The exact percentile companion uses l_quantity (integral
+    * doubles), where cont-interpolation midpoints are exactly
+    * representable, so Spark `percentile` == DuckDB `quantile_cont`
+    * bit-for-bit. Tighter per-value assertions live in
+    * ExtendedRelationalSpec.
     */
   def approxSketches(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "lineitem")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_orderkey").as("approx_orders"),
-        approx_percentile($"l_extendedprice", lit(0.5), lit(1000)).as("approx_p50_price"))
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        expr("percentile(l_quantity, 0.5)").as("exact_p50_qty"),
+        approx_count_distinct($"l_partkey").as("ap"),
+        approx_count_distinct($"l_orderkey").as("ao"),
+        approx_percentile($"l_quantity", lit(0.5), lit(1000)).as("ap50"))
+      .select($"exact_parts", $"exact_orders", round($"exact_p50_qty", 2).as("exact_p50_qty"),
+        (abs($"ap" - $"exact_parts") / $"exact_parts" <= 0.1).as("hll_parts_ok"),
+        (abs($"ao" - $"exact_orders") / $"exact_orders" <= 0.1).as("hll_orders_ok"),
+        (abs($"ap50" - $"exact_p50_qty") / $"exact_p50_qty" <= 0.05).as("pctl_p50_ok"))
   }
+
+  private def oracleApproxSketches: String =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  round(quantile_cont(l_quantity, 0.5), 2) AS exact_p50_qty,
+      |  TRUE AS hll_parts_ok, TRUE AS hll_orders_ok, TRUE AS pctl_p50_ok
+      |FROM lineitem""".stripMargin
 
   /** CDC apply (S28/P11's end state): fold an ordered change stream into
     * final table state — last writer wins per key, `error` events act as
@@ -694,7 +718,7 @@ object ExtendedRelational {
     "q40_percentiles" -> oraclePercentiles,
     "q41_histogram" -> oracleHistogram,
     "q42_sessionize" -> oracleSessionize,
-    // q43: approximate by design — rows-only check.
+    "q43_approx_sketches" -> oracleApproxSketches,
     "q44_session_window" -> oracleSessionWindow,
   )
 }

@@ -62,4 +62,27 @@ class PipelineExtrasSpec extends SparkSpec {
       lastPack = pack
     }
   }
+
+  test("q43 sketches: HLL and approx-percentile stay within advertised error of exact companions") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exactParts = li.select($"l_partkey").distinct().count()
+    val exactOrders = li.select($"l_orderkey").distinct().count()
+    val exactP50 = li.selectExpr("percentile(l_quantity, 0.5) AS p").as[Double].head()
+    val approx = li.select(
+      approx_count_distinct($"l_partkey").as("ap"),
+      approx_count_distinct($"l_orderkey").as("ao"),
+      approx_percentile($"l_quantity", lit(0.5), lit(1000)).as("ap50"))
+      .head()
+    // HLL default rsd = 0.05; assert 2σ. accuracy-1000 percentile: rank
+    // slop n/1000 → ±0.05 on this value distribution.
+    assert(math.abs(approx.getAs[Long]("ap") - exactParts).toDouble / exactParts <= 0.1)
+    assert(math.abs(approx.getAs[Long]("ao") - exactOrders).toDouble / exactOrders <= 0.1)
+    assert(math.abs(approx.getAs[Double]("ap50") - exactP50) / exactP50 <= 0.05)
+    // and the oracled flags come out TRUE (what the driver hash-compares)
+    val flags = ExtendedRelational.approxSketches(spark, dir)
+      .select($"hll_parts_ok", $"hll_orders_ok", $"pctl_p50_ok")
+      .head()
+    assert(flags.getBoolean(0) && flags.getBoolean(1) && flags.getBoolean(2))
+  }
 }
