@@ -379,6 +379,57 @@ object ExtendedRelational {
        |FROM r WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY k, user_id""".stripMargin
 
+  /** SCD2 effective-dated dimension reconstruction (q115): fold the CDC
+    * event stream into a slowly-changing-dimension type-2 history — one
+    * version row per change, with [valid_from, valid_to) intervals
+    * derived in ONE keyed window pass (valid_to = lead(ts) over the
+    * key's op sequence; NULL = open-ended). `error` ops are deletes: the
+    * tombstone's timestamp closes the predecessor's interval but emits
+    * no version row, so a deleted key has no current version — the same
+    * delete semantics as q60/q110. An as-of lookup (the mid-range
+    * instant, derived deterministically from the data as q110 does) is
+    * demonstrated in the same result via the half-open interval
+    * predicate — the standard SCD2 point query, here a broadcast scalar
+    * against the history. Scale shape: exactly one shuffle (the per-key
+    * window); version ordering ties break on event_id so the history is
+    * total-ordered and engine-independent.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+    val asof = e.agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("asof_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"valid_from_us", $"event_id")
+    e.select($"user_id", $"event_id", $"event_type", round($"value", 4).as("value"),
+        unix_micros($"ts").as("valid_from_us"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(w))
+      .filter($"event_type" =!= "error")
+      .crossJoin(broadcast(asof))
+      .select($"user_id", $"version", $"event_id", $"event_type".as("op"), $"value",
+        $"valid_from_us", $"valid_to_us",
+        $"valid_to_us".isNull.as("is_current"),
+        ($"valid_from_us" <= $"asof_us" &&
+          ($"valid_to_us".isNull || $"valid_to_us" > $"asof_us")).as("asof_hit"))
+      .orderBy($"user_id", $"version")
+  }
+
+  private def oracleScd2: String =
+    s"""WITH e AS ($eventsUsSql),
+       |b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS asof_us FROM e),
+       |v AS (
+       |  SELECT user_id, event_id, event_type, round(value, 4) AS value,
+       |    epoch_us(ts) AS valid_from_us,
+       |    row_number() OVER w AS version,
+       |    lead(epoch_us(ts)) OVER w AS valid_to_us
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+       |SELECT user_id, version::BIGINT AS version, event_id, event_type AS op, value,
+       |  valid_from_us, valid_to_us,
+       |  valid_to_us IS NULL AS is_current,
+       |  (valid_from_us <= b.asof_us AND
+       |    (valid_to_us IS NULL OR valid_to_us > b.asof_us)) AS asof_hit
+       |FROM v CROSS JOIN b WHERE event_type <> 'error'
+       |ORDER BY user_id, version""".stripMargin
+
   /** Referential-integrity audit (q112): orphan rates for every FK
     * edge of the schema (lineitem→orders, orders→customer,
     * customer→nation, events→customer) — the post-migration
@@ -654,6 +705,7 @@ object ExtendedRelational {
     "q107_unpivot_daily" -> (unpivotDaily _),
     "q108_snapshot_diff" -> (snapshotDiff _),
     "q110_point_in_time" -> (pointInTime _),
+    "q115_scd2_history" -> (scd2History _),
     "q112_ref_integrity" -> (refIntegrity _),
     "q114_event_anomalies" -> (eventAnomalies _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
@@ -679,6 +731,7 @@ object ExtendedRelational {
     "q107_unpivot_daily" -> oracleUnpivot,
     "q108_snapshot_diff" -> oracleSnapshotDiff,
     "q110_point_in_time" -> oraclePointInTime,
+    "q115_scd2_history" -> oracleScd2,
     "q112_ref_integrity" -> oracleRefIntegrity,
     "q114_event_anomalies" -> oracleEventAnomalies,
     "q82_topk_per_key" -> oracleTopOrders,

@@ -205,6 +205,38 @@ class PlanQualitySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q115 SCD2: contiguous non-overlapping intervals, at most one current and one asof hit per key, deletes close histories") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = ExtendedRelational.scd2History(spark, dir).cache()
+    assert(out.count() > 0)
+    assert(out.filter($"op" === "error").isEmpty)
+    // at most one open-ended (current) version and at most one as-of hit per key
+    assert(out.filter($"is_current").groupBy($"user_id").count().filter($"count" > 1).isEmpty)
+    assert(out.filter($"asof_hit").groupBy($"user_id").count().filter($"count" > 1).isEmpty)
+    // intervals are well-formed and chain without overlap in version order;
+    // gaps appear ONLY where a delete tombstone closed the predecessor
+    val perKey = out.select($"user_id", $"version", $"valid_from_us", $"valid_to_us")
+      .as[(Long, Long, Long, Option[Long])].collect().groupBy(_._1)
+    perKey.values.foreach { vs =>
+      val s = vs.sortBy(_._2)
+      s.init.zip(s.tail).foreach { case ((_, _, _, to), (_, _, from2, _)) =>
+        assert(to.isDefined && to.get <= from2, "only the last version may be open; no overlap")
+      }
+      s.init.foreach { case (_, _, from, to) => assert(to.get >= from) }
+    }
+    // a key whose final op is a delete has no current row: spot-check by
+    // recomputing final ops from the raw stream
+    val lastOps = graft.Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy(unix_micros($"ts").desc, $"event_id".desc)))
+      .filter($"rn" === 1).select($"user_id", $"event_type")
+    val deletedKeys = lastOps.filter($"event_type" === "error").select($"user_id")
+    assert(out.filter($"is_current").join(deletedKeys, Seq("user_id")).isEmpty,
+      "deleted keys must have no current version")
+    out.unpersist()
+  }
+
   test("q114 anomalies: one row per (type, day), flags match the z definition away from 3.0") {
     import org.apache.spark.sql.functions._
     val out = ExtendedRelational.eventAnomalies(spark, dir).cache()
