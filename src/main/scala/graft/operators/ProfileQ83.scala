@@ -25,8 +25,8 @@ object ProfileQ83 {
       .filter(col("doc_id") === col("canonical_id"))
       .drop("fp", "canonical_id")
     time("exact dedup count")(canonical.count())
-    val pairs = time("q21 pairs")(
-      TextDedup.dedupMinhashLsh(spark, dir).select(col("a_id"), col("b_id")).localCheckpoint())
+    val pairs = time("capped pairs (cold)")(
+      TextDedup.cappedPairs(spark, dir).select(col("a_id"), col("b_id")).localCheckpoint())
     val clusters = time("cc")(TextDedup.connectedComponents(pairs))
     time("full corpus")(TrainingPipeline.buildCorpus(spark, dir).count())
     time("funnel")(TrainingPipeline.funnel(spark, dir).count())

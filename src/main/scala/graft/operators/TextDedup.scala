@@ -23,7 +23,7 @@ object TextDedup {
 
   import TextPrims.{MinhashPerms, MinhashBands => Bands}
   private val JaccardThreshold = 0.8
-  private[operators] val MinhashVerifyThreshold = 0.7
+  private val MinhashVerifyThreshold = 0.7
 
   /** Exact dedup: md5(text) groups; canonical = min doc_id per group
     * (hash-agg, one shuffle on the 128-bit fingerprint — the 100 TB
@@ -160,7 +160,7 @@ object TextDedup {
   /** DuckDB CTEs mirroring [[minhashBands]] (`sig`, `bands`); requires
     * the `sh` CTE (shingle index) in scope.
     */
-  private[operators] def minhashBandsSql: String = {
+  private def minhashBandsSql: String = {
     val minCols = (0 until MinhashPerms)
       .map(i => s"min(${TextPrims.minhashPermDuckSql(i, "s")}) AS m$i").mkString(", ")
     val rowsPerBand = TextPrims.minhashRowsPerBand
@@ -513,10 +513,33 @@ object TextDedup {
     index.join(rare, Seq("s"), "left_semi").cache()
   }
 
-  /** Capped near-dup pairs ≥ threshold — the shared core of q61/q70/q109. */
-  private def cappedPairs(spark: SparkSession, dir: String): DataFrame =
+  /** Capped near-dup pairs ≥ threshold — the shared core of
+    * q61/q70/q109/q111 and (since round 5) the q83 training funnel's
+    * near-dedup stage: one cached plan serves every consumer in a
+    * session.
+    */
+  private[operators] def cappedPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(cappedIndex(spark, dir))
       .filter(col("jaccard") >= JaccardThreshold)
+
+  /** DuckDB CTE chain ending in `dup(a_id, b_id)` = [[cappedPairs]] —
+    * shared by the q70 cluster oracle and the q83 funnel oracle.
+    */
+  private[operators] def cappedDupSql: String =
+    s"""sh0 AS ($shingleIndexSql),
+       |sh AS (
+       |  SELECT * FROM sh0 WHERE s IN (
+       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT a_id, b_id FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= $JaccardThreshold)""".stripMargin
 
   def dedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     cappedPairs(spark, dir)
@@ -839,20 +862,7 @@ object TextDedup {
   }
 
   private def oracleClusters: String =
-    s"""WITH RECURSIVE sh0 AS ($shingleIndexSql),
-       |sh AS (
-       |  SELECT * FROM sh0 WHERE s IN (
-       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |dup AS (
-       |  SELECT a_id, b_id FROM pairs
-       |  JOIN sizes sa ON sa.doc_id = a_id
-       |  JOIN sizes sb ON sb.doc_id = b_id
-       |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= $JaccardThreshold),
+    s"""WITH RECURSIVE $cappedDupSql,
        |edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM dup
        |  UNION ALL SELECT b_id, a_id FROM dup),

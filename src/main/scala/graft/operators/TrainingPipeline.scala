@@ -8,10 +8,10 @@ import TextPrims._
 /** End-to-end training-corpus builder — the integration of the operator
   * catalog into the job a user actually runs: raw documents → quality/
   * repetition filter → PII redaction → exact dedup (canonical per
-  * content hash) → near-dedup (MinHash/LSH pairs → connected
+  * content hash) → near-dedup (df-capped Jaccard pairs → connected
   * components, canonical per cluster) → stratified sampling → split
   * assignment → per-split token packing. Every stage is one of the
-  * oracle-gated operators (q71/q72/q19/q21/q70/q74/q68/q73); this
+  * oracle-gated operators (q71/q72/q19/q61/q70/q74/q68/q73); this
   * object only composes them, so its scale story is the sum of its
   * parts — no new shuffles beyond the stages themselves, and the
   * pipeline is hash-deterministic end to end (no rand() anywhere: two
@@ -44,12 +44,17 @@ object TrainingPipeline {
       .filter($"doc_id" === $"canonical_id")
       .drop("fp", "canonical_id")
 
-    // 3. near-dedup: LSH candidate pairs → clusters → keep, per cluster,
+    // 3. near-dedup: candidate pairs → clusters → keep, per cluster,
     //    the smallest doc_id that SURVIVED steps 1-2 — not the raw
     //    cluster label: the raw min may have been filtered out earlier,
     //    and "keep comp == doc_id" would then drop the whole cluster's
-    //    content from the corpus.
-    val pairs = TextDedup.dedupMinhashLsh(spark, dir).select($"a_id", $"b_id")
+    //    content from the corpus. Pairs come from the SHARED df-capped
+    //    Jaccard cache (the q61/q70/q109/q111 plan): in a session that
+    //    already ran any of those, this stage is a cache read — and the
+    //    df-cap is the documented production scale shape (vs the
+    //    round-4 LSH pipeline here, which re-derived signatures+bands
+    //    for ~2s of redundant work per funnel run).
+    val pairs = TextDedup.cappedPairs(spark, dir).select($"a_id", $"b_id")
     val clusters = TextDedup.connectedComponents(pairs)
     val nearDeduped = canonical
       .join(clusters, canonical("doc_id") === clusters("id"), "left")
@@ -101,11 +106,10 @@ object TrainingPipeline {
   /** q83 oracle: the whole pipeline replayed in DuckDB by composing the
     * stage oracles as CTEs (the q105 pattern) — cleaning = the q71
     * filter + q72 redaction, exact dedup on the redacted text, near-dup
-    * clusters = the q21 banded candidates + exact-Jaccard verify fed
-    * into the q70 recursive component walk, then the q74 hash sampler,
-    * q68 split buckets and the q73 exclusive-cumsum packing, all over
-    * the shared md5 hash family so every stage is value-exact across
-    * engines.
+    * clusters = the q61 df-capped Jaccard pairs fed into the q70
+    * recursive component walk, then the q74 hash sampler, q68 split
+    * buckets and the q73 exclusive-cumsum packing, all over the shared
+    * md5 hash family so every stage is value-exact across engines.
     */
   private def oracleFunnel: String = {
     val w = "string_split(text, ' ')"
@@ -119,16 +123,7 @@ object TrainingPipeline {
     val sampBucket = s"${hash64Sql("'tp:' || CAST(doc_id AS VARCHAR)")} % 10000"
     val splitBucket = s"${hash64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10"
     val rtoks = "len(string_split(rtext, ' '))"
-    s"""WITH RECURSIVE ${TextDedup.jaccardPairsSql},
-       |${TextDedup.minhashBandsSql},
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |dup AS (
-       |  SELECT j.a_id, j.b_id FROM jac j
-       |  JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
-       |  WHERE j.jaccard >= ${TextDedup.MinhashVerifyThreshold}),
+    s"""WITH RECURSIVE ${TextDedup.cappedDupSql},
        |edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM dup
        |  UNION ALL SELECT b_id, a_id FROM dup),
