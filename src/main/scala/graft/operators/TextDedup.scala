@@ -851,7 +851,9 @@ object TextDedup {
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dup = cappedPairs(spark, dir).select(col("a_id"), col("b_id"))
+    // checkpoint before the CC edge union — otherwise the src→dst +
+    // dst→src legs each replay the pair pipeline
+    val dup = cappedPairs(spark, dir).select(col("a_id"), col("b_id")).localCheckpoint()
     val labels = connectedComponents(dup)
     val docs = Tables.load(spark, dir, "documents").select($"doc_id")
     docs.join(labels, docs("doc_id") === labels("id"), "left")

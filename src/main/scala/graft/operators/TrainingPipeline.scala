@@ -54,7 +54,10 @@ object TrainingPipeline {
     //    df-cap is the documented production scale shape (vs the
     //    round-4 LSH pipeline here, which re-derived signatures+bands
     //    for ~2s of redundant work per funnel run).
-    val pairs = TextDedup.cappedPairs(spark, dir).select($"a_id", $"b_id")
+    //    The pair list is checkpointed BEFORE connectedComponents: its
+    //    edges union (src→dst + dst→src) would otherwise evaluate the
+    //    whole pair pipeline twice.
+    val pairs = TextDedup.cappedPairs(spark, dir).select($"a_id", $"b_id").localCheckpoint()
     val clusters = TextDedup.connectedComponents(pairs)
     val nearDeduped = canonical
       .join(clusters, canonical("doc_id") === clusters("id"), "left")

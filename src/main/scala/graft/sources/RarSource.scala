@@ -18,8 +18,10 @@ import java.util.zip.CRC32
   * CRC32-checked data) and extracts members with method 0x30 = STORED.
   * RAR's compressed methods (0x31-0x35) are a proprietary LZSS/PPMd
   * family with no pure-JVM decoder available offline — those members
-  * fail loudly rather than silently skipping, so a user never gets a
-  * partial table. Encrypted members and RAR5 (8-byte marker) likewise.
+  * delegate to a system `unrar`/`bsdtar` when one is on PATH (the
+  * reference's own strategy), and otherwise fail loudly rather than
+  * silently skipping, so a user never gets a partial table. Encrypted
+  * members and RAR5 (8-byte marker) likewise fail loudly.
   *
   * Scale shape: identical to [[ZipSource]] — one `binaryFile` row per
   * archive, member extraction + CSV parse in executors, parallelism =
@@ -82,18 +84,26 @@ object RarSource extends Serializable {
           val dataOff = pos + headSize
           require(dataOff + packSize <= content.length, s"truncated member data for $name")
           if (!isDir) {
-            if (method != 0x30)
-              throw new UnsupportedOperationException(
-                f"RAR member '$name' uses compression method 0x$method%02x; " +
-                  "only STORED (0x30) members are supported without the native unrar library")
-            require(packSize == unpSize, s"stored member $name has packSize != unpSize")
-            val data = content.slice(dataOff, dataOff + packSize.toInt)
-            val crc = new CRC32
-            crc.update(data)
-            val expected = u32(content, pos + 16)
-            require(crc.getValue == expected,
-              f"CRC mismatch for RAR member '$name': got ${crc.getValue}%08x want $expected%08x")
-            out += name -> data
+            if (method != 0x30) {
+              // compressed member: RAR's LZSS/PPMd family has no
+              // pure-JVM decoder offline — delegate to a system
+              // extractor if one exists (the reference shells out to
+              // unrar the same way, d22d/utils/db/__init__.py:662-694),
+              // else keep the loud failure (never a silent skip)
+              out += name -> extractViaSystemTool(content, name).getOrElse(
+                throw new UnsupportedOperationException(
+                  f"RAR member '$name' uses compression method 0x$method%02x; " +
+                    "only STORED (0x30) members are supported without a system unrar/bsdtar"))
+            } else {
+              require(packSize == unpSize, s"stored member $name has packSize != unpSize")
+              val data = content.slice(dataOff, dataOff + packSize.toInt)
+              val crc = new CRC32
+              crc.update(data)
+              val expected = u32(content, pos + 16)
+              require(crc.getValue == expected,
+                f"CRC mismatch for RAR member '$name': got ${crc.getValue}%08x want $expected%08x")
+              out += name -> data
+            }
           }
           pos = dataOff + packSize.toInt
         case 0x7b => // end-of-archive
@@ -109,6 +119,43 @@ object RarSource extends Serializable {
     }
     out.result()
   }
+
+  /** First available system RAR extractor, probed once per JVM:
+    * (binary, args building a "print member to stdout" invocation).
+    * `unrar p -inul <archive> <member>` or `bsdtar -xOf <archive>
+    * <member>` — both stream the member body to stdout.
+    */
+  private[sources] lazy val systemTool: Option[(String, (String, String) => Seq[String])] = {
+    def onPath(bin: String): Boolean =
+      sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparatorChar)
+        .exists(d => new java.io.File(d, bin).canExecute)
+    if (onPath("unrar"))
+      Some(("unrar", (a, m) => Seq("unrar", "p", "-inul", a, m)))
+    else if (onPath("bsdtar"))
+      Some(("bsdtar", (a, m) => Seq("bsdtar", "-xOf", a, m)))
+    else None
+  }
+
+  /** Extract one compressed member by shelling out to the system tool
+    * (the reference's own strategy for this format). The archive bytes
+    * land in a per-call temp file (executors hold members as in-memory
+    * byte arrays, not paths); stdout is the member body. None when no
+    * tool is installed or the tool fails — caller decides how loud to
+    * be.
+    */
+  private[sources] def extractViaSystemTool(archive: Array[Byte], member: String): Option[Array[Byte]] =
+    systemTool.flatMap { case (_, argv) =>
+      val tmp = java.nio.file.Files.createTempFile("graft-rar", ".rar")
+      try {
+        java.nio.file.Files.write(tmp, archive)
+        val proc = new ProcessBuilder(argv(tmp.toString, member): _*)
+          .redirectErrorStream(false).start()
+        val body = proc.getInputStream.readAllBytes()
+        val code = proc.waitFor()
+        if (code == 0 && body.nonEmpty) Some(body) else None
+      } catch { case _: java.io.IOException => None }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    }
 
   /** Archives of CSV members → one table, members concatenated —
     * same contract as [[ZipSource.read]].

@@ -31,15 +31,48 @@ object StreamingJobs {
       dstDir: String,
       checkpointDir: String,
       transform: DataFrame => DataFrame = identity,
-  ): StreamingQuery =
-    transform(spark.readStream.schema(schema).format(format).load(srcDir))
-      .writeStream
-      .format("parquet")
-      .option("path", dstDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .outputMode(OutputMode.Append())
-      .start()
+      backupWindow: Option[BackupWindow] = None,
+  ): Option[StreamingQuery] = {
+    val gated = backupWindow.exists(_.blocksNow())
+    if (gated) None
+    else Some(
+      transform(spark.readStream.schema(schema).format(format).load(srcDir))
+        .writeStream
+        .format("parquet")
+        .option("path", dstDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append())
+        .start())
+  }
+
+  /** Backup-hour gating for the incremental sync — the reference skips
+    * its file sync within ± `durationHours` of a configured daily
+    * backup instant (`d22d/pipline/__init__.py:73-95`:
+    * `send_data_check`), so a copy never races the DB backup. Same
+    * semantics here, including its fail-open contract: a malformed
+    * `startTime` (no ':') means "never block". `now` is injectable for
+    * tests; production uses the wall clock.
+    */
+  final case class BackupWindow(
+      startTime: String, // "HH:MM" of the daily backup
+      durationHours: Int,
+      now: () => java.time.LocalDateTime = () => java.time.LocalDateTime.now(),
+  ) {
+    def blocksNow(): Boolean =
+      startTime.split(":") match {
+        case Array(h, m) if h.forall(_.isDigit) && m.forall(_.isDigit) =>
+          val t = now()
+          val backup = t.withHour(h.toInt % 24).withMinute(m.toInt % 60)
+            .withSecond(0).withNano(0)
+          // same comparison shape as the reference: backup instant
+          // within (now - d, now + d) — the window straddling midnight
+          // follows the reference in only gating the same-day instant
+          backup.isAfter(t.minusHours(durationHours.toLong)) &&
+            backup.isBefore(t.plusHours(durationHours.toLong))
+        case _ => false // fail-open, as the reference does
+      }
+  }
 
   /** Streaming corpus cleaning — the ingest-time twin of the batch
     * quality/PII operators (q71/q72): per-row repetition + quality

@@ -89,6 +89,19 @@ class RarSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("0x33"))
   }
 
+  test("RarSource: compressed members delegate to a system extractor when one exists") {
+    // The container for CI has no unrar/bsdtar — the test then cancels
+    // cleanly (assume) and the loud-failure test above covers the
+    // no-tool contract. On a host WITH a tool, the delegation path is
+    // exercised against a stored archive (offline we cannot author a
+    // genuinely compressed RAR — that needs the proprietary compressor;
+    // the tool accepts stored archives through the same code path).
+    assume(RarSource.systemTool.isDefined, "no system unrar/bsdtar on PATH")
+    val rar = makeRar("a.csv" -> "id,v\n1,x\n")
+    val got = RarSource.extractViaSystemTool(rar, "a.csv")
+    assert(got.map(new String(_, StandardCharsets.UTF_8)).contains("id,v\n1,x\n"))
+  }
+
   test("RarSource.members: rejects non-RAR and RAR5 markers") {
     intercept[IllegalArgumentException](RarSource.members("PKjunk".getBytes))
     // RAR5 marker has an extra 0x01 0x00 — first 7 bytes differ at index 6

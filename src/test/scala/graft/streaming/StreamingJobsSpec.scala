@@ -20,12 +20,12 @@ class StreamingJobsSpec extends SparkSpec {
       .write.mode("append").json(src)
     val schema = spark.read.json(src).schema
 
-    val q1 = incrementalFileCopy(spark, src, schema, "json", dst, ckpt)
+    val q1 = incrementalFileCopy(spark, src, schema, "json", dst, ckpt).get
     q1.awaitTermination()
     assert(spark.read.parquet(dst).count() == 3)
 
     Seq((4L, "d"), (5L, "e")).toDF("id", "v").write.mode("append").json(src)
-    val q2 = incrementalFileCopy(spark, src, schema, "json", dst, ckpt)
+    val q2 = incrementalFileCopy(spark, src, schema, "json", dst, ckpt).get
     q2.awaitTermination()
     val out = spark.read.parquet(dst)
     assert(out.count() == 5) // 3 old files not re-ingested, 2 new appended
@@ -40,10 +40,39 @@ class StreamingJobsSpec extends SparkSpec {
     Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x").write.mode("append").json(src)
     val schema = spark.read.json(src).schema
     val q = incrementalFileCopy(spark, src, schema, "json", dst, ckpt,
-      df => df.withColumn("x2", col("x") * 2).filter(col("id") > 1))
+      df => df.withColumn("x2", col("x") * 2).filter(col("id") > 1)).get
     q.awaitTermination()
     val rows = spark.read.parquet(dst).select("id", "x2").as[(Long, Double)].collect()
     assert(rows.toSeq == Seq((2L, 40.0)))
+  }
+
+  test("backup-hour gating: sync blocked within ±d hours of the backup instant, fail-open on bad config") {
+    import java.time.LocalDateTime
+    def at(h: Int, m: Int) = () => LocalDateTime.of(2026, 8, 12, h, m)
+    // backup at 02:30, ±1h: 01:31-03:29 blocks, outside runs
+    assert(BackupWindow("02:30", 1, at(2, 30)).blocksNow())
+    assert(BackupWindow("02:30", 1, at(1, 45)).blocksNow())
+    assert(BackupWindow("02:30", 1, at(3, 15)).blocksNow())
+    assert(!BackupWindow("02:30", 1, at(1, 30)).blocksNow()) // boundary: reference uses strict <
+    assert(!BackupWindow("02:30", 1, at(3, 30)).blocksNow())
+    assert(!BackupWindow("02:30", 1, at(12, 0)).blocksNow())
+    // malformed start time fails OPEN, exactly like the reference
+    assert(!BackupWindow("nonsense", 1, at(2, 30)).blocksNow())
+    assert(!BackupWindow("", 1, at(2, 30)).blocksNow())
+    // a gated incrementalFileCopy starts nothing and touches nothing
+    val src = tmpDir("gated-src"); val dst = tmpDir("gated-dst"); val ckpt = tmpDir("gated-ckpt")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").json(src)
+    val schema = spark.read.json(src).schema
+    val blocked = incrementalFileCopy(spark, src, schema, "json", dst, ckpt,
+      backupWindow = Some(BackupWindow("02:30", 1, at(2, 30))))
+    assert(blocked.isEmpty)
+    assert(!new java.io.File(dst).exists() || new java.io.File(dst).list().isEmpty)
+    // and the same call outside the window copies
+    val open = incrementalFileCopy(spark, src, schema, "json", dst, ckpt,
+      backupWindow = Some(BackupWindow("02:30", 1, at(12, 0))))
+    open.get.awaitTermination()
+    assert(spark.read.parquet(dst).count() == 1)
   }
 
   test("watermarked tumbling window finalizes once watermark passes (Append)") {
