@@ -27,8 +27,11 @@ object Bench {
       .groupBy("l_returnflag").agg(count(lit(1))).count()
 
     // Per-query time = min over iterations: strips host-noise spikes
-    // (observed ±30% on shared hardware) without changing the plan.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // without changing the plan. Default 3: the round-5 host showed
+    // multi-second scheduler stalls landing on arbitrary actions
+    // (identical plans swung 1.5→60 s), and min-of-2 still let one
+    // stall through when both iterations straddled it.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // optional comma-separated name-prefix filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val selected = only match {

@@ -148,8 +148,11 @@ object RarSource extends Serializable {
       val tmp = java.nio.file.Files.createTempFile("graft-rar", ".rar")
       try {
         java.nio.file.Files.write(tmp, archive)
+        // stderr DISCARDED, not piped: an undrained pipe can fill and
+        // deadlock the child; merging it into stdout would corrupt the
+        // member body
         val proc = new ProcessBuilder(argv(tmp.toString, member): _*)
-          .redirectErrorStream(false).start()
+          .redirectError(ProcessBuilder.Redirect.DISCARD).start()
         val body = proc.getInputStream.readAllBytes()
         val code = proc.waitFor()
         if (code == 0 && body.nonEmpty) Some(body) else None

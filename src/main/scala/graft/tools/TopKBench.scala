@@ -40,6 +40,20 @@ object TopKBench {
     time("window") {
       li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
     }
+    // q85-shaped composite STRING order expression: md5-derived zero-padded
+    // score — the regime where the generated order projection (vs
+    // interpreted eval) matters most
+    val score = concat(
+      lpad(graft.operators.TextPrims.hash64(col("l_extendedprice").cast("string"))
+        .cast("string"), 20, "0"),
+      lit(":"), lpad(col("l_extendedprice").cast("string"), 12, "0"))
+    time("custom-str") {
+      graft.plans.TopKPerKey(li, Seq("l_suppkey"), score, 3, descending = false).count()
+    }
+    val ws = Window.partitionBy(col("l_suppkey")).orderBy(score.asc)
+    time("window-str") {
+      li.withColumn("rn", row_number().over(ws)).filter(col("rn") <= 3).count()
+    }
     spark.stop()
   }
 }
