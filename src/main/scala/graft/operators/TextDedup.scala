@@ -522,8 +522,12 @@ object TextDedup {
     jaccardPairs(cappedIndex(spark, dir))
       .filter(col("jaccard") >= JaccardThreshold)
 
-  /** DuckDB CTE chain ending in `dup(a_id, b_id)` = [[cappedPairs]] —
-    * shared by the q70 cluster oracle and the q83 funnel oracle.
+  /** DuckDB CTE chain ending in `dup(a_id, b_id, jaccard)` =
+    * [[cappedPairs]] — the ONE rendering of the df-capped pair
+    * pipeline, shared by the q61/q70/q109/q111 oracles and the q83
+    * funnel oracle (a second copy anywhere would let a DfCap/formula
+    * change silently desynchronize an oracle from the Spark plan it
+    * replays).
     */
   private[operators] def cappedDupSql: String =
     s"""sh0 AS ($shingleIndexSql),
@@ -536,7 +540,8 @@ object TextDedup {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |dup AS (
-       |  SELECT a_id, b_id FROM pairs
+       |  SELECT a_id, b_id, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+       |  FROM pairs
        |  JOIN sizes sa ON sa.doc_id = a_id
        |  JOIN sizes sb ON sb.doc_id = b_id
        |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= $JaccardThreshold)""".stripMargin
@@ -547,22 +552,9 @@ object TextDedup {
       .orderBy(col("a_id"), col("b_id"))
 
   private def oracleNgramCapped: String =
-    s"""WITH sh0 AS ($shingleIndexSql),
-       |sh AS (
-       |  SELECT * FROM sh0 WHERE s IN (
-       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |jac AS (
-       |  SELECT a_id, b_id, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
-       |  FROM pairs
-       |  JOIN sizes sa ON sa.doc_id = a_id
-       |  JOIN sizes sb ON sb.doc_id = b_id)
-       |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM jac
-       |WHERE jaccard >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin
+    s"""WITH $cappedDupSql
+       |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM dup
+       |ORDER BY a_id, b_id""".stripMargin
 
   private val IncrVerifyThreshold = 0.7
 
@@ -657,24 +649,11 @@ object TextDedup {
   }
 
   private def oracleTriangles: String =
-    s"""WITH sh0 AS ($shingleIndexSql),
-       |sh AS (
-       |  SELECT * FROM sh0 WHERE s IN (
-       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |e AS (
-       |  SELECT a_id, b_id FROM pairs
-       |  JOIN sizes sa ON sa.doc_id = a_id
-       |  JOIN sizes sb ON sb.doc_id = b_id
-       |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= $JaccardThreshold)
+    s"""WITH $cappedDupSql
        |SELECT ab.a_id AS a, ab.b_id AS b, bc.b_id AS c
-       |FROM e ab
-       |JOIN e bc ON bc.a_id = ab.b_id
-       |JOIN e ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
+       |FROM dup ab
+       |JOIN dup bc ON bc.a_id = ab.b_id
+       |JOIN dup ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
        |ORDER BY a, b, c""".stripMargin
 
   /** Per-source duplication audit (q111): for every source, the exact-
@@ -706,23 +685,10 @@ object TextDedup {
   }
 
   private def oracleSourceDupRates: String =
-    s"""WITH sh0 AS ($shingleIndexSql),
-       |sh AS (
-       |  SELECT * FROM sh0 WHERE s IN (
-       |    SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |e AS (
-       |  SELECT a_id, b_id FROM pairs
-       |  JOIN sizes sa ON sa.doc_id = a_id
-       |  JOIN sizes sb ON sb.doc_id = b_id
-       |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= $JaccardThreshold),
+    s"""WITH $cappedDupSql,
        |near AS (
        |  SELECT DISTINCT doc_id FROM (
-       |    SELECT a_id AS doc_id FROM e UNION ALL SELECT b_id FROM e)),
+       |    SELECT a_id AS doc_id FROM dup UNION ALL SELECT b_id FROM dup)),
        |ex AS (
        |  SELECT doc_id, source,
        |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup

@@ -93,8 +93,12 @@ object TrainingPipeline {
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
+    // cache()d: the stage-1 count materializes it, and buildCorpus's
+    // internal cleaned sub-plan is the IDENTICAL analyzed plan, so
+    // Spark's cache-manager plan-dedup serves it from this entry
+    // instead of re-running the quality-filter scan
     val cleaned = graft.streaming.StreamingJobs
-      .cleanDocumentStream(docs, MinWords, MaxTopWordFrac)
+      .cleanDocumentStream(docs, MinWords, MaxTopWordFrac).cache()
     val corpus = buildCorpus(spark, dir).cache() // consumed twice below
     val out = Seq(
       ("0_raw", docs.count()),
@@ -103,6 +107,7 @@ object TrainingPipeline {
       ("3_packs", corpus.select($"split", $"pack_id").distinct().count()),
     ).toDF("stage", "n_docs").orderBy($"stage")
     corpus.unpersist()
+    cleaned.unpersist()
     out
   }
 

@@ -48,6 +48,16 @@ object RarSource extends Serializable {
     require(content.length >= 7 && Marker.indices.forall(i => content(i) == Marker(i)),
       "not a RAR 4.x archive (bad marker; RAR5/SFX unsupported)")
     val out = Seq.newBuilder[(String, Array[Byte])]
+    // the archive lands in ONE lazily-created temp file shared by every
+    // delegated member (per-member rewrites would cost O(members ×
+    // archive size) disk traffic), deleted when parsing ends
+    var toolTmp: Option[java.nio.file.Path] = None
+    def archiveTmp(): java.nio.file.Path = toolTmp.getOrElse {
+      val t = java.nio.file.Files.createTempFile("graft-rar", ".rar")
+      java.nio.file.Files.write(t, content)
+      toolTmp = Some(t); t
+    }
+    try {
     var pos = 7
     var done = false
     while (!done && pos + 7 <= content.length) {
@@ -90,10 +100,13 @@ object RarSource extends Serializable {
               // extractor if one exists (the reference shells out to
               // unrar the same way, d22d/utils/db/__init__.py:662-694),
               // else keep the loud failure (never a silent skip)
-              out += name -> extractViaSystemTool(content, name).getOrElse(
+              out += name -> extractViaSystemTool(archiveTmp(), name, unpSize).getOrElse(
                 throw new UnsupportedOperationException(
                   f"RAR member '$name' uses compression method 0x$method%02x; " +
-                    "only STORED (0x30) members are supported without a system unrar/bsdtar"))
+                    "system unrar/bsdtar delegation " +
+                    (if (systemTool.isEmpty) "unavailable (no tool on PATH)"
+                     else "failed") +
+                    " — only STORED (0x30) members extract without it"))
             } else {
               require(packSize == unpSize, s"stored member $name has packSize != unpSize")
               val data = content.slice(dataOff, dataOff + packSize.toInt)
@@ -118,6 +131,7 @@ object RarSource extends Serializable {
       }
     }
     out.result()
+    } finally toolTmp.foreach(java.nio.file.Files.deleteIfExists)
   }
 
   /** First available system RAR extractor, probed once per JVM:
@@ -129,35 +143,38 @@ object RarSource extends Serializable {
     def onPath(bin: String): Boolean =
       sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparatorChar)
         .exists(d => new java.io.File(d, bin).canExecute)
+    // `--` ends switch parsing in both tools: an untrusted member name
+    // like '-inul' or '--use-compress-program=…' must never be read as
+    // an option (switch injection)
     if (onPath("unrar"))
-      Some(("unrar", (a, m) => Seq("unrar", "p", "-inul", a, m)))
+      Some(("unrar", (a, m) => Seq("unrar", "p", "-inul", "--", a, m)))
     else if (onPath("bsdtar"))
-      Some(("bsdtar", (a, m) => Seq("bsdtar", "-xOf", a, m)))
+      Some(("bsdtar", (a, m) => Seq("bsdtar", "-xOf", a, "--", m)))
     else None
   }
 
   /** Extract one compressed member by shelling out to the system tool
-    * (the reference's own strategy for this format). The archive bytes
-    * land in a per-call temp file (executors hold members as in-memory
-    * byte arrays, not paths); stdout is the member body. None when no
-    * tool is installed or the tool fails — caller decides how loud to
-    * be.
+    * (the reference's own strategy for this format) against the
+    * already-written archive temp file; stdout is the member body,
+    * accepted only when it is exactly the header's declared unpacked
+    * size — a truncated extraction, a tool error, or a wildcard-shaped
+    * member name matching extra members (unrar globs names) must not
+    * silently yield wrong rows. None when no tool is installed or the
+    * output fails validation — caller decides how loud to be.
     */
-  private[sources] def extractViaSystemTool(archive: Array[Byte], member: String): Option[Array[Byte]] =
+  private[sources] def extractViaSystemTool(
+      archive: java.nio.file.Path, member: String, unpSize: Long): Option[Array[Byte]] =
     systemTool.flatMap { case (_, argv) =>
-      val tmp = java.nio.file.Files.createTempFile("graft-rar", ".rar")
       try {
-        java.nio.file.Files.write(tmp, archive)
         // stderr DISCARDED, not piped: an undrained pipe can fill and
         // deadlock the child; merging it into stdout would corrupt the
         // member body
-        val proc = new ProcessBuilder(argv(tmp.toString, member): _*)
+        val proc = new ProcessBuilder(argv(archive.toString, member): _*)
           .redirectError(ProcessBuilder.Redirect.DISCARD).start()
         val body = proc.getInputStream.readAllBytes()
         val code = proc.waitFor()
-        if (code == 0 && body.nonEmpty) Some(body) else None
+        if (code == 0 && body.length.toLong == unpSize) Some(body) else None
       } catch { case _: java.io.IOException => None }
-      finally java.nio.file.Files.deleteIfExists(tmp)
     }
 
   /** Archives of CSV members → one table, members concatenated —

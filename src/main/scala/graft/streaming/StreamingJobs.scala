@@ -50,9 +50,16 @@ object StreamingJobs {
     * its file sync within ± `durationHours` of a configured daily
     * backup instant (`d22d/pipline/__init__.py:73-95`:
     * `send_data_check`), so a copy never races the DB backup. Same
-    * semantics here, including its fail-open contract: a malformed
-    * `startTime` (no ':') means "never block". `now` is injectable for
-    * tests; production uses the wall clock.
+    * fail-open contract: a malformed or out-of-range `startTime`
+    * means "never block" (the reference reaches the same outcome via
+    * its catch-all except — `datetime.replace` raises on hour > 23).
+    * One deliberate divergence: the reference only tests the SAME-DAY
+    * backup instant, so a window straddling midnight never blocks on
+    * the far side (backup 00:30 ± 2h does not block at 23:00 — the
+    * exact race the gate exists to prevent); here yesterday's and
+    * tomorrow's instants are tested too, which subsumes the same-day
+    * behavior. `now` is injectable for tests; production uses the
+    * wall clock.
     */
   final case class BackupWindow(
       startTime: String, // "HH:MM" of the daily backup
@@ -61,15 +68,16 @@ object StreamingJobs {
   ) {
     def blocksNow(): Boolean =
       startTime.split(":") match {
-        case Array(h, m) if h.forall(_.isDigit) && m.forall(_.isDigit) =>
-          val t = now()
-          val backup = t.withHour(h.toInt % 24).withMinute(m.toInt % 60)
-            .withSecond(0).withNano(0)
-          // same comparison shape as the reference: backup instant
-          // within (now - d, now + d) — the window straddling midnight
-          // follows the reference in only gating the same-day instant
-          backup.isAfter(t.minusHours(durationHours.toLong)) &&
-            backup.isBefore(t.plusHours(durationHours.toLong))
+        case Array(h, m) =>
+          (h.toIntOption, m.toIntOption) match {
+            case (Some(hh), Some(mm)) if hh >= 0 && hh < 24 && mm >= 0 && mm < 60 =>
+              val t = now()
+              val backup = t.withHour(hh).withMinute(mm).withSecond(0).withNano(0)
+              Seq(backup.minusDays(1), backup, backup.plusDays(1)).exists(b =>
+                b.isAfter(t.minusHours(durationHours.toLong)) &&
+                  b.isBefore(t.plusHours(durationHours.toLong)))
+            case _ => false // fail-open (reference: ValueError → except → send)
+          }
         case _ => false // fail-open, as the reference does
       }
   }

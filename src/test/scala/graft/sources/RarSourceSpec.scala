@@ -98,8 +98,15 @@ class RarSourceSpec extends SparkSpec {
     // the tool accepts stored archives through the same code path).
     assume(RarSource.systemTool.isDefined, "no system unrar/bsdtar on PATH")
     val rar = makeRar("a.csv" -> "id,v\n1,x\n")
-    val got = RarSource.extractViaSystemTool(rar, "a.csv")
-    assert(got.map(new String(_, StandardCharsets.UTF_8)).contains("id,v\n1,x\n"))
+    val tmp = java.nio.file.Files.createTempFile("spec-rar", ".rar")
+    try {
+      java.nio.file.Files.write(tmp, rar)
+      val body = "id,v\n1,x\n".getBytes(StandardCharsets.UTF_8)
+      val got = RarSource.extractViaSystemTool(tmp, "a.csv", body.length.toLong)
+      assert(got.map(new String(_, StandardCharsets.UTF_8)).contains("id,v\n1,x\n"))
+      // declared-size validation: a wrong unpacked size must reject
+      assert(RarSource.extractViaSystemTool(tmp, "a.csv", body.length + 1L).isEmpty)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   test("RarSource.members: rejects non-RAR and RAR5 markers") {

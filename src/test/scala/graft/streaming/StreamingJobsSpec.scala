@@ -59,6 +59,15 @@ class StreamingJobsSpec extends SparkSpec {
     // malformed start time fails OPEN, exactly like the reference
     assert(!BackupWindow("nonsense", 1, at(2, 30)).blocksNow())
     assert(!BackupWindow("", 1, at(2, 30)).blocksNow())
+    // all-digit but unparseable/out-of-range values also fail open
+    // (the reference reaches the same outcome via its catch-all except)
+    assert(!BackupWindow("99999999999:00", 1, at(2, 30)).blocksNow())
+    assert(!BackupWindow("25:70", 1, at(1, 10)).blocksNow())
+    // windows straddling midnight block on BOTH sides (deliberate fix
+    // over the reference's same-day-only comparison)
+    assert(BackupWindow("00:30", 2, at(23, 0)).blocksNow())
+    assert(BackupWindow("23:30", 2, at(1, 0)).blocksNow())
+    assert(!BackupWindow("00:30", 2, at(21, 0)).blocksNow())
     // a gated incrementalFileCopy starts nothing and touches nothing
     val src = tmpDir("gated-src"); val dst = tmpDir("gated-dst"); val ckpt = tmpDir("gated-ckpt")
     import spark.implicits._
