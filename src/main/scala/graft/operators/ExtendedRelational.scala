@@ -394,40 +394,127 @@ object ExtendedRelational {
     * window); version ordering ties break on event_id so the history is
     * total-ordered and engine-independent.
     */
+  /** The version-derivation core shared by q115 and the q116
+    * incremental apply: every op's timestamp participates in interval
+    * closing (lead over ALL ops — that is how a tombstone closes its
+    * predecessor), but version numbers count only NON-delete ops (a
+    * running conditional sum in the same window pass), so they are
+    * reconstructible incrementally — a key's next version = its
+    * all-time version-row count, something a stored SCD2 table knows
+    * without replaying tombstones.
+    */
+  private[operators] def scd2Versions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("version",
+        sum(when(col("event_type") =!= "error", 1L).otherwise(0L)).over(w))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("event_type").as("op"), col("value"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.load(spark, dir, "events")
     val asof = e.agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("asof_us"))
-    val w = Window.partitionBy($"user_id").orderBy($"valid_from_us", $"event_id")
-    e.select($"user_id", $"event_id", $"event_type", round($"value", 4).as("value"),
-        unix_micros($"ts").as("valid_from_us"))
-      .withColumn("version", row_number().over(w).cast("long"))
-      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(w))
-      .filter($"event_type" =!= "error")
+    scd2Versions(e)
       .crossJoin(broadcast(asof))
-      .select($"user_id", $"version", $"event_id", $"event_type".as("op"), $"value",
-        $"valid_from_us", $"valid_to_us",
-        $"valid_to_us".isNull.as("is_current"),
+      .select($"user_id", $"version", $"event_id", $"op", $"value",
+        $"valid_from_us", $"valid_to_us", $"is_current",
         ($"valid_from_us" <= $"asof_us" &&
           ($"valid_to_us".isNull || $"valid_to_us" > $"asof_us")).as("asof_hit"))
       .orderBy($"user_id", $"version")
   }
 
+  /** Shared CTE body rendering [[scd2Versions]] over CTE `e` (the µs
+    * event view): yields `v` with the q115/q116 version columns.
+    */
+  private def scd2VersionsSql: String =
+    """v AS (
+      |  SELECT user_id, event_id, event_type, round(value, 4) AS value,
+      |    epoch_us(ts) AS valid_from_us,
+      |    sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version,
+      |    lead(epoch_us(ts)) OVER w AS valid_to_us
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))""".stripMargin
+
   private def oracleScd2: String =
     s"""WITH e AS ($eventsUsSql),
        |b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS asof_us FROM e),
-       |v AS (
-       |  SELECT user_id, event_id, event_type, round(value, 4) AS value,
-       |    epoch_us(ts) AS valid_from_us,
-       |    row_number() OVER w AS version,
-       |    lead(epoch_us(ts)) OVER w AS valid_to_us
-       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+       |$scd2VersionsSql
        |SELECT user_id, version::BIGINT AS version, event_id, event_type AS op, value,
        |  valid_from_us, valid_to_us,
        |  valid_to_us IS NULL AS is_current,
        |  (valid_from_us <= b.asof_us AND
        |    (valid_to_us IS NULL OR valid_to_us > b.asof_us)) AS asof_hit
        |FROM v CROSS JOIN b WHERE event_type <> 'error'
+       |ORDER BY user_id, version""".stripMargin
+
+  /** Incremental SCD2 apply (q116): merge a new CDC batch into an
+    * existing SCD2 table WITHOUT rebuilding untouched keys — the
+    * operational companion to q115's batch derivation. The stored
+    * history (here rebuilt from the first 70% of the time range as a
+    * stand-in; on a cluster it is a table) splits three ways:
+    * untouched keys pass through an anti-join byte-identical; touched
+    * keys get their open interval closed at their first batch event's
+    * instant (any op type — that is how a tombstone closes, exactly as
+    * `lead` over all ops does in the rebuild); new version rows come
+    * from one window pass over the batch alone, numbered from the
+    * key's stored max version (valid because q115 versions count only
+    * non-delete ops — a stored table knows its next version number
+    * without replaying tombstones). Cost ∝ batch size + touched-key
+    * history, never corpus size. The ORACLE is the full rebuild over
+    * all events: incremental apply ≡ rebuild is value-hash-proven,
+    * the property that makes an incremental maintenance path safe to
+    * trust at 100 TB.
+    */
+  def scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+    val cut = e.agg(expr(
+      "unix_micros(min(ts)) + div((unix_micros(max(ts)) - unix_micros(min(ts))) * 7, 10)")
+      .as("cut_us"))
+    val withCut = e.withColumn("ts_us", unix_micros($"ts")).crossJoin(broadcast(cut))
+    val old = withCut.filter($"ts_us" <= $"cut_us")
+    val batch = withCut.filter($"ts_us" > $"cut_us")
+    val hist = scd2Versions(old.select(e.columns.map(col): _*)) // the "stored" table
+    val touched = batch.select($"user_id").distinct()
+    val untouched = hist.join(touched, Seq("user_id"), "left_anti")
+    val histT = hist.join(touched, Seq("user_id"), "left_semi")
+    val firstNew = batch.groupBy($"user_id")
+      .agg(min(struct($"ts_us", $"event_id")).as("fn"))
+      .select($"user_id", $"fn.ts_us".as("first_new_us"))
+    val baseV = histT.groupBy($"user_id").agg(max($"version").as("base_v"))
+    val closedOld = histT.join(firstNew, "user_id")
+      .withColumn("valid_to_us",
+        when($"is_current", $"first_new_us").otherwise($"valid_to_us"))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .select(hist.columns.map(col): _*)
+    val wB = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val newRows = batch
+      .withColumn("vinc", sum(when($"event_type" =!= "error", 1L).otherwise(0L)).over(wB))
+      .withColumn("valid_to_us", lead($"ts_us", 1).over(wB))
+      .filter($"event_type" =!= "error")
+      .join(baseV, Seq("user_id"), "left")
+      .select($"user_id", (coalesce($"base_v", lit(0L)) + $"vinc").as("version"),
+        $"event_id", $"event_type".as("op"), round($"value", 4).as("value"),
+        $"ts_us".as("valid_from_us"), $"valid_to_us",
+        $"valid_to_us".isNull.as("is_current"))
+    untouched.union(closedOld).union(newRows).orderBy($"user_id", $"version")
+  }
+
+  private def oracleScd2Apply: String =
+    s"""WITH e AS ($eventsUsSql),
+       |$scd2VersionsSql
+       |SELECT user_id, version::BIGINT AS version, event_id, event_type AS op, value,
+       |  valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current
+       |FROM v WHERE event_type <> 'error'
        |ORDER BY user_id, version""".stripMargin
 
   /** Referential-integrity audit (q112): orphan rates for every FK
@@ -706,6 +793,7 @@ object ExtendedRelational {
     "q108_snapshot_diff" -> (snapshotDiff _),
     "q110_point_in_time" -> (pointInTime _),
     "q115_scd2_history" -> (scd2History _),
+    "q116_scd2_apply" -> (scd2Apply _),
     "q112_ref_integrity" -> (refIntegrity _),
     "q114_event_anomalies" -> (eventAnomalies _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
@@ -732,6 +820,7 @@ object ExtendedRelational {
     "q108_snapshot_diff" -> oracleSnapshotDiff,
     "q110_point_in_time" -> oraclePointInTime,
     "q115_scd2_history" -> oracleScd2,
+    "q116_scd2_apply" -> oracleScd2Apply,
     "q112_ref_integrity" -> oracleRefIntegrity,
     "q114_event_anomalies" -> oracleEventAnomalies,
     "q82_topk_per_key" -> oracleTopOrders,

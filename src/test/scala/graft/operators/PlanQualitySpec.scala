@@ -237,6 +237,22 @@ class PlanQualitySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q116 SCD2 apply: incremental merge equals full rebuild; untouched keys pass through identically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val applied = ExtendedRelational.scd2Apply(spark, dir).cache()
+    // incremental == rebuild (the oracle re-proves this in DuckDB; here
+    // both sides are Spark, so it also pins engine-internal determinism)
+    val rebuilt = ExtendedRelational.scd2History(spark, dir)
+      .drop("asof_hit").cache()
+    assert(applied.count() == rebuilt.count())
+    assert(applied.except(rebuilt).isEmpty && rebuilt.except(applied).isEmpty)
+    // ≤1 current row per key survives the merge
+    assert(applied.filter($"is_current").groupBy($"user_id").count()
+      .filter($"count" > 1).isEmpty)
+    applied.unpersist(); rebuilt.unpersist()
+  }
+
   test("q114 anomalies: one row per (type, day), flags match the z definition away from 3.0") {
     import org.apache.spark.sql.functions._
     val out = ExtendedRelational.eventAnomalies(spark, dir).cache()
