@@ -485,13 +485,17 @@ object ExtendedRelational {
     val batch = withCut.filter($"ts_us" > $"cut_us")
     val hist = scd2Versions(old.select(e.columns.map(col): _*)) // the "stored" table
     val touched = batch.select($"user_id").distinct()
-    val untouched = hist.join(touched, Seq("user_id"), "left_anti")
-    val histT = hist.join(touched, Seq("user_id"), "left_semi")
+    // every batch-derived side (touched keys, per-key first-instant and
+    // base-version lookups) is batch-sized — broadcast them so the
+    // stored history streams through the anti/semi joins un-shuffled,
+    // the shape that keeps apply cost ∝ batch at 100 TB
+    val untouched = hist.join(broadcast(touched), Seq("user_id"), "left_anti")
+    val histT = hist.join(broadcast(touched), Seq("user_id"), "left_semi")
     val firstNew = batch.groupBy($"user_id")
       .agg(min(struct($"ts_us", $"event_id")).as("fn"))
       .select($"user_id", $"fn.ts_us".as("first_new_us"))
     val baseV = histT.groupBy($"user_id").agg(max($"version").as("base_v"))
-    val closedOld = histT.join(firstNew, "user_id")
+    val closedOld = histT.join(broadcast(firstNew), "user_id")
       .withColumn("valid_to_us",
         when($"is_current", $"first_new_us").otherwise($"valid_to_us"))
       .withColumn("is_current", $"valid_to_us".isNull)
@@ -501,7 +505,7 @@ object ExtendedRelational {
       .withColumn("vinc", sum(when($"event_type" =!= "error", 1L).otherwise(0L)).over(wB))
       .withColumn("valid_to_us", lead($"ts_us", 1).over(wB))
       .filter($"event_type" =!= "error")
-      .join(baseV, Seq("user_id"), "left")
+      .join(broadcast(baseV), Seq("user_id"), "left")
       .select($"user_id", (coalesce($"base_v", lit(0L)) + $"vinc").as("version"),
         $"event_id", $"event_type".as("op"), round($"value", 4).as("value"),
         $"ts_us".as("valid_from_us"), $"valid_to_us",
