@@ -474,11 +474,17 @@ object ExtendedRelational {
     * the property that makes an incremental maintenance path safe to
     * trust at 100 TB.
     */
-  def scd2Apply(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = Tables.load(spark, dir, "events")
+  def scd2Apply(spark: SparkSession, dir: String): DataFrame =
+    scd2ApplyEvents(Tables.load(spark, dir, "events"), 7, 10)
+
+  /** [[scd2Apply]]'s core over an arbitrary event frame and cutoff
+    * fraction (numerator/denominator of the time range) — parameterized
+    * so the property spec can drive it with random streams and cuts.
+    */
+  private[operators] def scd2ApplyEvents(e: DataFrame, cutNum: Int, cutDen: Int): DataFrame = {
+    import e.sparkSession.implicits._
     val cut = e.agg(expr(
-      "unix_micros(min(ts)) + div((unix_micros(max(ts)) - unix_micros(min(ts))) * 7, 10)")
+      s"unix_micros(min(ts)) + div((unix_micros(max(ts)) - unix_micros(min(ts))) * $cutNum, $cutDen)")
       .as("cut_us"))
     val withCut = e.withColumn("ts_us", unix_micros($"ts")).crossJoin(broadcast(cut))
     val old = withCut.filter($"ts_us" <= $"cut_us")
