@@ -100,7 +100,8 @@ object RarSource extends Serializable {
               // extractor if one exists (the reference shells out to
               // unrar the same way, d22d/utils/db/__init__.py:662-694),
               // else keep the loud failure (never a silent skip)
-              out += name -> extractViaSystemTool(archiveTmp(), name, unpSize).getOrElse(
+              out += name -> extractViaSystemTool(archiveTmp(), name, unpSize,
+                expectedCrc = u32(content, pos + 16)).getOrElse(
                 throw new UnsupportedOperationException(
                   f"RAR member '$name' uses compression method 0x$method%02x; " +
                     "system unrar/bsdtar delegation " +
@@ -157,13 +158,19 @@ object RarSource extends Serializable {
     * (the reference's own strategy for this format) against the
     * already-written archive temp file; stdout is the member body,
     * accepted only when it is exactly the header's declared unpacked
-    * size — a truncated extraction, a tool error, or a wildcard-shaped
-    * member name matching extra members (unrar globs names) must not
-    * silently yield wrong rows. None when no tool is installed or the
-    * output fails validation — caller decides how loud to be.
+    * size AND its CRC32 matches the header's unpacked-data CRC (the
+    * same validation stored members get) — a truncated extraction, a
+    * tool error, a same-length corruption, or a wildcard-shaped member
+    * name matching extra members (unrar globs names) must not silently
+    * yield wrong rows. The child is hard-bounded: a wedged extractor on
+    * an untrusted archive is destroyed after a size-proportional
+    * timeout (60 s + 1 s per 10 MB declared) rather than hanging the
+    * executor task forever. None when no tool is installed or the
+    * output fails any validation — caller decides how loud to be.
     */
   private[sources] def extractViaSystemTool(
-      archive: java.nio.file.Path, member: String, unpSize: Long): Option[Array[Byte]] =
+      archive: java.nio.file.Path, member: String, unpSize: Long,
+      expectedCrc: Long): Option[Array[Byte]] =
     systemTool.flatMap { case (_, argv) =>
       try {
         // stderr DISCARDED, not piped: an undrained pipe can fill and
@@ -171,9 +178,25 @@ object RarSource extends Serializable {
         // member body
         val proc = new ProcessBuilder(argv(archive.toString, member): _*)
           .redirectError(ProcessBuilder.Redirect.DISCARD).start()
-        val body = proc.getInputStream.readAllBytes()
-        val code = proc.waitFor()
-        if (code == 0 && body.length.toLong == unpSize) Some(body) else None
+        // watchdog covers the stdout read too — readAllBytes blocks
+        // until EOF, so waitFor(timeout) alone can't unwedge a child
+        // that stalls while its pipe stays open
+        val timeoutMs = 60000L + unpSize / 10485L
+        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val killer = new java.util.Timer("graft-rar-watchdog", true)
+        killer.schedule(new java.util.TimerTask {
+          def run(): Unit = { timedOut.set(true); proc.destroyForcibly(); () }
+        }, timeoutMs)
+        try {
+          val body = proc.getInputStream.readAllBytes()
+          val exited = proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (!exited) proc.destroyForcibly()
+          val crc = new CRC32
+          crc.update(body)
+          if (!timedOut.get && exited && proc.exitValue == 0 &&
+              body.length.toLong == unpSize && crc.getValue == expectedCrc) Some(body)
+          else None
+        } finally killer.cancel()
       } catch { case _: java.io.IOException => None }
     }
 

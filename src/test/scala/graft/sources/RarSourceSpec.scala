@@ -102,10 +102,15 @@ class RarSourceSpec extends SparkSpec {
     try {
       java.nio.file.Files.write(tmp, rar)
       val body = "id,v\n1,x\n".getBytes(StandardCharsets.UTF_8)
-      val got = RarSource.extractViaSystemTool(tmp, "a.csv", body.length.toLong)
+      val crc = new CRC32; crc.update(body)
+      val got = RarSource.extractViaSystemTool(tmp, "a.csv", body.length.toLong, crc.getValue)
       assert(got.map(new String(_, StandardCharsets.UTF_8)).contains("id,v\n1,x\n"))
       // declared-size validation: a wrong unpacked size must reject
-      assert(RarSource.extractViaSystemTool(tmp, "a.csv", body.length + 1L).isEmpty)
+      assert(RarSource.extractViaSystemTool(tmp, "a.csv", body.length + 1L, crc.getValue).isEmpty)
+      // CRC validation: a same-length corruption of the expected digest
+      // must reject too (the tool's output is held to the same CRC bar
+      // as stored members)
+      assert(RarSource.extractViaSystemTool(tmp, "a.csv", body.length.toLong, crc.getValue ^ 1L).isEmpty)
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
