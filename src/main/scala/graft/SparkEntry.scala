@@ -8,6 +8,14 @@ import graft.operators._
   * `queries` holds one entry per implemented operator from SURVEY.md §2;
   * `oracleSql` holds DuckDB-runnable ANSI SQL equivalents (same column
   * names, same ordering) for the driver's correctness gate.
+  *
+  * Scale fencing: every catalog entry is designed for the 100 TB shape
+  * (bounded pair expansion, banding/bucketing, broadcast small sides)
+  * with ONE deliberate exception — `q20_dedup_ngram_jaccard` is the
+  * fenced exact-semantics baseline whose uncapped Σdf² posting-list
+  * expansion demonstrates why the df-cap lever exists. Production
+  * near-dedup is q61 (df-capped Jaccard), q21 (MinHash LSH), or q90
+  * (df-capped containment).
   */
 object SparkEntry {
 

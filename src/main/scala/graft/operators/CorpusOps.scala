@@ -330,14 +330,22 @@ object CorpusOps {
   /** Asymmetric near-dup: shingle containment |A∩B| / |A| ≥ 0.8 flags
     * document A as (near-)contained in B — catches the
     * small-doc-quoted-inside-big-doc duplicates that symmetric Jaccard
-    * misses (the union term drowns them). Reuses the q20 posting-list
-    * pair expansion (one shuffle on the shingle, never a self-join of
-    * documents); both directions of each unordered pair are tested, so
-    * the output is ordered (contained, container).
+    * misses (the union term drowns them). Runs over the DF-CAPPED
+    * shingle index shared with q61/q70/q109 (one cached plan serves
+    * them all): stop-shingles are dropped from BOTH the intersection
+    * and the |A| denominator, which containment tolerates — a shingle
+    * in >DfCap docs carries no identity signal, and dropping it from
+    * both sides leaves the ratio of the remaining evidence. That bounds
+    * the pair-expansion cost at DfCap² per shingle — the 100 TB shape
+    * (the uncapped expansion is quadratic in stop-shingle df; q20 keeps
+    * that exact-semantics baseline as a fenced lever demo). One shuffle
+    * on the shingle, never a self-join of documents; both directions of
+    * each unordered pair are tested, so the output is ordered
+    * (contained, container).
     */
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = TextDedup.jaccardPairs(TextDedup.shingleIndex(spark, dir))
+    val pairs = TextDedup.jaccardPairs(TextDedup.cappedIndex(spark, dir))
     val ab = pairs.select($"a_id".as("doc_id"), $"b_id".as("container_id"),
       ($"common" / $"na").as("containment"))
     val ba = pairs.select($"b_id".as("doc_id"), $"a_id".as("container_id"),
@@ -349,7 +357,10 @@ object CorpusOps {
   }
 
   private def oracleContainment: String =
-    s"""WITH ${TextDedup.jaccardPairsSql},
+    // composes the ONE rendering of the df-capped pair pipeline
+    // (TextDedup.cappedDupSql: sh/sizes/pairs CTEs; its `dup` CTE goes
+    // unused here — containment filters pairs itself, jaccard-free)
+    s"""WITH ${TextDedup.cappedDupSql},
        |dir AS (
        |  SELECT p.a_id AS doc_id, p.b_id AS container_id,
        |         p.common::DOUBLE / sa.n AS containment

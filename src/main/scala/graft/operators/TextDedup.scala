@@ -97,11 +97,22 @@ object TextDedup {
        |  JOIN sizes sa ON sa.doc_id = a_id
        |  JOIN sizes sb ON sb.doc_id = b_id)""".stripMargin
 
-  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8. Deliberately
-    * UNcached index: it is consumed twice, but it is a map-only
-    * scan+explode — measured, caching it buys nothing (recompute is
-    * scan-speed), unlike the df-capped variant whose index embeds a
-    * shuffle (q61 caches and measured 44% faster).
+  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8.
+    *
+    * ==NON-PRODUCTION LEVER DEMO — not the 100 TB path==
+    * This operator deliberately runs the UNCAPPED posting-list pair
+    * expansion: its cost is Σ df(shingle)², which a single stop-shingle
+    * shared by k docs turns into k² pairs — a scale-killer at 100×.
+    * It exists as the exact-semantics baseline that demonstrates WHY
+    * the df-cap lever matters; it is value-oracled at test SFs only.
+    * Production dedup is [[dedupNgramJaccardCapped]] (q61, df-capped,
+    * cost bounded by DfCap² per shingle) or [[dedupMinHashLsh]] (q21,
+    * banded LSH). A user reaching for dedup should land on those.
+    *
+    * Deliberately UNcached index: it is consumed twice, but it is a
+    * map-only scan+explode — measured, caching it buys nothing
+    * (recompute is scan-speed), unlike the df-capped variant whose
+    * index embeds a shuffle (q61 caches and measured 44% faster).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     jaccardPairs(shingleIndex(spark, dir))
@@ -506,7 +517,7 @@ object TextDedup {
     * again by each downstream operator. Deliberately never unpersisted:
     * the entry is ~the corpus shingle set and Spark evicts LRU.
     */
-  private def cappedIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def cappedIndex(spark: SparkSession, dir: String): DataFrame = {
     val index = shingleIndex(spark, dir)
     val rare = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("s"))
@@ -854,6 +865,8 @@ object TextDedup {
     "q78_dedup_incremental" -> (dedupIncremental _),
     "q79_simhash_pairs" -> (simhashPairs _),
     "q19_dedup_exact" -> (dedupExact _),
+    // q20 is a FENCED NON-PRODUCTION lever demo (uncapped Σdf² pair
+    // expansion — see its scaladoc); production dedup = q61 / q21
     "q20_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q21_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q22_text_simhash" -> (textSimhash _),
