@@ -403,7 +403,7 @@ object ExtendedRelational {
     * all-time version-row count, something a stored SCD2 table knows
     * without replaying tombstones.
     */
-  private[operators] def scd2Versions(events: DataFrame): DataFrame = {
+  private[graft] def scd2Versions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"), col("event_id"))
     events.select(col("user_id"), col("event_id"), col("event_type"),
         round(col("value"), 4).as("value"),
@@ -490,6 +490,19 @@ object ExtendedRelational {
     val old = withCut.filter($"ts_us" <= $"cut_us")
     val batch = withCut.filter($"ts_us" > $"cut_us")
     val hist = scd2Versions(old.select(e.columns.map(col): _*)) // the "stored" table
+    scd2Merge(hist, batch)
+  }
+
+  /** The (stored history, CDC batch) merge core of q116, factored so the
+    * streaming apply ([[graft.streaming.StreamingJobs.scd2ApplyStream]])
+    * can drive it per micro-batch with the stored SCD2 table as state.
+    * `hist` carries [[scd2Versions]] columns; `batch` carries raw CDC
+    * events plus `ts_us`. Assumes batch events land at-or-after the
+    * touched keys' open intervals (per-key commit order — what a CDC
+    * stream delivers); a late event needs the rebuild path.
+    */
+  private[graft] def scd2Merge(hist: DataFrame, batch: DataFrame): DataFrame = {
+    import hist.sparkSession.implicits._
     val touched = batch.select($"user_id").distinct()
     // every batch-derived side (touched keys, per-key first-instant and
     // base-version lookups) is batch-sized — broadcast them so the

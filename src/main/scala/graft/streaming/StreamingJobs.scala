@@ -339,6 +339,55 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming SCD2 apply — the q116 incremental merge driven by a CDC
+    * stream: the stored SCD2 history is the state, each micro-batch
+    * merges through [[graft.operators.ExtendedRelational.scd2Merge]]
+    * (untouched keys pass through un-shuffled against broadcast
+    * batch-derived sides; cost ∝ batch + touched-key history).
+    *
+    * State storage is a versioned snapshot under `historyDir/v<batchId>`:
+    * each batch reads the LATEST version with id < its own batchId and
+    * overwrites its own directory. That makes replay idempotent — a
+    * restarted batch re-reads the same predecessor snapshot it saw the
+    * first time and rewrites the same output, so exactly-once comes from
+    * the checkpoint + deterministic merge, with no read-then-clobber
+    * hazard on a single table path. At 100 TB the same shape is a
+    * Delta/Iceberg MERGE (their commit log is exactly this versioning);
+    * plain parquet keeps the sandbox dependency-free. Batches are
+    * assumed per-key time-ordered (CDC commit order); late events need
+    * the q115 rebuild path.
+    */
+  def scd2ApplyStream(
+      events: DataFrame, // streaming CDC: user_id, event_id, event_type, value, ts
+      historyDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(historyDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (!fs.exists(dir)) None
+          else fs.listStatus(dir).toSeq
+            .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
+              .filter(_ => s.getPath.getName.startsWith("v")))
+            .filter(_ < batchId) // replay must not read its own output
+            .maxOption.map(v => s"$historyDir/v$v")
+        val batchDf = batch.toDF()
+        val merged = prev match {
+          case Some(p) =>
+            graft.operators.ExtendedRelational.scd2Merge(
+              spark.read.parquet(p),
+              batchDf.withColumn("ts_us", unix_micros(col("ts"))))
+          case None =>
+            graft.operators.ExtendedRelational.scd2Versions(batchDf)
+        }
+        merged.write.mode("overwrite").parquet(s"$historyDir/v$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   // ---- custom state: running per-user counters (mapGroupsWithState) ----
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
