@@ -528,10 +528,19 @@ object TextDedup {
     * q61/q70/q109/q111 and (since round 5) the q83 training funnel's
     * near-dedup stage: one cached plan serves every consumer in a
     * session.
+    *
+    * The PAIR OUTPUT is cached too (round 6): the index cache alone
+    * still left every consumer re-running the posting-list expansion +
+    * jaccard joins (~2.8 s/run at sf0.1, measured — it dominated q83's
+    * per-run cost). The filtered pair table is tiny (≈3.5k rows at
+    * sf0.1, duplicate-density-bound at any scale), so caching it turns
+    * each of the five consumers' near-dup stage into a cache read.
+    * Same eviction stance as the index: LRU, never unpersisted.
     */
   private[operators] def cappedPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(cappedIndex(spark, dir))
       .filter(col("jaccard") >= JaccardThreshold)
+      .cache()
 
   /** DuckDB CTE chain ending in `dup(a_id, b_id, jaccard)` =
     * [[cappedPairs]] — the ONE rendering of the df-capped pair
