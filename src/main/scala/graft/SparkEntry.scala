@@ -28,12 +28,12 @@ object SparkEntry {
       Similarity.entries ++ ExtendedRelational.entries ++
       ExtendedFunctions.entries ++ PipelineOps.entries ++
       TrainingPipeline.entries ++ CorpusOps.entries ++
-      graft.multimodal.Multimodal.entries
+      SpanOps.entries ++ graft.multimodal.Multimodal.entries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextDedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ ExtendedRelational.oracles ++
       ExtendedFunctions.oracles ++ PipelineOps.oracles ++
       TrainingPipeline.oracles ++ CorpusOps.oracles ++
-      graft.multimodal.Multimodal.oracles
+      SpanOps.oracles ++ graft.multimodal.Multimodal.oracles
 }
