@@ -47,10 +47,13 @@ object SpanOps {
     */
   private val MinDupSpan = 8
 
-  /** (doc_id, pos, gram): every word 5-gram with its 1-based start. */
-  private def grams(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, dir, "documents")
+  /** (doc_id, pos, gram): every word 5-gram with its 1-based start —
+    * works on any frame with (doc_id, text), batch or micro-batch
+    * (the streaming ingest-time scrub reuses it).
+    */
+  private[graft] def gramsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= Gram)
       .select($"doc_id", posexplode(expr(
@@ -58,11 +61,14 @@ object SpanOps {
       .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("gram"))
   }
 
+  private def grams(spark: SparkSession, dir: String): DataFrame =
+    gramsOf(Tables.load(spark, dir, "documents"))
+
   /** Maximal disjoint covered intervals from qualifying gram starts.
     * Islands via the classic gaps-and-islands trick: consecutive
     * covered positions share (p - row_number).
     */
-  private def spansOf(occ: DataFrame): DataFrame = {
+  private[graft] def spansOf(occ: DataFrame): DataFrame = {
     val cov = occ
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${Gram - 1})")).as("p"))
       .distinct()

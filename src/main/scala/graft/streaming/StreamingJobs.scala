@@ -388,6 +388,58 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Ingest-time span scrub — the streaming twin of q117/q118
+    * ([[graft.operators.SpanOps]]): for each micro-batch of arriving
+    * documents, localize the token spans covered by 5-grams ALREADY in
+    * the corpus (verbatim repeats of what we have), so the cut list for
+    * each new document is known at ingest instead of by corpus-wide
+    * re-scan. Cost per batch ∝ batch grams semi-joined against the
+    * stored gram index — never corpus × corpus.
+    *
+    * State is the corpus gram index as per-batch delta dirs
+    * (`gramDir/v<batchId>` holding that batch's distinct grams), read
+    * back as a union filtered to id < batchId. Same idempotent-replay
+    * discipline as [[scd2ApplyStream]]: a replayed batch reads only
+    * strictly-older deltas — crucially NOT its own half-written
+    * output, which would make every gram of the batch "already known"
+    * and flag whole documents as duplicated — and overwrites its own
+    * two dirs. Span output mirrors the layout (`spansDir/v<batchId>`).
+    * At 100 TB both stores are Delta/Iceberg tables and the delta-dir
+    * bookkeeping is their commit log; duplicate grams across deltas
+    * are harmless (semi-join membership), so no compaction is needed
+    * for correctness.
+    */
+  def incrementalSpanScrub(
+      docs: DataFrame, // streaming; needs doc_id: long, text: string
+      gramDir: String,
+      spansDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val g = graft.operators.SpanOps.gramsOf(batch.toDF()).localCheckpoint()
+        val dir = new org.apache.hadoop.fs.Path(gramDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prevDeltas =
+          if (!fs.exists(dir)) Seq.empty[String]
+          else fs.listStatus(dir).toSeq
+            .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
+              .filter(_ => s.getPath.getName.startsWith("v")))
+            .filter(_ < batchId)
+            .map(v => s"$gramDir/v$v")
+        val occ = prevDeltas match {
+          case Seq() => g.filter(lit(false)) // first batch: nothing to repeat
+          case ds => g.join(spark.read.parquet(ds: _*), Seq("gram"), "left_semi")
+        }
+        graft.operators.SpanOps.spansOf(occ.select(col("doc_id"), col("pos")))
+          .write.mode("overwrite").parquet(s"$spansDir/v$batchId")
+        g.select(col("gram")).distinct()
+          .write.mode("overwrite").parquet(s"$gramDir/v$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   // ---- custom state: running per-user counters (mapGroupsWithState) ----
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
