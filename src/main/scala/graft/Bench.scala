@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *     summary stats, "noisy_queries" (count with median/min > 3), and
   *     "contaminated": true when probe dispersion exceeds 5x or >5% of
   *     queries are noisy. A judge can trust the flag without re-running.
+  *   - a query that THROWS is reported in "failed_queries" with value
+  *     -1 and excluded from the total — a breakage must read as a
+  *     failure, never as a suspiciously fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,12 +69,19 @@ object Bench {
       case None => SparkEntry.queries
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
     }
+    // A throwing query must be REPORTED as failed, not timed: the
+    // seconds elapsed before an AnalysisException are near zero, and
+    // recording them would let a broken query masquerade as the
+    // suite's fastest — the mirror image of the stall problem this
+    // artifact exists to expose.
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       probes += probeOnce()
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times
@@ -87,8 +97,8 @@ object Bench {
     // A query is "noisy" when its median iteration ran 3x its best — on
     // an idle host identical plans repeat within ~20%. Sub-100ms mins
     // are excluded: task-dispatch jitter dominates there, not stalls.
-    val noisy = results.count { case (_, ts) =>
-      ts.min > 0.1 && median(ts) / ts.min > 3.0
+    val noisy = results.count { case (n, ts) =>
+      !failed(n) && ts.min > 0.1 && median(ts) / ts.min > 3.0
     }
     val contaminated = hostNoise > 5.0 || noisy > math.max(1, results.size / 20)
 
@@ -100,16 +110,25 @@ object Bench {
     // the only copy.
     def render(keyOf: String => String, dec: String, full: Boolean): String = {
       val qs = results.map { case (k, ts) =>
-        val v = if (full) ts.map(dec.format(_)).mkString("[", ",", "]") else dec.format(ts.min)
+        // failed → sentinel -1 (never a plausible duration); its
+        // meaningless elapsed times are withheld even in full mode
+        val v =
+          if (failed(k)) "-1"
+          else if (full) ts.map(dec.format(_)).mkString("[", ",", "]")
+          else dec.format(ts.min)
         "\"" + keyOf(k) + "\":" + v
       }.mkString("{", ",", "}")
-      val total = dec.format(results.map(_._2.min).sum)
+      val total = dec.format(
+        results.collect { case (n, ts) if !failed(n) => ts.min }.sum)
       val probeJson =
         s"""{"n":${probes.size},"min":${"%.3f".format(pMin)},"med":${"%.3f".format(pMed)},"max":${"%.3f".format(pMax)}}""" +
           (if (full) ",\"probe_series\":" + probes.map("%.3f".format(_)).mkString("[", ",", "]") else "")
+      val failedJson =
+        if (full) "\"failed_queries\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+        else "\"failed_queries\":" + failed.size
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""iters":$iters,"probe":$probeJson,"host_noise":${"%.2f".format(hostNoise)},""" +
-        s""""noisy_queries":$noisy,"contaminated":$contaminated}"""
+        s""""noisy_queries":$noisy,$failedJson,"contaminated":$contaminated}"""
     }
     // only persist full-catalog runs — a filtered run must not clobber
     // the canonical local bench record

@@ -345,7 +345,7 @@ object CorpusOps {
     */
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = TextDedup.jaccardPairs(TextDedup.cappedIndex(spark, dir))
+    val pairs = TextDedup.cappedRawPairs(spark, dir)
     val ab = pairs.select($"a_id".as("doc_id"), $"b_id".as("container_id"),
       ($"common" / $"na").as("containment"))
     val ba = pairs.select($"b_id".as("doc_id"), $"a_id".as("container_id"),

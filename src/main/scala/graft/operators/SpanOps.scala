@@ -45,7 +45,7 @@ object SpanOps {
     * tokens at web scale; 8 words keeps the policy visible at the
     * test SFs.)
     */
-  private val MinDupSpan = 8
+  private[graft] val MinDupSpan = 8
 
   /** (doc_id, pos, gram): every word 5-gram with its 1-based start —
     * works on any frame with (doc_id, text), batch or micro-batch

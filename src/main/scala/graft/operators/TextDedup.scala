@@ -524,23 +524,28 @@ object TextDedup {
     index.join(rare, Seq("s"), "left_semi").cache()
   }
 
-  /** Capped near-dup pairs ≥ threshold — the shared core of
-    * q61/q70/q109/q111 and (since round 5) the q83 training funnel's
-    * near-dedup stage: one cached plan serves every consumer in a
-    * session.
-    *
-    * The PAIR OUTPUT is cached too (round 6): the index cache alone
-    * still left every consumer re-running the posting-list expansion +
-    * jaccard joins (~2.8 s/run at sf0.1, measured — it dominated q83's
-    * per-run cost). The filtered pair table is tiny (≈3.5k rows at
-    * sf0.1, duplicate-density-bound at any scale), so caching it turns
-    * each of the five consumers' near-dup stage into a cache read.
-    * Same eviction stance as the index: LRU, never unpersisted.
+  /** ALL capped pairs (pre-threshold), cached — the true shared core:
+    * the index cache alone still left every consumer re-running the
+    * posting-list expansion + jaccard joins (~2.8 s/run at sf0.1,
+    * measured — it dominated q83's per-run cost). Caching happens HERE,
+    * before any threshold, so the jaccard-filtered consumers
+    * (q61/q70/q109/q111/q83) and q90's containment — which needs
+    * sub-threshold-jaccard pairs, since a small doc quoted in a big one
+    * has high containment but low jaccard — all read the same entry.
+    * The raw pair table is candidate-pair-bound (DfCap² per shingle)
+    * and small at any duplicate density; same eviction stance as the
+    * index: LRU, never unpersisted.
+    */
+  private[operators] def cappedRawPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(cappedIndex(spark, dir)).cache()
+
+  /** Capped near-dup pairs ≥ threshold — the shared near-dedup stage of
+    * q61/q70/q109/q111 and (since round 5) the q83 training funnel: a
+    * trivial filter over the cached [[cappedRawPairs]].
     */
   private[operators] def cappedPairs(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(cappedIndex(spark, dir))
+    cappedRawPairs(spark, dir)
       .filter(col("jaccard") >= JaccardThreshold)
-      .cache()
 
   /** DuckDB CTE chain ending in `dup(a_id, b_id, jaccard)` =
     * [[cappedPairs]] — the ONE rendering of the df-capped pair

@@ -182,18 +182,25 @@ object RarSource extends Serializable {
         // until EOF, so waitFor(timeout) alone can't unwedge a child
         // that stalls while its pipe stays open
         val timeoutMs = 60000L + unpSize / 10485L
-        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
         val killer = new java.util.Timer("graft-rar-watchdog", true)
         killer.schedule(new java.util.TimerTask {
-          def run(): Unit = { timedOut.set(true); proc.destroyForcibly(); () }
+          def run(): Unit = { proc.destroyForcibly(); () }
         }, timeoutMs)
         try {
           val body = proc.getInputStream.readAllBytes()
-          val exited = proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          // waitFor gets the REMAINDER of the budget, not a fresh
+          // window — read + exit share one deadline
+          val remainMs = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+          val exited = proc.waitFor(remainMs, java.util.concurrent.TimeUnit.MILLISECONDS)
           if (!exited) proc.destroyForcibly()
           val crc = new CRC32
           crc.update(body)
-          if (!timedOut.get && exited && proc.exitValue == 0 &&
+          // acceptance never consults the watchdog: a kill mid-stream
+          // already shows up as a short body / CRC mismatch / nonzero
+          // exit, and gating on a "timed out" flag would let the timer
+          // racing a just-under-deadline success veto a valid member
+          if (exited && proc.exitValue == 0 &&
               body.length.toLong == unpSize && crc.getValue == expectedCrc) Some(body)
           else None
         } finally killer.cancel()

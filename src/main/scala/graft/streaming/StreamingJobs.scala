@@ -408,12 +408,18 @@ object StreamingJobs {
     * bookkeeping is their commit log; duplicate grams across deltas
     * are harmless (semi-join membership), so no compaction is needed
     * for correctness.
+    *
+    * `minSpanWords` defaults to the batch policy's threshold
+    * ([[graft.operators.SpanOps.MinDupSpan]]) so streamed and batch
+    * cut lists agree: short incidental matches stay, long verbatim
+    * repeats go.
     */
   def incrementalSpanScrub(
       docs: DataFrame, // streaming; needs doc_id: long, text: string
       gramDir: String,
       spansDir: String,
       checkpointDir: String,
+      minSpanWords: Int = graft.operators.SpanOps.MinDupSpan,
   ): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -433,6 +439,7 @@ object StreamingJobs {
           case ds => g.join(spark.read.parquet(ds: _*), Seq("gram"), "left_semi")
         }
         graft.operators.SpanOps.spansOf(occ.select(col("doc_id"), col("pos")))
+          .filter(col("span_words") >= minSpanWords)
           .write.mode("overwrite").parquet(s"$spansDir/v$batchId")
         g.select(col("gram")).distinct()
           .write.mode("overwrite").parquet(s"$gramDir/v$batchId")

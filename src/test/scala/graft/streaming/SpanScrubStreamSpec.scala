@@ -32,9 +32,14 @@ class SpanScrubStreamSpec extends SparkSpec {
       //          repeats must NOT count — corpus is earlier batches only)
       mem.addData(Seq((3L, a), (4L, fresh2), (5L, fresh2)))
       q.processAllAvailable()
-      // batch 2: 6 = first 6 words of doc 1 + 6 fresh words → grams at
-      // starts 1,2 hit the corpus, covering exactly positions 1..6
-      mem.addData(Seq((6L, (1 to 6).map(i => s"a$i").mkString(" ") + " z1 z2 z3 z4 z5 z6")))
+      // batch 2: 6 = first 9 words of doc 1 + 5 fresh words → grams at
+      // starts 1..5 hit the corpus, covering exactly positions 1..9
+      // (>= the default MinDupSpan of 8, so the policy filter keeps it);
+      // 7 = a 7-word prefix of doc 1 — covered run of 7 falls UNDER the
+      // threshold and must be filtered out, matching the batch policy
+      mem.addData(Seq(
+        (6L, (1 to 9).map(i => s"a$i").mkString(" ") + " z1 z2 z3 z4 z5"),
+        (7L, (1 to 7).map(i => s"a$i").mkString(" "))))
       q.processAllAvailable()
     } finally q.stop()
 
@@ -46,8 +51,9 @@ class SpanScrubStreamSpec extends SparkSpec {
     assert(spansOfBatch(0) == Set.empty, "seed batch must have no spans")
     assert(spansOfBatch(1) == Set((3L, 1L, 12L, 12L)),
       "verbatim copy should be one whole-doc span; fresh + within-batch dup none")
-    assert(spansOfBatch(2) == Set((6L, 1L, 6L, 6L)),
-      "half-copied doc should have exactly the copied prefix covered")
+    assert(spansOfBatch(2) == Set((6L, 1L, 9L, 9L)),
+      "copied prefix >= threshold kept with exact boundaries; " +
+        "7-word prefix (under MinDupSpan) filtered by the policy")
 
     // the gram store accumulated one delta per batch
     val deltas = new java.io.File(gramDir).listFiles().map(_.getName).sorted
