@@ -105,8 +105,14 @@ object CorpusOps {
        |  GROUP BY cid, dim),
        |$out AS (SELECT cid, list(m ORDER BY dim) AS cvec FROM ${out}_m GROUP BY cid)""".stripMargin
 
-  private def oracleKmeans: String =
-    s"""WITH ev AS (
+  /** The full Lloyd's chain as CTEs ending in `af` (final assignments,
+    * vectors included) and `c2` (final centroids) — shared verbatim by
+    * the q86/q113/q120 oracles so all three replay ONE model
+    * definition; a drift between them would be a different model, not
+    * a different view of the same one.
+    */
+  private def kmeansCtes: String =
+    s"""ev AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |c0 AS (
        |  SELECT vec_id AS cid, list_transform(v, x -> round(x, 9)) AS cvec
@@ -115,7 +121,10 @@ object CorpusOps {
        |${recomputeSql("a1", "c1")},
        |${assignSql("c1", "a2")},
        |${recomputeSql("a2", "c2")},
-       |${assignSql("c2", "af")}
+       |${assignSql("c2", "af")}""".stripMargin
+
+  private def oracleKmeans: String =
+    s"""WITH $kmeansCtes
        |SELECT vec_id, cid AS cluster, round(d, 6) AS dist2 FROM af ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------- q113 cluster quality
@@ -152,16 +161,7 @@ object CorpusOps {
   }
 
   private def oracleClusterQuality: String =
-    s"""WITH ev AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-       |c0 AS (
-       |  SELECT vec_id AS cid, list_transform(v, x -> round(x, 9)) AS cvec
-       |  FROM ev WHERE vec_id < $K),
-       |${assignSql("c0", "a1")},
-       |${recomputeSql("a1", "c1")},
-       |${assignSql("c1", "a2")},
-       |${recomputeSql("a2", "c2")},
-       |${assignSql("c2", "af")},
+    s"""WITH $kmeansCtes,
        |sep AS (
        |  SELECT a.cid, min(list_sum(list_transform(list_zip(a.cvec, b.cvec),
        |    p -> (p[1] - p[2]) * (p[1] - p[2])))) AS min_other_d2
@@ -176,6 +176,75 @@ object CorpusOps {
        |  round(sep.min_other_d2, 6) AS min_other_centroid_d2
        |FROM agg JOIN sep ON sep.cid = agg.cid
        |ORDER BY cluster""".stripMargin
+
+  // ------------------------------------------------ q120 semantic dedup
+
+  private val SemDedupTau = 0.35
+
+  /** Semantic dedup (q120) — the SemDeDup cluster-then-prune recipe
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means the embedding
+    * corpus, then compare vectors ONLY within their own cluster and
+    * drop every vector whose cosine to a lower-id cluster-mate reaches
+    * τ. Complements the q23 LSH near-dup pass: LSH catches
+    * near-identical vectors (high τ, random projections), SemDeDup
+    * catches *semantic* redundancy at lower τ where hyperplane
+    * signatures no longer collide reliably — the clustering supplies
+    * the candidate structure instead.
+    *
+    * Reuses the q86 fit verbatim (same centroids the q86/q113 oracles
+    * replay). Assignments are localCheckpoint'ed: three consumers (two
+    * join sides + the final frame) read the materialized table instead
+    * of re-running Lloyd's per branch; on a cluster this is the
+    * assignments table persisted between pipeline stages.
+    *
+    * Scale shape: the pair stage is an equi-join on the cluster id — a
+    * keyed shuffle, never corpus×corpus — and within-cluster pairing
+    * is Σ|cluster|², which SemDeDup keeps linear-ish by growing k with
+    * the corpus (n/k vectors per cluster stays constant; K here is the
+    * q86 model constant at test scale). A pathologically hot cluster
+    * gets the same treatment as a hot LSH bucket: re-cluster or band
+    * it (q23's banding composes within a cluster unchanged).
+    *
+    * Dup attribution is deterministic: the kept partner is the LOWEST
+    * qualifying vec_id (min-struct agg, no arbitrary-tie window), so
+    * the result is stable under any physical ordering.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = kmeansFit(spark, dir)._2.localCheckpoint()
+    val a = assigned.select($"vec_id".as("a_id"), $"cid", $"v".as("va"))
+    val b = assigned.select($"vec_id".as("b_id"), $"cid", $"v".as("vb"))
+    val dups = a.join(b, Seq("cid"))
+      .filter($"b_id" < $"a_id")
+      .withColumn("cos", cosineD("va", "vb"))
+      .filter($"cos" >= SemDedupTau)
+      .groupBy($"a_id")
+      .agg(min(struct($"b_id", $"cos")).as("m"))
+      .select($"a_id".as("vec_id"), $"m.b_id".as("dup_of"),
+        round($"m.cos", 6).as("dup_cos"))
+    assigned.select($"vec_id", $"cid".as("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster", $"dup_of".isNull.as("kept"),
+        $"dup_of", $"dup_cos")
+      .orderBy($"vec_id")
+  }
+
+  private def oracleSemanticDedup: String =
+    s"""WITH $kmeansCtes,
+       |p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosineSql("a.v", "b.v")} AS cos
+       |  FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+       |q AS (SELECT a_id, b_id, cos FROM p WHERE cos >= $SemDedupTau),
+       |d AS (SELECT a_id, min(b_id) AS dup_of FROM q GROUP BY a_id),
+       |dc AS (
+       |  SELECT d.a_id, d.dup_of, round(q.cos, 6) AS dup_cos
+       |  FROM d JOIN q ON q.a_id = d.a_id AND q.b_id = d.dup_of)
+       |SELECT af.vec_id, af.cid AS cluster,
+       |  dc.dup_of IS NULL AS kept, dc.dup_of, dc.dup_cos
+       |FROM af LEFT JOIN dc ON dc.a_id = af.vec_id
+       |ORDER BY af.vec_id""".stripMargin
 
   // ----------------------------------------------------- q87 chunking
 
@@ -1080,6 +1149,106 @@ object CorpusOps {
       |  round(avg(n_chars), 4) AS avg_chars
       |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
 
+  // ------------------------------------------- q121 DSIR importance
+
+  private val DsirBuckets = 128
+  private val DsirTarget = "src0"
+  private val DsirKeep = 10
+
+  /** DSIR-style data selection (q121) — Data Selection via Importance
+    * Resampling (Xie et al. 2023): score every raw document by its
+    * log-likelihood ratio under two hashed-n-gram bag models, a target
+    * domain (here `src0`, standing in for the high-quality corpus) vs
+    * the raw pool, and keep the top documents per source. The model is
+    * O(buckets) regardless of corpus size — that is the method's whole
+    * point — so at 100 TB the weight table (128 rows here; ~10k in the
+    * paper) broadcasts, scoring is one map + one per-doc keyed agg,
+    * and selection rides [[graft.plans.TopKPerKey]] (map-side top-k
+    * bounds the shuffle to k rows per source per partition; no sort,
+    * no full window).
+    *
+    * Determinism: feature hashing uses the shared md5-derived
+    * [[TextPrims.hash64]]; ranking uses the 6-decimal-rounded score
+    * (cross-engine ulp noise cannot flip ranks) with vec-order ties
+    * broken toward the lower doc_id via the struct order key — the
+    * deterministic counterpart of the paper's Gumbel resampling (the
+    * stochastic variant is q94's weighted-sample key, which composes
+    * with these scores unchanged).
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", words($"text").as("w"))
+      .filter(size($"w") >= 2)
+    val bk = d.select($"doc_id", $"source",
+        explode(expr("transform(sequence(1, size(w) - 1), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("g"))
+      .select($"doc_id", $"source",
+        pmod(hash64(concat(lit("dsir:"), $"g")), lit(DsirBuckets.toLong)).as("b"))
+    val tCnt = bk.filter($"source" === DsirTarget)
+      .groupBy($"b").agg(count(lit(1)).as("tc"))
+    val rCnt = bk.groupBy($"b").agg(count(lit(1)).as("rc"))
+    val tot = bk.agg(
+      sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("rt"))
+    // the smoothed log-ratio weight per hash bucket; missing buckets
+    // (never seen in target/raw) still get their smoothing mass via the
+    // dense 0..B-1 frame, so the weight table is exactly B rows
+    val wts = spark.range(DsirBuckets).select($"id".as("b"))
+      .join(tCnt, Seq("b"), "left").join(rCnt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"b",
+        (log((coalesce($"tc", lit(0L)) + 1.0) / ($"tt" + DsirBuckets)) -
+          log((coalesce($"rc", lit(0L)) + 1.0) / ($"rt" + DsirBuckets))).as("wt"))
+    val scored = bk.join(broadcast(wts), "b")
+      .groupBy($"doc_id", $"source")
+      .agg(round(sum($"wt"), 6).as("dsir_score"))
+    val sel = graft.plans.TopKPerKey(scored, Seq("source"),
+        struct($"dsir_score", (-$"doc_id").as("nid")), DsirKeep)
+      .select($"doc_id", lit(true).as("sel"))
+    scored.join(broadcast(sel), Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"dsir_score",
+        coalesce($"sel", lit(false)).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleDsir: String = {
+    val w = "string_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $w AS w FROM documents WHERE len($w) >= 2),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM d),
+       |bk AS (
+       |  SELECT doc_id, source,
+       |    ${hash64Sql("'dsir:' || g")} % $DsirBuckets AS b FROM bg),
+       |t AS (SELECT b, count(*) AS tc FROM bk WHERE source = '$DsirTarget' GROUP BY b),
+       |r AS (SELECT b, count(*) AS rc FROM bk GROUP BY b),
+       |tot AS (
+       |  SELECT count(*) FILTER (WHERE source = '$DsirTarget')::BIGINT AS tt,
+       |    count(*)::BIGINT AS rt FROM bk),
+       |gs AS (SELECT unnest(generate_series(0, ${DsirBuckets - 1})) AS b),
+       |wt AS (
+       |  SELECT gs.b,
+       |    ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + $DsirBuckets)) -
+       |    ln((coalesce(r.rc, 0) + 1.0) / (tot.rt + $DsirBuckets)) AS wt
+       |  FROM gs LEFT JOIN t ON t.b = gs.b LEFT JOIN r ON r.b = gs.b CROSS JOIN tot),
+       |sc AS (
+       |  SELECT doc_id, source, round(sum(wt), 6) AS dsir_score
+       |  FROM bk JOIN wt ON wt.b = bk.b GROUP BY doc_id, source),
+       |sel AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER
+       |      (PARTITION BY source ORDER BY dsir_score DESC, doc_id) AS rn
+       |    FROM sc) WHERE rn <= $DsirKeep)
+       |SELECT sc.doc_id, sc.source, sc.dsir_score,
+       |  sel.doc_id IS NOT NULL AS selected
+       |FROM sc LEFT JOIN sel ON sel.doc_id = sc.doc_id
+       |ORDER BY sc.doc_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_length_deciles" -> (lengthDeciles _),
     "q101_pq_ann" -> (pqAnn _),
@@ -1095,6 +1264,8 @@ object CorpusOps {
     "q95_source_quota" -> (sourceQuota _),
     "q86_kmeans_clusters" -> (kmeansClusters _),
     "q113_cluster_quality" -> (clusterQuality _),
+    "q120_semantic_dedup" -> (semanticDedup _),
+    "q121_dsir_select" -> (dsirSelect _),
     "q87_doc_chunking" -> (docChunks _),
     "q88_mixture_weights" -> (mixtureWeights _),
     "q89_ann_int8" -> (annInt8 _),
@@ -1117,6 +1288,8 @@ object CorpusOps {
     "q95_source_quota" -> oracleSourceQuota,
     "q86_kmeans_clusters" -> oracleKmeans,
     "q113_cluster_quality" -> oracleClusterQuality,
+    "q120_semantic_dedup" -> oracleSemanticDedup,
+    "q121_dsir_select" -> oracleDsir,
     "q87_doc_chunking" -> oracleChunks,
     "q88_mixture_weights" -> oracleMixture,
     "q89_ann_int8" -> oracleInt8,

@@ -99,6 +99,20 @@ class PlanQualitySpec extends SparkSpec {
       s"nested-loop pairing in q23 plan:\n$plan")
   }
 
+  test("q120 semantic dedup: pairing is a cluster-keyed equi-join — no cartesian or nested-loop") {
+    val plan = planOf(CorpusOps.semanticDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q120 plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop pairing in q120 plan:\n$plan")
+  }
+
+  test("q121 DSIR: selection rides TopKPerKey (no window sort) and the weight table broadcasts") {
+    val plan = planOf(CorpusOps.dsirSelect(spark, dir))
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey selection:\n$plan")
+    assert(!plan.contains("Window"), s"window sort crept into q121 selection:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"weight/selection joins should broadcast:\n$plan")
+  }
+
   test("q97 SNM: no cartesian/nested-loop product anywhere — candidates come from lead()") {
     val plan = planOf(TextDedup.dedupSnm(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"cartesian in SNM plan:\n$plan")
