@@ -565,7 +565,88 @@ object TextAnalysis {
        |FROM base ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- q122 heavy hitters
+
+  private val MgM = 64
+  private val MgTopK = 20
+
+  /** Heavy hitters via a mergeable Misra–Gries sketch (q122,
+    * [[graft.functions.MisraGriesAgg]]): the corpus's word bigrams
+    * stream through ONE m=64-counter summary — O(m) state per map
+    * task, sketches (not the item domain) through the shuffle — and
+    * the result audits the sketch against the exact top-k companion,
+    * the q43 discipline for order-dependent approximations:
+    *
+    * The sketch's raw estimates depend on processing order (true of
+    * any MG run), so the OUTPUT publishes only order-independent
+    * facts: the exact top-k bigrams (deterministic companion,
+    * count-desc/gram-asc), each row's two-sided bound check
+    * `est ≤ exact ≤ est + err`, and the summary-wide mass invariant
+    * `err · (m+1) ≤ n − Σ counters` — all guaranteed TRUE by the MG
+    * theorems, which the DuckDB oracle asserts as literals. A
+    * violated flag is a broken sketch, caught by the value gate. The
+    * m=64-vs-916-bigram regime keeps the decrement/merge paths hot at
+    * every SF (a sketch wider than the domain would audit exact
+    * counting, not sketching); `MisraGriesSpec` property-checks the
+    * bounds under random data, orderings and partitionings, including
+    * the skewed case where presence of >n/(m+1) items is guaranteed.
+    *
+    * At 100 TB this replaces the full `groupBy(item)` when only the
+    * frequent tail matters — the exact companion here is the audit's
+    * ground truth at test scale, not part of the production shape.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.load(spark, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+      )).as("g"))
+    val sk = bg.agg(graft.functions.MisraGriesAgg.column(MgM)($"g").as("sk"))
+    // exact companion: global top-k over the gram domain rides
+    // TopKPerKey on a constant key (map-side pass bounds every
+    // partition to k rows — a global row_number window here would
+    // single-partition the whole domain); the rank window then runs
+    // over ≤ k survivors, not the domain. Ties break toward the
+    // LARGER gram because the heap keeps lexicographically-largest
+    // (count, gram) structs — the oracle mirrors with `g DESC`.
+    val counts = bg.groupBy($"g").agg(count(lit(1)).as("exact_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"exact_count".desc, $"g".desc)
+    val top = graft.plans.TopKPerKey(
+        counts.withColumn("k0", lit(1)), Seq("k0"),
+        struct($"exact_count", $"g"), MgTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .drop("k0")
+    top.crossJoin(broadcast(sk))
+      .withColumn("est", coalesce(element_at($"sk.counts", $"g"), lit(0L)))
+      .withColumn("kept_mass",
+        expr("aggregate(map_values(sk.counts), 0L, (a, x) -> a + x)"))
+      .select($"rank", $"g", $"exact_count",
+        ($"est" <= $"exact_count" && $"est" + $"sk.err" >= $"exact_count")
+          .as("bounds_ok"),
+        ($"sk.err" * (MgM + 1) <= $"sk.n" - $"kept_mass").as("err_theory_ok"))
+      .orderBy($"rank")
+  }
+
+  private def oracleHeavyHitters: String = {
+    val w = "string_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 2),
+       |bg AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+       |c AS (SELECT g, count(*) AS exact_count FROM bg GROUP BY g),
+       |r AS (SELECT g, exact_count,
+       |        row_number() OVER (ORDER BY exact_count DESC, g DESC) AS rank FROM c)
+       |SELECT rank, g, exact_count::BIGINT AS exact_count,
+       |  TRUE AS bounds_ok, TRUE AS err_theory_ok
+       |FROM r WHERE rank <= $MgTopK ORDER BY rank""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_heavy_hitters" -> (heavyHitters _),
     "q98_text_entropy" -> (textEntropy _),
     "q81_bigram_lm_score" -> (bigramLmScore _),
     "q76_textrank_keywords" -> (textrankKeywords _),
@@ -581,6 +662,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q122_heavy_hitters" -> oracleHeavyHitters,
     "q98_text_entropy" -> oracleEntropy,
     "q81_bigram_lm_score" -> oracleBigramLm,
     "q76_textrank_keywords" -> oracleTextrank,
