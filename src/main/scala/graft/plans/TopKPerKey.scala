@@ -57,7 +57,8 @@ final case class TopKPerKeyNode(
     order: Expression,
     k: Int,
     descending: Boolean,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    keepNulls: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -66,13 +67,14 @@ final case class TopKPerKeyNode(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, desc, child) =>
+    case TopKPerKeyNode(keys, order, k, desc, child, keepNulls) =>
       // two-phase, like partial aggregation: a map-side pass bounds the
       // SHUFFLE to ≤ k rows per (key, input partition) — sound because
       // per-key top-k of a union is contained in the union of per-slice
       // top-k's — then the final pass runs on the clustered data
-      val partial = TopKPerKeyExec(keys, order, k, desc, planLater(child), partial = true)
-      TopKPerKeyExec(keys, order, k, desc, partial) :: Nil
+      val partial = TopKPerKeyExec(keys, order, k, desc, planLater(child),
+        partial = true, keepNulls = keepNulls)
+      TopKPerKeyExec(keys, order, k, desc, partial, keepNulls = keepNulls) :: Nil
     case _ => Nil
   }
 }
@@ -87,7 +89,8 @@ final class TopKCollector(
     orderExpr: Expression,
     childOutput: Seq[Attribute],
     desc: Boolean,
-    limit: Int) {
+    limit: Int,
+    keepNulls: Boolean = false) {
 
   private val keyProj = UnsafeProjection.create(keyExprs, childOutput)
   // the order expression runs through a GENERATED projection (same
@@ -144,13 +147,28 @@ final class TopKCollector(
       } else {
         vals(0) = v; rows(0) = row.copy(); siftDown()
       }
+    /** Null-order rows retained for the NULLS LAST completion (window
+      * rewrite mode): at most `limit` per key per partition — the
+      * partial phase never needs more, because nulls only surface in
+      * the final output when the key's non-null count falls short of
+      * k, and each partial already ships all its non-nulls then.
+      */
+    var nullRows: mutable.ArrayBuffer[InternalRow] = null
+    def addNull(row: InternalRow): Unit = {
+      if (nullRows == null) nullRows = mutable.ArrayBuffer.empty
+      if (nullRows.size < limit) { nullRows += row.copy(); () }
+    }
     /** Kept rows, best → worst (k is small: one emit-time sort beats
-      * repeated dequeue sifts).
+      * repeated dequeue sifts); in keep-nulls mode, null-order rows
+      * fill the remaining slots AFTER every non-null — exactly the
+      * NULLS LAST ranking a row_number window would have produced.
       */
     def drain: Iterator[InternalRow] = {
       val order = (0 until size).sortWith((i, j) =>
         worseAtRoot.compare(vals(i), vals(j)) > 0)
-      order.iterator.map(rows)
+      val main = order.iterator.map(rows)
+      if (nullRows == null || size >= limit) main
+      else main ++ nullRows.iterator.take(limit - size)
     }
   }
 
@@ -166,7 +184,9 @@ final class TopKCollector(
       heaps.put(key.copy(), heap)
     }
     val projected = orderProj(row)
-    if (!projected.isNullAt(0)) {
+    if (projected.isNullAt(0)) {
+      if (keepNulls) heap.addNull(row)
+    } else {
       val v = projected.get(0, dt)
       if (heap.accepts(v)) {
         // the projection buffer is REUSED across rows — values that
@@ -195,7 +215,8 @@ final case class TopKPerKeyExec(
     k: Int,
     descending: Boolean,
     child: SparkPlan,
-    partial: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
+    partial: Boolean = false,
+    keepNulls: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -211,7 +232,7 @@ final case class TopKPerKeyExec(
     * per partition, the generated class is instantiated per task).
     */
   def createCollector(): TopKCollector =
-    new TopKCollector(keys, order, child.output, descending, k)
+    new TopKCollector(keys, order, child.output, descending, k, keepNulls)
 
   // ---- interpreted path (codegen off / fallback) ----
   override protected def doExecute(): RDD[InternalRow] = {
@@ -220,8 +241,9 @@ final case class TopKPerKeyExec(
     val childOutput = child.output
     val desc = descending
     val limit = k
+    val nulls = keepNulls
     child.execute().mapPartitions({ it =>
-      val collector = new TopKCollector(keyExprs, orderExpr, childOutput, desc, limit)
+      val collector = new TopKCollector(keyExprs, orderExpr, childOutput, desc, limit, nulls)
       it.foreach(collector.add)
       collector.drain()
     }, preservesPartitioning = true)

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: the standard per-key top-k idiom —
+  *
+  *   `row_number().over(Window.partitionBy(keys).orderBy(ord))`
+  *   then `filter(rn <= k)`  (or the same thing spelled in SQL)
+  *
+  * — plans as Exchange + full per-partition SORT + WindowExec, with
+  * every input row surviving to the filter. This rule rewrites the
+  * pattern to run [[TopKPerKeyNode]] UNDER the window:
+  *
+  *   Filter(rn ≤ k, Window(rn, TopKPerKeyNode(keys, ord, k)))
+  *
+  * The heap operator bounds each map task's output to k rows per key
+  * BEFORE the shuffle (something the window alone fundamentally
+  * cannot), and the surviving Window then sorts/ranks only ≤ k rows
+  * per key — so the rewrite preserves the full output schema
+  * (`rn` included) while the heavy lifting moves to the O(n log k)
+  * no-sort operator. This strictly beats Spark's own
+  * `InferWindowGroupLimit` (whose `WindowGroupLimitExec` still sorts
+  * every input partition); when that rule has already fired, the
+  * inserted [[WindowGroupLimit]] node is recognized and replaced.
+  *
+  * Soundness:
+  *  - only `row_number` qualifies (rank/dense_rank can keep > k rows);
+  *  - only a LITERAL integer upper bound on the rank column counts
+  *    (`rn <= k`, `rn < k`, `k >= rn`, `rn = k`); other conjuncts and
+  *    other uses of `rn` are untouched — the window recomputes `rn`
+  *    over exactly the surviving top-k rows, so every downstream
+  *    reference sees the same values (under ties both the original
+  *    and rewritten plans pick an arbitrary valid assignment; that
+  *    nondeterminism is the window's, not the rewrite's);
+  *  - a NULLABLE order column is rewritten only under NULLS LAST
+  *    (the default for DESC): the heap keeps null-order rows aside
+  *    and fills trailing slots with them ([[TopKCollector]] keep-nulls
+  *    mode) — under NULLS FIRST null rows outrank everything and a
+  *    top-k heap over non-nulls would be wrong, so the rewrite skips;
+  *  - empty partitionSpec (global ranking) is skipped: the final heap
+  *    would hash every row to one key — Spark's own sort-based limit
+  *    handles that shape better.
+  */
+object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Smallest literal upper bound the conjuncts place on `rn`. */
+  private def upperBound(conjuncts: Seq[Expression], rn: Attribute): Option[Int] = {
+    val ks = conjuncts.collect {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k - 1
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k - 1
+      case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
+      case EqualTo(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k
+    }
+    ks.reduceOption(_ min _)
+  }
+
+  private def sameSpec(ps: Seq[Expression], os: Seq[SortOrder],
+      partSpec: Seq[Expression], orderExpr: Expression): Boolean =
+    ps.length == partSpec.length &&
+      ps.zip(partSpec).forall { case (x, y) => x.semanticEquals(y) } &&
+      os.length == 1 && os.head.child.semanticEquals(orderExpr)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partSpec, Seq(so @ SortOrder(orderExpr, dir, nullOrd, _)), wchild, _))
+        if partSpec.nonEmpty && orderExpr.deterministic &&
+          (!orderExpr.nullable || nullOrd == NullsLast) =>
+      // InferWindowGroupLimit may have fired first (it runs before
+      // injected extension rules' fixpoint in some orders, after the
+      // experimental-methods batch in others): its sort-based limit
+      // node is subsumed by the heap operator — replace it
+      val base = wchild match {
+        case WindowGroupLimit(ps, os, _, _, inner)
+            if sameSpec(ps, os, partSpec, orderExpr) => inner
+        case other => other
+      }
+      val already = base match {
+        case t: TopKPerKeyNode =>
+          t.order.semanticEquals(orderExpr) &&
+            sameSpec(t.keys, Seq(so), partSpec, orderExpr)
+        case _ => false
+      }
+      upperBound(splitConjunctivePredicates(cond), alias.toAttribute) match {
+        case Some(k) if k > 0 && !already =>
+          f.copy(child = w.copy(child = TopKPerKeyNode(
+            partSpec, orderExpr, k, dir == Descending, base,
+            keepNulls = orderExpr.nullable)))
+        case _ => f
+      }
+  }
+
+  /** Arm the rewrite (and the strategy that plans its node) on a LIVE
+    * session — extensions only apply at session construction; this
+    * covers notebooks/REPLs, mirroring [[TopKPerKey.apply]]'s strategy
+    * arming. Idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(TopKWindowRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKWindowRewriteRule
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+  }
+}

@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The window-top-k auto-rewrite: the standard
+  * row_number-over-window + filter idiom must plan into TopKPerKeyExec
+  * (heap, no full sort) without changing results — including the `rn`
+  * column itself, which the surviving Window recomputes over the ≤ k
+  * kept rows per key.
+  */
+class TopKWindowRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  TopKWindowRewriteRule.install(spark)
+
+  private def physical(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def base: DataFrame =
+    (1 to 300).map(i => (i.toLong, "k" + (i % 7), (i * 37 % 101).toLong))
+      .toDF("id", "key", "score")
+
+  test("row_number window + rn <= k rewrites to TopKPerKeyExec and matches the window result") {
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id".asc)
+    // unique order key (score, id) via a struct would change the plan;
+    // instead make the order unique per key through id so ties can't
+    // make the comparison flaky: order by id only
+    val wu = Window.partitionBy($"key").orderBy($"id".desc)
+    val q = base.withColumn("rn", row_number().over(wu)).filter($"rn" <= 4)
+    val plan = physical(q)
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    val got = q.collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    // ground truth from the un-rewritten formulation (fresh plan, rule
+    // bypassed by filtering on a non-literal-pattern bound)
+    val expect = base.withColumn("rn", row_number().over(wu))
+      .filter($"rn" + 0 <= 4)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    assert(physical(base.withColumn("rn", row_number().over(wu)).filter($"rn" + 0 <= 4))
+      .contains("Window"), "control plan must stay a plain window")
+    assert(got == expect, s"rewritten result differs: ${got.diff(expect)} vs ${expect.diff(got)}")
+    assert(got.size == 7 * 4 && got.forall(_._3 <= 4))
+  }
+
+  test("SQL-spelled top-k rewrites too, rn column served from the recomputed window") {
+    base.createOrReplaceTempView("rw_t")
+    val q = spark.sql(
+      """SELECT key, id, rn FROM (
+        |  SELECT key, id, row_number() OVER (PARTITION BY key ORDER BY id) AS rn
+        |  FROM rw_t) WHERE rn <= 2""".stripMargin)
+    assert(physical(q).contains("TopKPerKey"), s"SQL rewrite did not fire:\n${physical(q)}")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // ascending by unique id: the two smallest ids per key, ranks 1, 2
+    val expect = (1 to 300).map(i => ("k" + (i % 7), i.toLong))
+      .groupBy(_._1).flatMap { case (k, xs) =>
+        xs.map(_._2).sorted.take(2).zipWithIndex.map { case (id, ix) => (k, id, ix + 1) }
+      }.toSet
+    assert(got == expect)
+  }
+
+  test("nullable order column under NULLS LAST: null rows fill trailing slots exactly") {
+    val df = Seq[(Long, String, java.lang.Long)](
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", null), (4L, "a", null), (5L, "a", 5L),
+      (6L, "b", null), (7L, "b", null), (8L, "b", null),
+      (9L, "c", 1L), (10L, "c", 2L), (11L, "c", 3L), (12L, "c", 4L)
+    ).toDF("id", "key", "score")
+    val w = Window.partitionBy($"key").orderBy($"score".desc_nulls_last, $"id".asc)
+    // single-order-expression pattern: order by score only (desc ->
+    // nulls last by default); ties/null choice are arbitrary in BOTH
+    // plans, so assert set-level facts, not exact null identities
+    val q = df.withColumn("rn", row_number().over(Window.partitionBy($"key").orderBy($"score".desc)))
+      .filter($"rn" <= 3)
+    assert(physical(q).contains("TopKPerKey"), s"nullable rewrite did not fire:\n${physical(q)}")
+    val rows = q.select($"key", $"score", $"rn").collect()
+    val byKey = rows.groupBy(_.getString(0))
+    assert(byKey("a").length == 3 && byKey("b").length == 3 && byKey("c").length == 3)
+    // a: non-nulls 20,10,5 fill all 3 slots — no null may appear
+    assert(byKey("a").forall(!_.isNullAt(1)) &&
+      byKey("a").map(_.getLong(1)).sorted.toSeq == Seq(5L, 10L, 20L))
+    // b: all null — 3 null rows, ranks 1..3
+    assert(byKey("b").forall(_.isNullAt(1)) &&
+      byKey("b").map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+    // c: top-3 of 4 non-nulls
+    assert(byKey("c").map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("guards: rank(), missing upper bound, and global (keyless) windows stay windows") {
+    val w = Window.partitionBy($"key").orderBy($"id".desc)
+    val ranked = base.withColumn("rn", rank().over(w)).filter($"rn" <= 3)
+    assert(!physical(ranked).contains("TopKPerKey"), "rank() must not rewrite")
+    val unbounded = base.withColumn("rn", row_number().over(w)).filter($"rn" >= 2)
+    assert(!physical(unbounded).contains("TopKPerKey"), "no upper bound must not rewrite")
+    val global = base.withColumn("rn", row_number().over(Window.orderBy($"id"))).filter($"rn" <= 3)
+    assert(!physical(global).contains("TopKPerKey"), "global window must not rewrite")
+  }
+
+  test("rn = k and conjoined predicates: bound extracted, residual filter preserved") {
+    val w = Window.partitionBy($"key").orderBy($"id".asc)
+    val q = base.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 2 && $"score" >= 0)
+    assert(physical(q).contains("TopKPerKey"), s"rn = k did not rewrite:\n${physical(q)}")
+    val got = q.select($"key", $"id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = (1 to 300).map(i => ("k" + (i % 7), i.toLong))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sorted.apply(1)) }.toSet
+    assert(got == expect, "rn = 2 must keep exactly the second-smallest id per key")
+  }
+}
