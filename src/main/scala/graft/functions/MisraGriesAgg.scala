@@ -55,7 +55,28 @@ class MisraGriesAgg(m: Int) extends Aggregator[String, MGState, MGState] {
     }
   }
 
-  override def merge(a: MGState, b: MGState): MGState = {
+  override def merge(a: MGState, b: MGState): MGState =
+    MisraGriesAgg.mergeStates(a, b, m)
+
+  override def finish(buf: MGState): MGState = buf
+
+  override def bufferEncoder: Encoder[MGState] = ExpressionEncoder[MGState]()
+  override def outputEncoder: Encoder[MGState] = ExpressionEncoder[MGState]()
+}
+
+object MisraGriesAgg {
+  /** `mg_sketch(itemCol)` as an aggregate Column yielding a
+    * `struct(counts MAP, err BIGINT, n BIGINT)` row.
+    */
+  def column(m: Int)(items: Column): Column =
+    udaf(new MisraGriesAgg(m), Encoders.STRING).apply(items)
+
+  /** The ONE mergeable-summary merge, shared by the aggregate's
+    * shuffle-side combine and the streaming job's batch-into-state
+    * fold ([[graft.streaming.StreamingJobs.heavyHittersStream]]) —
+    * a second definition would be a second (subtly different) sketch.
+    */
+  def mergeStates(a: MGState, b: MGState, m: Int): MGState = {
     val combined = b.counts.foldLeft(a.counts) { case (acc, (k, v)) =>
       acc.updated(k, acc.getOrElse(k, 0L) + v)
     }
@@ -70,17 +91,4 @@ class MisraGriesAgg(m: Int) extends Aggregator[String, MGState, MGState] {
       MGState(cut, base.err + v, base.n)
     }
   }
-
-  override def finish(buf: MGState): MGState = buf
-
-  override def bufferEncoder: Encoder[MGState] = ExpressionEncoder[MGState]()
-  override def outputEncoder: Encoder[MGState] = ExpressionEncoder[MGState]()
-}
-
-object MisraGriesAgg {
-  /** `mg_sketch(itemCol)` as an aggregate Column yielding a
-    * `struct(counts MAP, err BIGINT, n BIGINT)` row.
-    */
-  def column(m: Int)(items: Column): Column =
-    udaf(new MisraGriesAgg(m), Encoders.STRING).apply(items)
 }

@@ -447,6 +447,58 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming heavy hitters — the q122 Misra–Gries sketch maintained
+    * across micro-batches: each batch is sketched distributed (the
+    * [[graft.functions.MisraGriesAgg]] aggregate, partial-merged
+    * across the batch's partitions), then folded into the stored
+    * summary with the SAME [[graft.functions.MisraGriesAgg.mergeStates]]
+    * the shuffle combine uses — mergeability is exactly what makes MG
+    * a streaming-state-shaped sketch, and every MG theorem (two-sided
+    * bounds, err·(m+1) ≤ n − Σ mass, >n/(m+1) guaranteed presence)
+    * holds over the ACCUMULATED stream because the merge tree doesn't
+    * care where the batch boundaries fell.
+    *
+    * The only driver-side data is the O(m) state pair being folded —
+    * never batch rows. State storage follows the versioned-snapshot
+    * discipline of [[scd2ApplyStream]]: `stateDir/v<batchId>`, read
+    * strictly-older-than-self, so a replayed batch re-reads the same
+    * predecessor and rewrites the same output (exactly-once from the
+    * checkpoint + deterministic-per-merge-order fold).
+    */
+  def heavyHittersStream(
+      items: DataFrame, // streaming; needs item: string
+      m: Int,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    items.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val dir = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (!fs.exists(dir)) None
+          else fs.listStatus(dir).toSeq
+            .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
+              .filter(_ => s.getPath.getName.startsWith("v")))
+            .filter(_ < batchId)
+            .maxOption.map(v => s"$stateDir/v$v")
+        val batchState = batch.toDF()
+          .agg(graft.functions.MisraGriesAgg.column(m)(col("item")).as("sk"))
+          .select($"sk.counts", $"sk.err", $"sk.n").as[graft.functions.MGState]
+          .head() // O(m) summary, not data
+        val merged = prev match {
+          case Some(p) =>
+            val stored = spark.read.parquet(p).as[graft.functions.MGState].head()
+            graft.functions.MisraGriesAgg.mergeStates(stored, batchState, m)
+          case None => batchState
+        }
+        Seq(merged).toDS().write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   // ---- custom state: running per-user counters (mapGroupsWithState) ----
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
