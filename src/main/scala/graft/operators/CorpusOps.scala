@@ -1185,17 +1185,19 @@ object CorpusOps {
           "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("g"))
       .select($"doc_id", $"source",
         pmod(hash64(concat(lit("dsir:"), $"g")), lit(DsirBuckets.toLong)).as("b"))
-    val tCnt = bk.filter($"source" === DsirTarget)
-      .groupBy($"b").agg(count(lit(1)).as("tc"))
-    val rCnt = bk.groupBy($"b").agg(count(lit(1)).as("rc"))
-    val tot = bk.agg(
-      sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("tt"),
-      count(lit(1)).as("rt"))
+    // ONE pass over the exploded grams yields both per-bucket counts
+    // (raw + target-filtered) — totals then derive from the B-row
+    // count table, not from re-scanning the corpus (measured: the
+    // separate tCnt/rCnt/tot formulation re-ran the explode 3×)
+    val cnt = bk.groupBy($"b").agg(
+      count(lit(1)).as("rc"),
+      sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("tc"))
+    val tot = cnt.agg(sum($"rc").as("rt"), sum($"tc").as("tt"))
     // the smoothed log-ratio weight per hash bucket; missing buckets
     // (never seen in target/raw) still get their smoothing mass via the
     // dense 0..B-1 frame, so the weight table is exactly B rows
     val wts = spark.range(DsirBuckets).select($"id".as("b"))
-      .join(tCnt, Seq("b"), "left").join(rCnt, Seq("b"), "left")
+      .join(cnt, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select($"b",
         (log((coalesce($"tc", lit(0L)) + 1.0) / ($"tt" + DsirBuckets)) -
