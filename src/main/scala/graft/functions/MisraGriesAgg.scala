@@ -41,6 +41,9 @@ class MisraGriesAgg(m: Int) extends Aggregator[String, MGState, MGState] {
   override def zero: MGState = MGState(Map.empty, 0L, 0L)
 
   override def reduce(buf: MGState, g: String): MGState = {
+    // null items are not part of the stream (a null map key would also
+    // be rejected by the Catalyst map encoder at the shuffle boundary)
+    if (g == null) return buf
     val c = buf.counts
     c.get(g) match {
       case Some(v) => buf.copy(counts = c.updated(g, v + 1), n = buf.n + 1)

@@ -1180,9 +1180,7 @@ object CorpusOps {
     val d = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source", words($"text").as("w"))
       .filter(size($"w") >= 2)
-    val bk = d.select($"doc_id", $"source",
-        explode(expr("transform(sequence(1, size(w) - 1), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("g"))
+    val bk = d.select($"doc_id", $"source", explode(bigrams($"w")).as("g"))
       .select($"doc_id", $"source",
         pmod(hash64(concat(lit("dsir:"), $"g")), lit(DsirBuckets.toLong)).as("b"))
     // ONE pass over the exploded grams yields both per-bucket counts
@@ -1219,10 +1217,7 @@ object CorpusOps {
     s"""WITH d AS (
        |  SELECT doc_id, source, $w AS w FROM documents WHERE len($w) >= 2),
        |bg AS (
-       |  SELECT doc_id, source,
-       |    unnest(list_transform(generate_series(1, len(w) - 1),
-       |      i -> w[i] || ' ' || w[i+1])) AS g
-       |  FROM d),
+       |  SELECT doc_id, source, unnest(${bigramsSql("w")}) AS g FROM d),
        |bk AS (
        |  SELECT doc_id, source,
        |    ${hash64Sql("'dsir:' || g")} % $DsirBuckets AS b FROM bg),

@@ -274,7 +274,7 @@ object TextAnalysis {
     import spark.implicits._
     val n = size($"w")
     val topCnt = topWordCount("w")
-    val g2 = expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")
+    val g2 = bigrams($"w")
     val g3 = shingles3($"w")
     def dupFrac(g: Column): Column =
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
@@ -296,7 +296,7 @@ object TextAnalysis {
   private def oracleRepetition: String = {
     val w = "string_split(text, ' ')"
     val top = s"list_max(list_transform(list_distinct($w), x -> len(list_filter($w, y -> y = x))))"
-    val g2 = s"list_transform(generate_series(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1])"
+    val g2 = bigramsSql(w)
     val g3 = shingles3Sql(w)
     def dup(g: String) = s"(1.0 - len(list_distinct($g))::DOUBLE / len($g))"
     s"""SELECT doc_id,
@@ -600,9 +600,7 @@ object TextAnalysis {
     val bg = Tables.load(spark, dir, "documents")
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
-      )).as("g"))
+      .select(explode(bigrams($"w")).as("g"))
     val sk = bg.agg(graft.functions.MisraGriesAgg.column(MgM)($"g").as("sk"))
     // exact companion: global top-k over the gram domain rides
     // TopKPerKey on a constant key (map-side pass bounds every
@@ -635,8 +633,7 @@ object TextAnalysis {
     s"""WITH d AS (
        |  SELECT doc_id, $w AS w FROM documents WHERE len($w) >= 2),
        |bg AS (
-       |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
-       |    i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+       |  SELECT unnest(${bigramsSql("w")}) AS g FROM d),
        |c AS (SELECT g, count(*) AS exact_count FROM bg GROUP BY g),
        |r AS (SELECT g, exact_count,
        |        row_number() OVER (ORDER BY exact_count DESC, g DESC) AS rank FROM c)

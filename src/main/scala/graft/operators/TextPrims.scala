@@ -82,6 +82,20 @@ object TextPrims {
         'b', greatest(a.b, IF(x = a.p, a.r + 1, 1))),
       a -> a.b)""")
 
+  /** Word 2-grams — the bigram unit shared by q71/q121/q122 (q81
+    * builds struct pairs and keeps its own shape). ONE definition so
+    * the three consumers' gram domains cannot drift. Caller must
+    * filter `size(w) >= 2` first — same descending-`sequence` trap as
+    * [[shingles3]].
+    */
+  def bigrams(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 1), i =>
+      concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+
+  /** DuckDB rendering of [[bigrams]]. */
+  def bigramsSql(w: String): String =
+    s"list_transform(generate_series(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1])"
+
   /** Word k-shingles (k=3): the n-gram unit for Jaccard/MinHash. Caller
     * must filter `size(words) >= 3` first — `sequence(1, n-2)` runs
     * DESCENDING when n < 3 (Spark auto-negates the step), which would

@@ -75,6 +75,20 @@ object TopKPerKeyStrategy extends SparkStrategy {
       val partial = TopKPerKeyExec(keys, order, k, desc, planLater(child),
         partial = true, keepNulls = keepNulls)
       TopKPerKeyExec(keys, order, k, desc, partial, keepNulls = keepNulls) :: Nil
+    // In extension-injected sessions TopKWindowRewriteRule runs in the
+    // operator-optimization batch, BEFORE Spark's InferWindowGroupLimit
+    // — which then re-plants its sort-based WindowGroupLimit above our
+    // node. Over a top-k output the limit is an identity (every key
+    // already holds ≤ k ≤ limit rows, each with rank ≤ limit), so plan
+    // it away instead of paying two WindowGroupLimitExec sorts.
+    case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
+        ps, os, _: org.apache.spark.sql.catalyst.expressions.RowNumber,
+        limit, t: TopKPerKeyNode)
+        if limit >= t.k &&
+          ps.length == t.keys.length &&
+          ps.zip(t.keys).forall { case (a, b) => a.semanticEquals(b) } &&
+          os.length == 1 && os.head.child.semanticEquals(t.order) =>
+      apply(t)
     case _ => Nil
   }
 }

@@ -46,15 +46,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Smallest literal upper bound the conjuncts place on `rn`. */
-  private def upperBound(conjuncts: Seq[Expression], rn: Attribute): Option[Int] = {
+  /** Above this bound the heap's O(k) per-key arrays stop being a win
+    * over the sort the window pays anyway — and a `rn <= 50_000_000`
+    * "cap-at-N" idiom must not allocate 50M-slot arrays per key. Same
+    * role as Spark's `windowGroupLimitThreshold` guard.
+    */
+  private val MaxRewriteK = 10000
+
+  /** Smallest literal upper bound the conjuncts place on `rn`.
+    * Arithmetic in Long: `rn < Int.MinValue` must yield a (rejected)
+    * non-positive bound, not wrap around to Int.MaxValue.
+    */
+  private def upperBound(conjuncts: Seq[Expression], rn: Attribute): Option[Long] = {
     val ks = conjuncts.collect {
-      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
-      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k - 1
-      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k
-      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k - 1
-      case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
-      case EqualTo(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k.toLong
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k.toLong - 1
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k.toLong
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k.toLong - 1
+      case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k.toLong
+      case EqualTo(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k.toLong
     }
     ks.reduceOption(_ min _)
   }
@@ -87,9 +97,9 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         case _ => false
       }
       upperBound(splitConjunctivePredicates(cond), alias.toAttribute) match {
-        case Some(k) if k > 0 && !already =>
+        case Some(k) if k > 0 && k <= MaxRewriteK && !already =>
           f.copy(child = w.copy(child = TopKPerKeyNode(
-            partSpec, orderExpr, k, dir == Descending, base,
+            partSpec, orderExpr, k.toInt, dir == Descending, base,
             keepNulls = orderExpr.nullable)))
         case _ => f
       }

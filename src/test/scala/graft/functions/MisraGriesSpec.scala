@@ -46,8 +46,10 @@ class MisraGriesSpec extends SparkSpec {
       val gen = Gen.listOfN(400,
         Gen.frequency(3 -> Gen.oneOf((1 to 40).map("w" + _)), 1 -> Gen.oneOf("hot1", "hot2")))
       val items = gen.apply(Gen.Parameters.default, Seed(7000L + seed)).get
-      for (parts <- Seq(1, 3, 16)) // 1 = pure reduce; 16 = merge-dominated
-        assertInvariants(run(items, parts)._1, run(items, parts)._2, s"seed=$seed parts=$parts")
+      for (parts <- Seq(1, 3, 16)) { // 1 = pure reduce; 16 = merge-dominated
+        val (exact, sk) = run(items, parts)
+        assertInvariants(exact, sk, s"seed=$seed parts=$parts")
+      }
     }
   }
 
@@ -62,6 +64,13 @@ class MisraGriesSpec extends SparkSpec {
       assert(counts.contains("HEAVY") && counts("HEAVY") >= exact("HEAVY") - err,
         s"guaranteed heavy hitter evicted at parts=$parts: $counts err=$err")
     }
+  }
+
+  test("null items are ignored, not stored as null map keys") {
+    val df = Seq("a", null, "a", null, "b").toDF("g")
+    val row = df.agg(MisraGriesAgg.column(M)($"g").as("sk")).select("sk.*").head()
+    assert(row.getAs[Long]("n") == 3, "nulls must not count toward n")
+    assert(row.getAs[Map[String, Long]]("counts") == Map("a" -> 2L, "b" -> 1L))
   }
 
   test("vocab wider than m forces live decrement and merge-shrink paths") {

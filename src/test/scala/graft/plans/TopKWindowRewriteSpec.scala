@@ -23,10 +23,8 @@ class TopKWindowRewriteSpec extends SparkSpec {
       .toDF("id", "key", "score")
 
   test("row_number window + rn <= k rewrites to TopKPerKeyExec and matches the window result") {
-    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id".asc)
-    // unique order key (score, id) via a struct would change the plan;
-    // instead make the order unique per key through id so ties can't
-    // make the comparison flaky: order by id only
+    // order by the unique (per key) id so ties can't make the
+    // result comparison flaky
     val wu = Window.partitionBy($"key").orderBy($"id".desc)
     val q = base.withColumn("rn", row_number().over(wu)).filter($"rn" <= 4)
     val plan = physical(q)
@@ -65,7 +63,6 @@ class TopKWindowRewriteSpec extends SparkSpec {
       (6L, "b", null), (7L, "b", null), (8L, "b", null),
       (9L, "c", 1L), (10L, "c", 2L), (11L, "c", 3L), (12L, "c", 4L)
     ).toDF("id", "key", "score")
-    val w = Window.partitionBy($"key").orderBy($"score".desc_nulls_last, $"id".asc)
     // single-order-expression pattern: order by score only (desc ->
     // nulls last by default); ties/null choice are arbitrary in BOTH
     // plans, so assert set-level facts, not exact null identities
@@ -93,6 +90,33 @@ class TopKWindowRewriteSpec extends SparkSpec {
     assert(!physical(unbounded).contains("TopKPerKey"), "no upper bound must not rewrite")
     val global = base.withColumn("rn", row_number().over(Window.orderBy($"id"))).filter($"rn" <= 3)
     assert(!physical(global).contains("TopKPerKey"), "global window must not rewrite")
+    // a cap-at-N bound past the threshold must stay a window (the heap
+    // allocates O(k) arrays per key), and an always-false Int.MinValue
+    // bound must neither wrap to a huge k nor crash
+    val huge = base.withColumn("rn", row_number().over(w)).filter($"rn" <= 50000)
+    assert(!physical(huge).contains("TopKPerKey"), "k above threshold must not rewrite")
+    val wrap = base.withColumn("rn", row_number().over(w)).filter($"rn" < Int.MinValue)
+    assert(!physical(wrap).contains("TopKPerKey") && wrap.count() == 0)
+  }
+
+  test("strategy plans a re-planted WindowGroupLimit over the heap node away") {
+    // extension-injected sessions run the rewrite BEFORE Spark's
+    // InferWindowGroupLimit, which then wraps the heap node in its
+    // sort-based limit — the strategy must recognize the identity
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, RowNumber, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+    val analyzed = base.queryExecution.analyzed
+    def attr(n: String) = analyzed.output.find(_.name == n).get
+    val topk = TopKPerKeyNode(Seq(attr("key")), attr("id"), 3, descending = false, analyzed)
+    val wgl = WindowGroupLimit(Seq(attr("key")),
+      Seq(SortOrder(attr("id"), Ascending)), RowNumber(), 3, topk)
+    val planned = TopKPerKeyStrategy(wgl)
+    assert(planned.nonEmpty && planned.head.isInstanceOf[TopKPerKeyExec],
+      s"WindowGroupLimit(TopKPerKeyNode) should plan as the heap execs, got $planned")
+    // a LOWER limit than k is not an identity — must not be absorbed
+    val tighter = WindowGroupLimit(Seq(attr("key")),
+      Seq(SortOrder(attr("id"), Ascending)), RowNumber(), 2, topk)
+    assert(TopKPerKeyStrategy(tighter).isEmpty)
   }
 
   test("rn = k and conjoined predicates: bound extracted, residual filter preserved") {
