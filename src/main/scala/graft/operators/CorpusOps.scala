@@ -1151,9 +1151,23 @@ object CorpusOps {
 
   // ------------------------------------------- q121 DSIR importance
 
-  private val DsirBuckets = 128
+  private[graft] val DsirBuckets = 128
   private val DsirTarget = "src0"
   private val DsirKeep = 10
+
+  /** Feature bucket of a gram — ONE hashing definition shared by q121,
+    * the streaming scorer ([[graft.streaming.StreamingJobs
+    * .dsirScoreStream]]) and the oracle rendering below.
+    */
+  private[graft] def dsirBucket(g: Column): Column =
+    pmod(hash64(concat(lit("dsir:"), g)), lit(DsirBuckets.toLong))
+
+  /** The smoothed log-likelihood-ratio weight of one bucket, given
+    * target/raw counts and totals — shared for the same reason.
+    */
+  private[graft] def dsirWeight(tc: Column, rc: Column, tt: Column, rt: Column): Column =
+    log((coalesce(tc, lit(0L)) + 1.0) / (tt + DsirBuckets)) -
+      log((coalesce(rc, lit(0L)) + 1.0) / (rt + DsirBuckets))
 
   /** DSIR-style data selection (q121) — Data Selection via Importance
     * Resampling (Xie et al. 2023): score every raw document by its
@@ -1181,8 +1195,7 @@ object CorpusOps {
       .select($"doc_id", $"source", words($"text").as("w"))
       .filter(size($"w") >= 2)
     val bk = d.select($"doc_id", $"source", explode(bigrams($"w")).as("g"))
-      .select($"doc_id", $"source",
-        pmod(hash64(concat(lit("dsir:"), $"g")), lit(DsirBuckets.toLong)).as("b"))
+      .select($"doc_id", $"source", dsirBucket($"g").as("b"))
     // ONE pass over the exploded grams yields both per-bucket counts
     // (raw + target-filtered) — totals then derive from the B-row
     // count table, not from re-scanning the corpus (measured: the
@@ -1197,9 +1210,7 @@ object CorpusOps {
     val wts = spark.range(DsirBuckets).select($"id".as("b"))
       .join(cnt, Seq("b"), "left")
       .crossJoin(broadcast(tot))
-      .select($"b",
-        (log((coalesce($"tc", lit(0L)) + 1.0) / ($"tt" + DsirBuckets)) -
-          log((coalesce($"rc", lit(0L)) + 1.0) / ($"rt" + DsirBuckets))).as("wt"))
+      .select($"b", dsirWeight($"tc", $"rc", $"tt", $"rt").as("wt"))
     val scored = bk.join(broadcast(wts), "b")
       .groupBy($"doc_id", $"source")
       .agg(round(sum($"wt"), 6).as("dsir_score"))

@@ -499,6 +499,81 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming DSIR — ingest-time importance scoring of arriving
+    * documents against a FIXED target-domain corpus and the raw pool
+    * seen so far: the q121 scorer
+    * ([[graft.operators.CorpusOps.dsirSelect]]) with the raw-side
+    * bucket counts maintained as streaming state. Each micro-batch is
+    * scored with the weights as of the PREVIOUS batch (raw counts
+    * strictly older than self — same replay discipline as
+    * [[incrementalSpanScrub]]: a replayed batch must not see its own
+    * grams in the pool, which would depress its own novelty), then its
+    * bucket counts fold into the state.
+    *
+    * State is O(DsirBuckets) = 128 (bucket, rc) rows — the method's
+    * whole point is that the model never grows with the corpus — so at
+    * any scale the per-batch cost is the batch's gram explode + one
+    * 128-row merge; the target side is bucket-counted once per batch
+    * from its directory (cache it on a real cluster; it is static).
+    * Bucket hashing and the smoothed log-ratio weight are the SHARED
+    * `dsirBucket`/`dsirWeight` definitions — the batch query, this
+    * stream and the DuckDB oracle cannot drift.
+    */
+  def dsirScoreStream(
+      docs: DataFrame, // streaming; needs doc_id: long, text: string
+      targetDir: String, // static parquet of target-domain docs (text)
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{CorpusOps, TextPrims}
+        val B = CorpusOps.DsirBuckets
+        def buckets(d: DataFrame): DataFrame = d
+          .select(d.columns.map(col) :+ TextPrims.words(col("text")).as("__w"): _*)
+          .filter(size(col("__w")) >= 2)
+          .select(d.columns.map(col) :+
+            explode(TextPrims.bigrams(col("__w"))).as("__g"): _*)
+          .select(d.columns.map(col) :+ CorpusOps.dsirBucket(col("__g")).as("b"): _*)
+        val dir = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (!fs.exists(dir)) None
+          else fs.listStatus(dir).toSeq
+            .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
+              .filter(_ => s.getPath.getName.startsWith("v")))
+            .filter(_ < batchId)
+            .maxOption.map(v => s"$stateDir/v$v")
+        // raw pool as of the PREVIOUS batch (empty on the first)
+        val rawPrev = prev match {
+          case Some(p) => spark.read.parquet(p)
+          case None => spark.range(0).select(col("id").as("b"), lit(0L).as("rc"))
+        }
+        val tgt = buckets(spark.read.parquet(targetDir).select(col("text")))
+          .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+        val tot = tgt.agg(sum(col("tc")).as("tt")).crossJoin(
+          rawPrev.agg(coalesce(sum(col("rc")), lit(0L)).as("rt")))
+        val wts = spark.range(B).select(col("id").as("b"))
+          .join(tgt, Seq("b"), "left").join(rawPrev, Seq("b"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("b"),
+            CorpusOps.dsirWeight(col("tc"), col("rc"), col("tt"), col("rt")).as("wt"))
+        val bk = buckets(batch.toDF()).localCheckpoint() // consumed twice
+        bk.join(broadcast(wts), "b")
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("wt")), 6).as("dsir_score"))
+          .write.mode("overwrite").parquet(s"$outDir/v$batchId")
+        // fold this batch's counts into the pool AFTER scoring
+        val folded = rawPrev.select(col("b"), col("rc"))
+          .unionByName(bk.groupBy(col("b")).agg(count(lit(1)).as("rc")))
+          .groupBy(col("b")).agg(sum(col("rc")).as("rc"))
+        folded.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   // ---- custom state: running per-user counters (mapGroupsWithState) ----
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
