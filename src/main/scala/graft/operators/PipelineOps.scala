@@ -196,7 +196,8 @@ object PipelineOps {
     * broadcast back. Strata never share a pack (a training batch must
     * not straddle a train/val split).
     */
-  def packTokensBy(df: DataFrame, strata: Seq[String], budget: Long): DataFrame = {
+  def packTokensBy(df: DataFrame, strata: Seq[String], budget: Long,
+      keepCum: Boolean = false): DataFrame = {
     import df.sparkSession.implicits._
     val stratCols = strata.map(col)
     val w = org.apache.spark.sql.expressions.Window
@@ -227,10 +228,13 @@ object PipelineOps {
     val offsetsDf = df.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(offsets).asJava),
       offSchema)
-    local.join(broadcast(offsetsDf), "pid" +: strata)
+    val out = local.join(broadcast(offsetsDf), "pid" +: strata)
       .withColumn("cum_excl", $"offset" + $"cum_in" - $"tokens")
       .withColumn("pack_id", floor($"cum_excl" / lit(budget.toDouble)).cast("long"))
-      .drop("pid", "cum_in", "offset", "cum_excl")
+      .drop("pid", "cum_in", "offset")
+    // cum_excl (each doc's exclusive global token offset) is what the
+    // q123 audit needs to see pack-boundary straddling
+    if (keepCum) out else out.drop("cum_excl")
   }
 
   def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
@@ -248,6 +252,52 @@ object PipelineOps {
        |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |    - len(string_split(text, ' '))) / $PackBudget.0) AS BIGINT) AS pack_id
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ q123 packing audit
+
+  /** Packing-efficiency audit (q123): per training chunk of the q73
+    * packing — document count, token mass, fill fraction against the
+    * budget, and the SPILL (tokens past the chunk's budget window,
+    * carried by the boundary-straddling document; q73 assigns each doc
+    * to the pack where it STARTS, so a pack's mass can exceed its
+    * window). The report a pipeline owner reads to size `PackBudget`:
+    * systematic spill → documents long relative to the budget,
+    * fill ≪ 1 on the tail pack is expected. One keyed agg over the
+    * packing output — pack count ∝ corpus tokens / budget, and the
+    * packing itself is the q73 two-phase prefix sum (no global
+    * window).
+    */
+  def packingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(words($"text")).cast("long").as("tokens"))
+    packTokensBy(toks, Nil, PackBudget, keepCum = true)
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tokens").as("tokens"),
+        max($"cum_excl" + $"tokens").as("end_cum"))
+      .select($"pack_id", $"n_docs", $"tokens",
+        round($"tokens" / lit(PackBudget.toDouble), 4).as("fill_pct"),
+        greatest(lit(0L), $"end_cum" - ($"pack_id" + 1) * PackBudget).as("spill"))
+      .orderBy($"pack_id")
+  }
+
+  private def oraclePackingAudit: String = {
+    val tok = "len(string_split(text, ' '))"
+    s"""WITH t AS (
+       |  SELECT doc_id, $tok::BIGINT AS tokens,
+       |    (sum($tok) OVER (ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - $tok)::BIGINT
+       |      AS cum_excl
+       |  FROM documents),
+       |p AS (
+       |  SELECT CAST(floor(cum_excl / $PackBudget.0) AS BIGINT) AS pack_id,
+       |    tokens, cum_excl FROM t)
+       |SELECT pack_id, count(*)::BIGINT AS n_docs, sum(tokens)::BIGINT AS tokens,
+       |  round(sum(tokens) / $PackBudget.0, 4) AS fill_pct,
+       |  greatest(0, max(cum_excl + tokens) - (pack_id + 1) * $PackBudget)::BIGINT AS spill
+       |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin
+  }
 
   // ---------------------------------------------------- q74 stratified
 
@@ -361,6 +411,7 @@ object PipelineOps {
     "q85_stratified_topn" -> (stratifiedTopNSample _),
     "q72_pii_scan" -> (piiScan _),
     "q73_token_packing" -> (tokenPacking _),
+    "q123_packing_audit" -> (packingAudit _),
     "q74_stratified_sample" -> (stratifiedSample _),
     "q66_data_quality" -> (dataQuality _),
     "q67_deterministic_sample" -> (deterministicSample _),
@@ -373,6 +424,7 @@ object PipelineOps {
     "q85_stratified_topn" -> oracleTopNSample,
     "q72_pii_scan" -> oraclePii,
     "q73_token_packing" -> oraclePacking,
+    "q123_packing_audit" -> oraclePackingAudit,
     "q74_stratified_sample" -> oracleStratified,
     "q66_data_quality" -> oracleQuality,
     "q67_deterministic_sample" -> oracleSample,
