@@ -63,25 +63,76 @@ object PipelineOps {
   /** Train/val/test split assignment (80/10/10) from the same hash
     * family, with per-(lang, split) counts — the audit view.
     */
+  /** The ONE split-assignment rule (deterministic hash bucket 80/10/10)
+    * shared by q68's report, q124's leakage audit and both oracles.
+    */
+  private[operators] def splitCol: org.apache.spark.sql.Column = {
+    val bucket = pmod(hash64(concat(lit("split:"), col("doc_id").cast("string"))), lit(10))
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+  }
+
+  private[operators] def splitCaseSql: String = {
+    val bucket = s"""${hash64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10"""
+    s"CASE WHEN $bucket < 8 THEN 'train' WHEN $bucket = 8 THEN 'val' ELSE 'test' END"
+  }
+
   def splitAssignment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = pmod(hash64(concat(lit("split:"), $"doc_id".cast("string"))), lit(10))
     Tables.load(spark, dir, "documents")
-      .withColumn("split",
-        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .withColumn("split", splitCol)
       .groupBy($"lang", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
       .orderBy($"lang", $"split")
   }
 
-  private def oracleSplit = {
-    val bucket = s"""${hash64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10"""
-    s"""SELECT lang,
-       |  CASE WHEN $bucket < 8 THEN 'train' WHEN $bucket = 8 THEN 'val'
-       |       ELSE 'test' END AS split,
+  private def oracleSplit =
+    s"""SELECT lang, $splitCaseSql AS split,
        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  // ----------------------------------------------- q124 split leakage
+
+  /** Cross-split leakage audit (q124): near-duplicate pairs that
+    * STRADDLE the q68 train/val/test boundary — the reason dedup must
+    * precede splitting: a test doc with a train near-twin is a leaked
+    * eval. Rides the shared df-capped pair pipeline (q61's cached
+    * table — duplicate-density-bound, so the leaked list is small at
+    * any corpus size) joined twice against the split assignment (the
+    * pair side is tiny → AQE broadcasts it; the split side streams).
+    * `drop_id` is the actionable column: the train-side member to
+    * remove (NULL for a val↔test pair — both eval splits, needs a
+    * human call). Both the pair SQL and the split rule render from
+    * their single shared definitions, so the audit cannot drift from
+    * what q61/q68 actually compute.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sp = Tables.load(spark, dir, "documents")
+      .select($"doc_id", splitCol.as("split"))
+    val sa = sp.select($"doc_id".as("a_id"), $"split".as("split_a"))
+    val sb = sp.select($"doc_id".as("b_id"), $"split".as("split_b"))
+    TextDedup.cappedPairs(spark, dir)
+      .join(sa, "a_id").join(sb, "b_id")
+      .filter($"split_a" =!= $"split_b")
+      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"),
+        $"split_a", $"split_b",
+        when($"split_a" === "train", $"a_id")
+          .when($"split_b" === "train", $"b_id").as("drop_id"))
+      .orderBy($"a_id", $"b_id")
   }
+
+  private def oracleSplitLeakage: String =
+    s"""WITH ${TextDedup.cappedDupSql},
+       |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
+       |SELECT d.a_id, d.b_id, round(d.jaccard, 4) AS jaccard,
+       |  sa.split AS split_a, sb.split AS split_b,
+       |  CASE WHEN sa.split = 'train' THEN d.a_id
+       |       WHEN sb.split = 'train' THEN d.b_id END AS drop_id
+       |FROM dup d
+       |JOIN sp sa ON sa.doc_id = d.a_id
+       |JOIN sp sb ON sb.doc_id = d.b_id
+       |WHERE sa.split <> sb.split
+       |ORDER BY d.a_id, d.b_id""".stripMargin
 
   /** Benchmark decontamination: training docs sharing word-3-gram
     * shingles with the eval set (doc_id < 20 stands in for the held-out
@@ -412,6 +463,7 @@ object PipelineOps {
     "q72_pii_scan" -> (piiScan _),
     "q73_token_packing" -> (tokenPacking _),
     "q123_packing_audit" -> (packingAudit _),
+    "q124_split_leakage" -> (splitLeakage _),
     "q74_stratified_sample" -> (stratifiedSample _),
     "q66_data_quality" -> (dataQuality _),
     "q67_deterministic_sample" -> (deterministicSample _),
@@ -425,6 +477,7 @@ object PipelineOps {
     "q72_pii_scan" -> oraclePii,
     "q73_token_packing" -> oraclePacking,
     "q123_packing_audit" -> oraclePackingAudit,
+    "q124_split_leakage" -> oracleSplitLeakage,
     "q74_stratified_sample" -> oracleStratified,
     "q66_data_quality" -> oracleQuality,
     "q67_deterministic_sample" -> oracleSample,
