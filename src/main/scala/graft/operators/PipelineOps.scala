@@ -350,6 +350,87 @@ object PipelineOps {
        |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin
   }
 
+  // --------------------------------------------------- q125 PSI drift
+
+  /** Population-stability-index drift audit (q125): the standard
+    * production check that a column's distribution hasn't shifted —
+    * here `o_totalprice`, comparing the first 70% of the order time
+    * range (the "reference" window that trained the bins) against the
+    * rest. Bins are the reference's deciles (exact `percentile`, the
+    * q103 cross-engine pair with `quantile_cont`, cuts rounded to 6
+    * before comparison so interpolation ulp can't flip a bin); rates
+    * are add-one smoothed over the 10 bins so an empty current bin
+    * stays finite; per-bin PSI terms are (p−q)·ln(p/q) ≥ 0 — the
+    * consumer sums them against the usual 0.1/0.25 thresholds. Scale
+    * shape: two scans (one for cuts over the reference, one binning
+    * pass), a 10-ary keyed agg, everything model-sized broadcast —
+    * the same shape at 100 TB.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+      // orders carries TIMESTAMP_NTZ; the session is pinned UTC, so the
+      // cast to instant-typed timestamp is lossless and matches epoch_us
+      .select($"o_totalprice".as("x"),
+        unix_micros($"o_orderdate".cast("timestamp")).as("ts_us"))
+    val cut = o.agg(expr("min(ts_us) + div((max(ts_us) - min(ts_us)) * 7, 10)").as("cut_us"))
+    val w = o.crossJoin(broadcast(cut))
+    val cuts = w.filter($"ts_us" <= $"cut_us").agg(
+      round(percentile($"x", lit(0.1)), 6).as("c1"),
+      (2 to 9).map(i => round(percentile($"x", lit(i / 10.0)), 6).as(s"c$i")): _*)
+    val binned = w.crossJoin(broadcast(cuts))
+      .withColumn("pop", when($"ts_us" <= $"cut_us", "ref").otherwise("cur"))
+      .withColumn("bin",
+        (1 to 9).map(i => when($"x" > col(s"c$i"), 1).otherwise(0)).reduce(_ + _).cast("long"))
+    val cnt = binned.groupBy($"bin").agg(
+      sum(when($"pop" === "ref", 1L).otherwise(0L)).as("ref_n"),
+      sum(when($"pop" === "cur", 1L).otherwise(0L)).as("cur_n"))
+    val tot = cnt.agg(sum($"ref_n").as("rt"), sum($"cur_n").as("ct"))
+    val rr = (coalesce($"ref_n", lit(0L)) + 1.0) / ($"rt" + 10)
+    val cr = (coalesce($"cur_n", lit(0L)) + 1.0) / ($"ct" + 10)
+    spark.range(10).select($"id".as("bin"))
+      .join(cnt, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"bin",
+        coalesce($"ref_n", lit(0L)).as("ref_n"),
+        coalesce($"cur_n", lit(0L)).as("cur_n"),
+        round(rr, 6).as("ref_rate"), round(cr, 6).as("cur_rate"),
+        round((rr - cr) * log(rr / cr), 6).as("psi_term"))
+      .orderBy($"bin")
+  }
+
+  private def oraclePsiDrift: String = {
+    val cutsSel = (1 to 9).map(i =>
+      s"round(quantile_cont(x, 0.${i}), 6) AS c$i").mkString(", ")
+    val binExpr = (1 to 9).map(i => s"(x > c.c$i)::INT").mkString(" + ")
+    s"""WITH o AS (
+       |  SELECT o_totalprice AS x, epoch_us(o_orderdate) AS ts_us FROM orders),
+       |b AS (SELECT min(ts_us) + ((max(ts_us) - min(ts_us)) * 7) // 10 AS cut_us FROM o),
+       |c AS (SELECT $cutsSel FROM o, b WHERE ts_us <= cut_us),
+       |p AS (
+       |  SELECT CASE WHEN ts_us <= b.cut_us THEN 'ref' ELSE 'cur' END AS pop,
+       |    ($binExpr)::BIGINT AS bin
+       |  FROM o, b, c),
+       |cnt AS (
+       |  SELECT bin,
+       |    count(*) FILTER (WHERE pop = 'ref') AS ref_n,
+       |    count(*) FILTER (WHERE pop = 'cur') AS cur_n
+       |  FROM p GROUP BY bin),
+       |tot AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM cnt),
+       |gs AS (SELECT unnest(generate_series(0, 9)) AS bin)
+       |SELECT gs.bin,
+       |  coalesce(cnt.ref_n, 0)::BIGINT AS ref_n,
+       |  coalesce(cnt.cur_n, 0)::BIGINT AS cur_n,
+       |  round((coalesce(cnt.ref_n, 0) + 1.0) / (tot.rt + 10), 6) AS ref_rate,
+       |  round((coalesce(cnt.cur_n, 0) + 1.0) / (tot.ct + 10), 6) AS cur_rate,
+       |  round(((coalesce(cnt.ref_n, 0) + 1.0) / (tot.rt + 10) -
+       |         (coalesce(cnt.cur_n, 0) + 1.0) / (tot.ct + 10)) *
+       |        ln(((coalesce(cnt.ref_n, 0) + 1.0) / (tot.rt + 10)) /
+       |           ((coalesce(cnt.cur_n, 0) + 1.0) / (tot.ct + 10))), 6) AS psi_term
+       |FROM gs LEFT JOIN cnt ON cnt.bin = gs.bin CROSS JOIN tot
+       |ORDER BY gs.bin""".stripMargin
+  }
+
   // ---------------------------------------------------- q74 stratified
 
   private val StratRates = Seq("en" -> 0.2, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.8)
@@ -464,6 +545,7 @@ object PipelineOps {
     "q73_token_packing" -> (tokenPacking _),
     "q123_packing_audit" -> (packingAudit _),
     "q124_split_leakage" -> (splitLeakage _),
+    "q125_psi_drift" -> (psiDrift _),
     "q74_stratified_sample" -> (stratifiedSample _),
     "q66_data_quality" -> (dataQuality _),
     "q67_deterministic_sample" -> (deterministicSample _),
@@ -478,6 +560,7 @@ object PipelineOps {
     "q73_token_packing" -> oraclePacking,
     "q123_packing_audit" -> oraclePackingAudit,
     "q124_split_leakage" -> oracleSplitLeakage,
+    "q125_psi_drift" -> oraclePsiDrift,
     "q74_stratified_sample" -> oracleStratified,
     "q66_data_quality" -> oracleQuality,
     "q67_deterministic_sample" -> oracleSample,
