@@ -362,9 +362,10 @@ object PipelineOps {
     * are add-one smoothed over the 10 bins so an empty current bin
     * stays finite; per-bin PSI terms are (p−q)·ln(p/q) ≥ 0 — the
     * consumer sums them against the usual 0.1/0.25 thresholds. Scale
-    * shape: two scans (one for cuts over the reference, one binning
-    * pass), a 10-ary keyed agg, everything model-sized broadcast —
-    * the same shape at 100 TB.
+    * shape: three scans — time bounds for the cut, reference deciles,
+    * and the binning pass (the deciles cannot fold into the bounds
+    * scan: their population depends on the cut) — then a 10-ary keyed
+    * agg, everything model-sized broadcast. Same shape at 100 TB.
     */
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -74,10 +74,8 @@ object TrainingPipeline {
     val bucket = pmod(hash64(concat(lit("tp:"), $"doc_id".cast("string"))), lit(10000))
     val sampled = nearDeduped.filter(bucket < rate * 10000)
 
-    // 5. split assignment (80/10/10 hash buckets)
-    val sbucket = pmod(hash64(concat(lit("split:"), $"doc_id".cast("string"))), lit(10))
-    val split = sampled.withColumn("split",
-      when(sbucket < 8, "train").when(sbucket === 8, "val").otherwise("test"))
+    // 5. split assignment — the ONE shared 80/10/10 rule (q68/q124)
+    val split = sampled.withColumn("split", PipelineOps.splitCol)
 
     // 6. per-split token packing (strata never share a pack)
     val withTokens = split.withColumn("tokens", size(words($"text")).cast("long"))
@@ -129,7 +127,6 @@ object TrainingPipeline {
       case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
     }
     val sampBucket = s"${hash64Sql("'tp:' || CAST(doc_id AS VARCHAR)")} % 10000"
-    val splitBucket = s"${hash64Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10"
     val rtoks = "len(string_split(rtext, ' '))"
     s"""WITH RECURSIVE ${TextDedup.cappedDupSql},
        |edges AS (
@@ -162,9 +159,7 @@ object TrainingPipeline {
        |samp AS (
        |  SELECT * FROM survive WHERE $sampBucket < ($rate) * 10000),
        |spl AS (
-       |  SELECT doc_id, rtext,
-       |    CASE WHEN $splitBucket < 8 THEN 'train'
-       |         WHEN $splitBucket = 8 THEN 'val' ELSE 'test' END AS split
+       |  SELECT doc_id, rtext, ${PipelineOps.splitCaseSql} AS split
        |  FROM samp),
        |packed AS (
        |  SELECT split,

@@ -339,6 +339,30 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Versioned-snapshot state discipline shared by the stateful
+    * foreachBatch jobs ([[scd2ApplyStream]], [[incrementalSpanScrub]],
+    * [[heavyHittersStream]], [[dsirScoreStream]]): versions are
+    * `dir/v<batchId>` subdirectories; a batch may read only versions
+    * STRICTLY OLDER than itself — a replayed batch must re-read the
+    * same predecessor it saw the first time, never its own
+    * half-written output — and overwrites its own directory. ONE
+    * discovery implementation so the four streams' replay semantics
+    * cannot diverge.
+    */
+  private def versionsBefore(spark: SparkSession, dir: String, batchId: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
+        .filter(_ => s.getPath.getName.startsWith("v")))
+      .filter(_ < batchId).sorted
+      .map(v => s"$dir/v$v")
+  }
+
+  private def latestVersionBefore(spark: SparkSession, dir: String, batchId: Long): Option[String] =
+    versionsBefore(spark, dir, batchId).lastOption
+
   /** Streaming SCD2 apply — the q116 incremental merge driven by a CDC
     * stream: the stored SCD2 history is the state, each micro-batch
     * merges through [[graft.operators.ExtendedRelational.scd2Merge]]
@@ -365,15 +389,7 @@ object StreamingJobs {
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new org.apache.hadoop.fs.Path(historyDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev =
-          if (!fs.exists(dir)) None
-          else fs.listStatus(dir).toSeq
-            .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
-              .filter(_ => s.getPath.getName.startsWith("v")))
-            .filter(_ < batchId) // replay must not read its own output
-            .maxOption.map(v => s"$historyDir/v$v")
+        val prev = latestVersionBefore(spark, historyDir, batchId)
         val batchDf = batch.toDF()
         val merged = prev match {
           case Some(p) =>
@@ -425,15 +441,7 @@ object StreamingJobs {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val g = graft.operators.SpanOps.gramsOf(batch.toDF()).localCheckpoint()
-        val dir = new org.apache.hadoop.fs.Path(gramDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prevDeltas =
-          if (!fs.exists(dir)) Seq.empty[String]
-          else fs.listStatus(dir).toSeq
-            .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
-              .filter(_ => s.getPath.getName.startsWith("v")))
-            .filter(_ < batchId)
-            .map(v => s"$gramDir/v$v")
+        val prevDeltas = versionsBefore(spark, gramDir, batchId)
         val occ = prevDeltas match {
           case Seq() => g.filter(lit(false)) // first batch: nothing to repeat
           case ds => g.join(spark.read.parquet(ds: _*), Seq("gram"), "left_semi")
@@ -475,15 +483,7 @@ object StreamingJobs {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val dir = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev =
-          if (!fs.exists(dir)) None
-          else fs.listStatus(dir).toSeq
-            .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
-              .filter(_ => s.getPath.getName.startsWith("v")))
-            .filter(_ < batchId)
-            .maxOption.map(v => s"$stateDir/v$v")
+        val prev = latestVersionBefore(spark, stateDir, batchId)
         val batchState = batch.toDF()
           .agg(graft.functions.MisraGriesAgg.column(m)(col("item")).as("sk"))
           .select($"sk.counts", $"sk.err", $"sk.n").as[graft.functions.MGState]
@@ -537,23 +537,17 @@ object StreamingJobs {
           .select(d.columns.map(col) :+
             explode(TextPrims.bigrams(col("__w"))).as("__g"): _*)
           .select(d.columns.map(col) :+ CorpusOps.dsirBucket(col("__g")).as("b"): _*)
-        val dir = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev =
-          if (!fs.exists(dir)) None
-          else fs.listStatus(dir).toSeq
-            .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption
-              .filter(_ => s.getPath.getName.startsWith("v")))
-            .filter(_ < batchId)
-            .maxOption.map(v => s"$stateDir/v$v")
         // raw pool as of the PREVIOUS batch (empty on the first)
-        val rawPrev = prev match {
+        val rawPrev = latestVersionBefore(spark, stateDir, batchId) match {
           case Some(p) => spark.read.parquet(p)
           case None => spark.range(0).select(col("id").as("b"), lit(0L).as("rc"))
         }
         val tgt = buckets(spark.read.parquet(targetDir).select(col("text")))
           .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-        val tot = tgt.agg(sum(col("tc")).as("tt")).crossJoin(
+        // BOTH totals need the empty-input guard: a degenerate target
+        // (no doc with >= 2 words) must yield finite smoothing-only
+        // weights, not NULL scores for every document
+        val tot = tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("tt")).crossJoin(
           rawPrev.agg(coalesce(sum(col("rc")), lit(0L)).as("rt")))
         val wts = spark.range(B).select(col("id").as("b"))
           .join(tgt, Seq("b"), "left").join(rawPrev, Seq("b"), "left")
