@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized parity for the window-top-k rewrite: for random data
+  * (ties, nulls, skewed keys), random k and both directions, the
+  * rewritten plan must select exactly the rows the plain window
+  * selects — compared as per-key MULTISETS of order values (under
+  * ties, row identity is arbitrary in BOTH plans, but the multiset of
+  * selected order values is deterministic; null-order rows compare by
+  * count). Ground truth is re-derived in PLAIN SCALA — an in-session
+  * "control" query is impossible: constant folding canonicalizes any
+  * `rn + 0 <= k` dodge back to the literal pattern before the rule
+  * runs, so the control gets rewritten too (verified: it does).
+  */
+class TopKWindowRewritePropSpec extends SparkSpec {
+  import spark.implicits._
+
+  TopKWindowRewriteRule.install(spark)
+
+  private val rowGen: Gen[(Long, String, Option[Long])] = for {
+    id <- Gen.chooseNum(1L, 100000L)
+    key <- Gen.frequency(5 -> Gen.oneOf("a", "b"), 2 -> Gen.oneOf("c", "d", "e"))
+    score <- Gen.frequency(
+      6 -> Gen.chooseNum(0L, 8L).map(Some(_)), // small domain → heavy ties
+      1 -> Gen.const(None))
+  } yield (id, key, score)
+
+  test("rewritten selection == window selection for random data, k, direction") {
+    for (seed <- 1 to 6) {
+      val raw = Gen.listOfN(120, rowGen)
+        .apply(Gen.Parameters.default, Seed(9100L + seed)).get
+        .zipWithIndex.map { case ((_, k, s), ix) => (ix.toLong + 1, k, s) } // unique ids
+      val k = 1 + seed % 4
+      val desc = seed % 2 == 0
+      val df = raw.map { case (id, key, s) =>
+        (id, key, s.map(Long.box).orNull.asInstanceOf[java.lang.Long])
+      }.toDF("id", "key", "score")
+      val ord = if (desc) $"score".desc else $"score".asc_nulls_last
+      val w = Window.partitionBy($"key").orderBy(ord)
+      val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"seed=$seed: rewrite did not fire:\n$plan")
+
+      val got: Map[String, Seq[Option[Long]]] =
+        q.collect().groupBy(_.getString(1)).map { case (key, rs) =>
+          key -> rs.map(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+            .toSeq.sortBy(_.getOrElse(Long.MinValue))
+        }
+      // plain-Scala window semantics: non-nulls in order, nulls last
+      val want: Map[String, Seq[Option[Long]]] =
+        raw.groupBy(_._2).map { case (key, rs) =>
+          val nonNull = rs.flatMap(_._3).sorted
+          val ordered = if (desc) nonNull.reverse else nonNull
+          val sel = ordered.map(Option(_)) ++
+            Seq.fill(rs.count(_._3.isEmpty))(None: Option[Long])
+          key -> sel.take(k).sortBy(_.getOrElse(Long.MinValue))
+        }
+      assert(got == want,
+        s"seed=$seed k=$k desc=$desc: selected order-value multisets differ:\n$got\nvs\n$want")
+      // ranks must be 1..count per key in both
+      assert(q.groupBy($"key").agg(max($"rn").as("m"), count(lit(1)).as("c"))
+        .filter($"m" =!= $"c").count() == 0, s"seed=$seed: rn not dense 1..c")
+    }
+  }
+}

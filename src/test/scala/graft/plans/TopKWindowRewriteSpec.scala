@@ -30,13 +30,14 @@ class TopKWindowRewriteSpec extends SparkSpec {
     val plan = physical(q)
     assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
     val got = q.collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
-    // ground truth from the un-rewritten formulation (fresh plan, rule
-    // bypassed by filtering on a non-literal-pattern bound)
-    val expect = base.withColumn("rn", row_number().over(wu))
-      .filter($"rn" + 0 <= 4)
-      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
-    assert(physical(base.withColumn("rn", row_number().over(wu)).filter($"rn" + 0 <= 4))
-      .contains("Window"), "control plan must stay a plain window")
+    // ground truth in plain Scala — an in-session un-rewritten control
+    // is impossible: constant folding canonicalizes any `rn + 0` dodge
+    // back to the literal pattern before the rule runs
+    val expect = (1 to 300).map(i => (i.toLong, "k" + (i % 7)))
+      .groupBy(_._2).flatMap { case (k, xs) =>
+        xs.map(_._1).sorted(Ordering[Long].reverse).take(4)
+          .zipWithIndex.map { case (id, ix) => (k, id, ix + 1) }
+      }.toSet
     assert(got == expect, s"rewritten result differs: ${got.diff(expect)} vs ${expect.diff(got)}")
     assert(got.size == 7 * 4 && got.forall(_._3 <= 4))
   }
