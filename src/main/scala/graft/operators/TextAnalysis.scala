@@ -642,7 +642,65 @@ object TextAnalysis {
        |FROM r WHERE rank <= $MgTopK ORDER BY rank""".stripMargin
   }
 
+  // ------------------------------------- q126 per-source heavy hitters
+
+  private val MgKeyedM = 16
+  private val MgKeyedTopK = 5
+
+  /** Heavy hitters PER SOURCE (q126): the q122 Misra–Gries sketch in
+    * its KEYED form — `groupBy(source).agg(mg_sketch(g))` gives every
+    * group its own m=16 summary, partial-merged per group through the
+    * aggregate shuffle exactly like a sum would be; per-group state is
+    * O(m), so 10k sources cost 10k×16 counters, not 10k item domains.
+    * The audit discipline is q122's: exact per-source top-5 companion
+    * (TopKPerKey keyed by source — no per-group sort of the gram
+    * domain) with each row's two-sided bound flag and the group's
+    * mass invariant, all theorem-TRUE against the group's own sketch.
+    * m=16 against ~700 distinct bigrams per source keeps every
+    * group's decrement/merge paths hot at both SFs.
+    */
+  def sourceHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.load(spark, dir, "documents")
+      .select($"source", words($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"source", explode(bigrams($"w")).as("g"))
+    val sk = bg.groupBy($"source")
+      .agg(graft.functions.MisraGriesAgg.column(MgKeyedM)($"g").as("sk"))
+    val counts = bg.groupBy($"source", $"g").agg(count(lit(1)).as("exact_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"exact_count".desc, $"g".desc)
+    val top = graft.plans.TopKPerKey(
+        counts, Seq("source"), struct($"exact_count", $"g"), MgKeyedTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    top.join(broadcast(sk), "source")
+      .withColumn("est", coalesce(element_at($"sk.counts", $"g"), lit(0L)))
+      .withColumn("kept_mass",
+        expr("aggregate(map_values(sk.counts), 0L, (a, x) -> a + x)"))
+      .select($"source", $"rank", $"g", $"exact_count",
+        ($"est" <= $"exact_count" && $"est" + $"sk.err" >= $"exact_count")
+          .as("bounds_ok"),
+        ($"sk.err" * (MgKeyedM + 1) <= $"sk.n" - $"kept_mass").as("err_theory_ok"))
+      .orderBy($"source", $"rank")
+  }
+
+  private def oracleSourceHeavyHitters: String = {
+    val w = "string_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT source, $w AS w FROM documents WHERE len($w) >= 2),
+       |bg AS (
+       |  SELECT source, unnest(${bigramsSql("w")}) AS g FROM d),
+       |c AS (SELECT source, g, count(*) AS exact_count FROM bg GROUP BY source, g),
+       |r AS (SELECT source, g, exact_count,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY exact_count DESC, g DESC) AS rank FROM c)
+       |SELECT source, rank, g, exact_count::BIGINT AS exact_count,
+       |  TRUE AS bounds_ok, TRUE AS err_theory_ok
+       |FROM r WHERE rank <= $MgKeyedTopK ORDER BY source, rank""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_source_heavy_hitters" -> (sourceHeavyHitters _),
     "q122_heavy_hitters" -> (heavyHitters _),
     "q98_text_entropy" -> (textEntropy _),
     "q81_bigram_lm_score" -> (bigramLmScore _),
@@ -659,6 +717,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_source_heavy_hitters" -> oracleSourceHeavyHitters,
     "q122_heavy_hitters" -> oracleHeavyHitters,
     "q98_text_entropy" -> oracleEntropy,
     "q81_bigram_lm_score" -> oracleBigramLm,
