@@ -113,6 +113,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"weight/selection joins should broadcast:\n$plan")
   }
 
+  test("q124 leakage: rides the cached pair table, split joins broadcast the pair side") {
+    val plan = planOf(PipelineOps.splitLeakage(spark, dir))
+    assert(plan.contains("InMemoryTableScan"),
+      s"q124 must read the shared cached pair table, not rebuild it:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q124 plan:\n$plan")
+  }
+
+  test("q125 PSI: model-sized sides broadcast; no cartesian beyond scalar crosses") {
+    val plan = planOf(PipelineOps.psiDrift(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"q125 cut/cuts/totals should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q125 plan:\n$plan")
+  }
+
+  test("q126 keyed heavy hitters: exact companion rides TopKPerKey, sketch side broadcasts") {
+    val plan = planOf(TextAnalysis.sourceHeavyHitters(spark, dir))
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey companion:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"keyed sketch should aggregate as an object agg:\n$plan")
+  }
+
   test("q97 SNM: no cartesian/nested-loop product anywhere — candidates come from lead()") {
     val plan = planOf(TextDedup.dedupSnm(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"cartesian in SNM plan:\n$plan")
