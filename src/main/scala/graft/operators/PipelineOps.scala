@@ -367,6 +367,29 @@ object PipelineOps {
     * scan: their population depends on the cut) — then a 10-ary keyed
     * agg, everything model-sized broadcast. Same shape at 100 TB.
     */
+  /** Decile-bin assignment given the 9 rounded cut columns c1..c9 —
+    * shared by q125 and the streaming monitor
+    * ([[graft.streaming.StreamingJobs.psiDriftStream]]).
+    */
+  private[graft] def psiBin(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (1 to 9).map(i => when(x > col(s"c$i"), 1).otherwise(0)).reduce(_ + _).cast("long")
+
+  /** Add-one-smoothed rate over 10 bins. */
+  private[graft] def psiRate(n: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (coalesce(n, lit(0L)) + 1.0) / (t + 10)
+
+  /** One PSI summand: (p − q)·ln(p/q). */
+  private[graft] def psiTerm(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (p - q) * log(p / q)
+
+  /** The 9 reference deciles as one aggregated row (c1..c9, each
+    * rounded to 6 pre-comparison — see [[psiDrift]]'s parity note).
+    */
+  private[graft] def psiCuts(ref: DataFrame, x: String): DataFrame =
+    ref.agg(
+      round(percentile(col(x), lit(0.1)), 6).as("c1"),
+      (2 to 9).map(i => round(percentile(col(x), lit(i / 10.0)), 6).as(s"c$i")): _*)
+
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.load(spark, dir, "orders")
@@ -376,19 +399,16 @@ object PipelineOps {
         unix_micros($"o_orderdate".cast("timestamp")).as("ts_us"))
     val cut = o.agg(expr("min(ts_us) + div((max(ts_us) - min(ts_us)) * 7, 10)").as("cut_us"))
     val w = o.crossJoin(broadcast(cut))
-    val cuts = w.filter($"ts_us" <= $"cut_us").agg(
-      round(percentile($"x", lit(0.1)), 6).as("c1"),
-      (2 to 9).map(i => round(percentile($"x", lit(i / 10.0)), 6).as(s"c$i")): _*)
+    val cuts = psiCuts(w.filter($"ts_us" <= $"cut_us"), "x")
     val binned = w.crossJoin(broadcast(cuts))
       .withColumn("pop", when($"ts_us" <= $"cut_us", "ref").otherwise("cur"))
-      .withColumn("bin",
-        (1 to 9).map(i => when($"x" > col(s"c$i"), 1).otherwise(0)).reduce(_ + _).cast("long"))
+      .withColumn("bin", psiBin($"x"))
     val cnt = binned.groupBy($"bin").agg(
       sum(when($"pop" === "ref", 1L).otherwise(0L)).as("ref_n"),
       sum(when($"pop" === "cur", 1L).otherwise(0L)).as("cur_n"))
     val tot = cnt.agg(sum($"ref_n").as("rt"), sum($"cur_n").as("ct"))
-    val rr = (coalesce($"ref_n", lit(0L)) + 1.0) / ($"rt" + 10)
-    val cr = (coalesce($"cur_n", lit(0L)) + 1.0) / ($"ct" + 10)
+    val rr = psiRate($"ref_n", $"rt")
+    val cr = psiRate($"cur_n", $"ct")
     spark.range(10).select($"id".as("bin"))
       .join(cnt, Seq("bin"), "left")
       .crossJoin(broadcast(tot))
@@ -396,7 +416,7 @@ object PipelineOps {
         coalesce($"ref_n", lit(0L)).as("ref_n"),
         coalesce($"cur_n", lit(0L)).as("cur_n"),
         round(rr, 6).as("ref_rate"), round(cr, 6).as("cur_rate"),
-        round((rr - cr) * log(rr / cr), 6).as("psi_term"))
+        round(psiTerm(rr, cr), 6).as("psi_term"))
       .orderBy($"bin")
   }
 

@@ -568,6 +568,64 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming PSI drift monitor — the q125 audit run continuously: a
+    * numeric stream is binned against a FIXED reference population's
+    * deciles, and each micro-batch emits the cumulative-to-date PSI
+    * report (same schema as q125, so the same 0.1/0.25 thresholds
+    * apply; an alerting sink just sums psi_term per version). State is
+    * the cumulative per-bin count — TEN rows, the degenerate-small end
+    * of the versioned-snapshot discipline — so the per-batch cost is
+    * one binning pass over the batch plus a 10-row merge, at any
+    * scale. Bins, smoothing and the PSI summand are the SHARED
+    * `psiBin`/`psiRate`/`psiTerm` definitions; the reference cuts are
+    * recomputed from its directory per batch (deterministic; cache on
+    * a real cluster — the reference is static by definition).
+    */
+  def psiDriftStream(
+      rows: DataFrame, // streaming; needs x: double
+      referenceDir: String, // static parquet with column x
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.PipelineOps
+        val ref = spark.read.parquet(referenceDir).select(col("x"))
+        val cuts = PipelineOps.psiCuts(ref, "x")
+        def binCounts(d: DataFrame, as: String): DataFrame = d
+          .crossJoin(broadcast(cuts))
+          .withColumn("bin", PipelineOps.psiBin(col("x")))
+          .groupBy(col("bin")).agg(count(lit(1)).as(as))
+        val prevCnt = latestVersionBefore(spark, stateDir, batchId) match {
+          case Some(p) => spark.read.parquet(p)
+          case None => spark.range(0).select(col("id").as("bin"), lit(0L).as("cur_n"))
+        }
+        val cum = prevCnt
+          .unionByName(binCounts(batch.toDF().select(col("x")), "cur_n"))
+          .groupBy(col("bin")).agg(sum(col("cur_n")).as("cur_n"))
+          .localCheckpoint() // consumed twice: report + state write
+        val refCnt = binCounts(ref, "ref_n")
+        val tot = refCnt.agg(sum(col("ref_n")).as("rt")).crossJoin(
+          cum.agg(coalesce(sum(col("cur_n")), lit(0L)).as("ct")))
+        val rr = PipelineOps.psiRate(col("ref_n"), col("rt"))
+        val cr = PipelineOps.psiRate(col("cur_n"), col("ct"))
+        spark.range(10).select(col("id").as("bin"))
+          .join(refCnt, Seq("bin"), "left").join(cum, Seq("bin"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("bin"),
+            coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+            coalesce(col("cur_n"), lit(0L)).as("cur_n"),
+            round(rr, 6).as("ref_rate"), round(cr, 6).as("cur_rate"),
+            round(PipelineOps.psiTerm(rr, cr), 6).as("psi_term"))
+          .orderBy(col("bin"))
+          .write.mode("overwrite").parquet(s"$outDir/v$batchId")
+        cum.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   // ---- custom state: running per-user counters (mapGroupsWithState) ----
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
