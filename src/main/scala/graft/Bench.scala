@@ -68,10 +68,19 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // optional comma-separated name-prefix filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    // Fenced non-production demos are correct (they stay in Verify /
+    // CORRECTNESS) but deliberately carry a scale-killer plan — q20's
+    // uncapped Σdf² posting-list expansion exists to demonstrate why the
+    // df-cap lever exists, and at sf1+ it would dominate the whole run.
+    // The default bench therefore skips them and says so in the JSON;
+    // an explicit ONLY filter still selects them for local study.
+    val fenced = Set("q20_dedup_ngram_jaccard")
     val selected = only match {
-      case None => SparkEntry.queries
+      case None => SparkEntry.queries.filter { case (n, _) => !fenced(n) }
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
     }
+    val skippedFenced =
+      SparkEntry.queries.keys.filter(n => fenced(n) && !selected.contains(n)).toSeq.sorted
     // A throwing query must be REPORTED as failed, not timed: the
     // seconds elapsed before an AnalysisException are near zero, and
     // recording them would let a broken query masquerade as the
@@ -135,9 +144,11 @@ object Bench {
       val failedJson =
         if (full) "\"failed_queries\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
         else "\"failed_queries\":" + failed.size
+      val skippedJson =
+        "\"skipped_fenced\":" + skippedFenced.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""iters":$iters,"probe":$probeJson,"host_noise":${"%.2f".format(hostNoise)},""" +
-        s""""noisy_queries":$noisy,$failedJson,"contaminated":$contaminated}"""
+        s""""noisy_queries":$noisy,$failedJson,$skippedJson,"contaminated":$contaminated}"""
     }
     // only persist full-catalog runs — a filtered run must not clobber
     // the canonical local bench record

@@ -1203,7 +1203,12 @@ object CorpusOps {
     val cnt = bk.groupBy($"b").agg(
       count(lit(1)).as("rc"),
       sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("tc"))
-    val tot = cnt.agg(sum($"rc").as("rt"), sum($"tc").as("tt"))
+    // coalesce-to-0 mirrors the streaming twin (dsirScoreStream): on a
+    // degenerate empty corpus sum() is NULL, and any consumer reading
+    // the wts frame alone would silently get all-NULL weights
+    val tot = cnt.agg(
+      coalesce(sum($"rc"), lit(0L)).as("rt"),
+      coalesce(sum($"tc"), lit(0L)).as("tt"))
     // the smoothed log-ratio weight per hash bucket; missing buckets
     // (never seen in target/raw) still get their smoothing mass via the
     // dense 0..B-1 frame, so the weight table is exactly B rows

@@ -178,9 +178,9 @@ object RarSource extends Serializable {
         // member body
         val proc = new ProcessBuilder(argv(archive.toString, member): _*)
           .redirectError(ProcessBuilder.Redirect.DISCARD).start()
-        // watchdog covers the stdout read too — readAllBytes blocks
-        // until EOF, so waitFor(timeout) alone can't unwedge a child
-        // that stalls while its pipe stays open
+        // watchdog covers the stdout read too — the bounded read blocks
+        // until cap bytes or EOF, so waitFor(timeout) alone can't
+        // unwedge a child that stalls while its pipe stays open
         val timeoutMs = 60000L + unpSize / 10485L
         val deadline = System.nanoTime() + timeoutMs * 1000000L
         val killer = new java.util.Timer("graft-rar-watchdog", true)
@@ -188,7 +188,19 @@ object RarSource extends Serializable {
           def run(): Unit = { proc.destroyForcibly(); () }
         }, timeoutMs)
         try {
-          val body = proc.getInputStream.readAllBytes()
+          // Memory is bounded by the HEADER'S claim, not by what the
+          // child chooses to write: a misbehaving extractor spewing
+          // gigabytes before the watchdog fires must hit a cap, not
+          // grow the buffer until the executor OOMs. unpSize+1 is
+          // enough to detect "longer than declared" (the extra byte
+          // fails the exact-length check below) without buffering the
+          // excess; a declared size too big for a byte array is
+          // rejected up front without reading at all.
+          val cap = unpSize + 1
+          val body =
+            if (unpSize < 0 || cap > Int.MaxValue - 8) { proc.destroyForcibly(); Array.empty[Byte] }
+            else proc.getInputStream.readNBytes(cap.toInt)
+          if (body.length.toLong == cap) proc.destroyForcibly() // overlong: stop the spew
           // waitFor gets the REMAINDER of the budget, not a fresh
           // window — read + exit share one deadline
           val remainMs = math.max(1L, (deadline - System.nanoTime()) / 1000000L)

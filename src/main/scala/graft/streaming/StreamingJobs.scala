@@ -363,6 +363,65 @@ object StreamingJobs {
   private def latestVersionBefore(spark: SparkSession, dir: String, batchId: Long): Option[String] =
     versionsBefore(spark, dir, batchId).lastOption
 
+  /** Retention for SNAPSHOT-style state (each version is complete on
+    * its own): delete all but the newest `retain` versions strictly
+    * older than `batchId`. Safe because (a) when batch B runs, every
+    * version < B is already checkpoint-committed — Spark replays at
+    * most the latest uncommitted batch, so no batch < B will ever run
+    * again — and (b) the snapshot streams read only the LATEST
+    * strictly-older version, which any `retain >= 1` keeps. Without
+    * pruning a long-running stream accumulates one full snapshot per
+    * micro-batch forever; with it, state disk is O(retain × snapshot).
+    * Runs at batch START so a replayed batch repeats the same
+    * (idempotent) deletions before reading the same predecessor.
+    */
+  private def pruneSnapshots(
+      spark: SparkSession, dir: String, batchId: Long, retain: Int): Unit =
+    if (retain != Int.MaxValue) {
+      val older = versionsBefore(spark, dir, batchId)
+      val doomed = older.dropRight(math.max(1, retain))
+      if (doomed.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        doomed.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
+    }
+
+  /** Marker making a gram-delta version a FULL snapshot (it holds the
+    * union of every delta up to and including its batch). Written only
+    * after the parquet commit — a crash in between leaves an oversized
+    * but correct delta that simply never triggers pruning.
+    */
+  private val FullMarker = "_FULL"
+
+  /** Retention for DELTA-style state ([[incrementalSpanScrub]] gram
+    * deltas, where correctness needs the UNION of older versions):
+    * plain last-N pruning would lose grams, so compaction must come
+    * first. Every `compactEvery`-th batch writes its version as the
+    * union of all strictly-older deltas plus its own grams and marks
+    * it [[FullMarker]]; any later batch may then delete versions
+    * strictly older than the newest marked snapshot it can see (their
+    * content is contained in it, and duplicates across the remaining
+    * versions stay harmless — the consumer is a left-semi membership
+    * join). Replay-safe for the same committed-predecessor reason as
+    * [[pruneSnapshots]]: the newest full snapshot older than B is
+    * committed, and a replayed B re-reads union(full .. B-1) which is
+    * the complete index whether or not the pre-full tail still exists.
+    */
+  private def pruneBehindFullSnapshot(
+      spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val older = versionsBefore(spark, dir, batchId)
+    if (older.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lastFull = older.lastIndexWhere(v =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$v/$FullMarker")))
+      if (lastFull > 0)
+        older.take(lastFull).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    }
+  }
+
   /** Streaming SCD2 apply — the q116 incremental merge driven by a CDC
     * stream: the stored SCD2 history is the state, each micro-batch
     * merges through [[graft.operators.ExtendedRelational.scd2Merge]]
@@ -385,10 +444,12 @@ object StreamingJobs {
       events: DataFrame, // streaming CDC: user_id, event_id, event_type, value, ts
       historyDir: String,
       checkpointDir: String,
+      retainVersions: Int = Int.MaxValue, // see [[pruneSnapshots]]
   ): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        pruneSnapshots(spark, historyDir, batchId, retainVersions)
         val prev = latestVersionBefore(spark, historyDir, batchId)
         val batchDf = batch.toDF()
         val merged = prev match {
@@ -423,7 +484,10 @@ object StreamingJobs {
     * At 100 TB both stores are Delta/Iceberg tables and the delta-dir
     * bookkeeping is their commit log; duplicate grams across deltas
     * are harmless (semi-join membership), so no compaction is needed
-    * for correctness.
+    * for correctness — but without it per-batch read cost grows with
+    * batch count, so `compactEvery = K` makes every K-th batch fold
+    * the older deltas into its own version ([[FullMarker]]) and lets
+    * later batches prune the tail ([[pruneBehindFullSnapshot]]).
     *
     * `minSpanWords` defaults to the batch policy's threshold
     * ([[graft.operators.SpanOps.MinDupSpan]]) so streamed and batch
@@ -436,10 +500,12 @@ object StreamingJobs {
       spansDir: String,
       checkpointDir: String,
       minSpanWords: Int = graft.operators.SpanOps.MinDupSpan,
+      compactEvery: Int = 0, // 0 = never; see [[pruneBehindFullSnapshot]]
   ): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        if (compactEvery > 0) pruneBehindFullSnapshot(spark, gramDir, batchId)
         val g = graft.operators.SpanOps.gramsOf(batch.toDF()).localCheckpoint()
         val prevDeltas = versionsBefore(spark, gramDir, batchId)
         val occ = prevDeltas match {
@@ -449,8 +515,23 @@ object StreamingJobs {
         graft.operators.SpanOps.spansOf(occ.select(col("doc_id"), col("pos")))
           .filter(col("span_words") >= minSpanWords)
           .write.mode("overwrite").parquet(s"$spansDir/v$batchId")
-        g.select(col("gram")).distinct()
-          .write.mode("overwrite").parquet(s"$gramDir/v$batchId")
+        // a compaction batch folds every older delta into its own
+        // version (making it a full snapshot) so the NEXT batch may
+        // prune the tail; otherwise per-batch read cost grows with
+        // batch count even though correctness never depends on it
+        val compacting = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+        val ownGrams = g.select(col("gram")).distinct()
+        val delta =
+          if (compacting && prevDeltas.nonEmpty)
+            ownGrams.unionByName(spark.read.parquet(prevDeltas: _*)).distinct()
+          else ownGrams
+        delta.write.mode("overwrite").parquet(s"$gramDir/v$batchId")
+        if (compacting) {
+          val fs = new org.apache.hadoop.fs.Path(gramDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.create(new org.apache.hadoop.fs.Path(
+            s"$gramDir/v$batchId/$FullMarker"), true).close()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -478,11 +559,13 @@ object StreamingJobs {
       m: Int,
       stateDir: String,
       checkpointDir: String,
+      retainVersions: Int = Int.MaxValue, // see [[pruneSnapshots]]
   ): StreamingQuery =
     items.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        pruneSnapshots(spark, stateDir, batchId, retainVersions)
         val prev = latestVersionBefore(spark, stateDir, batchId)
         val batchState = batch.toDF()
           .agg(graft.functions.MisraGriesAgg.column(m)(col("item")).as("sk"))
@@ -525,10 +608,12 @@ object StreamingJobs {
       stateDir: String,
       outDir: String,
       checkpointDir: String,
+      retainVersions: Int = Int.MaxValue, // see [[pruneSnapshots]]; outDir is never pruned
   ): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        pruneSnapshots(spark, stateDir, batchId, retainVersions)
         import graft.operators.{CorpusOps, TextPrims}
         val B = CorpusOps.DsirBuckets
         def buckets(d: DataFrame): DataFrame = d
@@ -587,10 +672,12 @@ object StreamingJobs {
       stateDir: String,
       outDir: String,
       checkpointDir: String,
+      retainVersions: Int = Int.MaxValue, // see [[pruneSnapshots]]; outDir is never pruned
   ): StreamingQuery =
     rows.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        pruneSnapshots(spark, stateDir, batchId, retainVersions)
         import graft.operators.PipelineOps
         val ref = spark.read.parquet(referenceDir).select(col("x"))
         val cuts = PipelineOps.psiCuts(ref, "x")
