@@ -34,9 +34,7 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(functions.LevenshteinPrefilterRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ functions.LevenshteinPrefilterRule
-    if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
+    plans.TopKWindowRewriteRule.install(spark) // rewrite rule + strategy
     spark
   }
 }

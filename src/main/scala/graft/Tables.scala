@@ -26,10 +26,16 @@ object Tables {
     else df
   }
 
-  /** Session defaults shared by Verify / Bench / tests. */
+  /** Session defaults shared by Verify / Bench / tests — including the
+    * graft extensions (SQL functions, window-top-k rewrite, planner
+    * strategy): the driver gates must exercise the engine in its
+    * recommended configuration, not a stripped-down one, or the bench
+    * would time plans no real user of [[GraftSession]] ever runs.
+    */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
 }

@@ -684,6 +684,45 @@ object ExtendedRelational {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, price DESC""".stripMargin
 
+  /** Rank-with-ties top-k (q127): the `rank() <= k` idiom — keep the
+    * top k rows per key AND every row tied with the k-th — spelled as
+    * the plain window ON PURPOSE: [[graft.plans.TopKWindowRewriteRule]]
+    * rewrites it onto [[graft.plans.TopKPerKeyNode]] in keep-ties mode
+    * (bounded heap + threshold-tie buffer under the window), so map
+    * tasks ship ≤ k + ties rows per key instead of whole partitions
+    * through a sort. Here: the most recent orders per priority class —
+    * order dates are coarse (≈1 order/priority/date at sf0.01, dozens
+    * at sf1+), so the tie tail is REAL and grows with scale, exactly
+    * the case where `row_number` would silently drop same-day orders.
+    * The `coalesce` to a sentinel date makes the order expression
+    * non-nullable — rank mode requires it (all nulls tie, so a bounded
+    * null completion can't reproduce `rank <= k`); on this data the
+    * coalesce is an identity. rank() is int32 in Spark → cast BIGINT
+    * both sides.
+    */
+  def latestOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    // the sentinel must be a LITERAL of the column's exact type
+    // (timestamp_ntz): a cast would be fallible → nullable, and the
+    // nullability guard would (correctly) refuse the rank rewrite
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(coalesce($"o_orderdate",
+        lit(java.time.LocalDateTime.of(1900, 1, 1, 0, 0))).desc)
+    orders.withColumn("rk", rank().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"o_orderkey", $"o_orderdate",
+        $"rk".cast("long").as("rk"))
+      .orderBy($"o_orderpriority", $"rk", $"o_orderkey")
+  }
+
+  private def oracleLatestOrders: String =
+    """SELECT o_orderpriority, o_orderkey, o_orderdate, rk FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_orderdate,
+      |    CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate DESC) AS BIGINT) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin
+
   /** Unpivot / melt (q107): the wide daily matrix from [[pivotDaily]]
     * stacked back to long (day, event_type, n) form — the inverse
     * reshape every reporting pipeline needs in both directions. Spark
@@ -820,6 +859,7 @@ object ExtendedRelational {
     "q112_ref_integrity" -> (refIntegrity _),
     "q114_event_anomalies" -> (eventAnomalies _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
+    "q127_topk_rank_ties" -> (latestOrdersPerPriority _),
     "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
     "q32_semi_join" -> (semiJoin _),
@@ -847,6 +887,7 @@ object ExtendedRelational {
     "q112_ref_integrity" -> oracleRefIntegrity,
     "q114_event_anomalies" -> oracleEventAnomalies,
     "q82_topk_per_key" -> oracleTopOrders,
+    "q127_topk_rank_ties" -> oracleLatestOrders,
     "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,
     "q32_semi_join" ->

@@ -58,7 +58,8 @@ final case class TopKPerKeyNode(
     k: Int,
     descending: Boolean,
     child: LogicalPlan,
-    keepNulls: Boolean = false) extends UnaryNode {
+    keepNulls: Boolean = false,
+    keepTies: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -67,24 +68,32 @@ final case class TopKPerKeyNode(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, desc, child, keepNulls) =>
+    case TopKPerKeyNode(keys, order, k, desc, child, keepNulls, keepTies) =>
       // two-phase, like partial aggregation: a map-side pass bounds the
       // SHUFFLE to ≤ k rows per (key, input partition) — sound because
       // per-key top-k of a union is contained in the union of per-slice
-      // top-k's — then the final pass runs on the clustered data
+      // top-k's (with ties: a row with < k strictly-better rows
+      // globally has < k strictly-better rows in its slice, so every
+      // global survivor survives its slice) — then the final pass runs
+      // on the clustered data
       val partial = TopKPerKeyExec(keys, order, k, desc, planLater(child),
-        partial = true, keepNulls = keepNulls)
-      TopKPerKeyExec(keys, order, k, desc, partial, keepNulls = keepNulls) :: Nil
+        partial = true, keepNulls = keepNulls, keepTies = keepTies)
+      TopKPerKeyExec(keys, order, k, desc, partial,
+        keepNulls = keepNulls, keepTies = keepTies) :: Nil
     // In extension-injected sessions TopKWindowRewriteRule runs in the
     // operator-optimization batch, BEFORE Spark's InferWindowGroupLimit
     // — which then re-plants its sort-based WindowGroupLimit above our
     // node. Over a top-k output the limit is an identity (every key
     // already holds ≤ k ≤ limit rows, each with rank ≤ limit), so plan
     // it away instead of paying two WindowGroupLimitExec sorts.
+    // rank mode: WindowGroupLimitExec with a Rank function keeps rows
+    // while rank ≤ limit INCLUDING ties — identity over a keep-ties
+    // top-k output for the same reason as row_number over plain top-k
     case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
-        ps, os, _: org.apache.spark.sql.catalyst.expressions.RowNumber,
-        limit, t: TopKPerKeyNode)
-        if limit >= t.k &&
+        ps, os, rankFn, limit, t: TopKPerKeyNode)
+        if (rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] ||
+            rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank]) &&
+          limit >= t.k &&
           ps.length == t.keys.length &&
           ps.zip(t.keys).forall { case (a, b) => a.semanticEquals(b) } &&
           os.length == 1 && os.head.child.semanticEquals(t.order) =>
@@ -104,7 +113,8 @@ final class TopKCollector(
     childOutput: Seq[Attribute],
     desc: Boolean,
     limit: Int,
-    keepNulls: Boolean = false) {
+    keepNulls: Boolean = false,
+    keepTies: Boolean = false) {
 
   private val keyProj = UnsafeProjection.create(keyExprs, childOutput)
   // the order expression runs through a GENERATED projection (same
@@ -159,8 +169,42 @@ final class TopKCollector(
       if (size < limit) {
         vals(size) = v; rows(size) = row.copy(); size += 1; siftUp(size - 1)
       } else {
+        val oldRoot = vals(0)
+        val oldRootRow = rows(0)
         vals(0) = v; rows(0) = row.copy(); siftDown()
+        if (keepTies) {
+          // Buffered ties are valid only while their value still
+          // EQUALS the threshold (the root). The threshold improves
+          // monotonically under eviction and every buffered row
+          // carries the pre-eviction threshold value, so a root change
+          // invalidates the whole buffer at once — O(1) amortized
+          // purge, no per-entry scan. When the root value SURVIVES the
+          // eviction (a duplicate of it is still the worst kept), the
+          // evicted row itself is still rank-tied with the threshold
+          // and must move into the buffer, not vanish: rank counts
+          // strictly-better rows only, and at most k-1 rows beat the
+          // still-present root value.
+          if (worseAtRoot.compare(oldRoot, vals(0)) == 0) {
+            if (tieRows == null) tieRows = mutable.ArrayBuffer.empty
+            tieRows += oldRootRow // already owned (copied on insert)
+          } else if (tieRows != null && tieRows.nonEmpty) tieRows.clear()
+        }
       }
+    /** keep-ties mode (the `rank() <= k` rewrite): rows whose value
+      * EQUALS the current threshold have rank ≤ k too — rank counts
+      * only STRICTLY better rows — so they are buffered instead of
+      * rejected. Unbounded by design: rank semantics itself keeps
+      * every tied row (a window would too), so heavy ties grow the
+      * output, not an error term. Valid entries all share the current
+      * root value (see [[insert]]'s purge).
+      */
+    var tieRows: mutable.ArrayBuffer[InternalRow] = null
+    def isThresholdTie(v: Any): Boolean =
+      size == limit && worseAtRoot.compare(v, vals(0)) == 0
+    def addTie(row: InternalRow): Unit = {
+      if (tieRows == null) tieRows = mutable.ArrayBuffer.empty
+      tieRows += row.copy(); ()
+    }
     /** Null-order rows retained for the NULLS LAST completion (window
       * rewrite mode): at most `limit` per key per partition — the
       * partial phase never needs more, because nulls only surface in
@@ -181,8 +225,14 @@ final class TopKCollector(
       val order = (0 until size).sortWith((i, j) =>
         worseAtRoot.compare(vals(i), vals(j)) > 0)
       val main = order.iterator.map(rows)
-      if (nullRows == null || size >= limit) main
-      else main ++ nullRows.iterator.take(limit - size)
+      // ties share the threshold value, so they belong immediately
+      // after the heap's worst row; order among equals is arbitrary —
+      // exactly the window's own tie nondeterminism, and rank values
+      // recomputed above the rewrite depend only on values, not order
+      val withTies =
+        if (tieRows == null) main else main ++ tieRows.iterator
+      if (nullRows == null || size >= limit) withTies
+      else withTies ++ nullRows.iterator.take(limit - size)
     }
   }
 
@@ -215,6 +265,8 @@ final class TopKCollector(
           case other => other
         }
         heap.insert(owned, row)
+      } else if (keepTies && heap.isThresholdTie(v)) {
+        heap.addTie(row)
       }
     }
   }
@@ -230,15 +282,18 @@ final case class TopKPerKeyExec(
     descending: Boolean,
     child: SparkPlan,
     partial: Boolean = false,
-    keepNulls: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
+    keepNulls: Boolean = false,
+    keepTies: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(keys) :: Nil
-  override def nodeName: String =
-    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+  override def nodeName: String = {
+    val base = if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+    if (keepTies) base + "Ties" else base
+  }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
@@ -246,7 +301,7 @@ final case class TopKPerKeyExec(
     * per partition, the generated class is instantiated per task).
     */
   def createCollector(): TopKCollector =
-    new TopKCollector(keys, order, child.output, descending, k, keepNulls)
+    new TopKCollector(keys, order, child.output, descending, k, keepNulls, keepTies)
 
   // ---- interpreted path (codegen off / fallback) ----
   override protected def doExecute(): RDD[InternalRow] = {
@@ -256,8 +311,9 @@ final case class TopKPerKeyExec(
     val desc = descending
     val limit = k
     val nulls = keepNulls
+    val ties = keepTies
     child.execute().mapPartitions({ it =>
-      val collector = new TopKCollector(keyExprs, orderExpr, childOutput, desc, limit, nulls)
+      val collector = new TopKCollector(keyExprs, orderExpr, childOutput, desc, limit, nulls, ties)
       it.foreach(collector.add)
       collector.drain()
     }, preservesPartitioning = true)

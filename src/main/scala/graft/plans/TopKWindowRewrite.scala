@@ -27,7 +27,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * inserted [[WindowGroupLimit]] node is recognized and replaced.
   *
   * Soundness:
-  *  - only `row_number` qualifies (rank/dense_rank can keep > k rows);
+  *  - `row_number` rewrites to the plain heap; `rank` rewrites to the
+  *    heap's KEEP-TIES mode ([[TopKCollector]]): rank counts only
+  *    strictly-better rows, so `rank <= k` keeps every row tied with
+  *    the k-th best value — the collector buffers threshold-tied rows
+  *    (and re-admits an evicted duplicate of a surviving threshold)
+  *    so the surviving set is exactly the filter's, and the window
+  *    above recomputes identical rank values because rank depends
+  *    only on values, never tie order. `dense_rank` stays unrewritten
+  *    (it bounds DISTINCT values, not rows — a row-heap is the wrong
+  *    sketch);
   *  - only a LITERAL integer upper bound on the rank column counts
   *    (`rn <= k`, `rn < k`, `k >= rn`, `rn = k`); other conjuncts and
   *    other uses of `rn` are untouched — the window recomputes `rn`
@@ -39,7 +48,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    (the default for DESC): the heap keeps null-order rows aside
   *    and fills trailing slots with them ([[TopKCollector]] keep-nulls
   *    mode) — under NULLS FIRST null rows outrank everything and a
-  *    top-k heap over non-nulls would be wrong, so the rewrite skips;
+  *    top-k heap over non-nulls would be wrong, so the rewrite skips.
+  *    In RANK mode a nullable order column skips entirely: all nulls
+  *    are mutually tied, so when any null surfaces (non-null count
+  *    < k) EVERY null row has rank ≤ k and the bounded keep-nulls
+  *    completion would under-produce;
   *  - empty partitionSpec (global ranking) is skipped: the final heap
   *    would hash every row to one key — Spark's own sort-based limit
   *    handles that shape better.
@@ -77,10 +90,15 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
-        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+        w @ Window(Seq(alias @ Alias(WindowExpression(rankFn, _), _)),
           partSpec, Seq(so @ SortOrder(orderExpr, dir, nullOrd, _)), wchild, _))
         if partSpec.nonEmpty && orderExpr.deterministic &&
-          (!orderExpr.nullable || nullOrd == NullsLast) =>
+          (rankFn match {
+            case _: RowNumber => !orderExpr.nullable || nullOrd == NullsLast
+            case _: Rank => !orderExpr.nullable // all nulls tie: bounded completion can't hold them
+            case _ => false
+          }) =>
+      val ties = rankFn.isInstanceOf[Rank]
       // InferWindowGroupLimit may have fired first (it runs before
       // injected extension rules' fixpoint in some orders, after the
       // experimental-methods batch in others): its sort-based limit
@@ -93,14 +111,16 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       val already = base match {
         case t: TopKPerKeyNode =>
           t.order.semanticEquals(orderExpr) &&
-            sameSpec(t.keys, Seq(so), partSpec, orderExpr)
+            sameSpec(t.keys, Seq(so), partSpec, orderExpr) &&
+            t.keepTies == ties
         case _ => false
       }
       upperBound(splitConjunctivePredicates(cond), alias.toAttribute) match {
         case Some(k) if k > 0 && k <= MaxRewriteK && !already =>
           f.copy(child = w.copy(child = TopKPerKeyNode(
             partSpec, orderExpr, k.toInt, dir == Descending, base,
-            keepNulls = orderExpr.nullable)))
+            keepNulls = orderExpr.nullable && !ties,
+            keepTies = ties)))
         case _ => f
       }
   }

@@ -127,6 +127,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in q125 plan:\n$plan")
   }
 
+  test("q127 rank ties: the window idiom rewrites onto the keep-ties heap") {
+    val plan = planOf(ExtendedRelational.latestOrdersPerPriority(spark, dir))
+    assert(plan.contains("TopKPerKeyTies"),
+      s"rank() <= k must ride the keep-ties heap under the window:\n$plan")
+  }
+
   test("q126 keyed heavy hitters: exact companion rides TopKPerKey, sketch side broadcasts") {
     val plan = planOf(TextAnalysis.sourceHeavyHitters(spark, dir))
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKey companion:\n$plan")

@@ -67,4 +67,41 @@ class TopKWindowRewritePropSpec extends SparkSpec {
         .filter($"m" =!= $"c").count() == 0, s"seed=$seed: rn not dense 1..c")
     }
   }
+
+  test("rank keep-ties selection == window rank selection for random heavy-tie data") {
+    // rank mode requires a NON-NULLABLE order column (all nulls tie);
+    // a 0..5 value domain over 150 rows per ~5 keys guarantees the
+    // threshold value is duplicated — the case the tie buffer (and its
+    // eviction re-admission) exists for
+    for (seed <- 1 to 6) {
+      val raw = Gen.listOfN(150, rowGen)
+        .apply(Gen.Parameters.default, Seed(4700L + seed)).get
+        .zipWithIndex.map { case ((_, k, s), ix) =>
+          (ix.toLong + 1, k, s.getOrElse(0L) % 6) } // dense ties, no nulls
+      val k = 1 + seed % 4
+      val desc = seed % 2 == 0
+      val df = raw.toDF("id", "key", "score")
+      val ord = if (desc) $"score".desc else $"score".asc
+      val q = df.withColumn("rk",
+          rank().over(Window.partitionBy($"key").orderBy(ord)))
+        .filter($"rk" <= k)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKeyTies"), s"seed=$seed: rank rewrite did not fire:\n$plan")
+      // (value, rank) multisets are deterministic under rank: rank
+      // depends only on strictly-better counts, never tie order
+      val got: Map[String, Seq[(Long, Int)]] =
+        q.collect().groupBy(_.getString(1)).map { case (key, rs) =>
+          key -> rs.map(r => (r.getLong(2), r.getInt(3))).toSeq.sorted
+        }
+      val want: Map[String, Seq[(Long, Int)]] =
+        raw.groupBy(_._2).flatMap { case (key, rs) =>
+          val vals = rs.map(_._3)
+          def better(v: Long) = if (desc) vals.count(_ > v) else vals.count(_ < v)
+          val sel = vals.collect { case v if better(v) < k => (v, better(v) + 1) }
+          if (sel.isEmpty) None else Some(key -> sel.sorted)
+        }
+      assert(got == want,
+        s"seed=$seed k=$k desc=$desc: rank selections differ:\n$got\nvs\n$want")
+    }
+  }
 }

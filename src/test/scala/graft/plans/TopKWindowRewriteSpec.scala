@@ -83,10 +83,20 @@ class TopKWindowRewriteSpec extends SparkSpec {
     assert(byKey("c").map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L, 4L))
   }
 
-  test("guards: rank(), missing upper bound, and global (keyless) windows stay windows") {
+  test("guards: dense_rank, nullable rank, missing upper bound, and global windows stay windows") {
     val w = Window.partitionBy($"key").orderBy($"id".desc)
-    val ranked = base.withColumn("rn", rank().over(w)).filter($"rn" <= 3)
-    assert(!physical(ranked).contains("TopKPerKey"), "rank() must not rewrite")
+    val dense = base.withColumn("rn", dense_rank().over(w)).filter($"rn" <= 3)
+    assert(!physical(dense).contains("TopKPerKey"),
+      "dense_rank() must not rewrite — it bounds distinct values, not rows")
+    // rank over a NULLABLE order column: all nulls are mutually tied,
+    // so a bounded null completion can't reproduce rank <= k — skip
+    val nullable = Seq[(Long, String, java.lang.Long)]((1L, "a", 1L), (2L, "a", null))
+      .toDF("id", "key", "score")
+    val nullRank = nullable
+      .withColumn("rk", rank().over(Window.partitionBy($"key").orderBy($"score".desc)))
+      .filter($"rk" <= 1)
+    assert(!physical(nullRank).contains("TopKPerKey"),
+      "rank() over a nullable order column must not rewrite")
     val unbounded = base.withColumn("rn", row_number().over(w)).filter($"rn" >= 2)
     assert(!physical(unbounded).contains("TopKPerKey"), "no upper bound must not rewrite")
     val global = base.withColumn("rn", row_number().over(Window.orderBy($"id"))).filter($"rn" <= 3)
@@ -118,6 +128,49 @@ class TopKWindowRewriteSpec extends SparkSpec {
     val tighter = WindowGroupLimit(Seq(attr("key")),
       Seq(SortOrder(attr("id"), Ascending)), RowNumber(), 2, topk)
     assert(TopKPerKeyStrategy(tighter).isEmpty)
+  }
+
+  test("rank() window + rk <= k rewrites to the keep-ties heap and keeps every tied row") {
+    // a 0..9 score domain over ~43 rows per key → the top values are
+    // heavily duplicated; rank <= 2 must keep MORE than 2 rows per key
+    val tied = (1 to 300).map(i => (i.toLong, "k" + (i % 7), (i % 10).toLong))
+      .toDF("id", "key", "score")
+    val w = Window.partitionBy($"key").orderBy($"score".desc)
+    val q = tied.withColumn("rk", rank().over(w)).filter($"rk" <= 2)
+    val plan = physical(q)
+    assert(plan.contains("TopKPerKeyTies"), s"rank rewrite did not fire:\n$plan")
+    val got = q.select($"key", $"score", $"rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    // plain-Scala rank semantics: keep rows with < 2 strictly-better
+    // rows; rank = 1 + strictly-better count — value-determined, so
+    // (key, score, rk) TUPLES are deterministic even though row
+    // identity under ties is not
+    val expect = (1 to 300).map(i => ("k" + (i % 7), (i % 10).toLong))
+      .groupBy(_._1).flatMap { case (k, xs) =>
+        val vals = xs.map(_._2)
+        xs.collect { case (_, v) if vals.count(_ > v) < 2 =>
+          (k, v, vals.count(_ > v) + 1) }
+      }.toSeq.sorted
+    assert(got == expect,
+      s"rank selection differs:\n${got.diff(expect)}\nvs\n${expect.diff(got)}")
+    assert(got.length > 14, s"fixture must exercise ties past k: ${got.length} rows")
+  }
+
+  test("SQL rank() <= k rewrites and matches DuckDB-style rank semantics") {
+    base.createOrReplaceTempView("rw_rank_t")
+    val q = spark.sql(
+      """SELECT key, score, rk FROM (
+        |  SELECT key, score, rank() OVER (PARTITION BY key ORDER BY score) AS rk
+        |  FROM rw_rank_t) WHERE rk <= 3""".stripMargin)
+    assert(physical(q).contains("TopKPerKeyTies"), s"SQL rank rewrite did not fire:\n${physical(q)}")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val expect = (1 to 300).map(i => ("k" + (i % 7), (i * 37 % 101).toLong))
+      .groupBy(_._1).flatMap { case (k, xs) =>
+        val vals = xs.map(_._2)
+        xs.collect { case (_, v) if vals.count(_ < v) < 3 =>
+          (k, v, vals.count(_ < v) + 1) }
+      }.toSeq.sorted
+    assert(got == expect)
   }
 
   test("rn = k and conjoined predicates: bound extracted, residual filter preserved") {
