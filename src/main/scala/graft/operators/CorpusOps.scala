@@ -48,22 +48,37 @@ object CorpusOps {
     * broadcast) read the materialized 4-row table instead of re-running
     * the iterations.
     */
-  private def kmeansFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val e = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-    var centroids = e.filter($"vec_id" < K)
-      .select($"vec_id".as("cid"), expr("transform(v, x -> round(x, 9))").as("cvec"))
+  /** One assignment pass, shared by the Lloyd's iterations, q86/q113/
+    * q120 consumers and the streaming SemDeDup twin: vectors
+    * (vec_id, v) × broadcast centroids (cid, cvec) → best cluster per
+    * vector with its squared distance. ONE definition so ingest-time
+    * assignment cannot drift from the fit that produced the model.
+    */
+  private[graft] def assignVectors(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
     val dist2 = expr(
       "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)), 0D, (a, t) -> a + t)")
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"d", $"cid")
-      e.crossJoin(broadcast(cents))
-        .withColumn("d", dist2)
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"v", $"cid", $"d")
-    }
+    val w = Window.partitionBy($"vec_id").orderBy($"d", $"cid")
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d", dist2)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid", $"d")
+  }
+
+  /** Raw embedding vectors of `dir` as (vec_id, v: array<double>). */
+  private[graft] def embeddingVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+  }
+
+  private def kmeansFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val e = embeddingVectors(spark, dir)
+    var centroids = e.filter($"vec_id" < K)
+      .select($"vec_id".as("cid"), expr("transform(v, x -> round(x, 9))").as("cvec"))
+    def assign(cents: DataFrame): DataFrame = assignVectors(e, cents)
     (1 to KmeansIters).foreach { _ =>
       centroids = assign(centroids)
         .select($"cid", posexplode($"v").as(Seq("dim", "x")))
@@ -75,6 +90,16 @@ object CorpusOps {
     val cents = centroids.localCheckpoint()
     (cents, assign(cents))
   }
+
+  /** The fitted centroid table of `dir`'s embedding corpus — the
+    * 4-row (cid, cvec) model the streaming SemDeDup twin pins: write
+    * it once, then assign arriving vectors against it at ingest.
+    */
+  private[graft] def fittedCentroids(spark: SparkSession, dir: String): DataFrame =
+    kmeansFit(spark, dir)._1
+
+  /** SemDeDup's τ, shared with [[graft.streaming.StreamingJobs.semanticDedupStream]]. */
+  private[graft] def semDedupTauShared: Double = SemDedupTau
 
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -341,13 +341,13 @@ object StreamingJobs {
 
   /** Versioned-snapshot state discipline shared by the stateful
     * foreachBatch jobs ([[scd2ApplyStream]], [[incrementalSpanScrub]],
-    * [[heavyHittersStream]], [[dsirScoreStream]]): versions are
-    * `dir/v<batchId>` subdirectories; a batch may read only versions
-    * STRICTLY OLDER than itself — a replayed batch must re-read the
-    * same predecessor it saw the first time, never its own
-    * half-written output — and overwrites its own directory. ONE
-    * discovery implementation so the four streams' replay semantics
-    * cannot diverge.
+    * [[heavyHittersStream]], [[dsirScoreStream]], [[psiDriftStream]],
+    * [[semanticDedupStream]]): versions are `dir/v<batchId>`
+    * subdirectories; a batch may read only versions STRICTLY OLDER
+    * than itself — a replayed batch must re-read the same predecessor
+    * it saw the first time, never its own half-written output — and
+    * overwrites its own directory. ONE discovery implementation so the
+    * streams' replay semantics cannot diverge.
     */
   private def versionsBefore(spark: SparkSession, dir: String, batchId: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -649,6 +649,101 @@ object StreamingJobs {
           .unionByName(bk.groupBy(col("b")).agg(count(lit(1)).as("rc")))
           .groupBy(col("b")).agg(sum(col("rc")).as("rc"))
         folded.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Streaming semantic dedup — the q120 SemDeDup cluster-then-prune
+    * recipe at ingest time: each micro-batch's vectors are assigned to
+    * a FIXED k-means fit (the pinned `centroidsDir` model — write it
+    * once with [[graft.operators.CorpusOps.fittedCentroids]]; ingest
+    * never re-fits, so every batch sees the same cluster geometry) and
+    * pruned against the per-cluster population of STRICTLY OLDER
+    * batches plus lower-id batch-mates. The dup rule is q120's
+    * verbatim: a vector is a duplicate iff some lower-id vector in the
+    * SAME cluster reaches cosine τ, attributed to the LOWEST
+    * qualifying partner — assignment and cosine ride the SHARED
+    * [[graft.operators.CorpusOps.assignVectors]] /
+    * [[graft.operators.TextPrims.cosineD]] definitions, so stream and
+    * batch cannot drift. When vec_ids arrive in order (batch
+    * boundaries cut the id-sorted corpus), the union of per-batch
+    * reports is EXACTLY the batch q120 output — the parity the spec
+    * replays; out-of-order ingest degrades gracefully to "dup vs any
+    * lower-id vector seen so far".
+    *
+    * State is the seen (cid, vec_id, v) population as per-batch delta
+    * dirs under the [[incrementalSpanScrub]] discipline: read
+    * strictly-older-than-self (a replayed batch must not see its own
+    * vectors, which would mark the whole batch duplicate), own delta
+    * overwritten per batch, optional every-K compaction via
+    * [[pruneBehindFullSnapshot]]. ALL batch vectors enter state — q120
+    * compares against every lower-id vector, kept or not, so pruning
+    * dup vectors from state would break chain attribution.
+    *
+    * Scale shape: centroids broadcast (model-sized); both dup joins
+    * are cluster-keyed equi-joins — per-batch cost ∝ batch × cluster
+    * density, never corpus × corpus; state reads partition-prune on
+    * cid at 100 TB when the delta store is a cid-partitioned table. A
+    * pathologically hot cluster gets q23's banding, same as batch.
+    */
+  def semanticDedupStream(
+      vecs: DataFrame, // streaming; needs vec_id: long, v: array<double>
+      centroidsDir: String, // static parquet (cid, cvec) — the pinned fit
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0, // 0 = never; see [[pruneBehindFullSnapshot]]
+  ): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{CorpusOps, TextPrims}
+        if (compactEvery > 0) pruneBehindFullSnapshot(spark, stateDir, batchId)
+        val cents = spark.read.parquet(centroidsDir)
+        val assigned = CorpusOps.assignVectors(
+          batch.toDF().select(col("vec_id"), col("v")), cents).localCheckpoint()
+        val prevDeltas = versionsBefore(spark, stateDir, batchId)
+        val state = prevDeltas match {
+          case Seq() => assigned.select(col("cid"),
+            col("vec_id").as("b_id"), col("v").as("vb")).limit(0)
+          case ds => spark.read.parquet(ds: _*)
+            .select(col("cid"), col("vec_id").as("b_id"), col("v").as("vb"))
+        }
+        val a = assigned.select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"))
+        val inBatch = assigned.select(col("cid"),
+          col("vec_id").as("b_id"), col("v").as("vb"))
+        val tau = CorpusOps.semDedupTauShared
+        val dups = a.join(state.unionByName(inBatch), Seq("cid"))
+          .filter(col("b_id") < col("a_id"))
+          .withColumn("cos", TextPrims.cosineD("va", "vb"))
+          .filter(col("cos") >= tau)
+          .groupBy(col("a_id"))
+          .agg(min(struct(col("b_id"), col("cos"))).as("m"))
+          .select(col("a_id").as("vec_id"), col("m.b_id").as("dup_of"),
+            round(col("m.cos"), 6).as("dup_cos"))
+        assigned.select(col("vec_id"), col("cid").as("cluster"))
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"), col("dup_of").isNull.as("kept"),
+            col("dup_of"), col("dup_cos"))
+          .orderBy(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$outDir/v$batchId")
+        // fold this batch into the seen population AFTER reporting; a
+        // compaction batch folds the older deltas in too (full
+        // snapshot, prunable tail — duplicates impossible: each vec_id
+        // is written by exactly one batch)
+        val own = assigned.select(col("cid"), col("vec_id"), col("v"))
+        val compacting = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+        val delta =
+          if (compacting && prevDeltas.nonEmpty)
+            own.unionByName(spark.read.parquet(prevDeltas: _*))
+          else own
+        delta.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        if (compacting) {
+          val fs = new org.apache.hadoop.fs.Path(stateDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.create(new org.apache.hadoop.fs.Path(
+            s"$stateDir/v$batchId/$FullMarker"), true).close()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .start()
