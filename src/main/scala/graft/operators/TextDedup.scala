@@ -84,9 +84,12 @@ object TextDedup {
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
   }
 
-  private[operators] val jaccardPairsSql: String =
-    s"""sh AS ($shingleIndexSql),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  /** sizes/pairs/jac CTEs over whatever `sh` (doc_id, s) is in scope —
+    * factored out so q128 can run the identical verify chain over a
+    * representative-filtered index.
+    */
+  private[operators] val jaccardVerifySql: String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -96,6 +99,10 @@ object TextDedup {
        |  FROM pairs
        |  JOIN sizes sa ON sa.doc_id = a_id
        |  JOIN sizes sb ON sb.doc_id = b_id)""".stripMargin
+
+  private[operators] val jaccardPairsSql: String =
+    s"""sh AS ($shingleIndexSql),
+       |$jaccardVerifySql""".stripMargin
 
   /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8.
     *
@@ -283,6 +290,78 @@ object TextDedup {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
        |SELECT j.a_id, j.b_id, round(j.jaccard, 4) AS jaccard
        |FROM jac j JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
+       |WHERE j.jaccard >= $MinhashVerifyThreshold ORDER BY j.a_id, j.b_id""".stripMargin
+  }
+
+  /** Exact-collapse + LSH near-dup (q128) — the composition the sf1
+    * Zipf-skew measurement demanded (SCALING.md): q21's pair listing
+    * is INHERENTLY quadratic under shared boilerplate, because k
+    * identical documents are k·(k−1)/2 true pairs — on the skew
+    * fixture (30% of 50k docs sharing one template) that is ~112M
+    * verified pairs and a measured 273.7 s, a cost no plan shape can
+    * remove because it is the OUTPUT. The production form collapses
+    * exact-duplicate texts to one representative per md5 fingerprint
+    * first (q19's hash, a single keyed agg that absorbs the hot key
+    * map-side), runs the UNCHANGED q21 banding + verify over
+    * representatives only, and reports each side's exact-group size —
+    * the quadratic blowup becomes two BIGINT columns. Same fixture,
+    * measured: 1.3 s min-of-3 (210×), 1,149 rep pairs; on the unskewed
+    * sf1 the collapse costs nothing (1.62 s vs q21's 1.62 s). The
+    * within-group exact-dup mapping itself is q19's output — the
+    * production pipeline is q19 → q128, each stage oracled.
+    *
+    * Every stage is a shared definition: md5 fingerprint = q19,
+    * banding/verify = q21 ([[minhashBands]]/[[verifyJaccard]]), so the
+    * composition cannot drift from its components.
+    */
+  def dedupLshCollapsed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val groups = docs.groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("members"))
+      .select($"doc_id", $"members")
+      .cache() // consumed three times: semi-join + both member legs
+    val repDocs = docs.join(groups.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val index = repDocs
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(array_distinct(shingles3($"w"))).as("s"))
+      .cache() // reused: signatures + verify, exactly like q21
+    val bands = minhashBands(index)
+    val a = bands.toDF("a_id", "band", "bkey")
+    val b = bands.toDF("b_id", "band2", "bkey2")
+    val cand = a.join(b,
+        a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
+      .select(col("a_id"), col("b_id")).distinct().cache()
+    verifyJaccard(cand, index)
+      .filter(col("jaccard") >= MinhashVerifyThreshold)
+      .join(broadcast(groups.toDF("a_id", "a_members")), "a_id")
+      .join(broadcast(groups.toDF("b_id", "b_members")), "b_id")
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"),
+        col("a_members"), col("b_members"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def oracleLshCollapsed: String = {
+    s"""WITH g AS (
+       |  SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*)::BIGINT AS members
+       |  FROM documents GROUP BY 1),
+       |rdocs AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN g ON g.doc_id = d.doc_id),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${shingles3Sql("string_split(text, ' ')")}) AS s
+       |  FROM rdocs WHERE len(string_split(text, ' ')) >= 3),
+       |$jaccardVerifySql,
+       |$minhashBandsSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT j.a_id, j.b_id, round(j.jaccard, 4) AS jaccard,
+       |  ga.members AS a_members, gb.members AS b_members
+       |FROM jac j JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
+       |JOIN g ga ON ga.doc_id = j.a_id
+       |JOIN g gb ON gb.doc_id = j.b_id
        |WHERE j.jaccard >= $MinhashVerifyThreshold ORDER BY j.a_id, j.b_id""".stripMargin
   }
 
@@ -883,6 +962,7 @@ object TextDedup {
     // expansion — see its scaladoc); production dedup = q61 / q21
     "q20_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q21_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q128_dedup_lsh_collapsed" -> (dedupLshCollapsed _),
     "q22_text_simhash" -> (textSimhash _),
     "q23_dedup_embedding" -> (dedupEmbedding _),
   )
@@ -898,6 +978,7 @@ object TextDedup {
     "q19_dedup_exact" -> oracleExact,
     "q20_dedup_ngram_jaccard" -> oracleNgram,
     "q21_dedup_minhash_lsh" -> oracleMinhash,
+    "q128_dedup_lsh_collapsed" -> oracleLshCollapsed,
     "q22_text_simhash" -> oracleSimhash,
     "q23_dedup_embedding" -> oracleEmbedding,
   )

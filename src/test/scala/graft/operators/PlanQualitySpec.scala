@@ -133,6 +133,15 @@ class PlanQualitySpec extends SparkSpec {
       s"rank() <= k must ride the keep-ties heap under the window:\n$plan")
   }
 
+  test("q128 collapsed LSH: keyed equi-joins only, member counts broadcast") {
+    val plan = planOf(TextDedup.dedupLshCollapsed(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q128 plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop pairing in q128 plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group-size legs should broadcast:\n$plan")
+  }
+
   test("q126 keyed heavy hitters: exact companion rides TopKPerKey, sketch side broadcasts") {
     val plan = planOf(TextAnalysis.sourceHeavyHitters(spark, dir))
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKey companion:\n$plan")
