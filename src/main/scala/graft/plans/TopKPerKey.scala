@@ -88,11 +88,15 @@ object TopKPerKeyStrategy extends SparkStrategy {
     // it away instead of paying two WindowGroupLimitExec sorts.
     // rank mode: WindowGroupLimitExec with a Rank function keeps rows
     // while rank ≤ limit INCLUDING ties — identity over a keep-ties
-    // top-k output for the same reason as row_number over plain top-k
+    // top-k output for the same reason as row_number over plain top-k.
+    // Mode CONSISTENCY is required: a row_number limit over a
+    // keep-ties output is NOT an identity (the tie tail can exceed the
+    // row budget), and a rank limit over a plain top-k can differ at a
+    // truncated tie boundary — only the matching pairs are absorbed.
     case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
         ps, os, rankFn, limit, t: TopKPerKeyNode)
-        if (rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] ||
-            rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank]) &&
+        if ((rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] && !t.keepTies) ||
+            (rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank] && t.keepTies)) &&
           limit >= t.k &&
           ps.length == t.keys.length &&
           ps.zip(t.keys).forall { case (a, b) => a.semanticEquals(b) } &&
