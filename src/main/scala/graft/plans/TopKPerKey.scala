@@ -100,7 +100,7 @@ object TopKPerKeyStrategy extends SparkStrategy {
           limit >= t.k &&
           ps.length == t.keys.length &&
           ps.zip(t.keys).forall { case (a, b) => a.semanticEquals(b) } &&
-          os.length == 1 && os.head.child.semanticEquals(t.order) =>
+          TopKWindowRewriteRule.orderKey(os).exists(_.semanticEquals(t.order)) =>
       apply(t)
     case _ => Nil
   }

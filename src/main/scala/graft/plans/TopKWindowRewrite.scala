@@ -37,6 +37,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    only on values, never tie order. `dense_rank` stays unrewritten
   *    (it bounds DISTINCT values, not rows — a row-heap is the wrong
   *    sketch);
+  *  - MULTI-column orderings rewrite when every column sorts the SAME
+  *    direction and is non-nullable: the tuple ordering is then
+  *    exactly the natural ordering of a struct of the columns
+  *    (lexicographic field-by-field), so the heap compares one struct
+  *    value per row. Mixed directions stay windows (a struct can't
+  *    flip one field), and multi-column null semantics are beyond the
+  *    keep-nulls completion's model;
   *  - only a LITERAL integer upper bound on the rank column counts
   *    (`rn <= k`, `rn < k`, `k >= rn`, `rn = k`); other conjuncts and
   *    other uses of `rn` are untouched — the window recomputes `rn`
@@ -86,19 +93,44 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       partSpec: Seq[Expression], orderExpr: Expression): Boolean =
     ps.length == partSpec.length &&
       ps.zip(partSpec).forall { case (x, y) => x.semanticEquals(y) } &&
-      os.length == 1 && os.head.child.semanticEquals(orderExpr)
+      orderKey(os).exists(_.semanticEquals(orderExpr))
+
+  /** The single expression whose natural ordering equals the window's
+    * (same-direction) multi-column sort: the column itself for one
+    * order, a struct for several — struct comparison is lexicographic
+    * field-by-field, which IS the tuple ordering when every field
+    * sorts the same way. None when directions are mixed (a struct
+    * can't flip one field) — those windows stay unrewritten.
+    */
+  private[plans] def orderKey(os: Seq[SortOrder]): Option[Expression] = os match {
+    case Seq(one) => Some(one.child)
+    case many if many.nonEmpty && many.map(_.direction).distinct.size == 1 =>
+      Some(CreateStruct(many.map(_.child)))
+    case _ => None
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(rankFn, _), _)),
-          partSpec, Seq(so @ SortOrder(orderExpr, dir, nullOrd, _)), wchild, _))
-        if partSpec.nonEmpty && orderExpr.deterministic &&
+          partSpec, orderSpec, wchild, _))
+        if partSpec.nonEmpty && orderSpec.nonEmpty &&
+          orderSpec.forall(_.child.deterministic) &&
+          orderKey(orderSpec).isDefined &&
           (rankFn match {
-            case _: RowNumber => !orderExpr.nullable || nullOrd == NullsLast
-            case _: Rank => !orderExpr.nullable // all nulls tie: bounded completion can't hold them
+            // single nullable order rewrites under NULLS LAST via the
+            // keep-nulls completion; MULTI-column null semantics (a
+            // null in one field, orderings per field) are beyond the
+            // completion's model, so multi requires non-nullable
+            case _: RowNumber =>
+              if (orderSpec.size == 1)
+                !orderSpec.head.child.nullable || orderSpec.head.nullOrdering == NullsLast
+              else orderSpec.forall(!_.child.nullable)
+            case _: Rank => orderSpec.forall(!_.child.nullable) // all nulls tie: bounded completion can't hold them
             case _ => false
           }) =>
       val ties = rankFn.isInstanceOf[Rank]
+      val orderExpr = orderKey(orderSpec).get
+      val dir = orderSpec.head.direction
       // InferWindowGroupLimit may have fired first (it runs before
       // injected extension rules' fixpoint in some orders, after the
       // experimental-methods batch in others): its sort-based limit
@@ -111,7 +143,7 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       val already = base match {
         case t: TopKPerKeyNode =>
           t.order.semanticEquals(orderExpr) &&
-            sameSpec(t.keys, Seq(so), partSpec, orderExpr) &&
+            sameSpec(t.keys, orderSpec, partSpec, orderExpr) &&
             t.keepTies == ties
         case _ => false
       }
@@ -119,7 +151,7 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         case Some(k) if k > 0 && k <= MaxRewriteK && !already =>
           f.copy(child = w.copy(child = TopKPerKeyNode(
             partSpec, orderExpr, k.toInt, dir == Descending, base,
-            keepNulls = orderExpr.nullable && !ties,
+            keepNulls = orderSpec.size == 1 && orderSpec.head.child.nullable && !ties,
             keepTies = ties)))
         case _ => f
       }

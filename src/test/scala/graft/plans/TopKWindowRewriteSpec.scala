@@ -173,6 +173,51 @@ class TopKWindowRewriteSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("multi-column same-direction ordering rewrites via the struct key") {
+    // tuple order (score desc, id desc): heavy ties on score broken by
+    // id — row_number over the 2-col window must equal the plain-Scala
+    // tuple sort exactly, because the tie-break makes rows total-ordered
+    val tied = (1 to 300).map(i => (i.toLong, "k" + (i % 7), (i % 5).toLong))
+      .toDF("id", "key", "score")
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id".desc)
+    val q = tied.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    val plan = physical(q)
+    assert(plan.contains("TopKPerKey"), s"multi-order rewrite did not fire:\n$plan")
+    val got = q.select($"key", $"id", $"rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = (1 to 300).map(i => ("k" + (i % 7), i.toLong, (i % 5).toLong))
+      .groupBy(_._1).flatMap { case (k, xs) =>
+        xs.sortBy(t => (-t._3, -t._2)).take(3)
+          .zipWithIndex.map { case (t, ix) => (k, t._2, ix + 1) }
+      }.toSet
+    assert(got == expect,
+      s"multi-order selection differs:\n${got.diff(expect)}\nvs\n${expect.diff(got)}")
+
+    // rank over the same 2-col tuple: ties = equal FULL tuples, which
+    // the unique id makes impossible — rank must equal row_number here,
+    // and the TIES mode must still plan (struct threshold equality)
+    val qr = tied.withColumn("rk", rank().over(w)).filter($"rk" <= 3)
+    assert(physical(qr).contains("TopKPerKeyTies"),
+      s"multi-order rank rewrite did not fire:\n${physical(qr)}")
+    val gotR = qr.select($"key", $"id", $"rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotR == expect, "unique tie-break: rank selection must equal row_number's")
+  }
+
+  test("multi-column guards: mixed directions and nullable fields stay windows") {
+    val wMixed = Window.partitionBy($"key").orderBy($"score".desc, $"id".asc)
+    val mixed = base.withColumn("rn", row_number().over(wMixed)).filter($"rn" <= 3)
+    assert(!physical(mixed).contains("TopKPerKey"),
+      "mixed-direction multi-order must not rewrite — a struct can't flip one field")
+    val nullable = Seq[(Long, String, java.lang.Long)](
+      (1L, "a", 1L), (2L, "a", null), (3L, "a", 2L))
+      .toDF("id", "key", "score")
+    val wNull = Window.partitionBy($"key").orderBy($"score".desc, $"id".desc)
+    val qn = nullable.withColumn("rn", row_number().over(wNull)).filter($"rn" <= 2)
+    assert(!physical(qn).contains("TopKPerKey"),
+      "nullable field in a multi-column ordering must not rewrite")
+  }
+
   test("rn = k and conjoined predicates: bound extracted, residual filter preserved") {
     val w = Window.partitionBy($"key").orderBy($"id".asc)
     val q = base.withColumn("rn", row_number().over(w))
