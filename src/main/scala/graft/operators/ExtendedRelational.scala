@@ -723,6 +723,37 @@ object ExtendedRelational {
       |  FROM orders) t
       |WHERE rk <= 3 ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin
 
+  /** Dense-rank top-k (q129): ALL orders from the 2 most recent
+    * DISTINCT order dates per priority — the "top-k value classes"
+    * idiom `dense_rank() <= k`, auto-rewritten onto
+    * [[graft.plans.TopKPerKeyNode]]'s DENSE mode (a bounded heap of k
+    * distinct values, each carrying its whole row class, so map tasks
+    * ship only the rows of locally-top-k values instead of whole
+    * partitions through a sort). `rank` (q127) would cut a date class
+    * in half when the newest date alone exceeds k rows; dense_rank is
+    * the form that means "the last k DAYS", not "the last k orders".
+    * Same non-nullable sentinel requirement as q127.
+    */
+  def latestDatesPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(coalesce($"o_orderdate",
+        lit(java.time.LocalDateTime.of(1900, 1, 1, 0, 0))).desc)
+    orders.withColumn("dr", dense_rank().over(w))
+      .filter($"dr" <= 2)
+      .select($"o_orderpriority", $"o_orderkey", $"o_orderdate",
+        $"dr".cast("long").as("dr"))
+      .orderBy($"o_orderpriority", $"dr", $"o_orderkey")
+  }
+
+  private def oracleLatestDates: String =
+    """SELECT o_orderpriority, o_orderkey, o_orderdate, dr FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_orderdate,
+      |    CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate DESC) AS BIGINT) AS dr
+      |  FROM orders) t
+      |WHERE dr <= 2 ORDER BY o_orderpriority, dr, o_orderkey""".stripMargin
+
   /** Unpivot / melt (q107): the wide daily matrix from [[pivotDaily]]
     * stacked back to long (day, event_type, n) form — the inverse
     * reshape every reporting pipeline needs in both directions. Spark
@@ -860,6 +891,7 @@ object ExtendedRelational {
     "q114_event_anomalies" -> (eventAnomalies _),
     "q82_topk_per_key" -> (topOrdersPerCustomer _),
     "q127_topk_rank_ties" -> (latestOrdersPerPriority _),
+    "q129_topk_dense_rank" -> (latestDatesPerPriority _),
     "q80_salted_join" -> (saltedJoinAgg _),
     "q60_cdc_apply" -> (cdcApply _),
     "q32_semi_join" -> (semiJoin _),
@@ -888,6 +920,7 @@ object ExtendedRelational {
     "q114_event_anomalies" -> oracleEventAnomalies,
     "q82_topk_per_key" -> oracleTopOrders,
     "q127_topk_rank_ties" -> oracleLatestOrders,
+    "q129_topk_dense_rank" -> oracleLatestDates,
     "q80_salted_join" -> oracleSalted,
     "q60_cdc_apply" -> oracleCdc,
     "q32_semi_join" ->

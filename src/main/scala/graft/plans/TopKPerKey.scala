@@ -59,7 +59,8 @@ final case class TopKPerKeyNode(
     descending: Boolean,
     child: LogicalPlan,
     keepNulls: Boolean = false,
-    keepTies: Boolean = false) extends UnaryNode {
+    keepTies: Boolean = false,
+    keepDense: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -68,7 +69,7 @@ final case class TopKPerKeyNode(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, desc, child, keepNulls, keepTies) =>
+    case TopKPerKeyNode(keys, order, k, desc, child, keepNulls, keepTies, keepDense) =>
       // two-phase, like partial aggregation: a map-side pass bounds the
       // SHUFFLE to ≤ k rows per (key, input partition) — sound because
       // per-key top-k of a union is contained in the union of per-slice
@@ -77,9 +78,9 @@ object TopKPerKeyStrategy extends SparkStrategy {
       // global survivor survives its slice) — then the final pass runs
       // on the clustered data
       val partial = TopKPerKeyExec(keys, order, k, desc, planLater(child),
-        partial = true, keepNulls = keepNulls, keepTies = keepTies)
+        partial = true, keepNulls = keepNulls, keepTies = keepTies, keepDense = keepDense)
       TopKPerKeyExec(keys, order, k, desc, partial,
-        keepNulls = keepNulls, keepTies = keepTies) :: Nil
+        keepNulls = keepNulls, keepTies = keepTies, keepDense = keepDense) :: Nil
     // In extension-injected sessions TopKWindowRewriteRule runs in the
     // operator-optimization batch, BEFORE Spark's InferWindowGroupLimit
     // — which then re-plants its sort-based WindowGroupLimit above our
@@ -95,8 +96,9 @@ object TopKPerKeyStrategy extends SparkStrategy {
     // truncated tie boundary — only the matching pairs are absorbed.
     case org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
         ps, os, rankFn, limit, t: TopKPerKeyNode)
-        if ((rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] && !t.keepTies) ||
-            (rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank] && t.keepTies)) &&
+        if ((rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] && !t.keepTies && !t.keepDense) ||
+            (rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank] && t.keepTies) ||
+            (rankFn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DenseRank] && t.keepDense)) &&
           limit >= t.k &&
           ps.length == t.keys.length &&
           ps.zip(t.keys).forall { case (a, b) => a.semanticEquals(b) } &&
@@ -118,7 +120,8 @@ final class TopKCollector(
     desc: Boolean,
     limit: Int,
     keepNulls: Boolean = false,
-    keepTies: Boolean = false) {
+    keepTies: Boolean = false,
+    keepDense: Boolean = false) {
 
   private val keyProj = UnsafeProjection.create(keyExprs, childOutput)
   // the order expression runs through a GENERATED projection (same
@@ -240,9 +243,105 @@ final class TopKCollector(
     }
   }
 
-  private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, BoundedHeap]
+  /** dense mode (the `dense_rank() <= k` rewrite): per key, the k best
+    * DISTINCT order values, each carrying EVERY row that bears it —
+    * dense_rank counts distinct better values, so all rows of a kept
+    * value share its rank. The value heap is bounded at k; the
+    * per-value row buffers are unbounded by design (they are the
+    * output — a window keeps them all too). Map keys are OWNED copies;
+    * lookups use the reused projection view (content-hashed, safe).
+    * Floating -0.0 normalizes to +0.0 on ownership: the window's
+    * ordering treats them as ONE value and an equals()-keyed map must
+    * agree, or -0.0 would phantom a distinct rank.
+    */
+  private final class DenseHeap {
+    val vals = new Array[Any](limit)
+    var size = 0
+    val rowsOf = mutable.HashMap.empty[Any, mutable.ArrayBuffer[InternalRow]]
+    private def swap(i: Int, j: Int): Unit = {
+      val v = vals(i); vals(i) = vals(j); vals(j) = v
+    }
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && worseAtRoot.compare(vals(i), vals((i - 1) / 2)) < 0) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+    private def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < size && worseAtRoot.compare(vals(l), vals(m)) < 0) m = l
+        if (r < size && worseAtRoot.compare(vals(r), vals(m)) < 0) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
+    def add(view: Any, row: InternalRow, own: Any => Any): Unit = {
+      val existing = rowsOf.getOrElse(view, null)
+      if (existing != null) { existing += row.copy(); () }
+      else if (size < limit) {
+        val o = own(view)
+        vals(size) = o; size += 1; siftUp(size - 1)
+        rowsOf.put(o, mutable.ArrayBuffer(row.copy())); ()
+      } else if (worseAtRoot.compare(view, vals(0)) > 0) {
+        rowsOf.remove(vals(0)) // evicted distinct value takes its rows with it
+        val o = own(view)
+        vals(0) = o; siftDown()
+        rowsOf.put(o, mutable.ArrayBuffer(row.copy())); ()
+      }
+    }
+    /** All rows, grouped by value best → worst — the per-value groups
+      * are exactly the dense-rank classes the window above recomputes.
+      */
+    def drain: Iterator[InternalRow] = {
+      val order = (0 until size).map(vals).sortWith((a, b) =>
+        worseAtRoot.compare(a, b) > 0)
+      order.iterator.flatMap(v => rowsOf(v).iterator)
+    }
+  }
 
-  def add(row: InternalRow): Unit = {
+  /** -0.0 == 0.0 under the ordering but not under equals()/hashCode():
+    * normalize BEFORE any map lookup so the dense map's key identity
+    * matches the window's value identity — otherwise -0.0 phantoms a
+    * distinct rank (UnsafeProjection does NOT normalize here; the
+    * NormalizeFloatingNumbers rule only guards grouping/join keys).
+    * Cheap: touches only boxed zero floats, no buffer copies.
+    */
+  private def normalizeZero(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+
+  /** Own a (possibly view-backed) projected value — same copy rules as
+    * the plain heap's insert path.
+    */
+  private def ownValue(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+    case b: Array[Byte] => b.clone()
+    case r: InternalRow => r.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case other => other
+  }
+
+  private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, BoundedHeap]
+  private val denseHeaps = mutable.LinkedHashMap.empty[UnsafeRow, DenseHeap]
+
+  private def addDense(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    var heap = denseHeaps.getOrElse(key, null)
+    if (heap == null) {
+      heap = new DenseHeap
+      denseHeaps.put(key.copy(), heap)
+    }
+    val projected = orderProj(row)
+    if (!projected.isNullAt(0)) // dense rewrite requires non-nullable orders
+      heap.add(normalizeZero(projected.get(0, dt)), row, ownValue)
+  }
+
+  def add(row: InternalRow): Unit = if (keepDense) addDense(row) else {
     val key = keyProj(row)
     // copy the projected key ONLY on first sight — a strict
     // getOrElseUpdate would pay key.copy() per input row
@@ -276,7 +375,8 @@ final class TopKCollector(
   }
 
   def drain(): Iterator[InternalRow] =
-    heaps.iterator.flatMap { case (_, heap) => heap.drain }
+    if (keepDense) denseHeaps.iterator.flatMap { case (_, heap) => heap.drain }
+    else heaps.iterator.flatMap { case (_, heap) => heap.drain }
 }
 
 final case class TopKPerKeyExec(
@@ -287,7 +387,8 @@ final case class TopKPerKeyExec(
     child: SparkPlan,
     partial: Boolean = false,
     keepNulls: Boolean = false,
-    keepTies: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
+    keepTies: Boolean = false,
+    keepDense: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -296,7 +397,7 @@ final case class TopKPerKeyExec(
     else ClusteredDistribution(keys) :: Nil
   override def nodeName: String = {
     val base = if (partial) "TopKPerKeyPartial" else "TopKPerKey"
-    if (keepTies) base + "Ties" else base
+    if (keepTies) base + "Ties" else if (keepDense) base + "Dense" else base
   }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
@@ -305,7 +406,7 @@ final case class TopKPerKeyExec(
     * per partition, the generated class is instantiated per task).
     */
   def createCollector(): TopKCollector =
-    new TopKCollector(keys, order, child.output, descending, k, keepNulls, keepTies)
+    new TopKCollector(keys, order, child.output, descending, k, keepNulls, keepTies, keepDense)
 
   // ---- interpreted path (codegen off / fallback) ----
   override protected def doExecute(): RDD[InternalRow] = {
@@ -316,8 +417,9 @@ final case class TopKPerKeyExec(
     val limit = k
     val nulls = keepNulls
     val ties = keepTies
+    val dense = keepDense
     child.execute().mapPartitions({ it =>
-      val collector = new TopKCollector(keyExprs, orderExpr, childOutput, desc, limit, nulls, ties)
+      val collector = new TopKCollector(keyExprs, orderExpr, childOutput, desc, limit, nulls, ties, dense)
       it.foreach(collector.add)
       collector.drain()
     }, preservesPartitioning = true)

@@ -34,9 +34,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    (and re-admits an evicted duplicate of a surviving threshold)
   *    so the surviving set is exactly the filter's, and the window
   *    above recomputes identical rank values because rank depends
-  *    only on values, never tie order. `dense_rank` stays unrewritten
-  *    (it bounds DISTINCT values, not rows — a row-heap is the wrong
-  *    sketch);
+  *    only on values, never tie order. `dense_rank` rewrites to the
+  *    DENSE mode: a bounded heap of the k best DISTINCT values, each
+  *    carrying every row that bears it — dense_rank counts distinct
+  *    better values, so `dense_rank <= k` keeps exactly the rows of
+  *    the top-k value classes; the partial phase is sound because a
+  *    value with < k distinct betters globally has < k distinct
+  *    betters in every slice;
   *  - MULTI-column orderings rewrite when every column sorts the SAME
   *    direction and is non-nullable: the tuple ordering is then
   *    exactly the natural ordering of a struct of the columns
@@ -126,9 +130,11 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
                 !orderSpec.head.child.nullable || orderSpec.head.nullOrdering == NullsLast
               else orderSpec.forall(!_.child.nullable)
             case _: Rank => orderSpec.forall(!_.child.nullable) // all nulls tie: bounded completion can't hold them
+            case _: DenseRank => orderSpec.forall(!_.child.nullable) // nulls are one dense class: same refusal
             case _ => false
           }) =>
       val ties = rankFn.isInstanceOf[Rank]
+      val dense = rankFn.isInstanceOf[DenseRank]
       val orderExpr = orderKey(orderSpec).get
       val dir = orderSpec.head.direction
       // InferWindowGroupLimit may have fired first (it runs before
@@ -144,15 +150,16 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         case t: TopKPerKeyNode =>
           t.order.semanticEquals(orderExpr) &&
             sameSpec(t.keys, orderSpec, partSpec, orderExpr) &&
-            t.keepTies == ties
+            t.keepTies == ties && t.keepDense == dense
         case _ => false
       }
       upperBound(splitConjunctivePredicates(cond), alias.toAttribute) match {
         case Some(k) if k > 0 && k <= MaxRewriteK && !already =>
           f.copy(child = w.copy(child = TopKPerKeyNode(
             partSpec, orderExpr, k.toInt, dir == Descending, base,
-            keepNulls = orderSpec.size == 1 && orderSpec.head.child.nullable && !ties,
-            keepTies = ties)))
+            keepNulls = orderSpec.size == 1 && orderSpec.head.child.nullable && !ties && !dense,
+            keepTies = ties,
+            keepDense = dense)))
         case _ => f
       }
   }

@@ -133,6 +133,12 @@ class PlanQualitySpec extends SparkSpec {
       s"rank() <= k must ride the keep-ties heap under the window:\n$plan")
   }
 
+  test("q129 dense rank: the window idiom rewrites onto the dense heap") {
+    val plan = planOf(ExtendedRelational.latestDatesPerPriority(spark, dir))
+    assert(plan.contains("TopKPerKeyDense"),
+      s"dense_rank() <= k must ride the dense heap under the window:\n$plan")
+  }
+
   test("q128 collapsed LSH: keyed equi-joins only, member counts broadcast") {
     val plan = planOf(TextDedup.dedupLshCollapsed(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"cartesian in q128 plan:\n$plan")

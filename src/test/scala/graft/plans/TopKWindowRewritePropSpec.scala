@@ -105,6 +105,35 @@ class TopKWindowRewritePropSpec extends SparkSpec {
     }
   }
 
+  test("dense selection == window dense_rank selection for random heavy-tie data") {
+    // tiny value domain → each kept rank is a CLASS of many rows; the
+    // (value, dense_rank) pairs and the full row set are deterministic
+    for (seed <- 1 to 6) {
+      val raw = Gen.listOfN(130, rowGen)
+        .apply(Gen.Parameters.default, Seed(6200L + seed)).get
+        .zipWithIndex.map { case ((_, k, s), ix) =>
+          (ix.toLong + 1, k, s.getOrElse(0L) % 5) }
+      val k = 1 + seed % 3
+      val desc = seed % 2 == 0
+      val df = raw.toDF("id", "key", "score")
+      val ord = if (desc) $"score".desc else $"score".asc
+      val q = df.withColumn("dr",
+          dense_rank().over(Window.partitionBy($"key").orderBy(ord)))
+        .filter($"dr" <= k)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerKeyDense"),
+        s"seed=$seed: dense rewrite did not fire")
+      val got = q.collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+      val want = raw.groupBy(_._2).flatMap { case (key, rs) =>
+        val distinct = rs.map(_._3).distinct.sorted
+        val ranked = (if (desc) distinct.reverse else distinct).take(k).zipWithIndex.toMap
+        rs.collect { case (id, _, v) if ranked.contains(v) => (key, id, ranked(v) + 1) }
+      }.toSet
+      assert(got == want,
+        s"seed=$seed k=$k desc=$desc: dense selections differ:\n" +
+          s"${got.diff(want)}\nvs\n${want.diff(got)}")
+    }
+  }
+
   test("multi-column struct-key selection == window selection for random heavy-tie data") {
     // two same-direction order columns, first from a tiny domain so the
     // tie-break column genuinely decides; ids unique → total order, so

@@ -83,20 +83,20 @@ class TopKWindowRewriteSpec extends SparkSpec {
     assert(byKey("c").map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L, 4L))
   }
 
-  test("guards: dense_rank, nullable rank, missing upper bound, and global windows stay windows") {
+  test("guards: nullable rank/dense_rank, missing upper bound, and global windows stay windows") {
     val w = Window.partitionBy($"key").orderBy($"id".desc)
-    val dense = base.withColumn("rn", dense_rank().over(w)).filter($"rn" <= 3)
-    assert(!physical(dense).contains("TopKPerKey"),
-      "dense_rank() must not rewrite — it bounds distinct values, not rows")
-    // rank over a NULLABLE order column: all nulls are mutually tied,
-    // so a bounded null completion can't reproduce rank <= k — skip
+    // rank/dense_rank over a NULLABLE order column: all nulls are
+    // mutually tied (one dense class), so a bounded null completion
+    // can't reproduce the filter — skip
     val nullable = Seq[(Long, String, java.lang.Long)]((1L, "a", 1L), (2L, "a", null))
       .toDF("id", "key", "score")
-    val nullRank = nullable
-      .withColumn("rk", rank().over(Window.partitionBy($"key").orderBy($"score".desc)))
-      .filter($"rk" <= 1)
+    val wn = Window.partitionBy($"key").orderBy($"score".desc)
+    val nullRank = nullable.withColumn("rk", rank().over(wn)).filter($"rk" <= 1)
     assert(!physical(nullRank).contains("TopKPerKey"),
       "rank() over a nullable order column must not rewrite")
+    val nullDense = nullable.withColumn("rk", dense_rank().over(wn)).filter($"rk" <= 1)
+    assert(!physical(nullDense).contains("TopKPerKey"),
+      "dense_rank() over a nullable order column must not rewrite")
     val unbounded = base.withColumn("rn", row_number().over(w)).filter($"rn" >= 2)
     assert(!physical(unbounded).contains("TopKPerKey"), "no upper bound must not rewrite")
     val global = base.withColumn("rn", row_number().over(Window.orderBy($"id"))).filter($"rn" <= 3)
@@ -171,6 +171,30 @@ class TopKWindowRewriteSpec extends SparkSpec {
           (k, v, vals.count(_ < v) + 1) }
       }.toSeq.sorted
     assert(got == expect)
+  }
+
+  test("dense_rank() <= k rewrites to the dense heap: top-k distinct value classes, all rows") {
+    // score domain 0..9, ~43 rows per key: dense_rank <= 2 keeps every
+    // row bearing one of the 2 best distinct scores per key — far more
+    // than 2 rows, and rank values depend only on distinct betters
+    val tied = (1 to 300).map(i => (i.toLong, "k" + (i % 7), (i % 10).toLong))
+      .toDF("id", "key", "score")
+    val w = Window.partitionBy($"key").orderBy($"score".desc)
+    val q = tied.withColumn("dr", dense_rank().over(w)).filter($"dr" <= 2)
+    val plan = physical(q)
+    assert(plan.contains("TopKPerKeyDense"), s"dense rewrite did not fire:\n$plan")
+    val got = q.select($"key", $"id", $"score", $"dr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val expect = (1 to 300).map(i => (i.toLong, "k" + (i % 7), (i % 10).toLong))
+      .groupBy(_._2).flatMap { case (k, xs) =>
+        val distinct = xs.map(_._3).distinct.sorted(Ordering[Long].reverse)
+        val top2 = distinct.take(2)
+        xs.collect { case (id, _, v) if top2.contains(v) =>
+          (k, id, v, top2.indexOf(v) + 1) }
+      }.toSet
+    assert(got == expect,
+      s"dense selection differs:\n${got.diff(expect)}\nvs\n${expect.diff(got)}")
+    assert(got.size > 14, s"fixture must keep whole value classes: ${got.size} rows")
   }
 
   test("multi-column same-direction ordering rewrites via the struct key") {
