@@ -130,7 +130,15 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
                 !orderSpec.head.child.nullable || orderSpec.head.nullOrdering == NullsLast
               else orderSpec.forall(!_.child.nullable)
             case _: Rank => orderSpec.forall(!_.child.nullable) // all nulls tie: bounded completion can't hold them
-            case _: DenseRank => orderSpec.forall(!_.child.nullable) // nulls are one dense class: same refusal
+            case _: DenseRank =>
+              orderSpec.forall(!_.child.nullable) && // nulls are one dense class: same refusal
+                // multi-column dense compares struct VALUES by bytes:
+                // a -0.0 inside a field would phantom a distinct class
+                // (ordering says equal, byte-equality says not) — the
+                // single-column path normalizes zeros, structs can't
+                (orderSpec.size == 1 || !orderSpec.exists(so =>
+                  so.child.dataType == org.apache.spark.sql.types.DoubleType ||
+                    so.child.dataType == org.apache.spark.sql.types.FloatType))
             case _ => false
           }) =>
       val ties = rankFn.isInstanceOf[Rank]

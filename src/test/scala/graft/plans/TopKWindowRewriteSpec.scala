@@ -240,6 +240,14 @@ class TopKWindowRewriteSpec extends SparkSpec {
     val qn = nullable.withColumn("rn", row_number().over(wNull)).filter($"rn" <= 2)
     assert(!physical(qn).contains("TopKPerKey"),
       "nullable field in a multi-column ordering must not rewrite")
+    // dense over a multi-column ordering with a FLOATING field: struct
+    // byte-equality would split the -0.0/0.0 value class — must refuse
+    val floaty = (1 to 20).map(i => (i.toLong, "a", i / 7.0)).toDF("id", "key", "score")
+    val qd = floaty.withColumn("dr", dense_rank().over(
+        Window.partitionBy($"key").orderBy($"score".desc, $"id".desc)))
+      .filter($"dr" <= 2)
+    assert(!physical(qd).contains("TopKPerKey"),
+      "dense multi-column with a double field must not rewrite")
   }
 
   test("rn = k and conjoined predicates: bound extracted, residual filter preserved") {
