@@ -54,12 +54,14 @@ object ScaleFixture {
 
   private[graft] def scale(
       spark: SparkSession, src: String, dest: String,
-      factor: Int, skewPct: Int): Unit = {
+      factor: Int, skewPct: Int,
+      scaleTpch: Boolean = true): Unit = { // false: corpus tables only (spec fixtures)
     require(factor >= 1 && skewPct >= 0 && skewPct <= 100)
     new java.io.File(dest).mkdirs()
 
-    // verbatim copies for the star-schema tables (single parquet files)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")) {
+    // region/nation are true dimensions (tiny, fixed key domains the
+    // fact tables reference by VALUE) — copied verbatim
+    for (t <- Seq("region", "nation")) {
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
       val to = java.nio.file.Paths.get(s"$dest/$t.parquet")
       if (java.nio.file.Files.isRegularFile(from))
@@ -71,6 +73,55 @@ object ScaleFixture {
 
     def replicate(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).select(col("id").cast("int").as("r")))
+
+    // ---- TPC-H star schema: ×factor with CONSISTENT key shifts ----
+    // Every replica shifts each entity's keys by r × (that entity's
+    // base count), applied to primary AND foreign keys alike, so
+    // referential integrity holds within each replica: replica r's
+    // lineitems join replica r's orders/parts/suppliers, and a join's
+    // matched cardinality grows exactly ×factor. nation/region keys
+    // stay unshifted (dimension values). The events stream keeps its
+    // original user_id population, so replica-0 customers carry
+    // ×factor the event history and later replicas are event-less —
+    // the realistic shape when the customer base outgrows the
+    // instrumented cohort.
+    def shifted(t: String, shifts: Map[String, Long]): Unit = {
+      val df = Tables.load(spark, src, t)
+      replicate(df)
+        .select(df.columns.map { c =>
+          shifts.get(c) match {
+            case Some(n) => (col(c) + col("r").cast("long") * n).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    }
+    if (scaleTpch) {
+      val nCust = Tables.load(spark, src, "customer").count()
+      val nSupp = Tables.load(spark, src, "supplier").count()
+      val nPart = Tables.load(spark, src, "part").count()
+      val nOrd = Tables.load(spark, src, "orders").count()
+      shifted("customer", Map("c_custkey" -> nCust))
+      shifted("supplier", Map("s_suppkey" -> nSupp))
+      shifted("part", Map("p_partkey" -> nPart))
+      shifted("orders", Map("o_orderkey" -> nOrd, "o_custkey" -> nCust))
+      shifted("lineitem", Map(
+        "l_orderkey" -> nOrd, "l_partkey" -> nPart, "l_suppkey" -> nSupp))
+    } else {
+      // corpus-only fixtures (spec-scale): star schema copied verbatim
+      // at 1× — replicating without key shifts would fabricate
+      // duplicate primary keys
+      for (t <- Seq("customer", "supplier", "part", "orders", "lineitem")) {
+        val from = java.nio.file.Paths.get(s"$src/$t.parquet")
+        if (java.nio.file.Files.isRegularFile(from))
+          java.nio.file.Files.copy(from,
+            java.nio.file.Paths.get(s"$dest/$t.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else
+          spark.read.parquet(from.toString)
+            .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      }
+    }
 
     // ---- documents ----
     val docs = Tables.load(spark, src, "documents")

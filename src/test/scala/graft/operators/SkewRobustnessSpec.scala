@@ -18,7 +18,9 @@ class SkewRobustnessSpec extends SparkSpec {
 
   private lazy val skewDir: String = {
     val d = tmpDir("skew-fixture") + "/sf"
-    ScaleFixture.scale(spark, "/root/testdata/sf0.1", d, 3, 30)
+    // corpus tables only: the spec reads documents exclusively, and
+    // replicating 600k lineitems per CI run would be pure overhead
+    ScaleFixture.scale(spark, "/root/testdata/sf0.1", d, 3, 30, scaleTpch = false)
     d
   }
 
