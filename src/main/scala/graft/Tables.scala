@@ -12,10 +12,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * so it arrives as a Long; we convert to a µs timestamp here (the
-    * corpus carries no sub-µs bits, so this is lossless).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some corpus
+    * generations, which Spark's vectorized reader rejects. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong` so it arrives as a Long; we
+    * convert to a µs timestamp here (the corpus carries no sub-µs bits,
+    * so this is lossless). Micros-precision generations read natively
+    * and skip the branch.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -35,6 +37,12 @@ object Tables {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The corpus writes naive (isAdjustedToUTC=false) timestamps; read
+    // them as session-tz TIMESTAMP (UTC session above ⇒ identical
+    // instants) so the timestamp operators (`unix_micros`, windows,
+    // as-of) type-check. The DuckDB oracle reads the same bytes as
+    // naive TIMESTAMP — values agree under the UTC session.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .withExtensions(new graft.functions.GraftExtensions)

@@ -333,10 +333,16 @@ object TextDedup {
     val cand = a.join(b,
         a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
       .select(col("a_id"), col("b_id")).distinct().cache()
-    verifyJaccard(cand, index)
+    // Member-count annotation: `groups` has one row per DISTINCT text —
+    // corpus cardinality — while the verified pairs are bound by the
+    // near-duplicate density of the corpus. The PAIR side is the one
+    // that broadcasts; `groups` streams through the probe without ever
+    // leaving its executors. (Forcing the broadcast the other way is an
+    // OOM at large SF even though it is invisible at test scale.)
+    val verified = verifyJaccard(cand, index)
       .filter(col("jaccard") >= MinhashVerifyThreshold)
-      .join(broadcast(groups.toDF("a_id", "a_members")), "a_id")
-      .join(broadcast(groups.toDF("b_id", "b_members")), "b_id")
+    val withA = groups.toDF("a_id", "a_members").join(broadcast(verified), "a_id")
+    groups.toDF("b_id", "b_members").join(broadcast(withA), "b_id")
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"),
         col("a_members"), col("b_members"))
       .orderBy(col("a_id"), col("b_id"))

@@ -139,13 +139,35 @@ class PlanQualitySpec extends SparkSpec {
       s"dense_rank() <= k must ride the dense heap under the window:\n$plan")
   }
 
-  test("q128 collapsed LSH: keyed equi-joins only, member counts broadcast") {
-    val plan = planOf(TextDedup.dedupLshCollapsed(spark, dir))
+  test("q128 collapsed LSH: keyed equi-joins only, member joins broadcast the PAIR side") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = TextDedup.dedupLshCollapsed(spark, dir)
+    val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), s"cartesian in q128 plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"nested-loop pairing in q128 plan:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"group-size legs should broadcast:\n$plan")
+    // The member-count annotation joins corpus-cardinality `groups`
+    // against the duplicate-density-bound verified pairs. The build
+    // (broadcast) side MUST be the pair side — it carries `jaccard`;
+    // a groups-side broadcast is an OOM at 100 TB.
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val memberJoins = root.collect {
+      case j: BroadcastHashJoinExec
+          if j.output.exists(a => a.name == "a_members" || a.name == "b_members") => j
+    }
+    assert(memberJoins.size == 2, s"expected both member-count legs as BHJ:\n$plan")
+    memberJoins.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft  => j.left
+        case BuildRight => j.right
+      }
+      assert(build.output.exists(_.name == "jaccard"),
+        s"member-count join must broadcast the PAIR side (jaccard), not groups:\n$j")
+    }
   }
 
   test("q126 keyed heavy hitters: exact companion rides TopKPerKey, sketch side broadcasts") {
