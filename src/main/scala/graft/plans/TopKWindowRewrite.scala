@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: the standard per-key top-k idiom —
   *
@@ -41,13 +42,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    the top-k value classes; the partial phase is sound because a
   *    value with < k distinct betters globally has < k distinct
   *    betters in every slice;
-  *  - MULTI-column orderings rewrite when every column sorts the SAME
-  *    direction and is non-nullable: the tuple ordering is then
-  *    exactly the natural ordering of a struct of the columns
-  *    (lexicographic field-by-field), so the heap compares one struct
-  *    value per row. Mixed directions stay windows (a struct can't
-  *    flip one field), and multi-column null semantics are beyond the
-  *    keep-nulls completion's model;
+  *  - MULTI-column orderings rewrite when every column is
+  *    non-nullable: the tuple ordering is the natural ordering of a
+  *    struct of the columns (lexicographic field-by-field). MIXED
+  *    directions rewrite too when every against-the-grain column's
+  *    type admits a strictly order-REVERSING, equality-preserving
+  *    value transform ([[flipped]]): integral/date/timestamp via
+  *    bitwise NOT (`~x = -x-1`, a monotone-decreasing bijection on
+  *    two's complement — no MinValue overflow), decimal via negation
+  *    (symmetric range), float/double via a (notNaN, -x) struct that
+  *    pins NaN to the flipped extreme, boolean via NOT. Strings and
+  *    nested types have no such transform and legitimately refuse.
+  *    Multi-column null semantics stay beyond the keep-nulls
+  *    completion's model (non-nullable required);
   *  - only a LITERAL integer upper bound on the rank column counts
   *    (`rn <= k`, `rn < k`, `k >= rn`, `rn = k`); other conjuncts and
   *    other uses of `rn` are untouched — the window recomputes `rn`
@@ -99,17 +106,86 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       ps.zip(partSpec).forall { case (x, y) => x.semanticEquals(y) } &&
       orderKey(os).exists(_.semanticEquals(orderExpr))
 
+  /** dense mode keys a map by value equals()/bytes; the single-column
+    * float path normalizes -0.0 at ownership ([[TopKCollector]]), but
+    * a float nested ANYWHERE inside a struct-typed order value — a
+    * user-written struct expression or the multi-column struct key —
+    * cannot be normalized in place, so -0.0 vs 0.0 would phantom a
+    * distinct rank class (the ordering calls them equal, the map key
+    * does not). Refuse every shape except a bare top-level
+    * float/double column (the normalized path) or float-free types.
+    */
+  private def denseFloatSafe(os: Seq[SortOrder]): Boolean = {
+    def hasFloat(t: DataType): Boolean = t match {
+      case DoubleType | FloatType => true
+      case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+      case a: ArrayType => hasFloat(a.elementType)
+      case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+      case _ => false
+    }
+    if (os.size == 1) {
+      val t = os.head.child.dataType
+      t == DoubleType || t == FloatType || !hasFloat(t)
+    } else os.forall(so => !hasFloat(so.child.dataType))
+  }
+
+  /** A strictly order-REVERSING, equality-preserving transform of `e`,
+    * when its type admits one: ascending order of `flipped(e)` equals
+    * descending order of `e` (and vice versa — a reversing bijection
+    * works in both directions). This is what lets a mixed-direction
+    * multi-column ordering still become ONE struct key: the
+    * against-the-grain fields flip inside the struct.
+    *
+    *  - integral/date/timestamp: bitwise NOT. `~x = -x-1` is a
+    *    monotone-decreasing bijection on two's-complement — unlike
+    *    negation it cannot overflow at MinValue, stays the same
+    *    physical type, and costs one instruction in codegen. Dates
+    *    and timestamps pass through their lossless integer views
+    *    (`unix_date` days / `unix_micros`) first — lossless matters:
+    *    a truncating view would invent ties the window doesn't have.
+    *  - decimal: negation (a decimal's range is symmetric in its
+    *    digits, so `-x` cannot overflow).
+    *  - float/double: NaN sorts ABOVE +Infinity and survives negation
+    *    unchanged, so plain `-x` would leave NaN at the wrong end; a
+    *    `(NOT isnan(x), -x)` struct pins NaN rows to the flipped
+    *    extreme (`false` sorts first ascending, last descending).
+    *    `-0.0 ↔ 0.0` under negation is harmless: the ordering already
+    *    treats them as one value.
+    *  - boolean: NOT (`false < true`).
+    *  - strings, binary, nested types: no reversing transform exists
+    *    that the heap's ordering can evaluate — refuse (None), the
+    *    window stays.
+    */
+  private def flipped(e: Expression): Option[Expression] = e.dataType match {
+    case BooleanType => Some(Not(e))
+    case ByteType | ShortType | IntegerType | LongType => Some(BitwiseNot(e))
+    case _: DecimalType => Some(UnaryMinus(e))
+    case DateType => Some(BitwiseNot(UnixDate(e)))
+    case TimestampType => Some(BitwiseNot(UnixMicros(e)))
+    case FloatType =>
+      Some(CreateStruct(Seq(Not(IsNaN(e)), If(IsNaN(e), Literal(0.0f), UnaryMinus(e)))))
+    case DoubleType =>
+      Some(CreateStruct(Seq(Not(IsNaN(e)), If(IsNaN(e), Literal(0.0), UnaryMinus(e)))))
+    case _ => None
+  }
+
   /** The single expression whose natural ordering equals the window's
-    * (same-direction) multi-column sort: the column itself for one
-    * order, a struct for several — struct comparison is lexicographic
-    * field-by-field, which IS the tuple ordering when every field
-    * sorts the same way. None when directions are mixed (a struct
-    * can't flip one field) — those windows stay unrewritten.
+    * multi-column sort: the column itself for one order, a struct for
+    * several — struct comparison is lexicographic field-by-field,
+    * which IS the tuple ordering once every field sorts the HEAD
+    * column's direction. Against-the-grain fields are [[flipped]]
+    * inside the struct; None when any such field's type has no
+    * reversing transform — those windows stay unrewritten.
     */
   private[plans] def orderKey(os: Seq[SortOrder]): Option[Expression] = os match {
     case Seq(one) => Some(one.child)
-    case many if many.nonEmpty && many.map(_.direction).distinct.size == 1 =>
-      Some(CreateStruct(many.map(_.child)))
+    case many if many.nonEmpty =>
+      val canonical = many.head.direction
+      val fields = many.map { so =>
+        if (so.direction == canonical) Some(so.child) else flipped(so.child)
+      }
+      if (fields.forall(_.isDefined)) Some(CreateStruct(fields.map(_.get)))
+      else None
     case _ => None
   }
 
@@ -132,13 +208,7 @@ object TopKWindowRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
             case _: Rank => orderSpec.forall(!_.child.nullable) // all nulls tie: bounded completion can't hold them
             case _: DenseRank =>
               orderSpec.forall(!_.child.nullable) && // nulls are one dense class: same refusal
-                // multi-column dense compares struct VALUES by bytes:
-                // a -0.0 inside a field would phantom a distinct class
-                // (ordering says equal, byte-equality says not) — the
-                // single-column path normalizes zeros, structs can't
-                (orderSpec.size == 1 || !orderSpec.exists(so =>
-                  so.child.dataType == org.apache.spark.sql.types.DoubleType ||
-                    so.child.dataType == org.apache.spark.sql.types.FloatType))
+                denseFloatSafe(orderSpec)
             case _ => false
           }) =>
       val ties = rankFn.isInstanceOf[Rank]

@@ -169,4 +169,39 @@ class TopKWindowRewritePropSpec extends SparkSpec {
       assert(gotR == want, s"seed=$seed: unique tuples — rank must equal row_number")
     }
   }
+
+  test("MIXED-direction struct-key selection == window selection for random heavy-tie data") {
+    // `score DESC, id ASC` (and the mirror): the against-the-grain id
+    // flips via bitwise NOT inside the struct key; ids unique → total
+    // order → exact row sets, and rank must agree with row_number
+    for (seed <- 1 to 6) {
+      val raw = Gen.listOfN(140, rowGen)
+        .apply(Gen.Parameters.default, Seed(5300L + seed)).get
+        .zipWithIndex.map { case ((_, k, s), ix) =>
+          (ix.toLong + 1, k, s.getOrElse(0L) % 4) }
+      val k = 1 + seed % 4
+      val descFirst = seed % 2 == 0
+      val df = raw.toDF("id", "key", "score")
+      val w =
+        if (descFirst) Window.partitionBy($"key").orderBy($"score".desc, $"id".asc)
+        else Window.partitionBy($"key").orderBy($"score".asc, $"id".desc)
+      val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"seed=$seed: mixed-order rewrite did not fire:\n$plan")
+      val got = q.collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+      val want = raw.groupBy(_._2).flatMap { case (key, rs) =>
+        val sorted =
+          if (descFirst) rs.sortBy(t => (-t._3, t._1)) else rs.sortBy(t => (t._3, -t._1))
+        sorted.take(k).zipWithIndex.map { case (t, ix) => (key, t._1, ix + 1) }
+      }.toSet
+      assert(got == want,
+        s"seed=$seed k=$k descFirst=$descFirst: mixed-order selections differ:\n" +
+          s"${got.diff(want)}\nvs\n${want.diff(got)}")
+      val qr = df.withColumn("rk", rank().over(w)).filter($"rk" <= k)
+      assert(qr.queryExecution.executedPlan.toString.contains("TopKPerKeyTies"),
+        s"seed=$seed: mixed-order rank rewrite did not fire")
+      val gotR = qr.collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+      assert(gotR == want, s"seed=$seed: unique tuples — rank must equal row_number")
+    }
+  }
 }

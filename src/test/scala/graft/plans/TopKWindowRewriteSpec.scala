@@ -228,11 +228,65 @@ class TopKWindowRewriteSpec extends SparkSpec {
     assert(gotR == expect, "unique tie-break: rank selection must equal row_number's")
   }
 
-  test("multi-column guards: mixed directions and nullable fields stay windows") {
-    val wMixed = Window.partitionBy($"key").orderBy($"score".desc, $"id".asc)
-    val mixed = base.withColumn("rn", row_number().over(wMixed)).filter($"rn" <= 3)
+  test("mixed-direction multi-column ordering rewrites via flipped struct fields") {
+    // the canonical `ORDER BY score DESC, id ASC` tiebreak idiom: the
+    // against-the-grain id flips via bitwise NOT inside the struct key
+    val tied = (1 to 300).map(i => (i.toLong, "k" + (i % 7), (i % 5).toLong))
+      .toDF("id", "key", "score")
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id".asc)
+    val q = tied.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    val plan = physical(q)
+    assert(plan.contains("TopKPerKey"), s"mixed-direction rewrite did not fire:\n$plan")
+    val got = q.select($"key", $"id", $"rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = (1 to 300).map(i => ("k" + (i % 7), i.toLong, (i % 5).toLong))
+      .groupBy(_._1).flatMap { case (k, xs) =>
+        xs.sortBy(t => (-t._3, t._2)).take(3)
+          .zipWithIndex.map { case (t, ix) => (k, t._2, ix + 1) }
+      }.toSet
+    assert(got == expect,
+      s"mixed-order selection differs:\n${got.diff(expect)}\nvs\n${expect.diff(got)}")
+    // rank over the same ordering: unique full tuples → equals row_number
+    val qr = tied.withColumn("rk", rank().over(w)).filter($"rk" <= 3)
+    assert(physical(qr).contains("TopKPerKeyTies"),
+      s"mixed-direction rank rewrite did not fire:\n${physical(qr)}")
+    assert(qr.select($"key", $"id", $"rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet == expect)
+  }
+
+  test("flipped DOUBLE field: NaN and signed zero land exactly where the window puts them") {
+    // d sorts DESC against an ASC grain → flips to a (notNaN, -d)
+    // struct. Window double semantics: NaN > +Inf; -0.0 == 0.0.
+    val dd = Seq(
+      (1L, 0L, Double.NaN), (2L, 0L, 5.0), (3L, 0L, Double.PositiveInfinity),
+      (4L, 0L, -0.0), (5L, 0L, 0.0), (6L, 1L, Double.NaN), (7L, 1L, 1.0),
+      (8L, 0L, Double.NegativeInfinity)
+    ).toDF("id", "t", "d").withColumn("key", lit("a"))
+    val wd = Window.partitionBy($"key").orderBy($"t".asc, $"d".desc)
+    val qd = dd.withColumn("rn", row_number().over(wd)).filter($"rn" <= 5)
+    assert(physical(qd).contains("TopKPerKey"),
+      s"flipped-double rewrite did not fire:\n${physical(qd)}")
+    val rows = qd.select($"id", $"rn").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // t=0 block, d desc: NaN(1), +Inf(3), 5.0(2), then the -0.0/0.0
+    // TIE (ids 4, 5 — ranks 4 and 5 in arbitrary order), -Inf(8) and
+    // the whole t=1 block cut off by rn <= 5
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L),
+      s"flipped-double selection wrong: ${rows.toSeq}")
+    val rn = rows.toMap
+    assert(rn(1L) == 1 && rn(3L) == 2 && rn(2L) == 3,
+      s"NaN/Inf must keep their window ranks under the flip: ${rows.toSeq}")
+    assert(Set(rn(4L), rn(5L)) == Set(4, 5),
+      s"-0.0 and 0.0 must tie (arbitrary order) at ranks 4-5: ${rows.toSeq}")
+  }
+
+  test("multi-column guards: non-flippable mixed fields and nullable fields stay windows") {
+    // a STRING field against the grain has no order-reversing
+    // transform — must stay a window
+    val named = base.withColumn("name", concat(lit("n"), $"id"))
+    val wMixed = Window.partitionBy($"key").orderBy($"score".desc, $"name".asc)
+    val mixed = named.withColumn("rn", row_number().over(wMixed)).filter($"rn" <= 3)
     assert(!physical(mixed).contains("TopKPerKey"),
-      "mixed-direction multi-order must not rewrite — a struct can't flip one field")
+      "string field against the grain must not rewrite — no reversing transform")
     val nullable = Seq[(Long, String, java.lang.Long)](
       (1L, "a", 1L), (2L, "a", null), (3L, "a", 2L))
       .toDF("id", "key", "score")
@@ -248,6 +302,16 @@ class TopKWindowRewriteSpec extends SparkSpec {
       .filter($"dr" <= 2)
     assert(!physical(qd).contains("TopKPerKey"),
       "dense multi-column with a double field must not rewrite")
+    // same hazard one level down: a SINGLE struct-typed order column
+    // with a NESTED double — the -0.0 can't be normalized inside the
+    // struct bytes, so dense must refuse recursively, not just at the
+    // top level
+    val qsn = floaty.withColumn("sk", struct($"score", $"id"))
+      .withColumn("dr", dense_rank().over(
+        Window.partitionBy($"key").orderBy($"sk".desc)))
+      .filter($"dr" <= 2)
+    assert(!physical(qsn).contains("TopKPerKeyDense"),
+      "dense over a struct order with a nested double must not rewrite")
   }
 
   test("rn = k and conjoined predicates: bound extracted, residual filter preserved") {
