@@ -363,6 +363,23 @@ object StreamingJobs {
   private def latestVersionBefore(spark: SparkSession, dir: String, batchId: Long): Option[String] =
     versionsBefore(spark, dir, batchId).lastOption
 
+  /** Default snapshot retention: the snapshot streams read only the
+    * LATEST committed predecessor, so `retain = 1` is already correct;
+    * 2 keeps one extra version of forensic headroom. Pass
+    * `Int.MaxValue` to keep every version (replay archaeology/debug) —
+    * state disk then grows by one full snapshot PER MICRO-BATCH,
+    * unbounded, which is never what a production stream wants.
+    */
+  val DefaultRetainVersions = 2
+
+  /** Default delta-compaction cadence ([[pruneBehindFullSnapshot]]):
+    * every 8th batch folds the older deltas into a `_FULL` snapshot
+    * and later batches prune the subsumed tail, bounding state dirs at
+    * O(cadence). Pass 0 to disable (every delta kept forever —
+    * unbounded; replay stays correct, disk does not).
+    */
+  val DefaultCompactEvery = 8
+
   /** Retention for SNAPSHOT-style state (each version is complete on
     * its own): delete all but the newest `retain` versions strictly
     * older than `batchId`. Safe because (a) when batch B runs, every
@@ -374,12 +391,17 @@ object StreamingJobs {
     * micro-batch forever; with it, state disk is O(retain × snapshot).
     * Runs at batch START so a replayed batch repeats the same
     * (idempotent) deletions before reading the same predecessor.
+    * `retain < 1` is an ERROR (it would delete the predecessor a
+    * replayed batch must re-read), not something to reinterpret.
     */
   private def pruneSnapshots(
       spark: SparkSession, dir: String, batchId: Long, retain: Int): Unit =
     if (retain != Int.MaxValue) {
+      require(retain >= 1,
+        s"retainVersions must be >= 1 (got $retain) — the latest committed " +
+          "predecessor is load-bearing; use Int.MaxValue to keep every version")
       val older = versionsBefore(spark, dir, batchId)
-      val doomed = older.dropRight(math.max(1, retain))
+      val doomed = older.dropRight(retain)
       if (doomed.nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -444,7 +466,7 @@ object StreamingJobs {
       events: DataFrame, // streaming CDC: user_id, event_id, event_type, value, ts
       historyDir: String,
       checkpointDir: String,
-      retainVersions: Int = Int.MaxValue, // see [[pruneSnapshots]]
+      retainVersions: Int = DefaultRetainVersions, // see [[pruneSnapshots]]
   ): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -500,8 +522,10 @@ object StreamingJobs {
       spansDir: String,
       checkpointDir: String,
       minSpanWords: Int = graft.operators.SpanOps.MinDupSpan,
-      compactEvery: Int = 0, // 0 = never; see [[pruneBehindFullSnapshot]]
-  ): StreamingQuery =
+      compactEvery: Int = DefaultCompactEvery, // 0 = never; see [[pruneBehindFullSnapshot]]
+  ): StreamingQuery = {
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (got $compactEvery); 0 disables compaction")
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -535,6 +559,7 @@ object StreamingJobs {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 
   /** Streaming heavy hitters — the q122 Misra–Gries sketch maintained
     * across micro-batches: each batch is sketched distributed (the
@@ -559,7 +584,7 @@ object StreamingJobs {
       m: Int,
       stateDir: String,
       checkpointDir: String,
-      retainVersions: Int = Int.MaxValue, // see [[pruneSnapshots]]
+      retainVersions: Int = DefaultRetainVersions, // see [[pruneSnapshots]]
   ): StreamingQuery =
     items.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -608,7 +633,7 @@ object StreamingJobs {
       stateDir: String,
       outDir: String,
       checkpointDir: String,
-      retainVersions: Int = Int.MaxValue, // see [[pruneSnapshots]]; outDir is never pruned
+      retainVersions: Int = DefaultRetainVersions, // see [[pruneSnapshots]]; outDir is never pruned
   ): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -692,8 +717,10 @@ object StreamingJobs {
       stateDir: String,
       outDir: String,
       checkpointDir: String,
-      compactEvery: Int = 0, // 0 = never; see [[pruneBehindFullSnapshot]]
-  ): StreamingQuery =
+      compactEvery: Int = DefaultCompactEvery, // 0 = never; see [[pruneBehindFullSnapshot]]
+  ): StreamingQuery = {
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (got $compactEvery); 0 disables compaction")
     vecs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -747,6 +774,7 @@ object StreamingJobs {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 
   /** Streaming PSI drift monitor — the q125 audit run continuously: a
     * numeric stream is binned against a FIXED reference population's
@@ -767,7 +795,7 @@ object StreamingJobs {
       stateDir: String,
       outDir: String,
       checkpointDir: String,
-      retainVersions: Int = Int.MaxValue, // see [[pruneSnapshots]]; outDir is never pruned
+      retainVersions: Int = DefaultRetainVersions, // see [[pruneSnapshots]]; outDir is never pruned
   ): StreamingQuery =
     rows.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -26,25 +26,57 @@ class StateRetentionSpec extends SparkSpec {
     val batches = (0 until 4).map { b =>
       List.fill(20)("HEAVY") ++ (1 to 60).map(i => "w" + ((i + b * 11) % 40))
     }
-    def run(retain: Int, tag: String): (Seq[String], MGState) = {
+    def run(retain: Option[Int], tag: String): (Seq[String], MGState) = {
       val stateDir = tmpDir(s"mg-ret-$tag") + "/state"
       val ckpt = tmpDir(s"mg-ret-ckpt-$tag")
       val mem = MemoryStream[String]
-      val q = StreamingJobs.heavyHittersStream(
-        mem.toDF().toDF("item"), 8, stateDir, ckpt, retainVersions = retain)
+      val q = retain match {
+        case Some(r) => StreamingJobs.heavyHittersStream(
+          mem.toDF().toDF("item"), 8, stateDir, ckpt, retainVersions = r)
+        case None => StreamingJobs.heavyHittersStream( // the DEFAULT path
+          mem.toDF().toDF("item"), 8, stateDir, ckpt)
+      }
       try batches.foreach { it => mem.addData(it); q.processAllAvailable() }
       finally q.stop()
       val dirs = versionDirs(stateDir)
       (dirs, spark.read.parquet(s"$stateDir/${dirs.last}").as[MGState].head())
     }
-    val (allDirs, fullState) = run(Int.MaxValue, "all")
-    val (prunedDirs, prunedState) = run(1, "pruned")
+    val (allDirs, fullState) = run(Some(Int.MaxValue), "all")
+    val (prunedDirs, prunedState) = run(Some(1), "pruned")
     assert(allDirs == Seq("v0", "v1", "v2", "v3"), s"got $allDirs")
     // prune runs at batch START: batch 3 kept v2, then wrote v3
     assert(prunedDirs == Seq("v2", "v3"),
       s"retain=1 must leave predecessor + self, got $prunedDirs")
     assert(prunedState == fullState,
       "pruning must not change the folded sketch — reads use only the latest predecessor")
+    // the DEFAULT must be bounded — a caller who configures nothing
+    // must not accrete one snapshot per micro-batch forever
+    val (defaultDirs, defaultState) = run(None, "default")
+    assert(defaultDirs == Seq("v1", "v2", "v3"),
+      s"default retention must keep ${StreamingJobs.DefaultRetainVersions} " +
+        s"predecessors + self, got $defaultDirs")
+    assert(defaultState == fullState,
+      "default pruning must not change the folded sketch")
+  }
+
+  test("retainVersions < 1 fails loudly instead of silently retaining one version") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = tmpDir("mg-ret-zero") + "/state"
+    val ckpt = tmpDir("mg-ret-zero-ckpt")
+    val mem = MemoryStream[String]
+    val q = StreamingJobs.heavyHittersStream(
+      mem.toDF().toDF("item"), 8, stateDir, ckpt, retainVersions = 0)
+    try {
+      mem.addData(List("a", "b", "a"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("retainVersions")),
+        s"the failure must name the invalid knob, got: ${messages(e)}")
+    } finally q.stop()
   }
 
   test("delta compaction: span scrub with compactEvery prunes behind the full snapshot, same spans") {
