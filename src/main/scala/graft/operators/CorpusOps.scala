@@ -25,6 +25,24 @@ object CorpusOps {
   private val K = 4
   private val KmeansIters = 2
 
+  /** Mean cluster size the scale-adaptive k targets. SemDeDup's
+    * within-cluster pair stage is Σ|cluster|² — linear overall ONLY if
+    * k grows with the corpus so n/k stays constant (the contract
+    * SCALING.md §4 documents). 500 keeps k at the [[K]]=4 oracle model
+    * through the driver SFs (≤ 2000 vectors) and starts growing right
+    * past them: 10× data → 10× clusters, same mean cluster, same
+    * per-cluster pair cost.
+    */
+  private val TargetClusterSize = 500L
+
+  /** k for an n-vector corpus: n / [[TargetClusterSize]], floored at
+    * the [[K]]=4 oracle model (driver SFs reproduce the static oracle
+    * exactly), capped defensively — past that, n/k growth is the
+    * lesser problem and a k-sized broadcast would be the new one.
+    */
+  private[graft] def adaptiveK(n: Long): Int =
+    math.min(math.max(K.toLong, n / TargetClusterSize), 65536L).toInt
+
   /** Lloyd's k-means over the embedding corpus, k=4, fixed 2
     * iterations, deterministic init (centroid j = vector with
     * vec_id=j). Per iteration: assignment = argmin squared-L2 against
@@ -76,7 +94,12 @@ object CorpusOps {
   private def kmeansFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val e = embeddingVectors(spark, dir)
-    var centroids = e.filter($"vec_id" < K)
+    // one metadata-cheap count decides k; at the driver SFs the floor
+    // reproduces the K=4 model the q86/q113/q120 oracles replay, at
+    // scale k grows with n (deterministic init: centroid j = vector j,
+    // which the fixtures' dense low ids always populate)
+    val k = adaptiveK(e.count())
+    var centroids = e.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), expr("transform(v, x -> round(x, 9))").as("cvec"))
     def assign(cents: DataFrame): DataFrame = assignVectors(e, cents)
     (1 to KmeansIters).foreach { _ =>

@@ -22,6 +22,16 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("scale-adaptive k: floors at the oracle model through driver SFs, then n/target") {
+    // every driver SF (≤ 2000 vectors) must reproduce the static K=4
+    // oracle model — that is what keeps q86/q113/q120 value-exact
+    assert(Seq(0L, 500L, 2000L).map(CorpusOps.adaptiveK) == Seq(4, 4, 4))
+    // past the floor, mean cluster size stays ~constant: 10x data, 10x k
+    assert(CorpusOps.adaptiveK(20000L) == 40)
+    assert(CorpusOps.adaptiveK(200000L) == 400)
+    assert(CorpusOps.adaptiveK(Long.MaxValue) == 65536, "defensive cap")
+  }
+
   test("q87 chunking: stride/size arithmetic and full coverage, map-only plan") {
     val out = CorpusOps.docChunks(spark, dir)
     val byDoc = out.groupBy($"doc_id")
