@@ -632,6 +632,22 @@ object TextDedup {
     cappedRawPairs(spark, dir)
       .filter(col("jaccard") >= JaccardThreshold)
 
+  /** Materialize the SESSION-SHARED cache entries up front: the
+    * uncapped shingle index (q21/q78/q128 signatures + verify) and the
+    * df-capped pre-threshold pair table (q61/q70/q83/q90/q109/q111,
+    * the training funnel). Which query pays the one-time build
+    * otherwise depends on catalog RUN ORDER — a query entering or
+    * leaving the sequence re-attributes seconds of build cost to a
+    * different innocent query, which is exactly the flap a per-query
+    * benchmark must not have. Harness entry (Bench warm-up); operators
+    * never need it — they build lazily as always.
+    */
+  def warmSharedCaches(spark: SparkSession, dir: String): Unit = {
+    shingleIndex(spark, dir).cache().count()
+    cappedRawPairs(spark, dir).count()
+    ()
+  }
+
   /** DuckDB CTE chain ending in `dup(a_id, b_id, jaccard)` =
     * [[cappedPairs]] — the ONE rendering of the df-capped pair
     * pipeline, shared by the q61/q70/q109/q111 oracles and the q83
