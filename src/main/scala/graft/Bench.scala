@@ -57,8 +57,10 @@ object Bench {
     // them up front and report the cost as its own line item — the
     // per-query numbers then measure steady state.
     val tCache0 = System.nanoTime()
-    try graft.operators.TextDedup.warmSharedCaches(spark, sfDir)
-    catch { case _: Throwable => }
+    try {
+      graft.operators.TextDedup.warmSharedCaches(spark, sfDir)
+      graft.operators.CorpusOps.warmSharedModel(spark, sfDir)
+    } catch { case _: Throwable => }
     val sharedCacheSec = (System.nanoTime() - tCache0) / 1e9
 
     // Calibration probe: a constant-work, shuffle-free, plan-stable agg.

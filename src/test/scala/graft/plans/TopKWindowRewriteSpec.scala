@@ -279,6 +279,57 @@ class TopKWindowRewriteSpec extends SparkSpec {
       s"-0.0 and 0.0 must tie (arbitrary order) at ranks 4-5: ${rows.toSeq}")
   }
 
+  test("flipped DATE/TIMESTAMP/DECIMAL/BOOLEAN fields keep exact window parity") {
+    // each type takes its turn as the against-the-grain middle column
+    // (g ASC head with heavy ties, X DESC flipped, id ASC tiebreak);
+    // the lossless integer views (unix_date / unix_micros) must not
+    // invent ties, so the selection equals the plain-Scala tuple sort
+    // exactly. Also proves the flip expressions EXECUTE — a
+    // runtime-replaceable or unresolvable view would die here, not
+    // just plan differently.
+    val rows = (1 to 120).map { i =>
+      (i.toLong, "k" + (i % 3), i % 5,
+        java.sql.Date.valueOf("2024-01-%02d".format(i % 28 + 1)),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:%02d.%03d".format(i % 60, i % 7)),
+        BigDecimal((i % 9) - 4).setScale(2), i % 2 == 0)
+    }
+    // tuple encoders mark Date/Timestamp/BigDecimal NULLABLE, which the
+    // multi-column guard (correctly) refuses — build with an explicit
+    // non-nullable schema, as a parquet table with required fields has
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("key", StringType, nullable = false),
+      StructField("g", IntegerType, nullable = false),
+      StructField("d", DateType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("dec", DecimalType(10, 2), nullable = false),
+      StructField("b", BooleanType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      rows.map(t => org.apache.spark.sql.Row(
+        t._1, t._2, t._3, t._4, t._5, t._6.bigDecimal, t._7)).asJava,
+      schema)
+    def check(colName: String, keyOf: ((Long, String, Int, java.sql.Date, java.sql.Timestamp, BigDecimal, Boolean)) => Long): Unit = {
+      val w = Window.partitionBy($"key").orderBy($"g".asc, col(colName).desc, $"id".asc)
+      val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+      assert(physical(q).contains("TopKPerKey"),
+        s"flip of $colName did not rewrite:\n${physical(q)}")
+      val got = q.select($"key", $"id", $"rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = rows.groupBy(_._2).flatMap { case (k, xs) =>
+        xs.sortBy(t => (t._3, -keyOf(t), t._1)).take(4)
+          .zipWithIndex.map { case (t, ix) => (k, t._1, ix + 1) }
+      }.toSet
+      assert(got == expect,
+        s"$colName flip selection differs:\n${got.diff(expect)}\nvs\n${expect.diff(got)}")
+    }
+    check("d", _._4.toLocalDate.toEpochDay)
+    check("ts", t => t._5.getTime * 1000 + (t._5.getNanos / 1000) % 1000)
+    check("dec", t => (t._6 * 100).toLongExact)
+    check("b", t => if (t._7) 1L else 0L)
+  }
+
   test("multi-column guards: non-flippable mixed fields and nullable fields stay windows") {
     // a STRING field against the grain has no order-reversing
     // transform — must stay a window
