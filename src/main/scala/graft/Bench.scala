@@ -60,6 +60,7 @@ object Bench {
     try {
       graft.operators.TextDedup.warmSharedCaches(spark, sfDir)
       graft.operators.CorpusOps.warmSharedModel(spark, sfDir)
+      graft.operators.StorageOps.warmBucketed(spark, sfDir)
     } catch { case _: Throwable => }
     val sharedCacheSec = (System.nanoTime() - tCache0) / 1e9
 

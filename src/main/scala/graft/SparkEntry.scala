@@ -28,12 +28,14 @@ object SparkEntry {
       Similarity.entries ++ ExtendedRelational.entries ++
       ExtendedFunctions.entries ++ PipelineOps.entries ++
       TrainingPipeline.entries ++ CorpusOps.entries ++
-      SpanOps.entries ++ graft.multimodal.Multimodal.entries
+      SpanOps.entries ++ graft.multimodal.Multimodal.entries ++
+      SketchOps.entries ++ StorageOps.entries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextDedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ ExtendedRelational.oracles ++
       ExtendedFunctions.oracles ++ PipelineOps.oracles ++
       TrainingPipeline.oracles ++ CorpusOps.oracles ++
-      SpanOps.oracles ++ graft.multimodal.Multimodal.oracles
+      SpanOps.oracles ++ graft.multimodal.Multimodal.oracles ++
+      SketchOps.oracles ++ StorageOps.oracles
 }
