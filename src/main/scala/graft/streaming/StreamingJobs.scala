@@ -607,6 +607,64 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming distinct-count rollup — q130's sketch-as-data shape at
+    * ingest time: state is ONE HLL sketch per group (event_type), a
+    * few KB regardless of how many users ever arrive, maintained under
+    * the shared versioned-snapshot discipline (strictly-older-than-
+    * self replay, so a re-run batch cannot double-union itself — HLL
+    * union is idempotent per VALUE, but the discipline keeps the state
+    * lineage identical to the no-failure run, which is what the chaos
+    * spec family asserts everywhere else). Each micro-batch sketches
+    * its own rows (`hll_sketch_agg`, partial-merged across executors),
+    * full-outer-joins the stored per-group sketches, scalar
+    * `hll_union`s where both exist, and publishes the cumulative
+    * estimate per group to `outDir/v<batchId>`.
+    *
+    * The batch twin is [[graft.operators.SketchOps.hllDistinctRollup]]
+    * stage 2 verbatim; below register saturation (coupon regime) the
+    * streamed estimate is EXACTLY the batch estimate — the parity
+    * `HllDistinctStreamSpec` replays — and above it both sit inside
+    * the same published bound.
+    */
+  def hllDistinctStream(
+      events: DataFrame, // streaming; needs event_type: string, user_id: long
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      retainVersions: Int = DefaultRetainVersions, // see [[pruneSnapshots]]; outDir is never pruned
+      lgK: Int = 14,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        pruneSnapshots(spark, stateDir, batchId, retainVersions)
+        val batchSk = batch.toDF()
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk_new"),
+            count(lit(1)).as("n_new"))
+        val stored = latestVersionBefore(spark, stateDir, batchId) match {
+          case Some(p) => spark.read.parquet(p)
+          case None =>
+            spark.emptyDataFrame
+              .select(lit("").as("event_type"), lit(null).cast("binary").as("sk"),
+                lit(0L).as("n_events")).limit(0)
+        }
+        val merged = stored.join(batchSk, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            when(col("sk").isNotNull && col("sk_new").isNotNull,
+              hll_union(col("sk"), col("sk_new")))
+              .otherwise(coalesce(col("sk"), col("sk_new"))).as("sk"),
+            (coalesce(col("n_events"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+              .as("n_events"))
+          .localCheckpoint() // consumed twice: state write + report
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        merged.select(col("event_type"), col("n_events"),
+            hll_sketch_estimate(col("sk")).as("distinct_users"))
+          .write.mode("overwrite").parquet(s"$outDir/v$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming DSIR — ingest-time importance scoring of arriving
     * documents against a FIXED target-domain corpus and the raw pool
     * seen so far: the q121 scorer
