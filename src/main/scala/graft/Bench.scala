@@ -61,6 +61,7 @@ object Bench {
       graft.operators.TextDedup.warmSharedCaches(spark, sfDir)
       graft.operators.CorpusOps.warmSharedModel(spark, sfDir)
       graft.operators.StorageOps.warmBucketed(spark, sfDir)
+      graft.operators.StorageOps.warmLayouts(spark, sfDir)
     } catch { case _: Throwable => }
     val sharedCacheSec = (System.nanoTime() - tCache0) / 1e9
 

@@ -559,7 +559,61 @@ object PipelineOps {
        |ORDER BY lang, doc_id""".stripMargin
   }
 
+  /** q137: SCHEMA-DRIVEN column profiler — the generic form of q66's
+    * hand-written profile. The aggregate list is generated from
+    * `df.schema` (null count, exact distinct, min/max rendered as
+    * strings, per column), so the same operator profiles ANY table a
+    * connector lands — the "first look at an unknown source" step
+    * every migration starts with (the reference infers types from one
+    * probe row, `d22d/utils/db/__init__.py:428-474`; this profiles
+    * every row of every column in one scan, which is what that
+    * inference actually needed). One `agg` pass: Catalyst plans the N
+    * DISTINCT aggregates via a single Expand(×N) over the scan — one
+    * job, map-side partials, no driver loop. `exact = false` swaps
+    * exact distinct for `approx_count_distinct` (HLL), dropping the
+    * Expand entirely — the 100 TB default, where ±2% cardinality is
+    * the profiling answer anyway; the catalog entry keeps `exact` so
+    * the value oracle can pin it.
+    */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.schema.fields.map(_.name).toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
+        (if (exact) countDistinct(col(c))
+        else approx_count_distinct(col(c))).as(s"__distinct_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__distinct_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(structs: _*)).as("p"))
+      .select("p.*").orderBy("column_name")
+  }
+
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.load(spark, dir, "documents"))
+
+  private def oracleColumnProfile: String = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_column_profile" -> (columnProfile _),
     "q84_k_anonymous_release" -> (kAnonymousRelease _),
     "q85_stratified_topn" -> (stratifiedTopNSample _),
     "q72_pii_scan" -> (piiScan _),
@@ -575,6 +629,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_column_profile" -> oracleColumnProfile,
     "q84_k_anonymous_release" -> oracleKAnon,
     "q85_stratified_topn" -> oracleTopNSample,
     "q72_pii_scan" -> oraclePii,

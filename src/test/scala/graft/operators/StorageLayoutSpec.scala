@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** Evidence for the q134-q137 storage/profiling tier:
+  *   - partition pruning: the 7-day rollup's scan must LIST 7 of the
+  *     30 `day=` directories (file-listing-time pruning, not a
+  *     post-read filter);
+  *   - compaction: the ingest-fragmented layout folds ≥4× in file
+  *     count while the ROW SET is bit-identical in both directions;
+  *   - sort-order row-group skipping: footer min/max envelopes on the
+  *     sorted layout exclude ~all row groups for a one-month window,
+  *     while the round-robin control (same writer, same data) can
+  *     exclude none — the layout, not the writer, prunes;
+  *   - schema-driven profiler: generated aggregates agree with
+  *     directly-computed per-column answers; the approx variant drops
+  *     the multi-DISTINCT Expand from the plan.
+  */
+class StorageLayoutSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+    case q: QueryStageExec => scansOf(q.plan)
+    case s: FileSourceScanExec => Seq(s)
+    case other =>
+      (other.children ++ other.subqueries).flatMap(scansOf)
+  }
+
+  test("q134 partition pruning: scan lists exactly the 7 filtered day= partitions") {
+    val df = StorageOps.partitionPrunedRollup(spark, dir)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val scans = scansOf(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scans.nonEmpty, "no partition-filtered scan in q134's plan")
+    val nSelected = scans.head.selectedPartitions.partitionCount
+    assert(nSelected == 7, s"expected 7 pruned partitions, scan lists $nSelected")
+    val (_, comp) = StorageOps.ensureEventLayouts(spark, dir)
+    val totalDays = new java.io.File(comp).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(totalDays == 30, s"fixture should span 30 days, found $totalDays")
+  }
+
+  test("q135 compaction: ≥4x file fold, one file per partition, row set identical") {
+    val (frag, comp) = StorageOps.ensureEventLayouts(spark, dir)
+    val nFrag = StorageOps.parquetFileCount(spark, frag)
+    val nComp = StorageOps.parquetFileCount(spark, comp)
+    assert(nComp == 30, s"compacted layout should hold 1 file/day=30, found $nComp")
+    assert(nFrag >= 4 * nComp, s"ingest fixture not fragmented: $nFrag vs $nComp")
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(comp).select(a.columns.map(col).toSeq: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction changed the row set")
+    // and the layouts carry exactly the source rows (day derivation aside)
+    val src = Tables.load(spark, dir, "events")
+    assert(b.drop("day").exceptAll(src).isEmpty &&
+      src.exceptAll(b.drop("day")).isEmpty,
+      "compacted layout diverged from the source table")
+  }
+
+  test("q136 row-group skipping: sorted footers exclude the window, control cannot") {
+    val (sorted, control) = StorageOps.ensureSortedLineitem(spark, dir)
+    def micros(iso: String): Long =
+      java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L
+    val (lo, hi) = (micros("1998-03-01"), micros("1998-04-01"))
+    val (totS, ovS) = StorageOps.rowGroupOverlap(spark, sorted, "l_shipdate", lo, hi)
+    val (totC, ovC) = StorageOps.rowGroupOverlap(spark, control, "l_shipdate", lo, hi)
+    assert(totS >= 16 && totC >= 16, s"expected ≥16 row groups, got $totS / $totC")
+    assert(ovS <= totS / 8,
+      s"sorted layout should skip ≥7/8 of row groups: $ovS of $totS overlap")
+    assert(ovC == totC,
+      s"round-robin control must be unskippable, but $ovC of $totC overlap")
+    // the predicate actually reaches the parquet reader
+    val plan = StorageOps.sortedScanWindow(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"shipdate predicate not pushed:\n$plan")
+  }
+
+  test("q137 profiler: generated aggregates match direct per-column answers") {
+    val docs = Tables.load(spark, dir, "documents")
+    val prof = PipelineOps.profile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == docs.columns.toSet)
+    for (c <- docs.columns) {
+      val row = prof(c)
+      assert(row.getLong(1) == docs.filter(col(c).isNull).count(),
+        s"null count mismatch for $c")
+      assert(row.getLong(2) == docs.select(c).na.drop().distinct().count(),
+        s"distinct mismatch for $c")
+      val mn = docs.agg(min(col(c)).cast("string")).head.getString(0)
+      val mx = docs.agg(max(col(c)).cast("string")).head.getString(0)
+      assert(row.getString(3) == mn && row.getString(4) == mx,
+        s"min/max mismatch for $c")
+    }
+  }
+
+  test("q137 approx mode: Expand leaves the plan, estimates stay within 10%") {
+    val docs = Tables.load(spark, dir, "documents")
+    val exactPlan = PipelineOps.profile(docs)
+      .queryExecution.executedPlan.toString
+    val approx = PipelineOps.profile(docs, exact = false)
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact multi-DISTINCT profile should plan via Expand")
+    assert(!approxPlan.contains("Expand"),
+      "approx profile must not need the Expand blow-up")
+    val est = approx.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val truth = PipelineOps.profile(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    for ((c, t) <- truth)
+      assert(math.abs(est(c) - t) <= math.max(2L, (t * 0.10).toLong),
+        s"approx distinct for $c: ${est(c)} vs exact $t")
+  }
+}
