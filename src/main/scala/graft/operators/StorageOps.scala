@@ -247,6 +247,49 @@ object StorageOps {
     ensureSortedLineitem(spark, dir)
   }
 
+  /** Partition-scoped incremental compaction: rewrite ONLY the given
+    * `day=` partitions of a date-partitioned layout, leaving every
+    * other partition's files untouched (byte-identical, never listed,
+    * never opened). This is the form a live table runs — a nightly
+    * job compacts yesterday's closed partition behind the ingest
+    * watermark while the table stays queryable; table-at-once
+    * (ensureEventLayouts' build) is only for bootstraps. Per
+    * partition: read its directory, rewrite at `filesPerPartition`
+    * target files into a `.tmp` sibling, fsync-rename over the live
+    * dir — readers see the old files or the new, never a mix. The
+    * swap is the same last-writer-wins directory-replace contract
+    * Spark's own dynamic partition overwrite uses
+    * (`InsertIntoHadoopFsRelationCommand` with
+    * partitionOverwriteMode=dynamic); at 100 TB the rename is an
+    * O(1) metadata move on HDFS and a manifest swap on object-store
+    * tables.
+    */
+  def compactDays(
+      spark: SparkSession, layoutDir: String, days: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    days.foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(s"$layoutDir/day=$d")
+      val fs = live.getFileSystem(conf)
+      require(fs.exists(live), s"no partition day=$d under $layoutDir")
+      val tmp = new org.apache.hadoop.fs.Path(s"$layoutDir/.day=$d.compact.tmp")
+      fs.delete(tmp, true)
+      withMicrosTimestamps(spark) {
+        spark.read.parquet(live.toString)
+          .repartition(filesPerPartition)
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
+      // drop the _SUCCESS marker so the swapped-in dir holds data
+      // files only, like every other partition dir
+      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+      val trash = new org.apache.hadoop.fs.Path(s"$layoutDir/.day=$d.old.tmp")
+      fs.delete(trash, true)
+      require(fs.rename(live, trash), s"could not stage out day=$d")
+      require(fs.rename(tmp, live), s"could not swap in compacted day=$d")
+      fs.delete(trash, true)
+    }
+  }
+
   /** q134: a 7-day event rollup answered from the day-partitioned
     * compacted layout. The `day` filter is a PARTITION filter — the
     * scan lists 7 of the 30 `day=` directories and never opens the

@@ -61,6 +61,48 @@ class StorageLayoutSpec extends SparkSpec {
       "compacted layout diverged from the source table")
   }
 
+  test("incremental compaction rewrites only the target partitions, atomically swapped") {
+    val (frag, _) = StorageOps.ensureEventLayouts(spark, dir)
+    // work on a private copy — the shared layout must stay fragmented
+    val work = tmpDir("graft-compact-incr")
+    val src = new java.io.File(frag)
+    def copyTree(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      from.listFiles().foreach { f =>
+        val t = new java.io.File(to, f.getName)
+        if (f.isDirectory) copyTree(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(src, new java.io.File(work))
+    def fileList(day: String): Seq[(String, Long)] = {
+      val d = new java.io.File(work, s"day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toSeq.sorted
+    }
+    // materialize BEFORE state now — the compaction replaces files, so
+    // a lazy frame would re-list a layout that no longer exists
+    def snapshot(): Seq[String] =
+      spark.read.parquet(work).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val beforeSnap = snapshot()
+    val untouchedBefore = fileList("2024-01-05")
+    val targetBefore = fileList("2024-01-10").size
+    assert(targetBefore > 1, "fixture day should start fragmented")
+
+    StorageOps.compactDays(spark, work, Seq("2024-01-10", "2024-01-11"))
+
+    assert(fileList("2024-01-10").size == 1 && fileList("2024-01-11").size == 1,
+      "target partitions not folded to one file")
+    assert(fileList("2024-01-05") == untouchedBefore,
+      "untouched partition's files changed")
+    assert(!new java.io.File(work).listFiles().exists(_.getName.contains(".tmp")),
+      "staging dirs left behind")
+    assert(snapshot() == beforeSnap,
+      "incremental compaction changed the row set")
+  }
+
   test("q136 row-group skipping: sorted footers exclude the window, control cannot") {
     val (sorted, control) = StorageOps.ensureSortedLineitem(spark, dir)
     def micros(iso: String): Long =
