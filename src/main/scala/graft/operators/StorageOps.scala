@@ -241,11 +241,245 @@ object StorageOps {
       (sorted, control)
     }
 
-  /** Bench warm-up hook for the q134-q136 layout builds. */
+  /** Bench warm-up hook for the q134-q136/q138/q140 layout builds. */
   def warmLayouts(spark: SparkSession, dir: String): Unit = {
     ensureEventLayouts(spark, dir)
     ensureSortedLineitem(spark, dir)
+    ensureAuditDim(spark, dir)
+    ensureZorderLineitem(spark, dir)
   }
+
+  // ------------------------------------------------------------------
+  // q138 dynamic partition pruning, q139 runtime bloom-filter join,
+  // q140 z-order: the RUNTIME and MULTI-DIMENSIONAL scan-reduction
+  // levers on top of the static layouts above. q134 prunes on a
+  // literal predicate the optimizer sees at compile time; q138 prunes
+  // on a set of days that only EXISTS at runtime (the output of a
+  // filter on another table) — Spark's DPP turns the dim-side filter
+  // result into a partition filter on the fact scan before listing.
+  // q139 is the row-level analog for UNPARTITIONED keys: a bloom
+  // filter built from the filtered dim side is pushed into the fact
+  // scan, discarding non-joining rows before they enter the shuffle.
+  // q140 extends q136's 1-D sort to two query dimensions via a
+  // Z-order (Morton) curve, so row-group envelopes stay tight on BOTH
+  // columns. The reference re-streams full source cursors per job
+  // (`d22d/task.py:88-116`) — it has no analog for any of these.
+  // ------------------------------------------------------------------
+
+  /** The seven audit days the q138 dim marks — ONE definition feeding
+    * the dim build AND the DuckDB oracle, so the two can never drift.
+    */
+  private val AuditDays = Seq(
+    "2024-01-03", "2024-01-06", "2024-01-10", "2024-01-13",
+    "2024-01-17", "2024-01-24", "2024-01-28")
+
+  /** Path of the 30-row (day, kind) dim parquet for `dir`, building on
+    * first use. Written as a FILE (not an in-memory relation) on
+    * purpose: Catalyst constant-folds a filter over a local relation
+    * into a new literal relation, and the DPP rule keys on a
+    * *selective filter over a scan* on the dim side — exactly the
+    * shape a real audit-calendar table has.
+    */
+  def ensureAuditDim(spark: SparkSession, dir: String): String =
+    synchronized {
+      import spark.implicits._
+      val t = tag(dir)
+      val path = s"target/graft-layout/$t/dim_days"
+      val key = s"dim:$t"
+      if (!layoutsBuilt.contains(key) ||
+        !new java.io.File(path, "_SUCCESS").exists()) {
+        val audit = AuditDays.toSet
+        (1 to 30).map(d => f"2024-01-$d%02d")
+          .map(d => (d, if (audit(d)) "audit" else "normal"))
+          .toDF("day_str", "kind")
+          .select(to_date(col("day_str")).as("day"), col("kind"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        layoutsBuilt += key
+      }
+      path
+    }
+
+  /** q138: the 7-audit-day event rollup, where the day set arrives as
+    * a FILTER ON ANOTHER TABLE rather than a literal predicate. The
+    * day-partitioned fact scan carries a `dynamicpruningexpression`
+    * partition filter: at execution Spark runs the dim filter first
+    * (reusing the join's broadcast), collects the surviving `day`
+    * values, and lists only those 7 of 30 `day=` directories —
+    * runtime pruning with compile-time-pruning economics
+    * (plan-asserted in StorageLayoutSpec, 7 of 30 listed). At 100 TB
+    * this is the star-schema staple: `fact JOIN dim ON pkey WHERE
+    * dim.attr = …` scans only the partitions the dim filter names,
+    * without anyone materializing the day list by hand.
+    */
+  def dppRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, comp) = ensureEventLayouts(spark, dir)
+    val dim = spark.read.parquet(ensureAuditDim(spark, dir))
+      .filter($"kind" === "audit")
+    spark.read.parquet(comp)
+      .join(dim, "day")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  private def oracleDpp: String = {
+    // an OR-chain, not IN: the gate's DuckDB (1.0.0) resolves
+    // `CAST(ts AS DATE) IN (DATE …)` to zero rows while the
+    // equality chain answers correctly — same predicate, minus the
+    // engine quirk
+    val orChain = AuditDays
+      .map(d => s"CAST(ts AS DATE) = DATE '$d'").mkString("\n   OR ")
+    s"""SELECT event_type, count(*)::BIGINT AS n_events,
+       |  round(sum(value), 2) AS sum_value
+       |FROM events
+       |WHERE $orChain
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** q139: a fact-dim join where the dim filter is pushed into the
+    * fact scan as a RUNTIME BLOOM FILTER (`InjectRuntimeFilter`): the
+    * filtered orders side aggregates its join keys into a bloom
+    * filter, and `might_contain(l_orderkey)` is evaluated inside the
+    * lineitem scan — non-joining lineitems are discarded BEFORE the
+    * join shuffle, which at 100 TB is the difference between
+    * shuffling the whole fact table and shuffling the ~20% that can
+    * match. The row-level sibling of q138's partition-level DPP, for
+    * join keys the layout is NOT partitioned by.
+    *
+    * The optimizer lever is session-scoped conf, so the query runs in
+    * an isolated `newSession()` (shared context and catalog, private
+    * SQLConf — nothing leaks into the caller's session):
+    * application-side threshold 0 (default 10 GB — sized for real
+    * clusters, not driver SFs), creation side capped at 512 MB, and
+    * auto-broadcast off so the join keeps the shuffle shape the bloom
+    * filter exists to protect (at 100 TB both sides are fact-sized
+    * and that shape is what the optimizer picks unaided). Correctness
+    * never depends on any of it — a bloom filter only drops rows the
+    * join would drop — which the value oracle pins.
+    */
+  def bloomFilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // builder-time options carry into newSession via
+    // initialSessionOptions; RUNTIME conf changes on the parent do
+    // not — mirror the ones table loading and planning depend on.
+    Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.inferTimestampNTZ.enabled")
+      .foreach(k => spark.conf.getOption(k).foreach(s.conf.set(k, _)))
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000.0)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice"), 2).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def oracleBloomJoin: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n_items,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Bit-interleave of two 16-bit-quantized columns — the Z-order
+    * (Morton) key. Pure built-in shift/mask/or expressions: the whole
+    * key stays inside whole-stage codegen, no UDF.
+    */
+  private def interleaveBits(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Path of the Z-ordered lineitem copy for `dir`: rows clustered by
+    * the Morton interleave of (ship-day, suppkey), each quantized to
+    * 16 bits over its observed domain. q136's 1-D sort gives PERFECT
+    * envelopes on the sort column and USELESS ones on every other —
+    * the z-curve splits the difference: a contiguous z-range projects
+    * to a bounded box in BOTH dimensions, so every row group's
+    * min/max footer envelope is tight on date AND key, and a
+    * two-dimensional predicate skips on whichever dimension (or both)
+    * it constrains. This is Delta/Iceberg `OPTIMIZE ZORDER BY` run
+    * with plain parquet + public APIs. The domain bounds come from
+    * one 4-value agg over the table (production uses table-metadata
+    * domains; the quantization only needs bounds that CONTAIN the
+    * data — staleness just wastes resolution).
+    */
+  def ensureZorderLineitem(spark: SparkSession, dir: String): String =
+    synchronized {
+      import spark.implicits._
+      val t = tag(dir)
+      val path = s"target/graft-layout/$t/lineitem_zorder"
+      val key = s"zorder:$t"
+      if (!layoutsBuilt.contains(key) ||
+        !new java.io.File(path, "_SUCCESS").exists()) {
+        val li = Tables.load(spark, dir, "lineitem")
+        val epoch = to_date(lit("1990-01-01"))
+        val bounds = li.agg(
+          min(datediff(to_date($"l_shipdate"), epoch)),
+          max(datediff(to_date($"l_shipdate"), epoch)),
+          min($"l_suppkey"), max($"l_suppkey")).head()
+        val (dLo, dHi) = (bounds.getInt(0).toLong, bounds.getInt(1).toLong)
+        val (kLo, kHi) = (bounds.getLong(2), bounds.getLong(3))
+        def quant(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+          ((c - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L)))
+            .cast("long")
+        val z = interleaveBits(
+          quant(datediff(to_date($"l_shipdate"), epoch).cast("long"), dLo, dHi),
+          quant($"l_suppkey", kLo, kHi))
+        withMicrosTimestamps(spark) {
+          li.withColumn("__z", z)
+            .repartitionByRange(32, $"__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite").parquet(path)
+        }
+        layoutsBuilt += key
+      }
+      path
+    }
+
+  /** q140: a two-dimensional window — one quarter × two suppliers —
+    * answered from the Z-ordered layout. Both predicates reach the
+    * parquet reader (`PushedFilters`), and BOTH meet tight row-group
+    * envelopes: StorageLayoutSpec counts the footers on this layout
+    * against the q136 1-D-sorted control, where the suppkey dimension
+    * cannot skip at all. At 100 TB this is the (time, tenant) /
+    * (date, customer) workload every multi-dim warehouse table has —
+    * one clustered layout serving range predicates on either or both
+    * dimensions instead of one physical sort per query family.
+    */
+  def zorderScanWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureZorderLineitem(spark, dir)
+    spark.read.parquet(path)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-07-01").cast("timestamp") &&
+        $"l_suppkey" <= 1)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def oracleZorderScan: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n_items,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND l_suppkey <= 1
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Partition-scoped incremental compaction: rewrite ONLY the given
     * `day=` partitions of a date-partitioned layout, leaving every
@@ -435,6 +669,9 @@ object StorageOps {
     "q134_partition_prune" -> (partitionPrunedRollup _),
     "q135_compaction_profile" -> (compactionProfile _),
     "q136_sorted_skipping" -> (sortedScanWindow _),
+    "q138_dynamic_partition_prune" -> (dppRollup _),
+    "q139_bloom_filter_join" -> (bloomFilteredJoin _),
+    "q140_zorder_skipping" -> (zorderScanWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,5 +679,8 @@ object StorageOps {
     "q134_partition_prune" -> oraclePartitionPruned,
     "q135_compaction_profile" -> oracleCompactionProfile,
     "q136_sorted_skipping" -> oracleSortedScan,
+    "q138_dynamic_partition_prune" -> oracleDpp,
+    "q139_bloom_filter_join" -> oracleBloomJoin,
+    "q140_zorder_skipping" -> oracleZorderScan,
   )
 }

@@ -123,6 +123,83 @@ class StorageLayoutSpec extends SparkSpec {
       s"shipdate predicate not pushed:\n$plan")
   }
 
+  test("q138 DPP: runtime dim filter becomes a partition filter, 7 of 30 days listed") {
+    val df = StorageOps.dppRollup(spark, dir)
+    df.collect() // DPP resolves at execution; finalize before inspecting
+    val factScans = scansOf(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(factScans.nonEmpty, "no partition-filtered scan in q138's plan")
+    val scan = factScans.head
+    assert(scan.partitionFilters.mkString(";").toLowerCase
+      .contains("dynamicpruning"),
+      s"partition filter is not dynamic: ${scan.partitionFilters}")
+    // selectedPartitions is the STATIC listing (30 days); the runtime
+    // filter prunes in dynamicallySelectedPartitions, reported through
+    // the scan's numPartitions metric — the listing execution read
+    val n = scan.metrics("numPartitions").value
+    assert(n == 7, s"expected the 7 audit-day partitions, scan lists $n")
+    assert(scan.selectedPartitions.partitionCount == 30,
+      "static listing should still see all 30 days — the pruning is runtime-only")
+    // and the values equal the literal-predicate equivalent
+    val expected = StorageOps.partitionPrunedRollup(spark, dir) // shape probe only
+    assert(df.columns.toSeq == expected.columns.toSeq)
+  }
+
+  test("q139 bloom join: might_contain pushed to the fact side, parent session untouched") {
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val df = StorageOps.bloomFilteredJoin(spark, dir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter in q139's plan:\n$plan")
+    // correctness: must equal the same join in the plain session
+    import spark.implicits._
+    val control = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000.0),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice"), 2).as("revenue"))
+      .orderBy($"l_returnflag").collect()
+    assert(rows.toSeq == control.toSeq, "bloom-filtered join changed the result")
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold") == before,
+      "q139 leaked its scoped conf into the parent session")
+  }
+
+  test("q140 z-order: row groups skip on BOTH dims where the 1-D sort covers one") {
+    val zpath = StorageOps.ensureZorderLineitem(spark, dir)
+    val (sorted, _) = StorageOps.ensureSortedLineitem(spark, dir)
+    def micros(iso: String): Long =
+      java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L
+    val (dLo, dHi) = (micros("1996-01-01"), micros("1996-07-01"))
+    // date dimension: both layouts skip (z partially, 1-D near-totally)
+    val (totZ, ovZd) = StorageOps.rowGroupOverlap(spark, zpath, "l_shipdate", dLo, dHi)
+    val (totS, ovSd) = StorageOps.rowGroupOverlap(spark, sorted, "l_shipdate", dLo, dHi)
+    assert(totZ >= 16 && totS >= 16, s"expected ≥16 row groups, got $totZ / $totS")
+    assert(ovZd < totZ, s"z-layout date envelopes skip nothing: $ovZd of $totZ")
+    assert(ovSd <= totS / 4, s"1-D sorted layout should skip the quarter: $ovSd of $totS")
+    // key dimension: ONLY the z-layout can skip — this is the claim
+    val (_, ovZk) = StorageOps.rowGroupOverlap(spark, zpath, "l_suppkey", 0L, 2L)
+    val (_, ovSk) = StorageOps.rowGroupOverlap(spark, sorted, "l_suppkey", 0L, 2L)
+    assert(ovSk >= (totS * 9) / 10,
+      s"1-D date sort should be helpless on suppkey, yet skips: $ovSk of $totS overlap")
+    assert(ovZk <= (totZ * 3) / 4,
+      s"z-layout should bound suppkey envelopes: $ovZk of $totZ overlap")
+    assert(ovZk < ovSk, "z-layout not better than 1-D sort on the second dim")
+    // the two-dim predicate reaches the reader
+    val plan = StorageOps.zorderScanWindow(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_suppkey") &&
+      plan.contains("l_shipdate"), s"predicates not pushed:\n$plan")
+    // and the layout rewrite preserved the row set
+    val a = spark.read.parquet(zpath)
+    val src = Tables.load(spark, dir, "lineitem")
+    assert(a.exceptAll(src).isEmpty && src.exceptAll(a).isEmpty,
+      "z-order rewrite changed the row set")
+  }
+
   test("q137 profiler: generated aggregates match direct per-column answers") {
     val docs = Tables.load(spark, dir, "documents")
     val prof = PipelineOps.profile(docs).collect()
