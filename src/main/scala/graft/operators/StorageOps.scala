@@ -241,12 +241,16 @@ object StorageOps {
       (sorted, control)
     }
 
-  /** Bench warm-up hook for the q134-q136/q138/q140 layout builds. */
+  /** Bench warm-up hook for the q134-q136/q138/q140/q142 layout
+    * builds (plus q141's stored base rollup).
+    */
   def warmLayouts(spark: SparkSession, dir: String): Unit = {
     ensureEventLayouts(spark, dir)
     ensureSortedLineitem(spark, dir)
     ensureAuditDim(spark, dir)
     ensureZorderLineitem(spark, dir)
+    ensureErasedLayout(spark, dir)
+    SketchOps.ensureBaseRollup(spark, dir)
   }
 
   // ------------------------------------------------------------------
@@ -500,6 +504,19 @@ object StorageOps {
     */
   def compactDays(
       spark: SparkSession, layoutDir: String, days: Seq[String],
+      filesPerPartition: Int = 1): Unit =
+    rewritePartitions(spark, layoutDir, days, identity, filesPerPartition)
+
+  /** The shared partition-rewrite engine behind [[compactDays]] and
+    * [[eraseUsers]]: per named `day=` partition, read its directory,
+    * apply `transform`, rewrite at `filesPerPartition` target files
+    * into a `.tmp` sibling, fsync-rename over the live dir. Every
+    * other partition's files stay byte-identical — never listed,
+    * never opened.
+    */
+  private def rewritePartitions(
+      spark: SparkSession, layoutDir: String, days: Seq[String],
+      transform: DataFrame => DataFrame,
       filesPerPartition: Int = 1): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     days.foreach { d =>
@@ -509,7 +526,7 @@ object StorageOps {
       val tmp = new org.apache.hadoop.fs.Path(s"$layoutDir/.day=$d.compact.tmp")
       fs.delete(tmp, true)
       withMicrosTimestamps(spark) {
-        spark.read.parquet(live.toString)
+        transform(spark.read.parquet(live.toString))
           .repartition(filesPerPartition)
           .write.mode("overwrite").parquet(tmp.toString)
       }
@@ -522,6 +539,86 @@ object StorageOps {
       require(fs.rename(tmp, live), s"could not swap in compacted day=$d")
       fs.delete(trash, true)
     }
+  }
+
+  /** Targeted row erasure — the right-to-be-forgotten primitive every
+    * training-data pipeline eventually needs. Parquet files are
+    * immutable, so row deletion IS a partition rewrite; the point of
+    * this operator is to rewrite ONLY the partitions that contain the
+    * victims. Step 1 finds them with an ordinary pushed-down scan
+    * (the collect is bounded by the partition count — a calendar, not
+    * a corpus); step 2 is [[rewritePartitions]] with a filter
+    * transform, atomic per-partition swap, untouched partitions
+    * byte-identical (spec-proven). At 100 TB an erasure request
+    * touching one user's 3 active days rewrites ~3 partitions, not
+    * the table — same discipline as Delta/Iceberg DELETE with
+    * partition-level file rewrite. Idempotent: a re-run finds the
+    * victims' partitions already clean and rewrites nothing.
+    */
+  def eraseUsers(spark: SparkSession, layoutDir: String,
+      userIds: Seq[Long]): Seq[String] = {
+    val affected = spark.read.parquet(layoutDir)
+      .filter(col("user_id").isin(userIds: _*))
+      .select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    rewritePartitions(spark, layoutDir, affected,
+      _.filter(!col("user_id").isin(userIds: _*)))
+    affected
+  }
+
+  /** The q142 demo victims — present at every driver SF; ONE
+    * definition feeding the erase, the oracle and the spec.
+    */
+  private[operators] val ErasedUsers = Seq(1L, 2L, 3L)
+
+  /** Path of the erased-copy layout for `dir`: a private copy of the
+    * compacted day-partitioned events with [[ErasedUsers]] erased via
+    * [[eraseUsers]] at build time. Session-shared like every layout.
+    */
+  def ensureErasedLayout(spark: SparkSession, dir: String): String =
+    synchronized {
+      val t = tag(dir)
+      val path = s"target/graft-layout/$t/events_erased"
+      val key = s"erased:$t"
+      if (!layoutsBuilt.contains(key) ||
+        !new java.io.File(path, "_SUCCESS").exists()) {
+        val (_, comp) = ensureEventLayouts(spark, dir)
+        withMicrosTimestamps(spark) {
+          spark.read.parquet(comp)
+            .repartition(col("day"))
+            .write.mode("overwrite").partitionBy("day").parquet(path)
+        }
+        eraseUsers(spark, path, ErasedUsers)
+        layoutsBuilt += key
+      }
+      path
+    }
+
+  /** q142: the per-day integrity profile of the ERASED layout — the
+    * audit an erasure job emits as its completion evidence. The value
+    * oracle recomputes it from the raw table minus the victims,
+    * proving the rewrite removed exactly the victims' rows and
+    * nothing else; StorageLayoutSpec proves the stronger operational
+    * claims (only victim partitions rewritten, others byte-identical,
+    * atomic swap, idempotent re-run).
+    */
+  def eraseAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(ensureErasedLayout(spark, dir))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"day")
+  }
+
+  private def oracleEraseAudit: String = {
+    val victims = ErasedUsers.mkString(", ")
+    s"""SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows,
+       |  count(DISTINCT user_id)::BIGINT AS n_users,
+       |  round(sum(value), 2) AS sum_value
+       |FROM events WHERE user_id NOT IN ($victims)
+       |GROUP BY 1 ORDER BY day""".stripMargin
   }
 
   /** q134: a 7-day event rollup answered from the day-partitioned
@@ -672,6 +769,7 @@ object StorageOps {
     "q138_dynamic_partition_prune" -> (dppRollup _),
     "q139_bloom_filter_join" -> (bloomFilteredJoin _),
     "q140_zorder_skipping" -> (zorderScanWindow _),
+    "q142_erase_audit" -> (eraseAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -682,5 +780,6 @@ object StorageOps {
     "q138_dynamic_partition_prune" -> oracleDpp,
     "q139_bloom_filter_join" -> oracleBloomJoin,
     "q140_zorder_skipping" -> oracleZorderScan,
+    "q142_erase_audit" -> oracleEraseAudit,
   )
 }

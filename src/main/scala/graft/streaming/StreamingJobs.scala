@@ -665,6 +665,65 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming quantile rollup — q133's KLL sketch-as-data shape at
+    * ingest: state is ONE KLL(k=200) sketch per group, ~KBs bounded
+    * by k·log(n/k) regardless of row count, under the shared
+    * versioned-snapshot discipline (strictly-older-than-self replay —
+    * KLL merge is NOT idempotent per value, so replay protection is
+    * load-bearing here, not just lineage hygiene). Each micro-batch
+    * sketches its own rows (`kll_sketch_agg_double`, partial-merged
+    * across executors), full-outer-joins the stored per-group
+    * sketches, scalar `kll_sketch_merge_double`s where both exist,
+    * and publishes cumulative p50/p90/p99 estimates per batch.
+    *
+    * Batch twin: [[graft.operators.SketchOps.kllQuantileRollup]]'s
+    * fold stage. While a group's total row count stays ≤ k the sketch
+    * is in its exact regime (level 0 holds every value), so streamed
+    * quantiles equal a plain percentile — the parity
+    * `KllQuantileStreamSpec` replays; beyond k both carry the same
+    * published rank-error bound.
+    */
+  def kllQuantileStream(
+      events: DataFrame, // streaming; needs event_type: string, value: double
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      retainVersions: Int = DefaultRetainVersions, // see [[pruneSnapshots]]; outDir is never pruned
+      k: Int = 200,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        pruneSnapshots(spark, stateDir, batchId, retainVersions)
+        val batchSk = batch.toDF()
+          .groupBy(col("event_type"))
+          .agg(expr(s"kll_sketch_agg_double(value, $k)").as("sk_new"),
+            count(lit(1)).as("n_new"))
+        val stored = latestVersionBefore(spark, stateDir, batchId) match {
+          case Some(p) => spark.read.parquet(p)
+          case None =>
+            spark.emptyDataFrame
+              .select(lit("").as("event_type"), lit(null).cast("binary").as("sk"),
+                lit(0L).as("n_events")).limit(0)
+        }
+        val merged = stored.join(batchSk, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            when(col("sk").isNotNull && col("sk_new").isNotNull,
+              expr("kll_sketch_merge_double(sk, sk_new)"))
+              .otherwise(coalesce(col("sk"), col("sk_new"))).as("sk"),
+            (coalesce(col("n_events"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+              .as("n_events"))
+          .localCheckpoint() // consumed twice: state write + report
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        merged.select(col("event_type"), col("n_events"),
+            expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
+            expr("kll_sketch_get_quantile_double(sk, 0.9)").as("p90"),
+            expr("kll_sketch_get_quantile_double(sk, 0.99)").as("p99"))
+          .write.mode("overwrite").parquet(s"$outDir/v$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming DSIR — ingest-time importance scoring of arriving
     * documents against a FIXED target-domain corpus and the raw pool
     * seen so far: the q121 scorer

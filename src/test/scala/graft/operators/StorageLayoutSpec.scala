@@ -200,6 +200,46 @@ class StorageLayoutSpec extends SparkSpec {
       "z-order rewrite changed the row set")
   }
 
+  test("q142 erase: only victim partitions rewritten, victims gone, rest byte-identical") {
+    import spark.implicits._
+    // synthetic layout where the victim lives in exactly 2 of 30 days —
+    // the targeted-rewrite claim needs a victim with a FOOTPRINT
+    val work = tmpDir("graft-erase") + "/layout"
+    val base = Tables.load(spark, dir, "events")
+      .filter($"user_id" =!= 9999L)
+      .withColumn("day", to_date($"ts"))
+    val victims = base.filter($"day".isin("2024-01-02", "2024-01-20"))
+      .limit(40).withColumn("user_id", lit(9999L))
+    base.unionByName(victims).repartition(col("day"))
+      .write.partitionBy("day").parquet(work)
+    def files(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(work).listFiles().filter(_.getName.startsWith("day="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.length()).toSeq.sorted).toMap
+    val before = files()
+    val keepSnap = spark.read.parquet(work).filter($"user_id" =!= 9999L)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+    val touched = StorageOps.eraseUsers(spark, work, Seq(9999L))
+
+    assert(touched.sorted == Seq("2024-01-02", "2024-01-20"),
+      s"erase rewrote the wrong partitions: $touched")
+    val after = files()
+    (before.keySet -- touched.map("day=" + _)).foreach { d =>
+      assert(after(d) == before(d), s"untouched partition $d changed")
+    }
+    assert(spark.read.parquet(work).filter($"user_id" === 9999L).count() == 0,
+      "victim rows survived the erase")
+    val got = spark.read.parquet(work)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(got == keepSnap, "erase changed non-victim rows")
+    assert(!new java.io.File(work).listFiles().exists(_.getName.contains(".tmp")),
+      "staging dirs left behind")
+    // idempotent: a re-run finds nothing to rewrite
+    assert(StorageOps.eraseUsers(spark, work, Seq(9999L)).isEmpty,
+      "re-run rewrote partitions that are already clean")
+  }
+
   test("q137 profiler: generated aggregates match direct per-column answers") {
     val docs = Tables.load(spark, dir, "documents")
     val prof = PipelineOps.profile(docs).collect()
