@@ -250,6 +250,7 @@ object StorageOps {
     ensureAuditDim(spark, dir)
     ensureZorderLineitem(spark, dir)
     ensureErasedLayout(spark, dir)
+    ensureBloomLineitem(spark, dir)
     SketchOps.ensureBaseRollup(spark, dir)
   }
 
@@ -594,6 +595,114 @@ object StorageOps {
       path
     }
 
+  /** The q143 point-lookup keys — present at every driver SF (and in
+    * every ScaleFixture replica set, whose key shifts preserve the
+    * base keys); ONE definition feeding the query, the oracle and the
+    * spec's bloom probes.
+    */
+  private[operators] val LookupKeys = Seq(19L, 515L, 1133L)
+
+  /** Paths of the (bloom-indexed, control) UNSORTED lineitem copies
+    * for `dir`. Both are round-robin — deliberately: on an unsorted
+    * layout every row group's min/max envelope spans the whole key
+    * range, so zone maps (q136's lever) can skip NOTHING for a point
+    * lookup; the parquet column BLOOM filter is the lever that still
+    * works, answering "key definitely not in this row group" from a
+    * footer-adjacent bitset regardless of physical order. The control
+    * twin differs ONLY in the writer option, so the spec's footer
+    * census proves the option (not the writer) planted the index.
+    */
+  def ensureBloomLineitem(spark: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val t = tag(dir)
+      val base = s"target/graft-layout/$t"
+      val bloom = s"$base/lineitem_bloom"
+      val control = s"$base/lineitem_nobloom"
+      val key = s"bloom:$t"
+      if (!layoutsBuilt.contains(key) ||
+        !new java.io.File(bloom, "_SUCCESS").exists()) {
+        val li = Tables.load(spark, dir, "lineitem")
+        withMicrosTimestamps(spark) {
+          li.repartition(32)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#l_orderkey", "100000")
+            .parquet(bloom)
+          li.repartition(32)
+            .write.mode("overwrite").parquet(control)
+        }
+        layoutsBuilt += key
+      }
+      (bloom, control)
+    }
+
+  /** q143: a point lookup over the bloom-indexed UNSORTED layout —
+    * the "fetch these order ids out of 100 TB" shape. The IN
+    * predicate is pushed to the parquet reader (`PushedFilters`),
+    * which tests each row group's bloom bitset before decoding a
+    * page: row groups whose bitsets reject all three keys are skipped
+    * outright — on a layout where min/max statistics are provably
+    * useless (every envelope spans the key range; the spec's footer
+    * census shows it, and probes the bitsets directly: absent keys
+    * rejected everywhere, present keys admitted somewhere). This is
+    * the third skipping granularity after partitions (q134/q138) and
+    * sorted zone maps (q136/q140), and the one that needs no layout
+    * discipline at all — only the write-time option.
+    */
+  def bloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (bloom, _) = ensureBloomLineitem(spark, dir)
+    spark.read.parquet(bloom)
+      .filter($"l_orderkey".isin(LookupKeys: _*))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_orderkey")
+  }
+
+  private def oracleBloomLookup: String =
+    s"""SELECT l_orderkey, count(*)::BIGINT AS n_items,
+       |  round(sum(l_quantity), 2) AS sum_qty
+       |FROM lineitem WHERE l_orderkey IN (${LookupKeys.mkString(", ")})
+       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Per-row-group bloom-bitset census over a parquet directory: how
+    * many row groups ADMIT `value` on `column` (reader semantics:
+    * admit = must read, reject = skip), and how many carry a bloom
+    * index at all. Public parquet-hadoop API — the same bitsets the
+    * reader consults.
+    */
+  def bloomAdmitCount(spark: SparkSession, dirPath: String, column: String,
+      value: Long): (Int, Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    var total = 0
+    var indexed = 0
+    var admit = 0
+    files.foreach { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getRowGroups.asScala.foreach { rg =>
+          total += 1
+          val cc = rg.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(sys.error(s"column $column not in $p"))
+          val bf = reader.getBloomFilterDataReader(rg).readBloomFilter(cc)
+          if (bf != null) {
+            indexed += 1
+            if (bf.findHash(bf.hash(value))) admit += 1
+          }
+        }
+      } finally reader.close()
+    }
+    (total, indexed, admit)
+  }
+
   /** q142: the per-day integrity profile of the ERASED layout — the
     * audit an erasure job emits as its completion evidence. The value
     * oracle recomputes it from the raw table minus the victims,
@@ -770,6 +879,7 @@ object StorageOps {
     "q139_bloom_filter_join" -> (bloomFilteredJoin _),
     "q140_zorder_skipping" -> (zorderScanWindow _),
     "q142_erase_audit" -> (eraseAudit _),
+    "q143_bloom_point_lookup" -> (bloomPointLookup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -781,5 +891,6 @@ object StorageOps {
     "q139_bloom_filter_join" -> oracleBloomJoin,
     "q140_zorder_skipping" -> oracleZorderScan,
     "q142_erase_audit" -> oracleEraseAudit,
+    "q143_bloom_point_lookup" -> oracleBloomLookup,
   )
 }

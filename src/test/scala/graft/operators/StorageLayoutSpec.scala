@@ -240,6 +240,46 @@ class StorageLayoutSpec extends SparkSpec {
       "re-run rewrote partitions that are already clean")
   }
 
+  test("q143 bloom index: bitsets reject absent keys where zone maps cannot skip") {
+    val (bloom, control) = StorageOps.ensureBloomLineitem(spark, dir)
+    // zone maps are provably useless here: every row group's key
+    // envelope overlaps any point in the domain (round-robin layout)
+    // (≥3/4, not all: a random ~190-row slice of the key domain can
+    // land its min just above a small probe key)
+    val (totRG, ovRG) = StorageOps.rowGroupOverlap(spark, bloom, "l_orderkey", 19L, 20L)
+    assert(totRG >= 16 && ovRG >= (totRG * 3) / 4,
+      s"unsorted layout should have near-all-overlapping envelopes: $ovRG of $totRG")
+    // the control twin carries no bloom index at all
+    val (totC, idxC, _) = StorageOps.bloomAdmitCount(spark, control, "l_orderkey", 19L)
+    assert(totC == totRG && idxC == 0,
+      s"control should be index-free: $idxC of $totC indexed")
+    // every row group indexed; an absent key is rejected (almost)
+    // everywhere — that rejection IS the row-group skip
+    val (tot, idx, admitAbsent) =
+      StorageOps.bloomAdmitCount(spark, bloom, "l_orderkey", 999999941L)
+    assert(idx == tot, s"bloom index missing from $idx of $tot row groups")
+    assert(admitAbsent <= math.max(1, tot / 8),
+      s"absent key admitted by $admitAbsent of $tot bitsets — index is not selective")
+    // present keys are admitted somewhere (no false negatives)
+    StorageOps.LookupKeys.foreach { k =>
+      val (_, _, admit) = StorageOps.bloomAdmitCount(spark, bloom, "l_orderkey", k)
+      assert(admit >= 1, s"key $k present in the data but rejected by every bitset")
+    }
+    // the predicate reaches the reader, and values match the control
+    val df = StorageOps.bloomPointLookup(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_orderkey"),
+      s"IN predicate not pushed:\n$plan")
+    import spark.implicits._
+    val viaControl = spark.read.parquet(control)
+      .filter($"l_orderkey".isin(StorageOps.LookupKeys: _*))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_orderkey").collect()
+    assert(df.collect().toSeq == viaControl.toSeq,
+      "bloom-indexed read diverged from the index-free control")
+  }
+
   test("q137 profiler: generated aggregates match direct per-column answers") {
     val docs = Tables.load(spark, dir, "documents")
     val prof = PipelineOps.profile(docs).collect()
