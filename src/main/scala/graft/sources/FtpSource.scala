@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** FTP transfer tier — the reference's `FtpController`
+  * (`d22d/model/ftpmodel.py:306`) re-expressed as a dependency-free
+  * RFC 959 client plus a Spark bridge: remote files stage to a local
+  * directory and the existing parsers (`spark.read.csv/json`, the
+  * graft XLS/SQL-dump sources) take over; a sink uploads written
+  * parts back. The distinctive reference behavior — resumable
+  * transfer with PREFIX-CONSISTENCY verification
+  * (`ftpmodel.py:686-720`: before resuming it re-reads the start of
+  * the remote file and refuses if it differs from the local bytes) —
+  * is implemented for both directions: a partial local/remote file
+  * resumes from its length via `REST` only after the overlapping
+  * prefix is verified byte-identical; a mismatch restarts from zero
+  * instead of splicing two different files together.
+  *
+  * Scale note: FTP transfer is driver/edge I/O, not a distributed
+  * scan — the same shape as the reference (one control + one data
+  * connection per file). The Spark-side contract is that staging is
+  * a ONE-TIME ingest step: files land once, parse once, and all
+  * analytics run on the parquet/bucketed layouts the storage tier
+  * maintains. For wide ingest, run one `FtpClient` per executor over
+  * a file-list RDD — the client is self-contained and serializable
+  * work can partition by file; the protocol layer below is
+  * deliberately free of any shared state.
+  */
+object FtpSource {
+
+  final case class FtpConfig(
+      host: String,
+      port: Int,
+      user: String,
+      password: String,
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000)
+
+  /** One remote directory entry (MLSD fact line). */
+  final case class FtpEntry(name: String, size: Long, isDir: Boolean)
+
+  /** How many overlapping bytes the resume path re-reads and compares
+    * before trusting a partial transfer (the reference checks 800 KB,
+    * `ftpmodel.py:704`; 64 KB keeps the spec fixture honest while
+    * still catching any real divergence in the first block).
+    */
+  val ResumeCheckBytes: Int = 64 * 1024
+
+  /** Minimal RFC 959 control/data client: USER/PASS login, binary
+    * TYPE I, passive-mode data connections, MLSD listings, REST
+    * resume. Blocking sockets, no locks — one client = one control
+    * connection, exactly the reference's concurrency unit (its
+    * `with_ftp_lock` serializes per controller, `ftpmodel.py:263`).
+    */
+  final class FtpClient(cfg: FtpConfig) extends AutoCloseable {
+    private val ctrl = new Socket()
+    ctrl.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.connectTimeoutMs)
+    ctrl.setSoTimeout(cfg.readTimeoutMs)
+    private val in =
+      new BufferedReader(new InputStreamReader(ctrl.getInputStream, US_ASCII))
+    private val out =
+      new BufferedWriter(new OutputStreamWriter(ctrl.getOutputStream, US_ASCII))
+
+    /** Read one (possibly multiline `nnn-…` / `nnn …`) reply. */
+    private def reply(): (Int, String) = {
+      val first = Option(in.readLine()).getOrElse(sys.error("FTP control closed"))
+      require(first.length >= 4, s"short FTP reply: '$first'")
+      val code = first.substring(0, 3).toInt
+      val sb = new StringBuilder(first)
+      if (first.charAt(3) == '-') {
+        val end = f"$code%03d "
+        var line = ""
+        while ({ line = in.readLine(); line != null && !line.startsWith(end) })
+          sb.append('\n').append(line)
+        if (line != null) sb.append('\n').append(line)
+      }
+      (code, sb.toString)
+    }
+
+    private def cmd(s: String): (Int, String) = {
+      out.write(s); out.write("\r\n"); out.flush(); reply()
+    }
+
+    private def expect(s: String, ok: Int*): String = {
+      val (code, text) = cmd(s)
+      require(ok.contains(code), s"FTP '$s' failed: $text")
+      text
+    }
+
+    // login + binary mode at construction
+    locally {
+      val (greet, gText) = reply()
+      require(greet == 220, s"unexpected FTP greeting: $gText")
+      val (uCode, uText) = cmd(s"USER ${cfg.user}")
+      uCode match {
+        case 331 => expect(s"PASS ${cfg.password}", 230)
+        case 230 => // password-less account
+        case _ => sys.error(s"FTP login rejected: $uText")
+      }
+      expect("TYPE I", 200)
+    }
+
+    /** Open a passive-mode data connection (PASV; 227 host,port). */
+    private def dataSocket(): Socket = {
+      val text = expect("PASV", 227)
+      val nums = "\\d+".r.findAllIn(text.substring(text.indexOf('('))).toSeq.map(_.toInt)
+      require(nums.length >= 6, s"unparseable PASV reply: $text")
+      val host = nums.slice(0, 4).mkString(".")
+      val port = nums(4) * 256 + nums(5)
+      val s = new Socket()
+      s.connect(new InetSocketAddress(host, port), cfg.connectTimeoutMs)
+      s.setSoTimeout(cfg.readTimeoutMs)
+      s
+    }
+
+    def pwd(): String = {
+      val t = expect("PWD", 257)
+      val i = t.indexOf('"'); val j = t.indexOf('"', i + 1)
+      t.substring(i + 1, j)
+    }
+
+    def cwd(path: String): Unit = expect(s"CWD $path", 250)
+    def mkdir(path: String): Unit = expect(s"MKD $path", 257)
+    def rmdir(path: String): Unit = expect(s"RMD $path", 250)
+    def delete(path: String): Unit = expect(s"DELE $path", 250)
+
+    def rename(from: String, to: String): Unit = {
+      expect(s"RNFR $from", 350)
+      expect(s"RNTO $to", 250)
+    }
+
+    def size(path: String): Option[Long] = cmd(s"SIZE $path") match {
+      case (213, t) => Some(t.drop(4).trim.toLong)
+      case _ => None
+    }
+
+    /** MLSD machine-readable listing of `path` (the modern, parseable
+      * replacement for the reference's locale-fragile LIST callback
+      * parsing, `ftpmodel.py:469-497`). `ignoreHidden` mirrors its
+      * `toggle_hidden_files`.
+      */
+    def list(path: String, ignoreHidden: Boolean = true): Seq[FtpEntry] = {
+      val ds = dataSocket()
+      val (c150, t150) = cmd(s"MLSD $path")
+      require(c150 == 150, s"MLSD rejected: $t150")
+      val lines =
+        try {
+          val r = new BufferedReader(new InputStreamReader(ds.getInputStream, US_ASCII))
+          Iterator.continually(r.readLine()).takeWhile(_ != null).toVector
+        } finally ds.close()
+      val (cEnd, tEnd) = reply()
+      require(cEnd == 226, s"MLSD transfer did not complete: $tEnd")
+      val entries = lines.flatMap { line =>
+        val sep = line.indexOf(' ')
+        if (sep < 0) None
+        else {
+          val facts = line.substring(0, sep).split(';').filter(_.nonEmpty)
+            .map { f => val i = f.indexOf('='); f.substring(0, i).toLowerCase -> f.substring(i + 1) }
+            .toMap
+          val name = line.substring(sep + 1)
+          Some(FtpEntry(name,
+            facts.get("size").map(_.toLong).getOrElse(0L),
+            facts.get("type").exists(t => t == "dir" || t == "cdir" || t == "pdir")))
+        }
+      }.filterNot(e => e.name == "." || e.name == "..")
+      if (ignoreHidden) entries.filterNot(_.name.startsWith(".")) else entries
+    }
+
+    /** First `n` bytes of `remote` — the prefix the resume check
+      * compares. Reads a REST-0 RETR and closes the data socket as
+      * soon as it has enough (the reference's StopIteration trick,
+      * `ftpmodel.py:710-716`); the 226/426 the server answers with
+      * either way is drained so the control stream stays in sync.
+      */
+    private def remotePrefix(remote: String, n: Int): Array[Byte] = {
+      val ds = dataSocket()
+      val (c, t) = cmd(s"RETR $remote")
+      require(c == 150, s"RETR rejected: $t")
+      val buf = new Array[Byte](n)
+      var got = 0
+      try {
+        val is = ds.getInputStream
+        var r = 0
+        while (got < n && { r = is.read(buf, got, n - got); r >= 0 }) got += r
+      } finally ds.close()
+      reply() // 226 if the file fit, 426 if the server saw the abort — both fine
+      java.util.Arrays.copyOf(buf, got)
+    }
+
+    /** Download `remote` to `local`. With `resume = true` and a
+      * partial local file present, verifies the overlapping prefix
+      * ([[ResumeCheckBytes]]) is byte-identical, then RESTarts from
+      * the local length; a mismatched prefix restarts from zero
+      * (the reference refuses outright, `ftpmodel.py:706-708` — a
+      * restart is the strictly-safer recovery). Returns bytes
+      * transferred in this call.
+      */
+    def retrieve(remote: String, local: Path, resume: Boolean = true): Long = {
+      val offset =
+        if (resume && Files.exists(local) && Files.size(local) > 0L) {
+          val localLen = Files.size(local)
+          val check = math.min(localLen, ResumeCheckBytes.toLong).toInt
+          val remoteStart = remotePrefix(remote, check)
+          val localStart = {
+            val is = Files.newInputStream(local)
+            try is.readNBytes(check) finally is.close()
+          }
+          if (java.util.Arrays.equals(remoteStart, localStart)) localLen else 0L
+        } else 0L
+      if (offset > 0L) expect(s"REST $offset", 350)
+      val ds = dataSocket()
+      val (c, t) = cmd(s"RETR $remote")
+      require(c == 150, s"RETR rejected: $t")
+      Option(local.getParent).foreach(Files.createDirectories(_))
+      val os = Files.newByteChannel(local,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      var moved = 0L
+      try {
+        os.position(offset)
+        if (offset == 0L) os.truncate(0L)
+        val is = ds.getInputStream
+        val buf = new Array[Byte](64 * 1024)
+        var r = 0
+        while ({ r = is.read(buf); r >= 0 }) {
+          os.write(java.nio.ByteBuffer.wrap(buf, 0, r)); moved += r
+        }
+      } finally { os.close(); ds.close() }
+      val (cEnd, tEnd) = reply()
+      require(cEnd == 226, s"RETR did not complete: $tEnd")
+      moved
+    }
+
+    /** Upload `local` to `remote`, resuming past a verified-identical
+      * remote prefix (SIZE + prefix compare, then REST) — the upload
+      * half of the reference's resume discipline
+      * (`ftpmodel.py:686-720`). Returns bytes transferred.
+      */
+    def store(local: Path, remote: String, resume: Boolean = true): Long = {
+      val localLen = Files.size(local)
+      val offset =
+        if (resume) size(remote) match {
+          case Some(remoteLen) if remoteLen > 0 && remoteLen <= localLen =>
+            val check = math.min(remoteLen, ResumeCheckBytes.toLong).toInt
+            val remoteStart = remotePrefix(remote, check)
+            val localStart = {
+              val is = Files.newInputStream(local)
+              try is.readNBytes(check) finally is.close()
+            }
+            if (java.util.Arrays.equals(remoteStart, localStart)) remoteLen else 0L
+          case _ => 0L
+        } else 0L
+      if (offset > 0L) expect(s"REST $offset", 350)
+      val ds = dataSocket()
+      val (c, t) = cmd(s"STOR $remote")
+      require(c == 150, s"STOR rejected: $t")
+      var moved = 0L
+      try {
+        val is = Files.newInputStream(local)
+        try {
+          is.skipNBytes(offset)
+          val os = ds.getOutputStream
+          val buf = new Array[Byte](64 * 1024)
+          var r = 0
+          while ({ r = is.read(buf); r >= 0 }) { os.write(buf, 0, r); moved += r }
+          os.flush()
+        } finally is.close()
+      } finally ds.close()
+      val (cEnd, tEnd) = reply()
+      require(cEnd == 226, s"STOR did not complete: $tEnd")
+      moved
+    }
+
+    override def close(): Unit = {
+      try cmd("QUIT") catch { case _: Throwable => }
+      ctrl.close()
+    }
+  }
+
+  /** Stage every regular file under `remoteDir` whose name matches
+    * `pattern` into `stagingDir`, resuming partial downloads, and
+    * return the local paths (name-sorted, deterministic). The
+    * re-entry contract mirrors the incremental file-watch source:
+    * files already staged WITH matching size are skipped, partials
+    * resume — so a crashed ingest run is re-runnable at file cost,
+    * not corpus cost.
+    */
+  def stageFiles(cfg: FtpConfig, remoteDir: String, pattern: String,
+      stagingDir: String): Seq[String] = {
+    val rx = java.util.regex.Pattern.compile(pattern)
+    val client = new FtpClient(cfg)
+    try {
+      val base = if (remoteDir.endsWith("/")) remoteDir.dropRight(1) else remoteDir
+      val wanted = client.list(remoteDir)
+        .filter(e => !e.isDir && rx.matcher(e.name).matches())
+        .sortBy(_.name)
+      Files.createDirectories(Paths.get(stagingDir))
+      wanted.map { e =>
+        val local = Paths.get(stagingDir, e.name)
+        if (!(Files.exists(local) && Files.size(local) == e.size))
+          client.retrieve(s"$base/${e.name}", local)
+        local.toString
+      }
+    } finally client.close()
+  }
+
+  /** Remote CSV directory → DataFrame through the staged files and
+    * Spark's native CSV reader (header + schema inference defaults
+    * match [[graft.core.Connectors]]' CSV scan).
+    */
+  def scanCsv(spark: SparkSession, cfg: FtpConfig, remoteDir: String,
+      stagingDir: String, pattern: String = ".*\\.csv",
+      options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"))
+      : DataFrame = {
+    val staged = stageFiles(cfg, remoteDir, pattern, stagingDir)
+    require(staged.nonEmpty, s"no files matching '$pattern' under $remoteDir")
+    spark.read.options(options).csv(staged: _*)
+  }
+
+  /** Remote NDJSON directory → DataFrame (line-delimited, the
+    * reference's json file convention).
+    */
+  def scanNdjson(spark: SparkSession, cfg: FtpConfig, remoteDir: String,
+      stagingDir: String, pattern: String = ".*\\.(json|ndjson)"): DataFrame = {
+    val staged = stageFiles(cfg, remoteDir, pattern, stagingDir)
+    require(staged.nonEmpty, s"no files matching '$pattern' under $remoteDir")
+    spark.read.json(staged: _*)
+  }
+
+  /** Write `df` as CSV part files locally, then upload each part to
+    * `remoteDir` (created if absent) — the sink half of the
+    * reference's `upload_file`/`upload_dir` surface. Returns the
+    * uploaded remote names (part files renamed to a stable
+    * `part-NNNNN.csv` sequence).
+    */
+  def sinkCsv(df: DataFrame, cfg: FtpConfig, remoteDir: String,
+      stagingDir: String): Seq[String] = {
+    val out = Paths.get(stagingDir, "csv-out").toString
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    val client = new FtpClient(cfg)
+    try {
+      if (client.size(remoteDir).isEmpty)
+        try client.mkdir(remoteDir) catch { case _: Throwable => }
+      parts.zipWithIndex.map { case (f, i) =>
+        val name = f"part-$i%05d.csv"
+        client.store(f.toPath, s"$remoteDir/$name")
+        name
+      }.toSeq
+    } finally client.close()
+  }
+}

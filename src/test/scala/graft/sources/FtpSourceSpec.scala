@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.SparkSpec
+import graft.sources.FtpSource.{FtpClient, FtpConfig}
+import org.apache.spark.sql.functions._
+
+/** FTP tier, executed end-to-end against the in-JVM [[FtpMiniServer]]:
+  * login, listing (hidden filtering), binary round-trips with byte
+  * identity, RESUME in both directions — including the
+  * prefix-consistency refusal the reference implements
+  * (`d22d/model/ftpmodel.py:686-720`) — directory ops, and the Spark
+  * bridge (scanCsv / sinkCsv round-trip through real part files).
+  */
+class FtpSourceSpec extends SparkSpec {
+
+  private def withServer[T](body: (FtpMiniServer, FtpConfig, java.nio.file.Path) => T): T = {
+    val root = Paths.get(tmpDir("ftp-root"))
+    val srv = new FtpMiniServer(root)
+    try body(srv, FtpConfig("127.0.0.1", srv.port, "graft", "secret"), root)
+    finally srv.close()
+  }
+
+  /** Deterministic pseudo-random bytes (xorshift64) — resume tests
+    * need content where a silent splice of two different files would
+    * be visible at every offset.
+    */
+  private def noiseBytes(n: Int, seed: Long): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var x = seed | 1L
+    var i = 0
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      out(i) = x.toByte; i += 1
+    }
+    out
+  }
+
+  test("login, list with hidden filtering, size, dir ops, rename") {
+    withServer { (_, cfg, root) =>
+      Files.write(root.resolve("a.csv"), "x\n1\n".getBytes)
+      Files.write(root.resolve(".hidden"), "h".getBytes)
+      Files.createDirectory(root.resolve("sub"))
+      val c = new FtpClient(cfg)
+      try {
+        assert(c.pwd() == "/")
+        val visible = c.list("/")
+        assert(visible.map(_.name).toSet == Set("a.csv", "sub"))
+        assert(c.list("/", ignoreHidden = false).map(_.name).toSet ==
+          Set("a.csv", "sub", ".hidden"))
+        assert(visible.find(_.name == "a.csv").get.size == 4L)
+        assert(visible.find(_.name == "sub").get.isDir)
+        assert(c.size("/a.csv").contains(4L) && c.size("/nope").isEmpty)
+        c.mkdir("/made")
+        c.rename("/a.csv", "/made/b.csv")
+        assert(c.size("/made/b.csv").contains(4L) && c.size("/a.csv").isEmpty)
+        c.delete("/made/b.csv")
+        c.rmdir("/made")
+        assert(c.list("/").map(_.name).toSet == Set("sub"))
+        c.cwd("/sub")
+        assert(c.pwd() == "/sub")
+      } finally c.close()
+    }
+  }
+
+  test("download resumes past a verified prefix; a corrupted prefix restarts from zero") {
+    withServer { (_, cfg, root) =>
+      val payload = noiseBytes(300 * 1024, seed = 7) // > ResumeCheckBytes
+      Files.write(root.resolve("blob.bin"), payload)
+      val c = new FtpClient(cfg)
+      try {
+        val local = Paths.get(tmpDir("ftp-dl"), "blob.bin")
+        assert(c.retrieve("/blob.bin", local) == payload.length.toLong)
+        assert(java.util.Arrays.equals(Files.readAllBytes(local), payload))
+
+        // truncate to half: the resume should move ONLY the tail
+        val half = payload.length / 2
+        val ch = Files.newByteChannel(local, StandardOpenOption.WRITE)
+        try ch.truncate(half.toLong) finally ch.close()
+        assert(c.retrieve("/blob.bin", local) == (payload.length - half).toLong)
+        assert(java.util.Arrays.equals(Files.readAllBytes(local), payload))
+
+        // corrupt the local prefix: a splice would go undetected by
+        // size alone — the prefix check must force a full restart
+        val corrupted = noiseBytes(half, seed = 99)
+        Files.write(local, corrupted)
+        assert(c.retrieve("/blob.bin", local) == payload.length.toLong)
+        assert(java.util.Arrays.equals(Files.readAllBytes(local), payload))
+      } finally c.close()
+    }
+  }
+
+  test("upload resumes past a verified prefix; a corrupted remote restarts from zero") {
+    withServer { (_, cfg, root) =>
+      val payload = noiseBytes(300 * 1024, seed = 21)
+      val local = Paths.get(tmpDir("ftp-ul"), "blob.bin")
+      Files.write(local, payload)
+      val c = new FtpClient(cfg)
+      try {
+        // seed the remote with the first half (a crashed earlier upload)
+        Files.write(root.resolve("blob.bin"),
+          java.util.Arrays.copyOf(payload, payload.length / 2))
+        assert(c.store(local, "/blob.bin") == (payload.length - payload.length / 2).toLong)
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(root.resolve("blob.bin")), payload))
+
+        // remote prefix that does NOT match the local file → restart
+        Files.write(root.resolve("blob.bin"),
+          noiseBytes(payload.length / 2, seed = 1234))
+        assert(c.store(local, "/blob.bin") == payload.length.toLong)
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(root.resolve("blob.bin")), payload))
+      } finally c.close()
+    }
+  }
+
+  test("scanCsv / sinkCsv: DataFrame round-trips through the wire") {
+    withServer { (_, cfg, root) =>
+      import spark.implicits._
+      val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, "gamma", 0.25))
+        .toDF("id", "name", "score")
+      val staging = tmpDir("ftp-stage")
+      val uploaded = FtpSource.sinkCsv(df, cfg, "/export", staging)
+      assert(uploaded.nonEmpty)
+      assert(Files.list(root.resolve("export")).count() == uploaded.length.toLong)
+
+      val back = FtpSource.scanCsv(spark, cfg, "/export",
+        tmpDir("ftp-stage2"))
+      assert(back.orderBy($"id").collect().map(_.toSeq).toSeq ==
+        df.orderBy($"id").collect().map(_.toSeq).toSeq,
+        "CSV round-trip through FTP changed the data")
+
+      // staged re-scan skips complete files (size-matched): second
+      // scan must not re-transfer — assert via unchanged mtimes
+      val stage3 = tmpDir("ftp-stage3")
+      FtpSource.scanCsv(spark, cfg, "/export", stage3).count()
+      val m1 = Files.list(Paths.get(stage3)).sorted()
+        .map[Long](p => Files.getLastModifiedTime(p).toMillis)
+        .toArray.asInstanceOf[Array[AnyRef]].toSeq
+      FtpSource.scanCsv(spark, cfg, "/export", stage3).count()
+      val m2 = Files.list(Paths.get(stage3)).sorted()
+        .map[Long](p => Files.getLastModifiedTime(p).toMillis)
+        .toArray.asInstanceOf[Array[AnyRef]].toSeq
+      assert(m1 == m2, "already-staged files were re-transferred")
+    }
+  }
+
+  test("scanNdjson stages and parses line-delimited JSON") {
+    withServer { (_, cfg, root) =>
+      Files.write(root.resolve("rows.ndjson"),
+        "{\"k\":1,\"v\":\"a\"}\n{\"k\":2,\"v\":\"b\"}\n".getBytes)
+      val df = FtpSource.scanNdjson(spark, cfg, "/", tmpDir("ftp-ndj"))
+      assert(df.orderBy(col("k")).collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq == Seq((1L, "a"), (2L, "b")))
+    }
+  }
+}
