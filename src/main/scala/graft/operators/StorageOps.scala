@@ -581,8 +581,11 @@ object StorageOps {
       val t = tag(dir)
       val path = s"target/graft-layout/$t/events_erased"
       val key = s"erased:$t"
-      if (!layoutsBuilt.contains(key) ||
-        !new java.io.File(path, "_SUCCESS").exists()) {
+      // the copy's own _SUCCESS is not enough: a crash between copy
+      // and erase would leave a marker-bearing layout with the victims
+      // still present — the erase writes its OWN marker when done
+      val erasedMarker = new java.io.File(path, "_ERASED")
+      if (!layoutsBuilt.contains(key) || !erasedMarker.exists()) {
         val (_, comp) = ensureEventLayouts(spark, dir)
         withMicrosTimestamps(spark) {
           spark.read.parquet(comp)
@@ -590,6 +593,7 @@ object StorageOps {
             .write.mode("overwrite").partitionBy("day").parquet(path)
         }
         eraseUsers(spark, path, ErasedUsers)
+        erasedMarker.createNewFile()
         layoutsBuilt += key
       }
       path
