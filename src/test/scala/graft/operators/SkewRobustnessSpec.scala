@@ -87,6 +87,43 @@ class SkewRobustnessSpec extends SparkSpec {
     }
   }
 
+  test("q38's bucket key splits a hot user: per-key pair work bounded by the window") {
+    // a bot user owning 30% of all events is to the user-keyed range
+    // join what the viral template is to the pair-listing dedups: the
+    // naive per-key cost is |views_bot| x |purchases_bot|. The bucket
+    // key splits that user across ~every 5-minute bucket, so the
+    // bucketed plan's pair work per (user, bucket) is bounded by the
+    // window's density no matter how hot the user is.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 60000
+    val hot = (n * 3) / 10
+    // hot user 0: events every ~145 ms across 30 days; the rest spread
+    // over 1500 users. Deterministic types: alternate view/purchase.
+    val base = 1704067200000000L // 2024-01-01 micros
+    val span = 30L * 86400 * 1000000 // 30 days in micros
+    val ev = spark.range(0, n).select(
+      $"id".as("event_id"),
+      when($"id" < hot, 0L).otherwise(pmod($"id", lit(1500L))).as("user_id"),
+      timestamp_micros(lit(base) + pmod($"id" * lit(2654435761L), lit(span))).as("ts"),
+      when(pmod($"id", lit(2L)) === 0, "view").otherwise("purchase").as("event_type"))
+    val dir = tmpDir("q38-skew")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (rows, stats) = withStats {
+      ExtendedRelational.rangeJoinFunnel(spark, dir).collect()
+    }
+    assert(rows.nonEmpty)
+    // the hot user produced pairs (sanity: the fixture exercised it)
+    assert(rows.exists(_.getLong(0) == 0L), "hot user fell out of the result")
+    // no straggler: in every >=0.5s stage, max task <= 5x stage median
+    stats.durations.values.filter(_.sum >= 500).foreach { ds =>
+      val sorted = ds.sorted
+      val med = sorted(sorted.size / 2).max(1L)
+      assert(sorted.last <= 5 * med,
+        s"straggler under hot user: max ${sorted.last} ms vs median $med ms")
+    }
+  }
+
   test("q122's sketch ships O(m) state through the shuffle; the exact path ships the domain") {
     import org.apache.spark.sql.functions._
     val words = graft.Tables.load(spark, skewDir, "documents")
