@@ -176,11 +176,126 @@ object TrainingPipeline {
        |ORDER BY stage""".stripMargin
   }
 
+  // ------------------------- q144/q145: training ORDER (after packing)
+
+  /** The epoch seed baked into the q144/q145 catalog entries — a
+    * parameter in the API, pinned here so the oracle can replay it.
+    */
+  private val EpochSeed = 42
+
+  /** Seed-keyed shuffle position for `idCol`: md5 of "id:seed" (both
+    * engines produce identical lowercase hex, the q19 fingerprint
+    * precedent), tie-broken by id. A hash key instead of RNG state is
+    * what makes the shuffle REPRODUCIBLE and resumable: any worker
+    * can recompute any document's position from (id, seed) alone —
+    * no driver-held permutation, no RNG sequence coupling position
+    * to visit order.
+    */
+  private def shuffleKey(idCol: org.apache.spark.sql.Column, seed: Int) =
+    md5(concat(idCol.cast("string"), lit(s":$seed")))
+
+  /** Dense global rank of `df` under the total order `key` (which
+    * must be duplicate-free), WITHOUT the single-partition Window a
+    * bare `row_number() OVER (ORDER BY …)` plans — that shape funnels
+    * the whole table through one task, the exact anti-pattern
+    * PlanQualitySpec polices elsewhere. Distributed shape instead:
+    * range-repartition + sort by the key (the same exchange a global
+    * sort uses), per-partition `row_number` keyed by the partition id
+    * (parallel), plus a broadcast O(numPartitions) offsets table
+    * (cumulative counts — ITS window is single-partition over ~32
+    * rows, the bounded-small case). Positions depend only on the
+    * total order, not on where the sampled range boundaries fall, so
+    * the output is deterministic.
+    */
+  private def withGlobalPos(df: DataFrame,
+      key: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+    val sorted = df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
+      .withColumn("__pid", spark_partition_id())
+    val tiny = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__pid")).count()
+      .select(col("__pid"),
+        coalesce(sum(col("count")).over(tiny), lit(0L)).as("__offset"))
+    val perPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(key: _*)
+    sorted.join(broadcast(offsets), "__pid")
+      .withColumn(out,
+        (col("__offset") + row_number().over(perPart)).cast("long"))
+      .drop("__pid", "__offset")
+  }
+
+  /** q144: deterministic epoch shuffle — the training-order step that
+    * follows packing in every LLM data pipeline (a fresh document
+    * order per epoch, reproducible across re-runs and resumable after
+    * failures). Positions come from [[withGlobalPos]] over the hash
+    * key — a range-partitioned parallel numbering, not a
+    * single-partition window — and at 100 TB the same query with
+    * `shuffle_pos % numShards` assigns output shards instead of
+    * materializing one ordered file. A new epoch is a new seed,
+    * nothing else.
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withGlobalPos(
+      Tables.load(spark, dir, "documents").select($"doc_id", $"source"),
+      Seq(shuffleKey($"doc_id", EpochSeed), $"doc_id"), "shuffle_pos")
+      .select($"doc_id", $"source", $"shuffle_pos")
+      .orderBy($"shuffle_pos")
+  }
+
+  private def oracleEpochShuffle: String =
+    s"""SELECT doc_id, source,
+       |  row_number() OVER (
+       |    ORDER BY md5(doc_id || ':$EpochSeed'), doc_id)::BIGINT
+       |    AS shuffle_pos
+       |FROM documents ORDER BY shuffle_pos""".stripMargin
+
+  /** q145: source-interleaved training order — shuffle WITHIN each
+    * source, then round-robin across sources by per-source rank. The
+    * uniform global shuffle (q144) lets a large source dominate long
+    * stretches of an epoch; interleaving pins the mixing rate so
+    * every window of the training stream carries every source — the
+    * curriculum/mixture discipline between q88's mixture weights and
+    * the packing step. The per-source rank is a KEYED window
+    * (parallel by construction); the global interleave position is
+    * [[withGlobalPos]] over (rank, source) — no single-partition
+    * window anywhere, no driver state, reproducible from (id, seed).
+    */
+  def sourceInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSource = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(shuffleKey($"doc_id", EpochSeed), $"doc_id")
+    val ranked = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("source_rank", row_number().over(perSource).cast("long"))
+    withGlobalPos(ranked, Seq($"source_rank", $"source"), "global_pos")
+      .select($"doc_id", $"source", $"source_rank", $"global_pos")
+      .orderBy($"global_pos")
+  }
+
+  private def oracleSourceInterleave: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(doc_id || ':$EpochSeed'), doc_id)::BIGINT
+       |      AS source_rank
+       |  FROM documents)
+       |SELECT doc_id, source, source_rank,
+       |  row_number() OVER (ORDER BY source_rank, source)::BIGINT
+       |    AS global_pos
+       |FROM ranked ORDER BY global_pos""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_training_funnel" -> (funnel _),
+    "q144_epoch_shuffle" -> (epochShuffle _),
+    "q145_source_interleave" -> (sourceInterleave _),
   )
 
   val oracles: Map[String, String] = Map(
     "q83_training_funnel" -> oracleFunnel,
+    "q144_epoch_shuffle" -> oracleEpochShuffle,
+    "q145_source_interleave" -> oracleSourceInterleave,
   )
 }

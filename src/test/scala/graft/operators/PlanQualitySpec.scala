@@ -363,6 +363,34 @@ class PlanQualitySpec extends SparkSpec {
       s"global single-partition window detected:\n$plan")
   }
 
+  test("q144/q145 training order: every big window is keyed — global numbering stays parallel") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windowsOf(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windowsOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => windowsOf(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(windowsOf)
+      case other => (other.children ++ other.subqueries).flatMap(windowsOf)
+    }
+    for (fn <- Seq(TrainingPipeline.epochShuffle _, TrainingPipeline.sourceInterleave _)) {
+      val df = fn(spark, dir)
+      df.collect()
+      val plan = planOf(df)
+      assert(plan.contains("rangepartitioning"),
+        s"global numbering lost its range-partitioned sort:\n$plan")
+      // an unkeyed window is only acceptable over the O(numPartitions)
+      // offsets table — any window seeing corpus-sized input must be
+      // partitioned, or the whole table funnels through one task
+      windowsOf(df.queryExecution.executedPlan).foreach { w =>
+        val rows = w.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        if (rows > 100)
+          assert(w.partitionSpec.nonEmpty,
+            s"unkeyed window over $rows rows (single-partition scale-killer):\n$plan")
+      }
+    }
+  }
+
   test("q74 stratified sample: map-only filter — no shuffle before the audit agg") {
     val df = PipelineOps.stratifiedSample(spark, dir)
     df.collect()
