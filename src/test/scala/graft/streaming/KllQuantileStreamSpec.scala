@@ -80,4 +80,52 @@ class KllQuantileStreamSpec extends SparkSpec {
         s"cumulative count regressed for $k"))
     }
   }
+
+  test("replayed batch over a torn state snapshot cannot double-merge") {
+    // KLL merge is NOT idempotent: if a replayed batch read its own
+    // crashed attempt's state (already containing the batch's values),
+    // the values would merge TWICE and counts/quantiles would drift.
+    // The strictly-older-than-self rule must make the replay read v1,
+    // ignore the torn v2, and overwrite it — final state equal to a
+    // run that never crashed.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = (0 until 3).map(b =>
+      (0 until 50).map(i => ("x", (b * 100 + i).toDouble)))
+
+    def run(torn: Boolean): Map[String, (Long, Double, Double)] = {
+      val tag = if (torn) "torn" else "clean"
+      val stateDir = tmpDir(s"klls-chaos-$tag") + "/state"
+      val outDir = tmpDir(s"klls-chaos-out-$tag") + "/out"
+      val ckpt = tmpDir(s"klls-chaos-ckpt-$tag")
+      val mem = MemoryStream[(String, Double)]
+      def stream() = mem.toDF().toDF("event_type", "value")
+      val q1 = StreamingJobs.kllQuantileStream(stream(), stateDir, outDir, ckpt)
+      try batches.take(2).foreach { b => mem.addData(b); q1.processAllAvailable() }
+      finally q1.stop()
+      if (torn) {
+        // what a crash mid-batch-2 leaves behind: a state version the
+        // replay must neither read nor keep — poisoned counts and a
+        // sketch over garbage values so any leakage is visible in
+        // both n_events and the quantiles
+        (0 until 50).map(i => ("x", 1e9 + i)).toDF("event_type", "value")
+          .groupBy(col("event_type"))
+          .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"),
+            lit(999999L).as("n_events"))
+          .select(col("event_type"), col("sk"), col("n_events"))
+          .write.parquet(s"$stateDir/v2")
+      }
+      val q2 = StreamingJobs.kllQuantileStream(stream(), stateDir, outDir, ckpt)
+      try { mem.addData(batches(2)); q2.processAllAvailable() } finally q2.stop()
+      spark.read.parquet(s"$outDir/v2").collect().map(r =>
+        r.getString(0) -> (r.getAs[Long]("n_events"),
+          r.getAs[Double]("p50"), r.getAs[Double]("p99"))).toMap
+    }
+
+    val clean = run(torn = false)
+    val healed = run(torn = true)
+    assert(clean("x")._1 == 150L, s"clean run should hold all 150 values: $clean")
+    assert(healed == clean,
+      s"replay over a torn snapshot diverged (double-merge or garbage leak):\n" +
+        s"healed $healed\nclean  $clean")
+  }
 }
