@@ -152,6 +152,29 @@ class StorageLayoutSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"no runtime bloom filter in q139's plan:\n$plan")
+    // and it actually FILTERS: the might_contain Filter must emit far
+    // fewer rows than the fact scan feeds it (the whole point is
+    // dropping non-joiners before the shuffle)
+    def collectPlans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectPlans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectPlans(q.plan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(collectPlans)
+    }
+    val bloomFilters = collectPlans(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "no might_contain FilterExec found")
+    val bf = bloomFilters.head
+    val out = bf.metrics("numOutputRows").value
+    val in = collectPlans(bf.child).collectFirst {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.getOrElse(0L)
+    assert(in > 0 && out < in / 2,
+      s"bloom filter barely filters: $out of $in fact rows survive")
     // correctness: must equal the same join in the plain session
     import spark.implicits._
     val control = Tables.load(spark, dir, "lineitem")
