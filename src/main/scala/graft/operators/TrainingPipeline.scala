@@ -205,12 +205,17 @@ object TrainingPipeline {
     * (cumulative counts — ITS window is single-partition over ~32
     * rows, the bounded-small case). Positions depend only on the
     * total order, not on where the sampled range boundaries fall, so
-    * the output is deterministic.
+    * the output is deterministic. `localCheckpoint` pins ONE boundary
+    * assignment for both consumers — range boundaries are sampled
+    * per materialization, and the offsets must join the exact
+    * partitioning they were counted under (the q73 `packTokensBy`
+    * precedent; on a cluster, persist to reliable storage instead).
     */
   private def withGlobalPos(df: DataFrame,
       key: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
     val sorted = df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val tiny = org.apache.spark.sql.expressions.Window
       .orderBy(col("__pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
