@@ -207,15 +207,68 @@ object SpanOps {
        |SELECT doc_id, span_start, span_end, span_words
        |FROM spans ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------- q146 within-doc repetition scrub
+
+  /** q146: WITHIN-document repetition scrub — the intra-doc sibling of
+    * the cross-doc span scrubs above, and the removal step behind
+    * q71's repetition PROFILE (the Gopher/MassiveText repetition
+    * filters measure duplicate-line fractions precisely so this cut
+    * can be made; Rae et al. 2021 §A.1.1). Each document keeps the
+    * FIRST occurrence of every distinct sentence, in original order —
+    * scraped pages repeat nav/boilerplate sentences within one page,
+    * and repeated text both wastes tokens and trains degenerate
+    * loops. Shape: one explode keyed by (doc, sentence) — the
+    * min(pos) agg and the rebuild both shuffle on doc-cardinality
+    * keys, no window over the corpus, no pairs. Output carries the
+    * rebuilt text (hash-compared against the oracle's identical
+    * rebuild) plus the count companions.
+    */
+  def repetitionScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sent = Tables.load(spark, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", "\\. ")))
+      .toDF("doc_id", "pos", "sentence")
+    val first = sent.groupBy($"doc_id", $"sentence")
+      .agg(min($"pos").as("first_pos"), count(lit(1)).as("n_occ"))
+    first.groupBy($"doc_id")
+      .agg(
+        sum($"n_occ").cast("long").as("n_sentences"),
+        count(lit(1)).as("n_unique"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"first_pos", $"sentence"))),
+            s => s.getField("sentence")),
+          ". ").as("scrubbed"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleRepetitionScrub: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, '. ')) AS sentence,
+      |    unnest(generate_series(0, len(string_split(text, '. ')) - 1))
+      |      AS pos
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, sentence, min(pos) AS first_pos,
+      |    count(*) AS n_occ
+      |  FROM s GROUP BY doc_id, sentence)
+      |SELECT doc_id, sum(n_occ)::BIGINT AS n_sentences,
+      |  count(*)::BIGINT AS n_unique,
+      |  string_agg(sentence, '. ' ORDER BY first_pos) AS scrubbed
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_dup_spans" -> (dupSpans _),
     "q118_span_scrub" -> (spanScrub _),
     "q119_contamination_spans" -> (contaminationSpans _),
+    "q146_repetition_scrub" -> (repetitionScrub _),
   )
 
   val oracles: Map[String, String] = Map(
     "q117_dup_spans" -> oracleDupSpans,
     "q118_span_scrub" -> oracleSpanScrub,
     "q119_contamination_spans" -> oracleContaminationSpans,
+    "q146_repetition_scrub" -> oracleRepetitionScrub,
   )
 }
