@@ -58,6 +58,40 @@ class SpanOpsSpec extends SparkSpec {
     spans.unpersist()
   }
 
+  test("q146 repetition scrub: order-preserving, duplicate-free, idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SpanOps.repetitionScrub(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u) = (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_unique"))
+      assert(u <= n && u >= 1, s"counts inconsistent: $r")
+      val sentences = r.getAs[String]("scrubbed").split("\\. ").toSeq
+      assert(sentences.length == u.toInt,
+        s"rebuilt text holds ${sentences.length} sentences, expected $u")
+      assert(sentences.distinct.length == sentences.length,
+        s"duplicates survived the scrub for doc ${r.get(0)}")
+    }
+    // idempotent: scrubbing the scrubbed corpus changes nothing
+    val scrubbedDocs = out.select($"doc_id", $"scrubbed".as("text"))
+    val redir = tmpDir("rescrub")
+    scrubbedDocs.write.mode("overwrite").parquet(s"$redir/documents.parquet")
+    val again = SpanOps.repetitionScrub(spark, redir)
+      .select($"doc_id", $"scrubbed").as[(Long, String)].collect().toMap
+    val once = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("scrubbed")).toMap
+    assert(again == once, "scrub is not idempotent")
+    // and order preservation: each doc's first sentence survives first
+    val firsts = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", split($"text", "\\. ").getItem(0).as("s0"))
+      .as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("scrubbed").startsWith(firsts(id).take(20)),
+        s"doc $id lost its leading sentence")
+    }
+  }
+
   test("span plans: no cartesian product, windows partitioned by doc") {
     for (q <- Seq(SpanOps.dupSpans _, SpanOps.contaminationSpans _)) {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
