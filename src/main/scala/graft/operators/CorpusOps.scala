@@ -62,9 +62,10 @@ object CorpusOps {
     */
   /** The shared Lloyd's fit: (final centroids, final assignments) —
     * q86 reports the assignments, q113 evaluates the model. Centroids
-    * are localCheckpoint'ed so both consumers (and the assignment's
-    * broadcast) read the materialized 4-row table instead of re-running
-    * the iterations.
+    * are a durable [[graft.core.Pin.shared]] parquet artifact so both
+    * consumers (and the assignment's broadcast) read the materialized
+    * model instead of re-running the iterations — and survive executor
+    * loss on a cluster.
     */
   /** One assignment pass, shared by the Lloyd's iterations, q86/q113/
     * q120 consumers and the streaming SemDeDup twin: vectors
@@ -142,7 +143,12 @@ object CorpusOps {
           .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
           .select($"cid", expr("transform(dm, t -> t.m)").as("cvec"))
       }
-      val cents = centroids.localCheckpoint()
+      // the model is a durable parquet artifact, not a localCheckpoint:
+      // every consumer (q86/q113/q120, the streaming twin, the cached
+      // assignment's own recompute path after cache eviction or
+      // executor loss) re-reads the same 4..65k rows from reliable
+      // storage instead of depending on unreplicated executor blocks
+      val cents = graft.core.Pin.shared(spark, s"kmeans-cents-${graft.core.Pin.tag(dir)}")(centroids)
       (cents, assign(cents).cache())
     })
 
@@ -273,10 +279,12 @@ object CorpusOps {
     * the candidate structure instead.
     *
     * Reuses the q86 fit verbatim (same centroids the q86/q113 oracles
-    * replay). Assignments are localCheckpoint'ed: three consumers (two
-    * join sides + the final frame) read the materialized table instead
-    * of re-running Lloyd's per branch; on a cluster this is the
-    * assignments table persisted between pipeline stages.
+    * replay). Assignments come from the fit's shared cache, whose
+    * lineage bottoms out at the durable centroid artifact: three
+    * consumers (two join sides + the final frame) read the
+    * materialized table instead of re-running Lloyd's per branch, and
+    * on a cluster an evicted/lost block recomputes one assignment pass
+    * from parquet — the persisted-between-stages production shape.
     *
     * Scale shape: the pair stage is an equi-join on the cluster id — a
     * keyed shuffle, never corpus×corpus — and within-cluster pairing
@@ -292,7 +300,12 @@ object CorpusOps {
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val assigned = kmeansFit(spark, dir)._2.localCheckpoint()
+    // the shared fit's assignment table is already cache()d, and since
+    // round 9 its lineage bottoms out at the DURABLE centroid artifact
+    // — eviction or executor loss just recomputes one assignment pass
+    // from parquet, so no extra localCheckpoint is needed (or safe: its
+    // unreplicated blocks would die with an executor)
+    val assigned = kmeansFit(spark, dir)._2
     val a = assigned.select($"vec_id".as("a_id"), $"cid", $"v".as("va"))
     val b = assigned.select($"vec_id".as("b_id"), $"cid", $"v".as("vb"))
     val dups = a.join(b, Seq("cid"))
@@ -846,8 +859,11 @@ object CorpusOps {
     }
     // collapse the k-means lineage once: cents is PqM×PqK rows, but its
     // plan is the whole iterative pipeline — codes + each of the PqM
-    // broadcast LUT joins would otherwise re-run it (measured ~3x cost)
-    cents = cents.localCheckpoint()
+    // broadcast LUT joins would otherwise re-run it (measured ~3x cost).
+    // Durable artifact (not localCheckpoint): the PQ codebook is the
+    // model every downstream stage (q101 scoring, q105 recall, q147
+    // re-rank) must agree on, and it must survive executor loss.
+    cents = graft.core.Pin.shared(spark, s"pq-cents-${graft.core.Pin.tag(dir)}")(cents)
     val codes = assign(cents).filter($"vec_id" >= NumQueries)
       .groupBy($"vec_id").agg(
         ms.map(m => max(when($"m" === m, $"cid")).as(s"c$m")).head,
@@ -856,7 +872,10 @@ object CorpusOps {
     val lut = subs.filter($"vec_id" < NumQueries)
       .join(broadcast(cents), "m")
       .select($"vec_id".as("q_id"), $"m", $"cid", round(d2, 9).as("d"))
-      .localCheckpoint() // NumQueries×PqM×PqK rows, consumed PqM times
+      // NumQueries×PqM×PqK rows, consumed PqM times; derived from the
+      // durable codebook artifact, so this pin too survives re-derive
+      .transform(d => graft.core.Pin.shared(spark,
+        s"pq-lut-${graft.core.Pin.tag(dir)}")(d))
     var scored: DataFrame = codes
     ms.foreach { m =>
       val lm = lut.filter($"m" === m)

@@ -235,9 +235,10 @@ object PipelineOps {
     * on the pack order, windowed sum WITHIN each partition, then each
     * partition's total (one row per partition) is collected, prefix-
     * summed on the driver, and broadcast back as offsets — the textbook
-    * two-phase distributed prefix sum. `localCheckpoint` pins the
-    * partitioning so the offsets join the same data they were computed
-    * from (on a cluster: persist to reliable storage instead).
+    * two-phase distributed prefix sum. [[graft.core.Pin.shared]] pins
+    * the partitioning durably (pid stored as data in a parquet
+    * artifact) so the offsets join the same data they were computed
+    * from, and executor loss re-reads instead of failing the job.
     */
   /** Generalized two-phase packing core: assign `pack_id` within each
     * stratum (empty `strata` = one global sequence) from the exclusive
@@ -248,18 +249,23 @@ object PipelineOps {
     * not straddle a train/val split).
     */
   def packTokensBy(df: DataFrame, strata: Seq[String], budget: Long,
-      keepCum: Boolean = false): DataFrame = {
+      keepCum: Boolean = false, pin: String = ""): DataFrame = {
     import df.sparkSession.implicits._
     val stratCols = strata.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((col("pid") +: stratCols): _*).orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val local = df
+    val staged = df
       .repartitionByRange(8, (stratCols :+ $"doc_id"): _*)
       .withColumn("pid", spark_partition_id())
       .withColumn("cum_in", sum($"tokens").over(w))
-      .localCheckpoint()
+    // callers that name the pin get the durable artifact; the empty
+    // default keeps ad-hoc/library use working (localCheckpoint is
+    // still a correct pin on a healthy cluster, just not loss-durable)
+    val local =
+      if (pin.nonEmpty) graft.core.Pin.shared(df.sparkSession, pin)(staged)
+      else staged.localCheckpoint()
     val totals = local.groupBy((col("pid") +: stratCols): _*)
       .agg(max($"cum_in").as("psum"))
       .orderBy((stratCols :+ col("pid")): _*).collect() // one row per (partition, stratum)
@@ -292,7 +298,8 @@ object PipelineOps {
     import spark.implicits._
     val toks = Tables.load(spark, dir, "documents")
       .select($"doc_id", size(words($"text")).cast("long").as("tokens"))
-    packTokensBy(toks, Nil, PackBudget)
+    packTokensBy(toks, Nil, PackBudget,
+        pin = s"pack-global-${graft.core.Pin.tag(dir)}")
       .select($"doc_id", $"tokens", $"pack_id")
       .orderBy($"doc_id")
   }
@@ -322,7 +329,10 @@ object PipelineOps {
     import spark.implicits._
     val toks = Tables.load(spark, dir, "documents")
       .select($"doc_id", size(words($"text")).cast("long").as("tokens"))
-    packTokensBy(toks, Nil, PackBudget, keepCum = true)
+    // same staged plan as q73 ⇒ same pin name: q73 and this audit
+    // share one artifact instead of materializing twice
+    packTokensBy(toks, Nil, PackBudget, keepCum = true,
+        pin = s"pack-global-${graft.core.Pin.tag(dir)}")
       .groupBy($"pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum($"tokens").as("tokens"),

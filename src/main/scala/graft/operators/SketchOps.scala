@@ -279,14 +279,24 @@ object SketchOps {
   def ensureBaseRollup(spark: SparkSession, dir: String): String =
     synchronized {
       val t = java.lang.Integer.toHexString(dir.hashCode)
-      val path = s"target/graft-layout/$t/rollup_base"
+      // _d6 suffix: artifact format versioning — the round-9 decimal
+      // sum changed the stored schema, and a stale double-summed base
+      // from an earlier build must not satisfy the _SUCCESS check
+      val path = s"target/graft-layout/$t/rollup_base_d6"
       if (!rollupBuilt.contains(t) ||
         !new java.io.File(path, "_SUCCESS").exists()) {
         Tables.load(spark, dir, "events")
           .filter(col("ts") < lit(RollupDeltaStart).cast("timestamp"))
           .groupBy(col("event_type"))
+          // sum as DECIMAL(18,6): the artifact's sum and the delta's
+          // sum are added in a DIFFERENT association order than any
+          // single-pass sum over the same rows — exact decimal
+          // accumulation makes split+merge ≡ one pass by construction
+          // (double sums could land on opposite sides of a half-cent
+          // rounding boundary; ExtendedRelational.scala's decimal
+          // precedent)
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value")).as("sum_value"),
+            sum(col("value").cast("decimal(18,6)")).as("sum_value"),
             hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
           .coalesce(1)
           .write.mode("overwrite").parquet(path)
@@ -321,13 +331,14 @@ object SketchOps {
       .filter($"ts" >= lit(RollupDeltaStart).cast("timestamp"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_delta"),
-        sum($"value").as("sum_delta"),
+        sum($"value".cast("decimal(18,6)")).as("sum_delta"), // same exact type as the artifact
         hll_sketch_agg($"user_id", lit(HllLgK)).as("sk_delta"))
     val applied = base.join(delta, Seq("event_type"), "full_outer")
       .select($"event_type",
         (coalesce($"n_base", lit(0L)) + coalesce($"n_delta", lit(0L)))
           .as("n_events"),
-        (coalesce($"sum_base", lit(0.0)) + coalesce($"sum_delta", lit(0.0)))
+        (coalesce($"sum_base", lit(0).cast("decimal(18,6)")) +
+          coalesce($"sum_delta", lit(0).cast("decimal(18,6)")))
           .as("sum_raw"),
         when($"sk_base".isNotNull && $"sk_delta".isNotNull,
           hll_union($"sk_base", $"sk_delta"))
@@ -338,7 +349,8 @@ object SketchOps {
       .agg(count_distinct($"user_id").as("exact_users"))
     applied.join(exact, Seq("event_type"))
       .select($"event_type", $"n_events",
-        round($"sum_raw", 2).as("sum_value"), $"exact_users",
+        // round the EXACT decimal, then cast for oracle schema parity
+        round($"sum_raw", 2).cast("double").as("sum_value"), $"exact_users",
         (abs(hll_sketch_estimate($"sk") - $"exact_users") <=
           $"exact_users" * 0.05).as("merged_ok"))
       .orderBy($"event_type")
@@ -346,7 +358,7 @@ object SketchOps {
 
   private def oracleIncrementalRollup: String =
     """SELECT event_type, count(*)::BIGINT AS n_events,
-      |  round(sum(value), 2) AS sum_value,
+      |  round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value,
       |  count(DISTINCT user_id)::BIGINT AS exact_users,
       |  TRUE AS merged_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -54,10 +54,12 @@ object TrainingPipeline {
     //    df-cap is the documented production scale shape (vs the
     //    round-4 LSH pipeline here, which re-derived signatures+bands
     //    for ~2s of redundant work per funnel run).
-    //    The pair list is checkpointed BEFORE connectedComponents: its
+    //    The pair list is pinned durably BEFORE connectedComponents: its
     //    edges union (src→dst + dst→src) would otherwise evaluate the
-    //    whole pair pipeline twice.
-    val pairs = TextDedup.cappedPairs(spark, dir).select($"a_id", $"b_id").localCheckpoint()
+    //    whole pair pipeline twice — and a localCheckpoint here would
+    //    die with an executor on a real cluster (Pin.shared scaladoc).
+    val pairs = graft.core.Pin.shared(spark, s"pairs-${graft.core.Pin.tag(dir)}")(
+      TextDedup.cappedPairs(spark, dir).select($"a_id", $"b_id"))
     val clusters = TextDedup.connectedComponents(pairs)
     val nearDeduped = canonical
       .join(clusters, canonical("doc_id") === clusters("id"), "left")
@@ -79,7 +81,8 @@ object TrainingPipeline {
 
     // 6. per-split token packing (strata never share a pack)
     val withTokens = split.withColumn("tokens", size(words($"text")).cast("long"))
-    PipelineOps.packTokensBy(withTokens, Seq("split"), PackBudget)
+    PipelineOps.packTokensBy(withTokens, Seq("split"), PackBudget,
+        pin = s"pack-corpus-${graft.core.Pin.tag(dir)}")
       .select($"doc_id", $"lang", $"split", $"pack_id", $"tokens", $"text")
       .orderBy($"doc_id")
   }
@@ -205,17 +208,22 @@ object TrainingPipeline {
     * (cumulative counts — ITS window is single-partition over ~32
     * rows, the bounded-small case). Positions depend only on the
     * total order, not on where the sampled range boundaries fall, so
-    * the output is deterministic. `localCheckpoint` pins ONE boundary
-    * assignment for both consumers — range boundaries are sampled
-    * per materialization, and the offsets must join the exact
+    * the output is deterministic. [[graft.core.Pin.shared]] pins ONE
+    * boundary assignment for both consumers — range boundaries are
+    * sampled per materialization, and the offsets must join the exact
     * partitioning they were counted under (the q73 `packTokensBy`
-    * precedent; on a cluster, persist to reliable storage instead).
+    * precedent). The pin is a parquet artifact on reliable storage,
+    * not a `localCheckpoint`: `__pid` is computed BEFORE the write and
+    * stored as data, so a lost executor (which would have destroyed
+    * unreplicated checkpoint blocks and failed the job) just re-reads
+    * the same bytes — the 100 TB durability contract is code here,
+    * not a caller-facing comment.
     */
-  private def withGlobalPos(df: DataFrame,
+  private def withGlobalPos(df: DataFrame, pinName: String,
       key: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
-    val sorted = df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val sorted = graft.core.Pin.shared(df.sparkSession, pinName)(
+      df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
+        .withColumn("__pid", spark_partition_id()))
     val tiny = org.apache.spark.sql.expressions.Window
       .orderBy(col("__pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -244,6 +252,7 @@ object TrainingPipeline {
     import spark.implicits._
     withGlobalPos(
       Tables.load(spark, dir, "documents").select($"doc_id", $"source"),
+      s"pos-q144-${graft.core.Pin.tag(dir)}",
       Seq(shuffleKey($"doc_id", EpochSeed), $"doc_id"), "shuffle_pos")
       .select($"doc_id", $"source", $"shuffle_pos")
       .orderBy($"shuffle_pos")
@@ -275,7 +284,8 @@ object TrainingPipeline {
     val ranked = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source")
       .withColumn("source_rank", row_number().over(perSource).cast("long"))
-    withGlobalPos(ranked, Seq($"source_rank", $"source"), "global_pos")
+    withGlobalPos(ranked, s"pos-q145-${graft.core.Pin.tag(dir)}",
+      Seq($"source_rank", $"source"), "global_pos")
       .select($"doc_id", $"source", $"source_rank", $"global_pos")
       .orderBy($"global_pos")
   }

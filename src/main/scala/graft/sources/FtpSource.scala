@@ -192,6 +192,24 @@ object FtpSource {
       java.util.Arrays.copyOf(buf, got)
     }
 
+    /** True iff `local`'s first min(`n`, [[ResumeCheckBytes]]) bytes
+      * equal `remote`'s — the overlap check both resume directions and
+      * the staged-file skip run before trusting existing bytes.
+      */
+    def prefixMatches(remote: String, local: Path, n: Long): Boolean = {
+      val check = math.min(n, ResumeCheckBytes.toLong).toInt
+      if (check <= 0) true
+      else {
+        val remoteStart = remotePrefix(remote, check)
+        val localStart = {
+          val is = Files.newInputStream(local)
+          try is.readNBytes(check) finally is.close()
+        }
+        remoteStart.length == check &&
+          java.util.Arrays.equals(remoteStart, localStart)
+      }
+    }
+
     /** Download `remote` to `local`. With `resume = true` and a
       * partial local file present, verifies the overlapping prefix
       * ([[ResumeCheckBytes]]) is byte-identical, then RESTarts from
@@ -199,21 +217,25 @@ object FtpSource {
       * (the reference refuses outright, `ftpmodel.py:706-708` — a
       * restart is the strictly-safer recovery). Returns bytes
       * transferred in this call.
+      *
+      * Command sequence is PASV → data connect → REST → RETR — RFC
+      * 959/3659 require the restart marker to be the LAST command
+      * before the transfer command (the ftplib/curl order); a strict
+      * server resets REST on any intervening command, which with the
+      * old REST-first order would silently stream from byte 0 into a
+      * file positioned at `offset`. Belt-and-braces, the transferred
+      * byte count is also checked against `SIZE - offset`, so even a
+      * server that ignores REST outright cannot splice a corrupt file.
       */
     def retrieve(remote: String, local: Path, resume: Boolean = true): Long = {
+      val remoteLen = size(remote) // before PASV: nothing may intervene REST→RETR
       val offset =
         if (resume && Files.exists(local) && Files.size(local) > 0L) {
           val localLen = Files.size(local)
-          val check = math.min(localLen, ResumeCheckBytes.toLong).toInt
-          val remoteStart = remotePrefix(remote, check)
-          val localStart = {
-            val is = Files.newInputStream(local)
-            try is.readNBytes(check) finally is.close()
-          }
-          if (java.util.Arrays.equals(remoteStart, localStart)) localLen else 0L
+          if (prefixMatches(remote, local, localLen)) localLen else 0L
         } else 0L
-      if (offset > 0L) expect(s"REST $offset", 350)
       val ds = dataSocket()
+      if (offset > 0L) expect(s"REST $offset", 350)
       val (c, t) = cmd(s"RETR $remote")
       require(c == 150, s"RETR rejected: $t")
       Option(local.getParent).foreach(Files.createDirectories(_))
@@ -232,6 +254,13 @@ object FtpSource {
       } finally { os.close(); ds.close() }
       val (cEnd, tEnd) = reply()
       require(cEnd == 226, s"RETR did not complete: $tEnd")
+      remoteLen.foreach { rl =>
+        require(moved == rl - offset,
+          s"RETR $remote moved $moved bytes, expected ${rl - offset} " +
+            s"(REST $offset of $rl — did the server honor REST?)")
+        require(Files.size(local) == rl,
+          s"staged $local is ${Files.size(local)} bytes, remote is $rl")
+      }
       moved
     }
 
@@ -239,23 +268,24 @@ object FtpSource {
       * remote prefix (SIZE + prefix compare, then REST) — the upload
       * half of the reference's resume discipline
       * (`ftpmodel.py:686-720`). Returns bytes transferred.
+      *
+      * Same strict sequence as [[retrieve]]: PASV → data connect →
+      * REST → STOR, and the final remote SIZE is verified against the
+      * local length — a server that reset or ignored REST (accepting
+      * from byte 0 while the client skipped the local prefix) leaves a
+      * short file, which this check turns into a loud failure instead
+      * of a silent splice.
       */
     def store(local: Path, remote: String, resume: Boolean = true): Long = {
       val localLen = Files.size(local)
       val offset =
         if (resume) size(remote) match {
           case Some(remoteLen) if remoteLen > 0 && remoteLen <= localLen =>
-            val check = math.min(remoteLen, ResumeCheckBytes.toLong).toInt
-            val remoteStart = remotePrefix(remote, check)
-            val localStart = {
-              val is = Files.newInputStream(local)
-              try is.readNBytes(check) finally is.close()
-            }
-            if (java.util.Arrays.equals(remoteStart, localStart)) remoteLen else 0L
+            if (prefixMatches(remote, local, remoteLen)) remoteLen else 0L
           case _ => 0L
         } else 0L
-      if (offset > 0L) expect(s"REST $offset", 350)
       val ds = dataSocket()
+      if (offset > 0L) expect(s"REST $offset", 350)
       val (c, t) = cmd(s"STOR $remote")
       require(c == 150, s"STOR rejected: $t")
       var moved = 0L
@@ -272,6 +302,11 @@ object FtpSource {
       } finally ds.close()
       val (cEnd, tEnd) = reply()
       require(cEnd == 226, s"STOR did not complete: $tEnd")
+      size(remote).foreach { rl =>
+        require(rl == localLen,
+          s"STOR $remote left $rl bytes, expected $localLen " +
+            s"(REST $offset — did the server honor REST?)")
+      }
       moved
     }
 
@@ -281,13 +316,26 @@ object FtpSource {
     }
   }
 
+  /** True iff the staged copy can be trusted without a transfer:
+    * exists, same size, AND the [[ResumeCheckBytes]] prefix still
+    * matches — size alone would silently serve a stale copy of a
+    * remote file replaced in place with identical length, the one
+    * case the resume path verified but the skip path used not to.
+    */
+  private def stagedIsCurrent(client: FtpClient, remote: String,
+      local: Path, remoteSize: Long): Boolean =
+    Files.exists(local) && Files.size(local) == remoteSize &&
+      client.prefixMatches(remote, local, remoteSize)
+
   /** Stage every regular file under `remoteDir` whose name matches
     * `pattern` into `stagingDir`, resuming partial downloads, and
     * return the local paths (name-sorted, deterministic). The
     * re-entry contract mirrors the incremental file-watch source:
-    * files already staged WITH matching size are skipped, partials
-    * resume — so a crashed ingest run is re-runnable at file cost,
-    * not corpus cost.
+    * files already staged with matching size AND matching
+    * [[ResumeCheckBytes]] prefix are skipped, partials resume — so a
+    * crashed ingest run is re-runnable at file cost, not corpus cost,
+    * and an in-place same-size remote replacement is re-fetched
+    * instead of silently served stale.
     */
   def stageFiles(cfg: FtpConfig, remoteDir: String, pattern: String,
       stagingDir: String): Seq[String] = {
@@ -301,11 +349,53 @@ object FtpSource {
       Files.createDirectories(Paths.get(stagingDir))
       wanted.map { e =>
         val local = Paths.get(stagingDir, e.name)
-        if (!(Files.exists(local) && Files.size(local) == e.size))
+        if (!stagedIsCurrent(client, s"$base/${e.name}", local, e.size))
           client.retrieve(s"$base/${e.name}", local)
         local.toString
       }
     } finally client.close()
+  }
+
+  /** Per-executor staging fan-out — the distributed form the scaladoc
+    * used to only sketch: partition the remote file list across the
+    * cluster; every partition opens ONE [[FtpClient]] (its own control
+    * + data connections, no shared state) and stages its slice into
+    * `stagingDir` — which on a real cluster is a shared-filesystem
+    * path — with the same skip/resume/verify contract as
+    * [[stageFiles]]. A task retry or a re-run after an executor loss
+    * re-enters per FILE: finished files skip on size+prefix, torn
+    * files prefix-verify and REST-resume from their length. Returns
+    * one row per file: (remote, local, bytes moved THIS run).
+    *
+    * Parallelism is `slices` FTP connections (default
+    * `defaultParallelism`, capped by the file count) — the knob a real
+    * deployment sets to whatever the far server tolerates.
+    */
+  def stageAll(spark: SparkSession, cfg: FtpConfig, remoteFiles: Seq[String],
+      stagingDir: String, slices: Int = 0): Seq[(String, String, Long)] = {
+    if (remoteFiles.isEmpty) return Nil
+    Files.createDirectories(Paths.get(stagingDir))
+    val n = math.min(
+      if (slices > 0) slices else spark.sparkContext.defaultParallelism,
+      remoteFiles.length)
+    spark.sparkContext.parallelize(remoteFiles.sorted, n)
+      .mapPartitions { it =>
+        val files = it.toVector
+        if (files.isEmpty) Iterator.empty
+        else {
+          val client = new FtpClient(cfg)
+          try files.iterator.map { remote =>
+            val name = remote.substring(remote.lastIndexOf('/') + 1)
+            val local = Paths.get(stagingDir, name)
+            val current = client.size(remote)
+              .exists(sz => stagedIsCurrent(client, remote, local, sz))
+            val moved = if (current) 0L else client.retrieve(remote, local)
+            (remote, local.toString, moved)
+          }.toVector.iterator
+          finally client.close()
+        }
+      }
+      .collect().toSeq.sortBy(_._1)
   }
 
   /** Remote CSV directory → DataFrame through the staged files and
@@ -346,8 +436,24 @@ object FtpSource {
       .sortBy(_.getName)
     val client = new FtpClient(cfg)
     try {
-      if (client.size(remoteDir).isEmpty)
-        try client.mkdir(remoteDir) catch { case _: Throwable => }
+      // Directory probe via CWD (restoring cwd), not SIZE: RFC 3659
+      // defines SIZE for files only — most servers answer 550 for a
+      // directory whether or not it exists, which made MKD
+      // unconditional with every error blanket-swallowed. Now only a
+      // lost already-exists race is swallowed; real MKD failures
+      // (permissions, missing parent) surface here, not as an opaque
+      // later STOR error.
+      val home = client.pwd()
+      val dirExists =
+        try { client.cwd(remoteDir); client.cwd(home); true }
+        catch { case _: Throwable => false }
+      if (!dirExists)
+        try client.mkdir(remoteDir)
+        catch {
+          case e: Throwable
+              if e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("exist") => ()
+        }
       parts.zipWithIndex.map { case (f, i) =>
         val name = f"part-$i%05d.csv"
         client.store(f.toPath, s"$remoteDir/$name")

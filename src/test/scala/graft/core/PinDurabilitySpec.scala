@@ -1,0 +1,65 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.operators.TrainingPipeline
+import org.apache.spark.sql.DataFrame
+
+/** Round-9 durability contract (VERDICT r8 task 1): the global-
+  * numbering / model pins must survive loss of every executor-held
+  * block. `localCheckpoint` could not (truncated lineage + unreplicated
+  * blocks ⇒ unrecoverable); [[Pin.shared]] writes a parquet artifact,
+  * so killing ALL cached/checkpointed state and re-deriving must give
+  * byte-identical output — proven here by doing exactly that.
+  */
+class PinDurabilitySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectRows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  /** Simulate cluster-wide loss of every executor-held block: drop all
+    * cached Datasets AND every persistent RDD (which is where
+    * localCheckpoint blocks live — with the old pinning this nuked the
+    * lineage irrecoverably).
+    */
+  private def killAllExecutorState(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("q144/q145 pins are durable artifacts: no executor-pinned lineage, byte-identical re-derive after total block loss") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val first = collectRows(TrainingPipeline.epochShuffle(spark, dir))
+    assert(first.nonEmpty)
+    // the numbering's pin lives on disk, not in executor memory: its
+    // evaluation registered no new persistent RDDs…
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"q144 pinned executor-memory RDDs: $added")
+    // …and the artifact is on (what on a cluster is reliable) storage
+    val art = new java.io.File(s"target/graft-layout/pins/pos-q144-${Pin.tag(dir)}")
+    assert(new java.io.File(art, "_SUCCESS").exists(), s"missing pin artifact $art")
+
+    // total executor-state loss, then re-derive THROUGH the same frames
+    killAllExecutorState()
+    assert(collectRows(TrainingPipeline.epochShuffle(spark, dir)) == first)
+
+    // and a fresh derivation (new plan objects) is also byte-identical
+    assert(collectRows(TrainingPipeline.epochShuffle(spark, dir)) == first)
+
+    val inter1 = collectRows(TrainingPipeline.sourceInterleave(spark, dir))
+    killAllExecutorState()
+    assert(collectRows(TrainingPipeline.sourceInterleave(spark, dir)) == inter1)
+  }
+
+  test("Pin.shared memoizes per (session, name): second call reuses the artifact without rewriting") {
+    import spark.implicits._
+    val name = s"spec-pin-${Pin.tag(dir)}"
+    val a = Pin.shared(spark, name)(Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val path = new java.io.File(s"target/graft-layout/pins/$name")
+    val stamps = path.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    val b = Pin.shared(spark, name)(sys.error("must not re-evaluate the input plan"))
+    assert(a eq b)
+    assert(path.listFiles().map(f => (f.getName, f.lastModified())).toSet == stamps)
+    assert(collectRows(b).sorted == Seq("[1,x]", "[2,y]"))
+  }
+}

@@ -68,6 +68,13 @@ final class FtpMiniServer(root: Path, user: String = "graft",
         val (verb, arg) =
           if (sp < 0) (line.toUpperCase, "")
           else (line.substring(0, sp).toUpperCase, line.substring(sp + 1))
+        // Strict RFC 959/3659 restart semantics: REST applies only to
+        // the IMMEDIATELY following transfer command — any other
+        // intervening command (PASV included) resets the marker. This
+        // models the real servers the ADVICE flagged, so a client that
+        // sent REST before PASV would stream from byte 0 here and trip
+        // its own byte-count verification.
+        if (verb != "REST" && verb != "RETR" && verb != "STOR") restOffset = 0L
         try verb match {
           case "USER" => pendingUser = arg; send("331 password required")
           case "PASS" =>

@@ -146,6 +146,69 @@ class FtpSourceSpec extends SparkSpec {
     }
   }
 
+  test("stageFiles re-fetches a same-size in-place replacement (prefix check on the skip path)") {
+    withServer { (_, cfg, root) =>
+      val v1 = noiseBytes(96 * 1024, seed = 5)
+      Files.write(root.resolve("data.bin"), v1)
+      val staging = tmpDir("ftp-stale")
+      assert(FtpSource.stageFiles(cfg, "/", ".*\\.bin", staging).length == 1)
+      val local = Paths.get(staging, "data.bin")
+      assert(java.util.Arrays.equals(Files.readAllBytes(local), v1))
+
+      // replace the REMOTE file in place with different, same-length
+      // content: a size-only skip would silently serve v1
+      val v2 = noiseBytes(96 * 1024, seed = 6)
+      Files.write(root.resolve("data.bin"), v2)
+      FtpSource.stageFiles(cfg, "/", ".*\\.bin", staging)
+      assert(java.util.Arrays.equals(Files.readAllBytes(local), v2),
+        "stale same-size staged copy was served instead of re-fetched")
+
+      // unchanged remote: third run must skip (mtime stable)
+      val t1 = Files.getLastModifiedTime(local).toMillis
+      FtpSource.stageFiles(cfg, "/", ".*\\.bin", staging)
+      assert(Files.getLastModifiedTime(local).toMillis == t1,
+        "current staged copy was re-transferred")
+    }
+  }
+
+  test("stageAll fans out across executors; each file skips/resumes independently after a kill") {
+    withServer { (_, cfg, root) =>
+      val payloads = (0 until 6).map(i => s"f$i.bin" -> noiseBytes(200 * 1024, seed = 40 + i))
+      payloads.foreach { case (n, b) => Files.write(root.resolve(n), b) }
+      val staging = tmpDir("ftp-fan")
+      val remotes = payloads.map { case (n, _) => s"/$n" }
+
+      // first run: 3 partitions = 3 concurrent clients, everything moves
+      val r1 = FtpSource.stageAll(spark, cfg, remotes, staging, slices = 3)
+      assert(r1.map(_._1) == remotes.sorted)
+      assert(r1.forall { case (_, _, moved) => moved == 200L * 1024 })
+      payloads.foreach { case (n, b) =>
+        assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(staging, n)), b))
+      }
+
+      // simulate a mid-run kill: one file torn at half, one corrupted,
+      // the rest complete — the re-run must resume/restart/skip PER FILE
+      val torn = Paths.get(staging, "f1.bin")
+      val ch = Files.newByteChannel(torn, StandardOpenOption.WRITE)
+      try ch.truncate(100L * 1024) finally ch.close()
+      Files.write(Paths.get(staging, "f4.bin"), noiseBytes(200 * 1024, seed = 999))
+
+      val r2 = FtpSource.stageAll(spark, cfg, remotes, staging, slices = 3)
+        .map { case (remote, _, moved) => remote -> moved }.toMap
+      assert(r2("/f1.bin") == 100L * 1024, "torn file did not REST-resume from its length")
+      assert(r2("/f4.bin") == 200L * 1024, "corrupted file did not restart from zero")
+      assert(remotes.filterNot(Set("/f1.bin", "/f4.bin")).forall(r2(_) == 0L),
+        "complete files were re-transferred")
+      payloads.foreach { case (n, b) =>
+        assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(staging, n)), b))
+      }
+
+      // third pass after repair: everything current, zero bytes move
+      val r3 = FtpSource.stageAll(spark, cfg, remotes, staging, slices = 3)
+      assert(r3.forall(_._3 == 0L), s"repaired files re-transferred: $r3")
+    }
+  }
+
   test("scanNdjson stages and parses line-delimited JSON") {
     withServer { (_, cfg, root) =>
       Files.write(root.resolve("rows.ndjson"),
