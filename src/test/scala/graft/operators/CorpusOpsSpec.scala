@@ -251,14 +251,61 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("q105 ANN recall: 3 methods x every query, recall in [0,1], n_hits <= 3") {
+  test("q105 ANN recall: 4 methods x every query, recall in [0,1], n_hits <= 3") {
     val out = CorpusOps.annRecall(spark, dir).cache()
-    assert(out.count() == 30)
-    assert(out.select($"method").distinct().count() == 3)
+    assert(out.count() == 40)
+    assert(out.select($"method").distinct().count() == 4)
     assert(out.filter($"recall" < 0 || $"recall" > 1).isEmpty)
     assert(out.filter($"n_hits" > 3 || $"n_hits" < 0).isEmpty)
     // recall is rounded to 6 decimals, so 1/3*3 reconstructs to ±2e-6
     assert(out.filter(abs($"recall" * 3 - $"n_hits") > 2e-6).isEmpty)
+    // the point of the two-stage composition: pruning 32 candidates and
+    // re-ranking them exactly must not be WORSE than the plain PQ top-3
+    val mean = out.groupBy($"method").agg(avg($"recall").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(mean("two_stage") >= mean("pq"),
+      s"two-stage recall ${mean("two_stage")} below plain PQ ${mean("pq")}")
+    out.unpersist()
+  }
+
+  test("q147 two-stage ANN: 3 per query, int8 cosine exact vs full recompute, descending per query") {
+    val out = CorpusOps.annTwoStage(spark, dir).cache()
+    val queries = out.select($"q_id").distinct().count()
+    assert(out.count() == queries * 3)
+    assert(out.filter($"rank" < 1 || $"rank" > 3).isEmpty)
+    // re-rank scores are EXACT int8 cosines: recompute from raw
+    // embeddings for every returned pair and compare bit-for-bit (at
+    // 6-decimal display rounding)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", expr(
+        """transform(embedding, x -> cast(floor(cast(x as double) *
+          |(127.0D / array_max(transform(embedding, y -> abs(cast(y as double))))) + 0.5D) as bigint))""".stripMargin)
+        .as("qv"))
+    def idot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, t) -> acc + t)")
+    val re = out
+      .join(e.select($"vec_id".as("q_id"), $"qv"), "q_id")
+      .join(e.select($"vec_id".as("c_id"), $"qv".as("cv")), "c_id")
+      .withColumn("icos2", round(idot("qv", "cv").cast("double") /
+        (sqrt(idot("qv", "qv").cast("double")) * sqrt(idot("cv", "cv").cast("double"))), 6))
+    assert(re.filter($"int8_cosine" =!= $"icos2").isEmpty,
+      "two-stage scores diverge from the exact int8 recompute")
+    // ranks follow cosine descending (ties broken by c_id ascending)
+    val rows = out.select($"q_id", $"rank", $"int8_cosine", $"c_id")
+      .as[(Long, Long, Double, Long)].collect().groupBy(_._1)
+    rows.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._4 < b._4))
+        case _ =>
+      }
+    }
+    // plan shape: candidate list broadcasts into the re-rank join; the
+    // pairing never goes corpus × corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q147 plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in q147 re-rank:\n$plan")
     out.unpersist()
   }
 
