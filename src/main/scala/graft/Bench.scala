@@ -84,13 +84,12 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // optional comma-separated name-prefix filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
-    // Fenced non-production demos are correct (they stay in Verify /
-    // CORRECTNESS) but deliberately carry a scale-killer plan — q20's
-    // uncapped Σdf² posting-list expansion exists to demonstrate why the
-    // df-cap lever exists, and at sf1+ it would dominate the whole run.
-    // The default bench therefore skips them and says so in the JSON;
-    // an explicit ONLY filter still selects them for local study.
-    val fenced = Set("q20_dedup_ngram_jaccard")
+    // Fenced non-production demos: correct but deliberately carrying a
+    // scale-killer plan, skipped by default and declared in the JSON.
+    // EMPTY since round 9 — the last fenced entry (q20's uncapped Σdf²
+    // jaccard) was demoted out of the catalog entirely to a spec-only
+    // exact-semantics anchor; the mechanism stays for any future demo.
+    val fenced = Set.empty[String]
     val selected = only match {
       case None => SparkEntry.queries.filter { case (n, _) => !fenced(n) }
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }

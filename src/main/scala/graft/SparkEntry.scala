@@ -11,9 +11,9 @@ import graft.operators._
   *
   * Scale fencing: every catalog entry is designed for the 100 TB shape
   * (bounded pair expansion, banding/bucketing, broadcast small sides)
-  * with ONE deliberate exception — `q20_dedup_ngram_jaccard` is the
-  * fenced exact-semantics baseline whose uncapped Σdf² posting-list
-  * expansion demonstrates why the df-cap lever exists. Production
+  * — with no exceptions since round 9: the uncapped exact-jaccard
+  * demo that used to ship as fenced q20 is now a spec-only anchor
+  * (`TextDedup.dedupNgramJaccard`; see its scaladoc). Production
   * near-dedup is q61 (df-capped Jaccard), q21 (MinHash LSH), or q90
   * (df-capped containment).
   */

@@ -111,7 +111,11 @@ object TextDedup {
     * expansion: its cost is Σ df(shingle)², which a single stop-shingle
     * shared by k docs turns into k² pairs — a scale-killer at 100×.
     * It exists as the exact-semantics baseline that demonstrates WHY
-    * the df-cap lever matters; it is value-oracled at test SFs only.
+    * the df-cap lever matters. Since round 9 it is SPEC-ONLY (demoted
+    * from the query catalog — it was the catalog's one standing
+    * `weak`): the q21/q97 specs pin their outputs as
+    * containment-with-identical-jaccard against this exact
+    * computation, which is the regression value it always carried.
     * Production dedup is [[dedupNgramJaccardCapped]] (q61, df-capped,
     * cost bounded by DfCap² per shingle) or [[dedupMinHashLsh]] (q21,
     * banded LSH). A user reaching for dedup should land on those.
@@ -127,11 +131,6 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
-
-  private def oracleNgram: String =
-    s"""WITH $jaccardPairsSql
-       |SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM jac
-       |WHERE jaccard >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin
 
   /** MinHash + LSH near-dedup, the 100 TB path:
     *  1. signature: 16 min-hashes per doc from 4 salted md5 digests
@@ -980,9 +979,13 @@ object TextDedup {
     "q78_dedup_incremental" -> (dedupIncremental _),
     "q79_simhash_pairs" -> (simhashPairs _),
     "q19_dedup_exact" -> (dedupExact _),
-    // q20 is a FENCED NON-PRODUCTION lever demo (uncapped Σdf² pair
-    // expansion — see its scaladoc); production dedup = q61 / q21
-    "q20_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    // q20 (uncapped exact jaccard) was DEMOTED from the catalog in
+    // round 9: it had been the one standing `weak` for three rounds —
+    // correct but deliberately carrying the Σdf² scale-killer plan as
+    // a lever demo, fenced out of every bench. It lives on as the
+    // spec-only exact-semantics anchor ([[dedupNgramJaccard]]; the
+    // q21/q97 containment + value-identity specs consume it), which is
+    // all it ever gated. Production dedup = q61 / q21 / q128.
     "q21_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q128_dedup_lsh_collapsed" -> (dedupLshCollapsed _),
     "q22_text_simhash" -> (textSimhash _),
@@ -998,7 +1001,6 @@ object TextDedup {
     "q78_dedup_incremental" -> oracleIncremental,
     "q79_simhash_pairs" -> oracleSimhashPairs,
     "q19_dedup_exact" -> oracleExact,
-    "q20_dedup_ngram_jaccard" -> oracleNgram,
     "q21_dedup_minhash_lsh" -> oracleMinhash,
     "q128_dedup_lsh_collapsed" -> oracleLshCollapsed,
     "q22_text_simhash" -> oracleSimhash,

@@ -23,14 +23,22 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("minhash-LSH candidates are a subset of exact-jaccard pairs at its threshold") {
+    // dedupNgramJaccard is the SPEC-ONLY exact-semantics anchor since
+    // round 9 (demoted from catalog q20): the uncapped exact jaccard
+    // every approximate method is pinned against, here and in the q97
+    // test below — containment AND value identity, the full regression
+    // the old q20 oracle row carried.
     val lsh = TextDedup.dedupMinhashLsh(spark, dir)
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(lsh.nonEmpty)
     // every LSH-verified pair has true jaccard >= 0.7 by construction
     val exact = TextDedup.dedupNgramJaccard(spark, dir)
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     // pairs at >= 0.8 should essentially all be recalled by 4x4 banding
-    assert((exact -- lsh).isEmpty, "LSH missed high-jaccard pairs")
+    assert((exact.keySet -- lsh.keySet).isEmpty, "LSH missed high-jaccard pairs")
+    // and each surviving pair carries the IDENTICAL exact jaccard
+    for ((p, j) <- lsh if exact.contains(p))
+      assert(exact(p) == j, s"LSH pair $p jaccard $j != exact ${exact(p)}")
   }
 
   test("q97 SNM pairs are a thresholded subset of exact-jaccard pairs, candidates O(n*W)") {
