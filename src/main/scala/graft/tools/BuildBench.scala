@@ -59,8 +59,39 @@ object BuildBench {
     )
     val timed = builds.map { case (name, b) => name -> time(b()) }
     val total = timed.map(_._2).sum
-    val json = timed.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }
-      .mkString("{", ",", s""","total":${f"$total%.3f"},"sf":"$dir"}""")
+
+    // A/B read phase (min-of-3): the per-JOB saving each layout buys,
+    // measured as the same logical query over the layout vs the
+    // raw/control twin — build_cost / (raw − layout) = break-even jobs
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def minOf3(body: => Unit): Double = (1 to 3).map(_ => time(body)).min
+    val (frag, comp) = StorageOps.ensureEventLayouts(spark, dir)
+    val (sorted, control) = StorageOps.ensureSortedLineitem(spark, dir)
+    def dayWindow(path: String): Unit = {
+      spark.read.parquet(path)
+        .filter($"day" >= lit("2024-01-10").cast("date") &&
+          $"day" <= lit("2024-01-20").cast("date"))
+        .groupBy($"event_type").agg(count(lit(1))).collect(): Unit
+    }
+    def shipWindow(path: String): Unit = {
+      spark.read.parquet(path)
+        .filter($"l_shipdate" >= lit("1998-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-04-01").cast("timestamp"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)), round(sum($"l_extendedprice"), 2)).collect(): Unit
+    }
+    val ab = Seq(
+      "read_join_bucketed" -> minOf3(StorageOps.bucketedJoin(spark, dir).collect(): Unit),
+      "read_join_raw" -> minOf3(StorageOps.unbucketedJoin(spark, dir).collect(): Unit),
+      "read_window_sorted" -> minOf3(shipWindow(sorted)),
+      "read_window_roundrobin" -> minOf3(shipWindow(control)),
+      "read_daywindow_compacted" -> minOf3(dayWindow(comp)),
+      "read_daywindow_fragmented" -> minOf3(dayWindow(frag)),
+    )
+    val json = (timed.map { case (n, s) => s""""$n":${f"$s%.3f"}""" } ++
+      ab.map { case (n, s) => s""""$n":${f"$s%.3f"}""" })
+      .mkString("{", ",", s""","total_build":${f"$total%.3f"},"sf":"$dir"}""")
     println(json)
     spark.stop()
   }
