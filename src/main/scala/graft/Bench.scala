@@ -60,6 +60,7 @@ object Bench {
     try {
       graft.operators.TextDedup.warmSharedCaches(spark, sfDir)
       graft.operators.CorpusOps.warmSharedModel(spark, sfDir)
+      graft.operators.CorpusOps.warmAnnArtifacts(spark, sfDir)
       graft.operators.StorageOps.warmBucketed(spark, sfDir)
       graft.operators.StorageOps.warmLayouts(spark, sfDir)
     } catch { case _: Throwable => }

@@ -32,6 +32,37 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1)._2 == 0.0) // orthogonal vectors
   }
 
+  test("Int8Cosine matches the composed aggregate/zip_with integer formula bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+      .select($"vec_id", expr(
+        """transform(embedding, x -> cast(floor(cast(x as double) *
+          |(127.0D / array_max(transform(embedding, y -> abs(cast(y as double))))) + 0.5D) as bigint))""".stripMargin)
+        .as("v"))
+    val pairs = e.toDF("id1", "v1").crossJoin(e.toDF("id2", "v2")).filter($"id1" < $"id2")
+    def idot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, t) -> acc + t)")
+    val composed = idot("v1", "v2").cast("double") /
+      (sqrt(idot("v1", "v1").cast("double")) * sqrt(idot("v2", "v2").cast("double")))
+    val diffs = pairs.select(composed.as("c"), Int8Cosine($"v1", $"v2").as("n"))
+      .filter($"c" =!= $"n").count() // bit-exact equality required
+    assert(diffs == 0)
+  }
+
+  test("SquaredDistance matches the composed aggregate/zip_with L2 formula bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pairs = e.toDF("id1", "v1").crossJoin(e.toDF("id2", "v2")).filter($"id1" < $"id2")
+    val composed =
+      expr("aggregate(zip_with(v1, v2, (x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)")
+    val diffs = pairs.select(composed.as("c"), SquaredDistance($"v1", $"v2").as("n"))
+      .filter($"c" =!= $"n").count()
+    assert(diffs == 0)
+    // hand case + codegen survival
+    val out = Seq((Array(1.0, 2.0), Array(3.0, 0.0))).toDF("a", "b")
+      .select(SquaredDistance($"a", $"b")).as[Double].head()
+    assert(out == 8.0)
+  }
+
   test("ArrayJaccard matches size(intersect)/size(union) bit-for-bit over corpus shingles") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
       .select($"doc_id", TextPrims.shingles3(split($"text", " ")).as("sh"))
