@@ -8,18 +8,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity of two float or
-  * double vectors (each side's element type independent) in
-  * ONE fused pass (dot + both norms in the same loop), with full
-  * `doGenCode` so it stays inside whole-stage codegen — no
-  * HigherOrderFunction lambda interpretation, no per-element boxing.
-  *
-  * Arithmetic is double-accumulated in array order — bit-identical to
-  * the composed `zip_with/aggregate` formulation in
-  * [[graft.operators.TextPrims]] and to the DuckDB oracle rendering, so
-  * swapping it into an oracle-gated query cannot change results.
+/** Native Catalyst expression: dot product of two float/double vectors
+  * (each side's element type independent), double-accumulated in array
+  * order — the codegen'd replacement for
+  * `aggregate(zip_with(a,b,(x,y)->cast(x as double)*y),0D,+)` in the
+  * LSH hyperplane-signature and IVF coarse-assign paths, where the
+  * higher-order form pays per-element boxed lambda evaluation for
+  * every (vector × plane/centroid) pair of a corpus scan. Value
+  * contract: identical operation order (cast, multiply, left-fold
+  * add), so swapping it under the oracle-gated q23/q30/q62 cannot
+  * change results.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -28,10 +28,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
         TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
-          s"graft_cosine requires (array<float|double>, array<float|double>), got ($l, $r)")
+          s"graft_dot requires (array<float|double>, array<float|double>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "graft_cosine"
+  override def prettyName: String = "graft_dot"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -43,15 +43,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var dot = 0.0
     var i = 0
     while (i < n) {
       val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
-      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      dot += xi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -59,23 +59,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
       val getX =
         if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY =
         if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $getX;
-         |  double $yi = $getY;
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  $dot += ($getX) * ($getY);
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -83,8 +77,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object CosineSimilarity {
-  /** Column-API entry point: `cosine(colA, colB)`. */
+object DotProduct {
+  /** Column-API entry point: `dot(colA, colB)`. */
   def apply(a: Column, b: Column): Column =
-    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

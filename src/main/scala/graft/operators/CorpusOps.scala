@@ -325,7 +325,9 @@ object CorpusOps {
     val b = assigned.select($"vec_id".as("b_id"), $"cid", $"v".as("vb"))
     val dups = a.join(b, Seq("cid"))
       .filter($"b_id" < $"a_id")
-      .withColumn("cos", cosineD("va", "vb"))
+      // native fused cosine (double-array capable since round 9) — the
+      // 47M-pair-at-sf10 hot loop; bit-equal to the composed cosineD
+      .withColumn("cos", graft.functions.CosineSimilarity($"va", $"vb"))
       .filter($"cos" >= SemDedupTau)
       .groupBy($"a_id")
       .agg(min(struct($"b_id", $"cos")).as("m"))

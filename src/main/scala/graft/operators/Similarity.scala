@@ -91,8 +91,10 @@ object Similarity {
   private def bucketCol(embCol: String): Column = {
     val bits = (0 until Planes).map { j =>
       val plane = hyperplanes(j).mkString("array(", "D, ", "D)")
-      val dot = s"aggregate(zip_with($embCol, $plane, (x, v) -> cast(x as double) * v), 0D, (a, v) -> a + v)"
-      expr(s"CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END")
+      // codegen'd DotProduct, not the boxed HOF form — same cast/
+      // multiply/accumulate order (see the expression's scaladoc)
+      val dot = graft.functions.DotProduct(col(embCol), expr(plane))
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -859,7 +859,8 @@ object StreamingJobs {
         val tau = CorpusOps.semDedupTauShared
         val dups = a.join(state.unionByName(inBatch), Seq("cid"))
           .filter(col("b_id") < col("a_id"))
-          .withColumn("cos", TextPrims.cosineD("va", "vb"))
+          // same native fused cosine as the batch twin (stream ≡ batch)
+          .withColumn("cos", graft.functions.CosineSimilarity(col("va"), col("vb")))
           .filter(col("cos") >= tau)
           .groupBy(col("a_id"))
           .agg(min(struct(col("b_id"), col("cos"))).as("m"))

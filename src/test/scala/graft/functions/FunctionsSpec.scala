@@ -32,6 +32,28 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1)._2 == 0.0) // orthogonal vectors
   }
 
+  test("CosineSimilarity over DOUBLE arrays matches composed cosineD bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pairs = e.toDF("id1", "v1").crossJoin(e.toDF("id2", "v2")).filter($"id1" < $"id2")
+    val diffs = pairs
+      .select(TextPrims.cosineD("v1", "v2").as("c"), CosineSimilarity($"v1", $"v2").as("n"))
+      .filter($"c" =!= $"n").count()
+    assert(diffs == 0)
+  }
+
+  test("DotProduct matches the composed zip_with/aggregate dot (mixed float x double) bit-for-bit") {
+    val plane = (1 to 64).map(i => ((i * 37) % 2001 - 1000).toDouble)
+      .mkString("array(", "D, ", "D)")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val composed = expr(
+      s"aggregate(zip_with(embedding, $plane, (x, v) -> cast(x as double) * v), 0D, (a, v) -> a + v)")
+    val diffs = e
+      .select(composed.as("c"), DotProduct($"embedding", expr(plane)).as("n"))
+      .filter($"c" =!= $"n").count()
+    assert(diffs == 0)
+  }
+
   test("Int8Cosine matches the composed aggregate/zip_with integer formula bit-for-bit") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
       .select($"vec_id", expr(
