@@ -31,6 +31,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"graft_cosine requires (array<float|double>, array<float|double>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  // always nullable: the null semantics above can produce NULL even
+  // from non-nullable children (length mismatch / null elements), and
+  // a non-nullable contract would let codegen constant-fold ev.isNull
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -42,10 +46,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // HOF-parity null semantics (see DotProduct): mismatch/null -> NULL
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -68,12 +75,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getY =
         if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $getX;
-         |  double $yi = $getY;
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else {
+         |    double $xi = $getX;
+         |    double $yi = $getY;
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin

@@ -37,15 +37,22 @@ case class Int8Cosine(left: Expression, right: Expression)
           s"graft_int8_cosine requires (array<bigint>, array<bigint>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  // always nullable: the null semantics above can produce NULL even
+  // from non-nullable children (length mismatch / null elements), and
+  // a non-nullable contract would let codegen constant-fold ev.isNull
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_int8_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // HOF-parity null semantics (see DotProduct): mismatch/null -> NULL
+    if (n != y.numElements()) return null
     var dot = 0L; var nx = 0L; var ny = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getLong(i)
       val yi = y.getLong(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -64,12 +71,16 @@ case class Int8Cosine(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |long $dot = 0L; long $nx = 0L; long $ny = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $xi = $a.getLong($i);
-         |  long $yi = $b.getLong($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else {
+         |    long $xi = $a.getLong($i);
+         |    long $yi = $b.getLong($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
          |}
          |${ev.value} = (double) $dot /
          |  (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));

@@ -34,15 +34,22 @@ case class SquaredDistance(left: Expression, right: Expression)
           s"graft_sqdist requires (array<double>, array<double>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  // always nullable: the null semantics above can produce NULL even
+  // from non-nullable children (length mismatch / null elements), and
+  // a non-nullable contract would let codegen constant-fold ev.isNull
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_sqdist"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // HOF-parity null semantics (see DotProduct): mismatch/null -> NULL
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       acc += d * d
       i += 1
@@ -57,11 +64,15 @@ case class SquaredDistance(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $acc += $d * $d;
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -459,7 +459,6 @@ object CorpusOps {
     import spark.implicits._
     def quantize(side: DataFrame): DataFrame = side.select(
       $"vec_id",
-      $"embedding".as("e"),
       expr(s"""transform(embedding, x ->
           cast(floor(cast(x as double) *
             (127.0D / array_max(transform(embedding, y -> abs(cast(y as double))))) + 0.5D) as bigint))""")
@@ -471,13 +470,16 @@ object CorpusOps {
     // session-shared artifact: quantization is a higher-order-function
     // expression (CodegenFallback — per-element boxed lambdas, ~36 s
     // for one corpus pass at sf10), a price that belongs at write
-    // time, not in every q89/q147 scan. The query side is NumQueries
-    // rows — computed inline.
+    // time, not in every q89/q147 scan. The artifact holds ONLY
+    // (vec_id, codes) — storing the raw floats alongside would make
+    // the "4× smaller" store larger than its source; q89's exact-
+    // cosine audit joins raw embeddings back for just its k output
+    // rows. The query side is NumQueries rows — computed inline.
     val side =
       if (isQuery) quantize(e.filter($"vec_id" < NumQueries))
       else graft.core.Pin.shared(spark, s"int8-store-${graft.core.Pin.tag(dir)}")(
         quantize(e.filter($"vec_id" >= NumQueries)))
-    side.select($"vec_id".as(idCol), $"e".as(s"${prefix}e"), $"v".as(s"${prefix}v"))
+    side.select($"vec_id".as(idCol), $"v".as(s"${prefix}v"))
   }
 
   /** Int8 cosine of the quantized pair columns (scales cancel) — the
@@ -494,10 +496,18 @@ object CorpusOps {
     val c = int8Quantized(spark, dir, "c_id", "c", isQuery = false)
     val scored = c.crossJoin(broadcast(q))
       .withColumn("icos", int8Cos("qv", "cv"))
-      .withColumn("ecos", graft.functions.CosineSimilarity($"qe", $"ce"))
     val w = Window.partitionBy($"q_id").orderBy($"icos".desc, $"c_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= QuantTopK)
+    // exact-cosine audit joined back for the k OUTPUT rows only —
+    // ranking never looks at it, so computing it per candidate pair
+    // was pure waste (and it is why the quantized store can hold
+    // codes only); the k-row side broadcasts into the raw-vector scan
+    val emb = Tables.load(spark, dir, "embeddings")
+    ranked
+      .join(emb.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
+      .join(emb.select($"vec_id".as("c_id"), $"embedding".as("ce")), "c_id")
+      .withColumn("ecos", graft.functions.CosineSimilarity($"qe", $"ce"))
       .select($"q_id", $"c_id", round($"icos", 6).as("int8_cosine"),
         round($"ecos", 6).as("exact_cosine"), $"rank")
       .orderBy($"q_id", $"rank")
@@ -856,7 +866,6 @@ object CorpusOps {
 
   private val Dim = 64
   private val PqM = 4 // subspaces (64 dims → 4 × 16)
-  private val PqSub = 16
   private val PqK = 4 // codebook size per subspace
   private val PqIters = 2
 
@@ -899,9 +908,15 @@ object CorpusOps {
     // without it the prune provably drops cosine winners whose raw
     // norms differ (measured at sf0.01). q101 keeps the raw-L2 fit.
     val ev =
-      if (normalized) raw.select($"vec_id",
-        expr("transform(v0, x -> x / sqrt(aggregate(v0, 0D, (a, y) -> a + y * y)))").as("v"))
-      else raw.select($"vec_id", $"v0".as("v"))
+      if (normalized) {
+        // the norm is the codegen'd DotProduct(v0, v0) (same
+        // accumulation order as the aggregate form and the oracle's
+        // list_sum rendering) — an aggregate(...) INSIDE the transform
+        // lambda would be re-evaluated per element, O(d²) per vector
+        // in a boxed HOF
+        val nrm = sqrt(graft.functions.DotProduct($"v0", $"v0"))
+        raw.select($"vec_id", transform($"v0", x => x / nrm).as("v"))
+      } else raw.select($"vec_id", $"v0".as("v"))
     val pinSuffix =
       (if (normalized) "norm-" else "") +
         (if (pqM != PqM || pqK != PqK) s"m$pqM-k$pqK-" else "")

@@ -262,9 +262,15 @@ object PipelineOps {
       .withColumn("cum_in", sum($"tokens").over(w))
     // callers that name the pin get the durable artifact; the empty
     // default keeps ad-hoc/library use working (localCheckpoint is
-    // still a correct pin on a healthy cluster, just not loss-durable)
+    // still a correct pin on a healthy cluster, just not loss-durable).
+    // The effective name carries every parameter the staged rows
+    // depend on (budget is in cum thresholds via pack_id downstream —
+    // but strata shape the partitioning itself), so two calls with
+    // different strata can never alias one artifact.
     val local =
-      if (pin.nonEmpty) graft.core.Pin.shared(df.sparkSession, pin)(staged)
+      if (pin.nonEmpty)
+        graft.core.Pin.shared(df.sparkSession,
+          s"$pin-${if (strata.isEmpty) "flat" else strata.mkString("_")}")(staged)
       else staged.localCheckpoint()
     val totals = local.groupBy((col("pid") +: stratCols): _*)
       .agg(max($"cum_in").as("psum"))

@@ -278,7 +278,7 @@ object SketchOps {
     */
   def ensureBaseRollup(spark: SparkSession, dir: String): String =
     synchronized {
-      val t = java.lang.Integer.toHexString(dir.hashCode)
+      val t = graft.core.Pin.tag(dir)
       // _d6 suffix: artifact format versioning — the round-9 decimal
       // sum changed the stored schema, and a stale double-summed base
       // from an earlier build must not satisfy the _SUCCESS check

@@ -45,8 +45,7 @@ object StorageOps {
 
   private val built = scala.collection.mutable.Set.empty[String]
 
-  private def tag(dir: String): String =
-    java.lang.Integer.toHexString(dir.hashCode)
+  private def tag(dir: String): String = graft.core.Pin.tag(dir)
 
   /** Table names of the bucketed (lineitem, orders) copies for `dir`,
     * building them on first use in this JVM. Synchronized: concurrent

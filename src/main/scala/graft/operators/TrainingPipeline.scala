@@ -252,7 +252,7 @@ object TrainingPipeline {
     import spark.implicits._
     withGlobalPos(
       Tables.load(spark, dir, "documents").select($"doc_id", $"source"),
-      s"pos-q144-${graft.core.Pin.tag(dir)}",
+      s"pos-q144-s$EpochSeed-${graft.core.Pin.tag(dir)}",
       Seq(shuffleKey($"doc_id", EpochSeed), $"doc_id"), "shuffle_pos")
       .select($"doc_id", $"source", $"shuffle_pos")
       .orderBy($"shuffle_pos")
@@ -284,7 +284,7 @@ object TrainingPipeline {
     val ranked = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source")
       .withColumn("source_rank", row_number().over(perSource).cast("long"))
-    withGlobalPos(ranked, s"pos-q145-${graft.core.Pin.tag(dir)}",
+    withGlobalPos(ranked, s"pos-q145-s$EpochSeed-${graft.core.Pin.tag(dir)}",
       Seq($"source_rank", $"source"), "global_pos")
       .select($"doc_id", $"source", $"source_rank", $"global_pos")
       .orderBy($"global_pos")

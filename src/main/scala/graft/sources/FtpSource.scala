@@ -232,7 +232,14 @@ object FtpSource {
       val offset =
         if (resume && Files.exists(local) && Files.size(local) > 0L) {
           val localLen = Files.size(local)
-          if (prefixMatches(remote, local, localLen)) localLen else 0L
+          // clamp to the remote size (store() has the symmetric guard):
+          // a remote file REPLACED by a shorter one whose prefix still
+          // matches the local bytes must restart from zero — a REST
+          // past EOF would otherwise make every re-run fail its
+          // byte-count check until someone deleted the local file
+          if (remoteLen.exists(_ < localLen)) 0L
+          else if (prefixMatches(remote, local, localLen)) localLen
+          else 0L
         } else 0L
       val ds = dataSocket()
       if (offset > 0L) expect(s"REST $offset", 350)
@@ -385,8 +392,11 @@ object FtpSource {
         else {
           val client = new FtpClient(cfg)
           try files.iterator.map { remote =>
-            val name = remote.substring(remote.lastIndexOf('/') + 1)
-            val local = Paths.get(stagingDir, name)
+            // local path mirrors the FULL remote path, not the
+            // basename: /2024/data.bin and /2025/data.bin must never
+            // collide on one local file (with slices > 1 they could
+            // even be written concurrently by different executors)
+            val local = Paths.get(stagingDir, remote.stripPrefix("/"))
             val current = client.size(remote)
               .exists(sz => stagedIsCurrent(client, remote, local, sz))
             val moved = if (current) 0L else client.retrieve(remote, local)

@@ -32,7 +32,7 @@ object BuildBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val t = java.lang.Integer.toHexString(dir.hashCode)
+    val t = graft.core.Pin.tag(dir)
     val layoutRoot = new java.io.File(s"target/graft-layout/$t")
     if (layoutRoot.exists()) deleteRec(layoutRoot)
     Seq(s"graft_bkt_lineitem_$t", s"graft_bkt_orders_$t")

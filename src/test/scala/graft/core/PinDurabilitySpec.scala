@@ -35,8 +35,10 @@ class PinDurabilitySpec extends SparkSpec {
     // evaluation registered no new persistent RDDs…
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.isEmpty, s"q144 pinned executor-memory RDDs: $added")
-    // …and the artifact is on (what on a cluster is reliable) storage
-    val art = new java.io.File(s"target/graft-layout/pins/pos-q144-${Pin.tag(dir)}")
+    // …and the artifact is on (what on a cluster is reliable) storage,
+    // in this session's own directory (seed is part of the name: a new
+    // epoch must never alias a prior epoch's pinned partitioning)
+    val art = Pin.pathOf(spark, s"pos-q144-s42-${Pin.tag(dir)}")
     assert(new java.io.File(art, "_SUCCESS").exists(), s"missing pin artifact $art")
 
     // total executor-state loss, then re-derive THROUGH the same frames
@@ -55,7 +57,7 @@ class PinDurabilitySpec extends SparkSpec {
     import spark.implicits._
     val name = s"spec-pin-${Pin.tag(dir)}"
     val a = Pin.shared(spark, name)(Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
-    val path = new java.io.File(s"target/graft-layout/pins/$name")
+    val path = Pin.pathOf(spark, name)
     val stamps = path.listFiles().map(f => (f.getName, f.lastModified())).toSet
     val b = Pin.shared(spark, name)(sys.error("must not re-evaluate the input plan"))
     assert(a eq b)

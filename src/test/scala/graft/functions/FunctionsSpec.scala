@@ -85,6 +85,34 @@ class FunctionsSpec extends SparkSpec {
     assert(out == 8.0)
   }
 
+  test("native vector expressions propagate NULL on length mismatch and null elements (HOF parity)") {
+    // the composed zip_with/aggregate forms NULL out on ragged or
+    // null-element input; the native replacements must do the same,
+    // never a silently truncated sum
+    val df = Seq(
+      ("ragged", Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      ("nullelem", Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      ("ok", Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+    ).toDF("k", "a", "b")
+    val out = df.select($"k",
+      DotProduct($"a", $"b").as("dot"),
+      SquaredDistance($"a", $"b").as("sq"),
+      CosineSimilarity($"a", $"b").as("cos"))
+      .collect().map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out("ragged") == ((true, true, true)))
+    assert(out("nullelem") == ((true, true, true)))
+    assert(out("ok") == ((false, false, false)))
+
+    val li = Seq(
+      ("ragged", Seq[java.lang.Long](1L), Seq[java.lang.Long](1L, 2L)),
+      ("nullelem", Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)),
+      ("ok", Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),
+    ).toDF("k", "a", "b")
+    val outI = li.select($"k", Int8Cosine($"a", $"b").as("ic"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(outI("ragged") && outI("nullelem") && !outI("ok"))
+  }
+
   test("ArrayJaccard matches size(intersect)/size(union) bit-for-bit over corpus shingles") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
       .select($"doc_id", TextPrims.shingles3(split($"text", " ")).as("sh"))

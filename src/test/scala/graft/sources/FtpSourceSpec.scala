@@ -168,6 +168,34 @@ class FtpSourceSpec extends SparkSpec {
       FtpSource.stageFiles(cfg, "/", ".*\\.bin", staging)
       assert(Files.getLastModifiedTime(local).toMillis == t1,
         "current staged copy was re-transferred")
+
+      // remote replaced by a SHORTER file with a matching prefix: the
+      // resume offset must clamp to the remote size and restart from
+      // zero (a REST past EOF would fail every re-run)
+      val v3 = java.util.Arrays.copyOf(v2, 32 * 1024)
+      Files.write(root.resolve("data.bin"), v3)
+      FtpSource.stageFiles(cfg, "/", ".*\\.bin", staging)
+      assert(java.util.Arrays.equals(Files.readAllBytes(local), v3),
+        "shrunken remote was not re-staged from zero")
+    }
+  }
+
+  test("stageAll: same-named files in different remote dirs stage to distinct local paths") {
+    withServer { (_, cfg, root) =>
+      Files.createDirectories(root.resolve("y2024"))
+      Files.createDirectories(root.resolve("y2025"))
+      val a = noiseBytes(64 * 1024, seed = 71)
+      val b = noiseBytes(64 * 1024, seed = 72)
+      Files.write(root.resolve("y2024/data.bin"), a)
+      Files.write(root.resolve("y2025/data.bin"), b)
+      val staging = tmpDir("ftp-dirs")
+      val out = FtpSource.stageAll(spark, cfg,
+        Seq("/y2024/data.bin", "/y2025/data.bin"), staging, slices = 2)
+      assert(out.map(_._2).distinct.length == 2, s"local paths collided: $out")
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(staging, "y2024", "data.bin")), a))
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(staging, "y2025", "data.bin")), b))
     }
   }
 
