@@ -956,6 +956,51 @@ object TextDedup {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------- q148 duplication-aware weights
+
+  /** Duplication-aware training weights (q148): keep EVERY copy of a
+    * near-duplicated document but weight each by 1/cluster_size, so a
+    * cluster's total contribution to the training objective equals
+    * one unique document's — the soft alternative to q70's
+    * keep-one-canonical hard dedup (the SlimPajama/FineWeb-style
+    * downweighting rule: dropping duplicates discards order/context
+    * diversity, counting them full multiplies their gradient weight
+    * by the duplication factor; 1/n is the neutral point). Rides the
+    * SAME shared df-capped pair table and connected components as
+    * q70, so in a session that ran any dedup query this is a cached
+    * join; the per-cluster size is a KEYED window over cluster_id —
+    * one shuffle, no corpus-sized sort on a single partition.
+    */
+  def dupClusterWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    dedupClusters(spark, dir)
+      .select($"doc_id", $"cluster_id")
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        round(lit(1.0) / $"cluster_size", 6).as("weight"))
+      .orderBy($"doc_id")
+  }
+
+  private def oracleDupWeights: String =
+    s"""WITH RECURSIVE $cappedDupSql,
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM dup
+       |  UNION ALL SELECT b_id, a_id FROM dup),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |cl AS (
+       |  SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+       |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+       |       FROM cl GROUP BY cluster_id)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  round(1.0 / sz.cluster_size, 6) AS weight
+       |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""".stripMargin
+
   private def oracleClusters: String =
     s"""WITH RECURSIVE $cappedDupSql,
        |edges AS (
@@ -975,6 +1020,7 @@ object TextDedup {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_dedup_jaccard_dfcap" -> (dedupNgramJaccardCapped _),
     "q70_dedup_clusters" -> (dedupClusters _),
+    "q148_dup_cluster_weights" -> (dupClusterWeights _),
     "q97_dedup_snm" -> (dedupSnm _),
     "q109_dup_triangles" -> (dupTriangles _),
     "q111_source_dup_rates" -> (sourceDupRates _),
@@ -997,6 +1043,7 @@ object TextDedup {
   val oracles: Map[String, String] = Map(
     "q61_dedup_jaccard_dfcap" -> oracleNgramCapped,
     "q70_dedup_clusters" -> oracleClusters,
+    "q148_dup_cluster_weights" -> oracleDupWeights,
     "q97_dedup_snm" -> oracleSnm,
     "q109_dup_triangles" -> oracleTriangles,
     "q111_source_dup_rates" -> oracleSourceDupRates,

@@ -41,6 +41,29 @@ class PipelineOpsSpec extends SparkSpec {
       assert(exact(p) == j, s"LSH pair $p jaccard $j != exact ${exact(p)}")
   }
 
+  test("q148 dup-cluster weights: every doc once, cluster mass = 1, singletons at full weight") {
+    val w = TextDedup.dupClusterWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(w.length == 500 && w.map(_._1).distinct.length == 500)
+    // weight is exactly 1/cluster_size (6-dp rounded)
+    w.foreach { case (_, _, n, wt) =>
+      assert(n >= 1 && math.abs(wt - BigDecimal(1.0 / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0)
+    }
+    // each cluster's total contribution ≈ one unique document
+    w.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c size disagrees")
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, s"cluster $c mass != 1")
+    }
+    // consistent with q70: same cluster labels
+    val cl = TextDedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    w.foreach { case (d, c, _, _) => assert(cl(d) == c) }
+    // clusters with real duplicates exist in the fixture, and their
+    // members are downweighted
+    assert(w.exists(r => r._3 > 1 && r._4 < 1.0))
+  }
+
   test("q97 SNM pairs are a thresholded subset of exact-jaccard pairs, candidates O(n*W)") {
     val snm = TextDedup.dedupSnm(spark, dir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
