@@ -738,12 +738,9 @@ object CorpusOps {
     */
   def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.load(spark, dir, "documents")
-      .select($"doc_id", words($"text").as("w"))
-      .filter(size($"w") >= 5) // sequence(1, n-4) runs DESCENDING below 5
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))"))
-        .as("gram"))
+    // the SAME pinned (doc_id, pos, gram) index the span family
+    // (q117-q119) reads — one ingest-time 5-gram artifact per corpus
+    val grams = SpanOps.grams(spark, dir).select($"doc_id", $"gram")
     val docsPerGram = grams.groupBy($"gram")
       .agg(countDistinct($"doc_id").as("nd"))
     grams.join(docsPerGram, "gram")

@@ -61,8 +61,15 @@ object SpanOps {
       .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("gram"))
   }
 
-  private def grams(spark: SparkSession, dir: String): DataFrame =
-    gramsOf(Tables.load(spark, dir, "documents"))
+  /** The corpus (doc_id, pos, 5-gram) index as a durable session-
+    * shared artifact — the ingest-time materialization a span-dedup
+    * deployment stores next to its documents. Before round 9 every
+    * span query re-exploded it, TWICE each (shared-gram filter + join
+    * back in q117/q118, eval set + train occurrences in q119).
+    */
+  private[operators] def grams(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Pin.shared(spark, s"grams5-${graft.core.Pin.tag(dir)}")(
+      gramsOf(Tables.load(spark, dir, "documents")))
 
   /** Maximal disjoint covered intervals from qualifying gram starts.
     * Islands via the classic gaps-and-islands trick: consecutive
