@@ -1392,13 +1392,24 @@ object CorpusOps {
     * way a doc-level pairing can, regardless of corpus size. Source
     * pairs with zero shared shingles are absent by construction.
     */
+  /** The distinct (source, 3-shingle) vocabulary index — ONE durable
+    * session-shared artifact read by q99 (exact overlap matrix, twice)
+    * and q132 (Theta sketches + exact companion, twice); each used to
+    * re-derive its own copy per consumer.
+    */
+  private[operators] def sourceShingleIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Pin.shared(spark, s"srcshingles-${graft.core.Pin.tag(dir)}")(
+      Tables.load(spark, dir, "documents")
+        .select($"source", words($"text").as("w"))
+        .filter(size($"w") >= 3)
+        .select($"source", explode(array_distinct(shingles3($"w"))).as("s"))
+        .distinct())
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val idx = Tables.load(spark, dir, "documents")
-      .select($"source", words($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"source", explode(array_distinct(shingles3($"w"))).as("s"))
-      .distinct()
+    val idx = sourceShingleIndex(spark, dir)
     val sizes = idx.groupBy($"source").agg(count(lit(1)).as("n"))
     val common = idx.groupBy($"s")
       .agg(sort_array(collect_set($"source")).as("srcs"))

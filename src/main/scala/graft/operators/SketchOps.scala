@@ -126,11 +126,9 @@ object SketchOps {
     */
   def thetaVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables.load(spark, dir, "documents")
-      .select($"source", words($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"source", explode(array_distinct(shingles3($"w"))).as("s"))
-      .distinct()
+    // the SAME pinned (source, shingle) index q99 reads — one
+    // ingest-time vocabulary artifact per corpus
+    val sh = CorpusOps.sourceShingleIndex(spark, dir)
     // one sketch + exact vocab size per source: S rows, kilobytes each
     val sks = sh.groupBy($"source")
       .agg(theta_sketch_agg($"s", lit(ThetaLgK)).as("sk"),
