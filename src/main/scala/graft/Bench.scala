@@ -167,9 +167,11 @@ object Bench {
         s""""probe":$probeJson,"host_noise":${"%.2f".format(hostNoise)},""" +
         s""""noisy_queries":$noisy,$failedJson,$skippedJson,"contaminated":$contaminated}"""
     }
-    // only persist full-catalog runs — a filtered run must not clobber
-    // the canonical local bench record
-    if (only.isEmpty)
+    // only persist full-catalog runs at the CANONICAL sf0.1 dir — a
+    // filtered run, or a full sweep over a scale fixture (sf1/sf10
+    // live in their own BENCH_SF* records), must not clobber the
+    // canonical local bench record (round 9 lost it to an sf10 sweep)
+    if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
         render(identity, "%.4f", full = true) + "\n")
       catch { case _: Throwable => }
