@@ -170,11 +170,21 @@ object Bench {
     // only persist full-catalog runs at the CANONICAL sf0.1 dir — a
     // filtered run, or a full sweep over a scale fixture (sf1/sf10
     // live in their own BENCH_SF* records), must not clobber the
-    // canonical local bench record (round 9 lost it to an sf10 sweep)
-    if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
+    // canonical local bench record (round 9 lost it to an sf10 sweep).
+    // Canonicalize before comparing (trailing slash / symlink /
+    // relative spelling must not silently stop persistence), and say
+    // on stderr when a full run is NOT persisted and why.
+    val canonicalSf = try {
+      java.nio.file.Paths.get(sfDir).toRealPath().toString
+    } catch { case _: Throwable => sfDir }
+    if (only.isEmpty && canonicalSf == "/root/testdata/sf0.1")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
         render(identity, "%.4f", full = true) + "\n")
       catch { case _: Throwable => }
+    else System.err.println(
+      s"[bench] BENCH_LOCAL.json not updated: " +
+        (if (only.nonEmpty) s"filtered run (${only.get.mkString(",")})"
+         else s"non-canonical sf dir $canonicalSf (canonical record is sf0.1 only)"))
     println(render(_.takeWhile(_ != '_'), "%.3f", full = false))
     spark.stop()
   }

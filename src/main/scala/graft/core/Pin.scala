@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Durable materialization pins — the cluster-safe replacement for
@@ -27,15 +28,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * artifact instead of re-deriving it (the `fitMemo` /
   * `warmSharedCaches` discipline).
   *
+  * Path semantics go through the Hadoop [[FileSystem]] API resolved
+  * from the session's Hadoop conf for writing, pruning and the
+  * heartbeat alike, so the relative `Root` means the SAME directory on
+  * a cluster whose default FS is HDFS/S3 as it does locally — pruning
+  * with `java.io.File` against the driver CWD would silently never see
+  * cluster-side pins (round-9 ADVICE).
+  *
+  * == Session isolation ==
   * The on-disk path carries a session-unique component alongside the
-  * caller's name: the memo is keyed by (session, name), and a second
-  * session in the same JVM (or a concurrent JVM) building the same
-  * name must NOT `mode(overwrite)` a directory another session's
-  * memoized DataFrame still lazily reads — each session gets its own
-  * artifact directory, so the one-materialization contract holds per
-  * session by construction. Stale directories from past JVMs are
-  * pruned lazily (older than [[PruneAfterMs]]) the first time a JVM
-  * pins anything; active sessions' pins are always younger than that.
+  * caller's name: a random UUID assigned to the session on its first
+  * pin. The memo is keyed by (session, name), and a second session in
+  * the same JVM (or a concurrent JVM) building the same name must NOT
+  * `mode(overwrite)` a directory another session's memoized DataFrame
+  * still lazily reads — `identityHashCode` (used before round 10) is
+  * not guaranteed distinct across live sessions, a UUID is.
+  *
+  * == Pruning and the heartbeat ==
+  * Stale directories from past JVMs are pruned lazily (untouched for
+  * longer than [[PruneAfterMs]]) the first time a JVM pins anything.
+  * "Untouched" is kept honest for jobs that RUN longer than the prune
+  * horizon: every memoized reuse re-stamps the artifact directory's
+  * mtime (rate-limited to one touch per [[BeatIntervalMs]]), so a
+  * multi-day 100 TB build's live pins always look fresh to a newly
+  * started JVM's pruner. [[PruneAfterMs]] therefore bounds the gap
+  * between CONSUMPTIONS of a pin, not total job duration.
   *
   * Derived columns that are deterministic functions of stored columns
   * (hash keys, window ranks recomputed downstream) survive the
@@ -48,26 +65,54 @@ object Pin {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Prune pin dirs untouched for this long — generously above any
-    * single run's lifetime, so concurrent JVMs never reap each other.
+  /** UUID directory component per live session, assigned on first pin. */
+  private val sessionIds =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Last heartbeat stamp per (session, name) — rate-limits the mtime
+    * touch so hot loops (Bench iterations) don't do an FS op per call.
+    */
+  private val lastBeat =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  /** Prune pin dirs untouched for this long. The heartbeat re-stamps
+    * live pins on every reuse, so this bounds idle-between-reads time,
+    * not job duration — concurrent JVMs never reap each other's live
+    * pins.
     */
   private val PruneAfterMs: Long = 24L * 3600 * 1000
 
+  /** Minimum gap between heartbeat touches of one pin dir. */
+  private val BeatIntervalMs: Long = 15L * 60 * 1000
+
   private val Root = "target/graft-layout/pins"
 
-  private lazy val pruneOnce: Unit = {
-    val root = new java.io.File(Root)
-    val cutoff = System.currentTimeMillis() - PruneAfterMs
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.lastModified() < cutoff)
-      .foreach { d =>
-        def rec(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-          f.delete(): Unit
-        }
-        rec(d)
-      }
+  /** The (FileSystem, fully-qualified root) for this session — resolved
+    * through the session's Hadoop conf so relative-path semantics match
+    * between local runs (CWD) and cluster runs (default FS).
+    */
+  private def fsRoot(spark: SparkSession): (FileSystem, Path) = {
+    val raw = new Path(Root)
+    val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(raw))
   }
+
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(
+      spark, _ => java.util.UUID.randomUUID().toString.replace("-", "").take(16))
+
+  private val pruned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def pruneStale(fs: FileSystem, root: Path): Unit =
+    if (pruned.compareAndSet(false, true)) {
+      val cutoff = System.currentTimeMillis() - PruneAfterMs
+      try {
+        if (fs.exists(root))
+          fs.listStatus(root)
+            .filter(s => s.isDirectory && s.getModificationTime < cutoff)
+            .foreach(s => fs.delete(s.getPath, true): Unit)
+      } catch { case _: java.io.IOException => }
+    }
 
   /** Corpus-dir tag for artifact names — the ONE rendering of the
     * scheme (StorageOps layouts, SketchOps rollups and the tools call
@@ -75,10 +120,37 @@ object Pin {
     */
   def tag(dir: String): String = java.lang.Integer.toHexString(dir.hashCode)
 
-  /** The artifact directory for (session, name). */
+  /** The qualified artifact directory for (session, name). */
+  private def dirOf(spark: SparkSession, name: String): Path = {
+    val (_, root) = fsRoot(spark)
+    new Path(root, s"$name-s${sessionId(spark)}")
+  }
+
+  /** Local-filesystem view of the artifact directory — spec hook; only
+    * meaningful when the session's default FS is the local one.
+    */
   private[graft] def pathOf(spark: SparkSession, name: String): java.io.File =
-    new java.io.File(
-      s"$Root/$name-s${java.lang.Integer.toHexString(System.identityHashCode(spark))}")
+    new java.io.File(dirOf(spark, name).toUri.getPath)
+
+  /** Re-stamp the pin dir's mtime so a concurrently started JVM's
+    * age-based pruner sees it as live (at most once per
+    * [[BeatIntervalMs]] per pin).
+    */
+  private def heartbeat(spark: SparkSession, name: String): Unit = {
+    val key = (spark, name)
+    val now = System.currentTimeMillis()
+    val prev = lastBeat.get(key)
+    if (prev == null || now - prev.longValue() > BeatIntervalMs) {
+      lastBeat.put(key, java.lang.Long.valueOf(now))
+      try {
+        val (fs, _) = fsRoot(spark)
+        fs.setTimes(dirOf(spark, name), now, -1)
+      } catch {
+        case _: Exception => // best-effort: a missed beat only risks an
+        // eager prune by ANOTHER jvm after 24h idle, never wrong data
+      }
+    }
+  }
 
   /** The parquet re-read of `df`, written once per (session, `name`).
     * `name` must identify the logical input AND every parameter the
@@ -86,13 +158,17 @@ object Pin {
     * input plan must be value-deterministic so that a late rebuild
     * (fresh session, same dir) produces the same rows.
     */
-  def shared(spark: SparkSession, name: String)(df: => DataFrame): DataFrame =
-    memo.computeIfAbsent((spark, name), _ => {
-      pruneOnce
-      val path = pathOf(spark, name).getPath
+  def shared(spark: SparkSession, name: String)(df: => DataFrame): DataFrame = {
+    val out = memo.computeIfAbsent((spark, name), _ => {
+      val (fs, root) = fsRoot(spark)
+      pruneStale(fs, root)
+      val path = dirOf(spark, name).toString
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     })
+    heartbeat(spark, name)
+    out
+  }
 
   /** True iff the artifact for (session, name) has been built this JVM
     * — spec hook. */

@@ -354,8 +354,12 @@ object FtpSource {
         .filter(e => !e.isDir && rx.matcher(e.name).matches())
         .sortBy(_.name)
       Files.createDirectories(Paths.get(stagingDir))
+      val stagingRoot = Paths.get(stagingDir).toAbsolutePath.normalize()
       wanted.map { e =>
-        val local = Paths.get(stagingDir, e.name)
+        // a hostile LIST name ("../x") must not escape the staging root
+        val local = stagingRoot.resolve(e.name).normalize()
+        require(local.startsWith(stagingRoot),
+          s"remote name escapes staging dir: ${e.name}")
         if (!stagedIsCurrent(client, s"$base/${e.name}", local, e.size))
           client.retrieve(s"$base/${e.name}", local)
         local.toString
@@ -395,8 +399,13 @@ object FtpSource {
             // local path mirrors the FULL remote path, not the
             // basename: /2024/data.bin and /2025/data.bin must never
             // collide on one local file (with slices > 1 they could
-            // even be written concurrently by different executors)
-            val local = Paths.get(stagingDir, remote.stripPrefix("/"))
+            // even be written concurrently by different executors).
+            // A hostile listing ("/a/../../etc/passwd") must not
+            // escape the staging root — normalize and fence.
+            val stagingRoot = Paths.get(stagingDir).toAbsolutePath.normalize()
+            val local = stagingRoot.resolve(remote.stripPrefix("/")).normalize()
+            require(local.startsWith(stagingRoot),
+              s"remote path escapes staging dir: $remote")
             val current = client.size(remote)
               .exists(sz => stagedIsCurrent(client, remote, local, sz))
             val moved = if (current) 0L else client.retrieve(remote, local)

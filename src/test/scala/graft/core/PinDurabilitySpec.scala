@@ -53,6 +53,19 @@ class PinDurabilitySpec extends SparkSpec {
     assert(collectRows(TrainingPipeline.sourceInterleave(spark, dir)) == inter1)
   }
 
+  test("sessions get distinct pin directories (UUID component, not identityHashCode)") {
+    import spark.implicits._
+    val other = spark.newSession()
+    val name = s"spec-pin-iso-${Pin.tag(dir)}"
+    // distinct directories BEFORE anything is written — isolation is
+    // structural, so one session's mode(overwrite) can never delete a
+    // directory another session's memoized frame still lazily reads
+    assert(Pin.pathOf(spark, name).getPath != Pin.pathOf(other, name).getPath)
+    val a = Pin.shared(spark, name)(Seq((1L, "a")).toDF("id", "v"))
+    val b = Pin.shared(other, name)(Seq((2L, "b")).toDF("id", "v"))
+    assert(collectRows(a) == Seq("[1,a]") && collectRows(b) == Seq("[2,b]"))
+  }
+
   test("Pin.shared memoizes per (session, name): second call reuses the artifact without rewriting") {
     import spark.implicits._
     val name = s"spec-pin-${Pin.tag(dir)}"

@@ -199,6 +199,21 @@ class FtpSourceSpec extends SparkSpec {
     }
   }
 
+  test("stageAll rejects remote paths that escape the staging root") {
+    withServer { (_, cfg, root) =>
+      Files.write(root.resolve("ok.bin"), noiseBytes(1024, seed = 5))
+      val staging = tmpDir("ftp-fence")
+      val escape = intercept[Exception] {
+        FtpSource.stageAll(spark, cfg, Seq("/a/../../../evil.bin"), staging, slices = 1)
+      }
+      val messages = Iterator.iterate[Throwable](escape)(_.getCause)
+        .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(messages.exists(_.contains("escapes staging dir")), messages.mkString(" | "))
+      // nothing outside the staging root was created by the attempt
+      assert(!Files.exists(Paths.get(staging).getParent.resolve("evil.bin")))
+    }
+  }
+
   test("stageAll fans out across executors; each file skips/resumes independently after a kill") {
     withServer { (_, cfg, root) =>
       val payloads = (0 until 6).map(i => s"f$i.bin" -> noiseBytes(200 * 1024, seed = 40 + i))
