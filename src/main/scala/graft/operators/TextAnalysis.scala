@@ -371,13 +371,22 @@ object TextAnalysis {
     * Fixed [[PrIters]] iterations; each iteration is one keyed join
     * (edge src → rank) + one aggregation (inflow per dst) + one left
     * join back to the node set — all hash-partitioned on the word, no
-    * broadcast of rank state needed at scale. Per-iteration
-    * `localCheckpoint` keeps lineage O(1). Ranks are rounded to 9
+    * broadcast of rank state needed at scale. Each iteration's rank
+    * vector is a durable [[graft.core.Pin.shared]] parquet artifact
+    * (keeps lineage O(1) AND survives executor loss — the distributed
+    * loop only engages above [[PrSmallEdgeMax]], exactly where loss is
+    * likely; a lost executor recomputes round i from round i-1's
+    * artifact instead of failing the job). `smallEdgeMax` overrides
+    * the driver threshold (tests use -1 to force the distributed
+    * loop); `onRound` is a test seam invoked before each distributed
+    * iteration. Ranks are rounded to 9
     * decimals every iteration ON BOTH ENGINES, so double-sum
     * reassociation noise (~1e-16/step) can never compound into the
     * 6-decimal compare.
     */
-  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+  def textrankKeywords(spark: SparkSession, dir: String,
+      smallEdgeMax: Long = PrSmallEdgeMax,
+      onRound: Int => Unit = _ => ()): DataFrame = {
     import spark.implicits._
     val adj = Tables.load(spark, dir, "documents")
       .select(words($"text").as("w")).filter(size($"w") >= 2)
@@ -388,6 +397,8 @@ object TextAnalysis {
     val edges = adj.union(adj.select($"dst".as("src"), $"src".as("dst")))
       .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("wt"))
     val outw = edges.groupBy($"src").agg(sum($"wt").as("ow"))
+    // localCheckpoint is fine for the DRIVER path (one collect and the
+    // blocks are done); the distributed path re-pins it durably below
     val norm = edges.join(outw, "src")
       .select($"src", $"dst", ($"wt" / $"ow").as("p")).localCheckpoint()
     // Driver-side power iteration when the WORD graph is small: vocab
@@ -401,7 +412,7 @@ object TextAnalysis {
     // bit-deterministic run to run, not merely round-absorbed. Above
     // the cap (a true web-scale vocab), the distributed loop below is
     // the shape that holds.
-    if (norm.count() <= PrSmallEdgeMax) {
+    if (norm.count() <= smallEdgeMax) {
       val es = norm.as[(String, String, Double)].collect()
       val words = es.iterator.map(_._1).toArray.distinct.sorted
       val idx = words.zipWithIndex.toMap
@@ -416,16 +427,24 @@ object TextAnalysis {
       return words.zip(r).toSeq.toDF("word", "r")
         .select($"word", round($"r", 6).as("rank")).orderBy($"word")
     }
-    val nodes = norm.select($"src".as("word")).distinct().localCheckpoint()
+    // Distributed regime: edges, nodes and every iteration's rank
+    // vector are durable pins — a lost executor recomputes from the
+    // previous iteration's parquet instead of failing the job on
+    // truncated localCheckpoint lineage (round-9 verdict).
+    val loop = s"textrank-${graft.core.Pin.tag(dir)}"
+    val normPinned = graft.core.Pin.shared(spark, s"$loop-edges")(norm)
+    val nodes = graft.core.Pin.shared(spark, s"$loop-nodes")(
+      normPinned.select($"src".as("word")).distinct())
     val n = nodes.count().toDouble
     var rank = nodes.select($"word", round(lit(1.0) / lit(n), 9).as("r"))
-    (1 to PrIters).foreach { _ =>
-      val inflow = norm.join(rank, norm("src") === rank("word"))
+    (1 to PrIters).foreach { i =>
+      onRound(i)
+      val inflow = normPinned.join(rank, normPinned("src") === rank("word"))
         .groupBy($"dst").agg(sum($"p" * $"r").as("inflow"))
-      rank = nodes.join(inflow, nodes("word") === inflow("dst"), "left")
-        .select($"word",
-          round(lit(PrTeleport) / lit(n) + lit(PrDamping) * coalesce($"inflow", lit(0.0)), 9).as("r"))
-        .localCheckpoint()
+      rank = graft.core.Pin.shared(spark, s"$loop-round$i")(
+        nodes.join(inflow, nodes("word") === inflow("dst"), "left")
+          .select($"word",
+            round(lit(PrTeleport) / lit(n) + lit(PrDamping) * coalesce($"inflow", lit(0.0)), 9).as("r")))
     }
     rank.select($"word", round($"r", 6).as("rank")).orderBy($"word")
   }
@@ -704,7 +723,7 @@ object TextAnalysis {
     "q122_heavy_hitters" -> (heavyHitters _),
     "q98_text_entropy" -> (textEntropy _),
     "q81_bigram_lm_score" -> (bigramLmScore _),
-    "q76_textrank_keywords" -> (textrankKeywords _),
+    "q76_textrank_keywords" -> ((s: SparkSession, d: String) => textrankKeywords(s, d)),
     "q71_repetition_profile" -> (repetitionProfile _),
     "q75_tfidf_top_terms" -> (tfidfTopTerms _),
     "q58_vocabulary" -> (vocabulary _),

@@ -60,7 +60,8 @@ object TrainingPipeline {
     //    die with an executor on a real cluster (Pin.shared scaladoc).
     val pairs = graft.core.Pin.shared(spark, s"pairs-${graft.core.Pin.tag(dir)}")(
       TextDedup.cappedPairs(spark, dir).select($"a_id", $"b_id"))
-    val clusters = TextDedup.connectedComponents(pairs)
+    val clusters = TextDedup.connectedComponents(pairs,
+      loopName = s"cc-pairs-${graft.core.Pin.tag(dir)}")
     val nearDeduped = canonical
       .join(clusters, canonical("doc_id") === clusters("id"), "left")
       .withColumn("cluster", coalesce($"comp", $"doc_id"))

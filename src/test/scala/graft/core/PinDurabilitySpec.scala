@@ -53,6 +53,61 @@ class PinDurabilitySpec extends SparkSpec {
     assert(collectRows(TrainingPipeline.sourceInterleave(spark, dir)) == inter1)
   }
 
+  test("distributed CC loop survives total executor-state loss EVERY round (durable round pins)") {
+    import spark.implicits._
+    // a path graph: min label propagates one hop per round, so 8 nodes
+    // force a genuinely multi-round loop (not a 1-round trivial case)
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val undisturbed = graft.operators.TextDedup
+      .connectedComponents(pairs, smallGraphMax = -1L, loopName = "spec-cc-loss")
+      .orderBy("id").collect().toSeq.map(_.toString)
+    assert(undisturbed == (1L to 8L).map(i => s"[$i,1]"))
+
+    // fresh loop name → fresh round artifacts; nuke all executor state
+    // before every round — with per-round localCheckpoint this was an
+    // unrecoverable-lineage failure, with durable pins each round
+    // recomputes from the previous round's parquet
+    val disturbed = graft.operators.TextDedup.connectedComponents(
+        pairs, smallGraphMax = -1L, loopName = "spec-cc-loss2",
+        onRound = _ => killAllExecutorState())
+      .orderBy("id").collect().toSeq.map(_.toString)
+    assert(disturbed == undisturbed)
+  }
+
+  test("CC loop retry fast-forwards from mid-loop artifacts instead of recomputing rounds") {
+    import spark.implicits._
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val loop = "spec-cc-resume"
+    // poison round 3: the operator dies mid-loop with rounds 1-3 pinned
+    val boom = intercept[RuntimeException] {
+      graft.operators.TextDedup.connectedComponents(
+        pairs, smallGraphMax = -1L, loopName = loop,
+        onRound = r => if (r == 3) sys.error("simulated mid-loop job failure"))
+    }
+    assert(boom.getMessage.contains("simulated mid-loop job failure"))
+    assert(Pin.isBuilt(spark, s"$loop-round3") && !Pin.isBuilt(spark, s"$loop-round5"))
+    val survivors = (0 to 3).map(r => Pin.pathOf(spark, s"$loop-round$r"))
+    val stamps = survivors.map(d => d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
+
+    // the retry resumes: rounds 0-3 are memoized re-reads (artifact
+    // files untouched), only rounds 4+ are computed, output is right
+    val labels = graft.operators.TextDedup
+      .connectedComponents(pairs, smallGraphMax = -1L, loopName = loop)
+      .orderBy("id").collect().toSeq.map(_.toString)
+    assert(labels == (1L to 8L).map(i => s"[$i,1]"))
+    assert(survivors.map(d => d.listFiles().map(f => (f.getName, f.lastModified())).toSet) == stamps,
+      "retry rewrote round artifacts it should have fast-forwarded through")
+  }
+
+  test("distributed TextRank matches the driver path and survives executor-state loss every iteration") {
+    val driverPath = graft.operators.TextAnalysis.textrankKeywords(spark, dir)
+      .collect().toSeq.map(_.toString)
+    val distributed = graft.operators.TextAnalysis.textrankKeywords(
+        spark, dir, smallEdgeMax = -1L, onRound = _ => killAllExecutorState())
+      .collect().toSeq.map(_.toString)
+    assert(distributed == driverPath)
+  }
+
   test("sessions get distinct pin directories (UUID component, not identityHashCode)") {
     import spark.implicits._
     val other = spark.newSession()
