@@ -1,0 +1,158 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Executor-death fault-injection harness (round-10 verdict task 1).
+  *
+  * Everything else in this repo runs `local[n]` — one JVM, where
+  * "executor loss" can only be simulated by dropping cached blocks.
+  * This harness runs the two most artifact-dependent catalog queries
+  * (q83 training funnel, q144 epoch shuffle) under Spark's
+  * `local-cluster[2,4,4096]` master — a REAL standalone mini-cluster
+  * with separate executor JVMs — and SIGKILLs one executor process
+  * mid-job, then asserts the output is byte-identical to an
+  * undisturbed baseline run.
+  *
+  * What this proves that the in-process simulation could not:
+  *   - task retry + FetchFailed stage resubmission actually reconverge
+  *     through a dead executor on these plans (lost shuffle files, lost
+  *     cached blocks, half-written artifact attempts);
+  *   - the [[graft.core.Pin]] artifacts commit atomically (parquet
+  *     job commit) — a kill during an artifact build never leaves a
+  *     consumer reading torn state;
+  *   - the pinned global numbering (q144's `__pid`-before-write
+  *     discipline) really is layout-stable under task re-placement,
+  *     not merely under an unperturbed scheduler.
+  *
+  * Phases:
+  *   1. baseline: run both queries undisturbed in session A, collect
+  *      sorted rows;
+  *   2. fault run: in a FRESH session (new Pin namespace — artifacts
+  *      rebuild from scratch, nothing fast-forwards), re-run each query
+  *      while a killer thread SIGKILLs one CoarseGrainedExecutorBackend
+  *      JVM after the job has started;
+  *   3. assert the kill landed DURING the job (kill time within the
+  *      job's [start, end] window, and the pid was one of our
+  *      executors), and rows match the baseline exactly.
+  *
+  * Run: `sbt "runMain graft.tools.ClusterDeathHarness [sfDir]"`.
+  * Not part of the ScalaTest wall: it kills JVMs and takes ~2-4 min;
+  * results are recorded in SCALING.md §8.
+  */
+object ClusterDeathHarness {
+
+  /** Pids of live executor backends for this app (never matches the
+    * sbt driver or an unrelated Spark — the backend class name only
+    * appears in real executor JVM command lines).
+    */
+  private def executorPids(): Seq[Int] = {
+    import scala.sys.process._
+    val out = try Seq("bash", "-c",
+      "ps -eo pid=,args= | grep CoarseGrainedExecutorBackend | grep -v grep").!!
+    catch { case _: Exception => "" }
+    out.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.split("\\s+", 2).headOption)
+      .flatMap(p => scala.util.Try(p.toInt).toOption).toSeq
+  }
+
+  private def kill9(pid: Int): Unit = {
+    import scala.sys.process._
+    val _ = Seq("kill", "-9", pid.toString).!
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString).sorted
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local-cluster[2,4,4096]")
+      .appName("graft-cluster-death")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.executor.memory", "3g")
+      .config("spark.executor.extraClassPath", classes)
+      .config("spark.executor.extraJavaOptions", addOpens)
+      // one executor death must not fail the run outright
+      .config("spark.task.maxFailures", "8")
+      .config("spark.stage.maxConsecutiveAttempts", "8"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries = Seq("q83_training_funnel", "q144_epoch_shuffle")
+
+    // -------- phase 1: undisturbed baseline (session A)
+    println(s"[harness] baseline on ${spark.sparkContext.master}, $dir")
+    val baseline = queries.map { q =>
+      val t0 = System.nanoTime()
+      val r = rows(graft.SparkEntry.queries(q)(spark, dir))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[harness] baseline $q: ${r.size} rows in $sec%.1f s")
+      q -> (r, sec)
+    }.toMap
+
+    // -------- phase 2: fault runs, fresh session per query so every
+    // Pin artifact rebuilds (a new session gets its own pin namespace;
+    // fast-forwarding through session-A artifacts would test nothing)
+    var ok = true
+    queries.foreach { q =>
+      // the kill must land INSIDE the job window; fast queries (q144's
+      // pin rebuild is ~1.5 s) need a shorter fuse than slow ones, and
+      // a kill that still misses (warm JIT makes reruns faster) is
+      // retried with a shorter fuse rather than reported as a pass
+      var delayMs = math.max(400L, math.min(2500L, (baseline(q)._2 * 400).toLong))
+      var attempt = 0
+      var landed = false
+      while (!landed && attempt < 5) {
+        attempt += 1
+        val s2 = spark.newSession()
+        // the CacheManager is sharedState-scoped: without this, the
+        // fault run would replay prior sessions' cached plans instead
+        // of rebuilding (recomputing lost cache blocks is also a real
+        // recovery path, but the harness must prove full rebuild)
+        s2.sharedState.cacheManager.clearCache()
+        require(executorPids().nonEmpty, "no executor JVMs found — not a real cluster run")
+        @volatile var killedPid = -1
+        @volatile var killedAt = 0L
+        val t0 = System.nanoTime()
+        val fuse = delayMs
+        val killer = new Thread(() => {
+          Thread.sleep(fuse)
+          executorPids().headOption.foreach { pid =>
+            killedPid = pid; killedAt = System.nanoTime()
+            println(s"[harness] SIGKILL executor pid $pid (fuse ${fuse}ms)")
+            kill9(pid)
+          }
+        }, s"executor-killer-$q")
+        killer.setDaemon(true)
+        killer.start()
+        val r = rows(graft.SparkEntry.queries(q)(s2, dir))
+        val tEnd = System.nanoTime()
+        killer.join(10000)
+        landed = killedPid > 0 && killedAt > t0 && killedAt < tEnd
+        val match_ = r == baseline(q)._1
+        println(f"[harness] fault-run $q (attempt $attempt): ${r.size} rows in " +
+          f"${(tEnd - t0) / 1e9}%.1f s; killed=$killedPid duringJob=$landed identical=$match_")
+        if (!match_) {
+          println(s"[harness] $q: OUTPUT DIVERGED after executor death")
+          ok = false; landed = true // diverged — stop retrying, report failure
+        } else if (!landed) delayMs = math.max(200L, delayMs / 2)
+      }
+      if (!landed) { println(s"[harness] $q: kill never landed inside the job window"); ok = false }
+    }
+    println(if (ok) "[harness] RESULT: PASS — byte-identical through executor death"
+            else "[harness] RESULT: FAIL")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
