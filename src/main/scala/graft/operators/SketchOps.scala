@@ -315,9 +315,19 @@ object SketchOps {
     *
     * Output carries the exact full-window companions the oracle can
     * recompute (count / sum / exact distinct — the last is the
-    * test-scale audit; production reads the estimate) plus
-    * `merged_ok`: the unioned sketch's estimate within 5% of exact
-    * (>6σ at lgK=14), oracle-asserted TRUE.
+    * test-scale audit; production reads the estimate) plus one
+    * in-engine merged-vs-exact audit flag PER COLUMN FAMILY, each
+    * oracle-asserted TRUE (the q43/q122 discipline — the contract is
+    * stated in the engine, not implied by the compare):
+    *   - `merged_ok`: the unioned sketch's estimate within 5% of the
+    *     exact distinct count (>6σ at lgK=14);
+    *   - `sum_merged_ok`: the split+merge decimal sum EQUALS the
+    *     single-pass sum over the full window — exact equality, the
+    *     decimal accumulation guarantee by construction;
+    *   - `union_lossless_ok`: the merged sketch's estimate EQUALS the
+    *     single-pass sketch's estimate — same-lgK HLL union is
+    *     register-lossless, so mergeability costs zero accuracy, not
+    *     merely "within epsilon".
     */
   def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -344,13 +354,18 @@ object SketchOps {
     // audit companion: the exact full-window answer (test-scale only —
     // production's answer IS the estimate; the oracle needs exactness)
     val exact = ev.groupBy($"event_type")
-      .agg(count_distinct($"user_id").as("exact_users"))
+      .agg(count_distinct($"user_id").as("exact_users"),
+        sum($"value".cast("decimal(18,6)")).as("sum_single"),
+        hll_sketch_agg($"user_id", lit(HllLgK)).as("sk_single"))
     applied.join(exact, Seq("event_type"))
       .select($"event_type", $"n_events",
         // round the EXACT decimal, then cast for oracle schema parity
         round($"sum_raw", 2).cast("double").as("sum_value"), $"exact_users",
         (abs(hll_sketch_estimate($"sk") - $"exact_users") <=
-          $"exact_users" * 0.05).as("merged_ok"))
+          $"exact_users" * 0.05).as("merged_ok"),
+        ($"sum_raw" === $"sum_single").as("sum_merged_ok"),
+        (hll_sketch_estimate($"sk") === hll_sketch_estimate($"sk_single"))
+          .as("union_lossless_ok"))
       .orderBy($"event_type")
   }
 
@@ -358,7 +373,7 @@ object SketchOps {
     """SELECT event_type, count(*)::BIGINT AS n_events,
       |  round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value,
       |  count(DISTINCT user_id)::BIGINT AS exact_users,
-      |  TRUE AS merged_ok
+      |  TRUE AS merged_ok, TRUE AS sum_merged_ok, TRUE AS union_lossless_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -142,8 +142,13 @@ object SqlDumpParser {
           else if (i >= n) closed = true
         }
         rows += row.toSeq
-      } else if (i < n && (s(i) == ',' || s(i) == ';')) i += 1
-      else if (i < n) i += 1 // trailing garbage / comments
+      } else if (i < n && s(i) == ',') i += 1
+      else if (i < n) i = n
+      // anything else ends the row list: ';' is the statement
+      // terminator, and bare text is a suffix clause — an
+      // `ON DUPLICATE KEY UPDATE c=VALUES(c)` tail contains parens
+      // that a skip-one-char scan used to re-enter as a phantom row
+      // (found by SqlDumpParserPropSpec fuzzing)
     }
     rows.toSeq
   }
