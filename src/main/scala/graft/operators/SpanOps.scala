@@ -71,6 +71,11 @@ object SpanOps {
     graft.core.Pin.shared(spark, s"grams5-${graft.core.Pin.tag(dir)}")(
       gramsOf(Tables.load(spark, dir, "documents")))
 
+  /** The (doc_id, pos, 5-gram) span index (q92/q117-q119/q146). */
+  def warmSpanIndex(spark: SparkSession, dir: String): Unit = {
+    grams(spark, dir).count(); ()
+  }
+
   /** Maximal disjoint covered intervals from qualifying gram starts.
     * Islands via the classic gaps-and-islands trick: consecutive
     * covered positions share (p - row_number).

@@ -644,9 +644,17 @@ object TextDedup {
     * never need it — they build lazily as always.
     */
   def warmSharedCaches(spark: SparkSession, dir: String): Unit = {
-    shingleIndex(spark, dir).cache().count()
-    cappedRawPairs(spark, dir).count()
-    ()
+    warmShingleIndex(spark, dir)
+    warmPairTable(spark, dir)
+  }
+
+  /** Granular warm hooks (CacheItemize times each artifact alone). */
+  def warmShingleIndex(spark: SparkSession, dir: String): Unit = {
+    shingleIndex(spark, dir).cache().count(); ()
+  }
+
+  def warmPairTable(spark: SparkSession, dir: String): Unit = {
+    cappedRawPairs(spark, dir).count(); ()
   }
 
   /** DuckDB CTE chain ending in `dup(a_id, b_id, jaccard)` =

@@ -150,6 +150,64 @@ object ClusterDeathHarness {
       }
       if (!landed) { println(s"[harness] $q: kill never landed inside the job window"); ok = false }
     }
+    // -------- phase 3: streaming exactly-once through executor death.
+    // The chaos specs prove restart convergence in-process; here the
+    // incremental file-copy stream (S31, parquet sink + checkpoint)
+    // drains a 40-file backlog under AvailableNow while an executor
+    // JVM is SIGKILLed mid-drain. Contract: the sink's committed rows
+    // equal the batch twin's output as a multiset — no loss, no
+    // duplication — whether the query rode through the death (task
+    // retry) or had to be restarted from its checkpoint.
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-death")
+      val (srcDir, dstDir, ckptDir) =
+        (s"$tmp/src", s"$tmp/dst", s"$tmp/ckpt")
+      val docs = Tables.load(spark, dir, "documents")
+      docs.repartition(40).write.parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val clean = (d: org.apache.spark.sql.DataFrame) =>
+        graft.streaming.StreamingJobs.cleanDocumentStream(d)
+      val expected = rows(clean(spark.read.parquet(srcDir)))
+
+      val s3 = spark.newSession()
+      s3.sharedState.cacheManager.clearCache()
+      @volatile var killedPid = -1
+      @volatile var killedAt = 0L
+      val t0 = System.nanoTime()
+      val killer = new Thread(() => {
+        Thread.sleep(900)
+        executorPids().headOption.foreach { pid =>
+          killedPid = pid; killedAt = System.nanoTime()
+          println(s"[harness] SIGKILL executor pid $pid (mid-stream)")
+          kill9(pid)
+        }
+      }, "executor-killer-stream")
+      killer.setDaemon(true)
+      killer.start()
+      def drain(): Boolean =
+        graft.streaming.StreamingJobs.incrementalFileCopy(
+          s3, srcDir, schema, "parquet", dstDir, ckptDir, transform = clean)
+          .exists { q =>
+            try { q.awaitTermination(); true }
+            catch { case e: Exception =>
+              println(s"[harness] stream failed mid-drain (${e.getClass.getSimpleName}) — restarting from checkpoint")
+              false
+            }
+          }
+      // ride-through or checkpoint-restart: either path must land on
+      // the exactly-once multiset
+      if (!drain()) drain()
+      killer.join(10000)
+      val tEnd = System.nanoTime()
+      val got = rows(s3.read.parquet(dstDir))
+      val match_ = got == expected
+      val landed = killedPid > 0 && killedAt > t0 && killedAt < tEnd
+      println(f"[harness] stream fault-run: ${got.size} rows in ${(tEnd - t0) / 1e9}%.1f s; " +
+        s"killed=$killedPid duringDrain=$landed identical=$match_")
+      if (!landed) { println("[harness] stream: kill missed the drain window"); ok = false }
+      if (!match_) { println("[harness] stream: EXACTLY-ONCE VIOLATED"); ok = false }
+    }
+
     println(if (ok) "[harness] RESULT: PASS — byte-identical through executor death"
             else "[harness] RESULT: FAIL")
     spark.stop()
