@@ -85,7 +85,7 @@ class PinDurabilitySpec extends SparkSpec {
         onRound = r => if (r == 3) sys.error("simulated mid-loop job failure"))
     }
     assert(boom.getMessage.contains("simulated mid-loop job failure"))
-    assert(Pin.isBuilt(spark, s"$loop-round3") && !Pin.isBuilt(spark, s"$loop-round5"))
+    assert(Pin.isBuilt(spark, s"$loop-round3") && !Pin.isBuilt(spark, s"$loop-round4"))
     val survivors = (0 to 3).map(r => Pin.pathOf(spark, s"$loop-round$r"))
     val stamps = survivors.map(d => d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
 
