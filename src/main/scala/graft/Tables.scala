@@ -28,6 +28,31 @@ object Tables {
     else df
   }
 
+  /** Executor-JVM settings for `local-cluster[…]` masters (Verify's
+    * cluster-cleanliness mode, the executor-death harness): separate
+    * executor JVMs need this project's classes on their classpath and
+    * the same JDK-17 --add-opens the driver gets from build.sbt (a
+    * spark-submit deployment injects both; a local mini-cluster does
+    * not). The env must also carry SPARK_SCALA_VERSION=2.13 — the
+    * binary distro at SPARK_HOME has no build dirs for the executor
+    * launcher to probe.
+    */
+  def clusterExecutorConf(b: SparkSession.Builder): SparkSession.Builder = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    b.config("spark.executor.memory", "3g")
+      .config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      .config("spark.executor.extraJavaOptions", addOpens)
+  }
+
   /** Session defaults shared by Verify / Bench / tests — including the
     * graft extensions (SQL functions, window-top-k rewrite, planner
     * strategy): the driver gates must exercise the engine in its

@@ -10,10 +10,16 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f)) // comma-separated name prefixes (local iteration)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,4,4096] runs the whole gate
+    // on real separate-JVM executors — the catalog-wide cluster-
+    // cleanliness check (serializable closures, no driver-local
+    // assumptions); needs SPARK_SCALA_VERSION=2.13 in the env
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = Tables.configure(SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      Tables.clusterExecutorConf(builder) else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected = only match {

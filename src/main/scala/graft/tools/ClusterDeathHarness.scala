@@ -66,26 +66,13 @@ object ClusterDeathHarness {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
-    val spark = Tables.configure(SparkSession.builder()
+    val spark = Tables.clusterExecutorConf(Tables.configure(SparkSession.builder()
       .master("local-cluster[2,4,4096]")
       .appName("graft-cluster-death")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.executor.memory", "3g")
-      .config("spark.executor.extraClassPath", classes)
-      .config("spark.executor.extraJavaOptions", addOpens)
       // one executor death must not fail the run outright
       .config("spark.task.maxFailures", "8")
-      .config("spark.stage.maxConsecutiveAttempts", "8"))
+      .config("spark.stage.maxConsecutiveAttempts", "8")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
