@@ -195,6 +195,73 @@ object ClusterDeathHarness {
       if (!match_) { println("[harness] stream: EXACTLY-ONCE VIOLATED"); ok = false }
     }
 
+    // -------- phase 4: STATEFUL streaming through executor death.
+    // Phase 3's copy stream is stateless; streamingLshCandidates keeps
+    // keyed state (flatMapGroupsWithState over LSH buckets) in the
+    // executor-side state store. Killing an executor mid-batch loses
+    // its in-memory store maps; recovery must reload from the
+    // checkpoint's delta files and re-run the batch's tasks. Under one
+    // AvailableNow batch the stream's first-seen-per-bucket semantics
+    // equal a deterministic batch twin: every band hit except the
+    // bucket's min doc_id, labeled dup_of = that min.
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-state-death")
+      val (srcDir, dstDir, ckptDir) = (s"$tmp/src", s"$tmp/dst", s"$tmp/ckpt")
+      Tables.load(spark, dir, "documents").repartition(40).write.parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(org.apache.spark.sql.functions.col("band"),
+          org.apache.spark.sql.functions.col("bkey"))
+      import org.apache.spark.sql.functions.{col, min => fmin}
+      val expected = rows(
+        graft.streaming.StreamingJobs.lshBands(spark.read.parquet(srcDir))
+          .withColumn("first", fmin(col("doc_id")).over(w))
+          .filter(col("doc_id") =!= col("first"))
+          .select(col("doc_id"), col("band"), col("bkey"), col("first").as("dup_of")))
+
+      val s4 = spark.newSession()
+      s4.sharedState.cacheManager.clearCache()
+      @volatile var killedPid = -1
+      @volatile var killedAt = 0L
+      val t0 = System.nanoTime()
+      val killer = new Thread(() => {
+        Thread.sleep(1200)
+        executorPids().headOption.foreach { pid =>
+          killedPid = pid; killedAt = System.nanoTime()
+          println(s"[harness] SIGKILL executor pid $pid (mid-stateful-stream)")
+          kill9(pid)
+        }
+      }, "executor-killer-state")
+      killer.setDaemon(true)
+      killer.start()
+      def drain(): Boolean = {
+        val q = graft.streaming.StreamingJobs.streamingLshCandidates(
+            s4.readStream.schema(schema).parquet(srcDir), stateTtl = None)
+          .toDF().writeStream
+          .format("parquet")
+          .option("path", dstDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        try { q.awaitTermination(); true }
+        catch { case e: Exception =>
+          println(s"[harness] stateful stream failed mid-drain (${e.getClass.getSimpleName}) — restarting from checkpoint")
+          false
+        }
+      }
+      if (!drain()) drain()
+      killer.join(10000)
+      val tEnd = System.nanoTime()
+      val got = rows(s4.read.parquet(dstDir))
+      val landed = killedPid > 0 && killedAt > t0 && killedAt < tEnd
+      val match_ = got == expected
+      println(f"[harness] stateful stream fault-run: ${got.size} rows in ${(tEnd - t0) / 1e9}%.1f s; " +
+        s"killed=$killedPid duringDrain=$landed identical=$match_")
+      if (!landed) { println("[harness] stateful stream: kill missed the drain window"); ok = false }
+      if (!match_) { println("[harness] stateful stream: STATE RECOVERY DIVERGED"); ok = false }
+    }
+
     println(if (ok) "[harness] RESULT: PASS — byte-identical through executor death"
             else "[harness] RESULT: FAIL")
     spark.stop()
