@@ -37,7 +37,12 @@ object XlsxSource {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
-      case c if c == '\t' || c == '\n' || c == '\r' => sb.append(c)
+      // \r as a CHARACTER REFERENCE: raw CR in XML text is normalized
+      // to LF by every conforming parser (XML 1.0 §2.11) — the
+      // reference form survives, so a cell holding "a\rb" reads back
+      // byte-identical (found by WorkbookPropSpec fuzzing)
+      case '\r' => sb.append("&#xD;")
+      case c if c == '\t' || c == '\n' => sb.append(c)
       case c if c < ' ' => sb.append(' ') // illegal-char scrub
       case c => sb.append(c)
     }
