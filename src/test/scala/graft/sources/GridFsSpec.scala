@@ -33,6 +33,33 @@ class GridFsSpec extends SparkSpec {
     }
   }
 
+  test("chunk-boundary fuzz: every size around k*chunkSize round-trips byte-identical") {
+    val chunk = 8
+    val dir = tmpDir("gridfs-fuzz")
+    val c = GridFsConnector("gridfs", dir, chunkSize = chunk)
+    // sizes straddling every boundary through 3 chunks, plus a large odd one
+    val sizes = Seq(0, 1, chunk - 1, chunk, chunk + 1,
+      2 * chunk - 1, 2 * chunk, 2 * chunk + 1, 3 * chunk - 1, 3 * chunk, 1013)
+    val files = sizes.zipWithIndex.map { case (n, i) => (s"f$n.bin", bytes(n, 100 + i)) }
+    c.write(files.toDF("filename", "content"), "fuzz", WriteMode.Overwrite)
+    val back = c.read(spark, "fuzz")
+      .select($"filename", $"length", $"md5", $"content")
+      .as[(String, Long, String, Array[Byte])].collect().map(r => r._1 -> r).toMap
+    files.foreach { case (name, data) =>
+      val (_, len, m, content) = back(name)
+      assert(len == data.length, s"$name length")
+      assert(content.sameElements(data), s"$name bytes diverged")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(m == md.digest(data).map(b => f"$b%02x").mkString, s"$name md5")
+    }
+    // stored chunk count per file is exactly ceil(n/chunk)
+    val counts = spark.read.parquet(s"$dir/fuzz.chunks")
+      .groupBy($"files_id").count().as[(String, Long)].collect().toMap
+    files.filter(_._2.nonEmpty).foreach { case (name, data) =>
+      assert(counts(name) == (data.length + chunk - 1) / chunk, s"$name chunk count")
+    }
+  }
+
   test("chunk table layout: fixed-size chunks, 0-based n") {
     val dir = tmpDir("gridfs-layout")
     val c = GridFsConnector("gridfs", dir, chunkSize = 8)
