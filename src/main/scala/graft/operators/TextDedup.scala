@@ -838,6 +838,13 @@ object TextDedup {
 
   private val MaxCcIters = 25
 
+  /** Rounds of plain hash-min before the pointer-halving jump joins
+    * in. Shallow near-dup graphs (the product case) converge well
+    * before this and never pay the extra join; anything still moving
+    * is a deep chain that needs O(log d), not O(d).
+    */
+  private val CcHalvingAfter = 8
+
   /** Duplicate-cluster assembly (q70): pair lists (from LSH/Jaccard)
     * are only half of dedup — production pipelines need each document
     * assigned to a duplicate CLUSTER, with one canonical survivor per
@@ -923,18 +930,33 @@ object TextDedup {
     var converged = false
     while (!converged && iter < MaxCcIters) {
       onRound(iter)
-      // plain hash-min, deliberately WITHOUT pointer-doubling/path
-      // halving: measured at sf0.1 the extra label-of-label join per
-      // round made q70 1.6× SLOWER — near-dup graphs converge in ~2
-      // rounds, so per-round job overhead dominates and O(log d) vs
-      // O(d) never pays. On a deep graph (d >> 10) add the
-      // comp(comp(v)) term back.
+      // plain hash-min for the first rounds, deliberately WITHOUT
+      // pointer-doubling/path halving: measured at sf0.1 the extra
+      // label-of-label join per round made q70 1.6× SLOWER — near-dup
+      // graphs converge in ~2 rounds, so per-round job overhead
+      // dominates and O(log d) vs O(d) never pays THERE. But a graph
+      // that is still moving after [[CcHalvingAfter]] rounds is deep
+      // (a >8-diameter duplicate chain), and plain hash-min would walk
+      // it one hop per round into the MaxCcIters assertion — so from
+      // that round on, each step also jumps through the label table
+      // (next = min(next, comp(next))), doubling propagation distance
+      // per round: convergence in ≤ CcHalvingAfter + O(log d) rounds
+      // for ANY diameter, at the cost of one extra keyed join per
+      // round only in the regime that needs it.
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-      val stepped = graft.core.Pin.shared(spark, s"$loop-round${iter + 1}")(
-        labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-          .select(col("id"), col("comp"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("next")))
+      val hashMin = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("next"))
+      val steppedPlan =
+        if (iter < CcHalvingAfter) hashMin
+        else {
+          val jump = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+          hashMin.join(jump, hashMin("next") === jump("jid"), "left")
+            .select(col("id"), col("comp"),
+              least(col("next"), coalesce(col("jcomp"), col("next"))).as("next"))
+        }
+      val stepped = graft.core.Pin.shared(spark, s"$loop-round${iter + 1}")(steppedPlan)
       converged = stepped.filter(col("next") =!= col("comp")).isEmpty
       labels = stepped.select(col("id"), col("next").as("comp"))
       iter += 1

@@ -26,6 +26,22 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(distributed == labels)
   }
 
+  test("connectedComponents: a 300-deep chain converges distributed (pointer-halving fallback)") {
+    // diameter 299: plain hash-min walks one hop per round and would
+    // blow the 25-round assertion; the halving fallback (round 8+)
+    // doubles propagation distance per round → ~8 + log2(300) rounds
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    var rounds = 0
+    val labels = TextDedup.connectedComponents(pairs, smallGraphMax = -1L,
+        loopName = "spec-cc-deep", onRound = r => rounds = r + 1)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 300 && labels.values.forall(_ == 1L))
+    assert(rounds <= 20, s"took $rounds rounds — halving not engaging")
+    // and the driver union-find agrees exactly
+    val local = TextDedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(local == labels)
+  }
+
   test("redactPii / piiCounts on genuine PII text") {
     val df = Seq(
       ("mail me at jane.doe+spam@sub.example.co.uk or bob@x.io",
