@@ -262,6 +262,52 @@ object ClusterDeathHarness {
       if (!match_) { println("[harness] stateful stream: STATE RECOVERY DIVERGED"); ok = false }
     }
 
+    // -------- phase 5: WRITE-path fault injection — a storage-layout
+    // BUILD under executor death. q142's erased layout is the most
+    // mutation-heavy build in the engine (partitioned full copy, then
+    // an in-place rewrite of victim partitions, then a completion
+    // marker whose absence forces rebuild — the crash-consistency
+    // design). Deleting the layout and killing an executor mid-rebuild
+    // exercises the parquet job-commit protocol AND the marker
+    // discipline: the consuming audit must come back identical.
+    locally {
+      val q = "q142_erase_audit"
+      val baselineRows = rows(graft.SparkEntry.queries(q)(spark, dir))
+      val layout = new java.io.File(
+        s"target/graft-layout/${graft.core.Pin.tag(dir)}/events_erased")
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+        f.delete(): Unit
+      }
+      rec(layout)
+      require(!layout.exists(), "layout delete failed")
+
+      val s5 = spark.newSession()
+      s5.sharedState.cacheManager.clearCache()
+      @volatile var killedPid = -1
+      @volatile var killedAt = 0L
+      val t0 = System.nanoTime()
+      val killer = new Thread(() => {
+        Thread.sleep(1500)
+        executorPids().headOption.foreach { pid =>
+          killedPid = pid; killedAt = System.nanoTime()
+          println(s"[harness] SIGKILL executor pid $pid (mid-layout-build)")
+          kill9(pid)
+        }
+      }, "executor-killer-layout")
+      killer.setDaemon(true)
+      killer.start()
+      val got = rows(graft.SparkEntry.queries(q)(s5, dir))
+      val tEnd = System.nanoTime()
+      killer.join(10000)
+      val landed = killedPid > 0 && killedAt > t0 && killedAt < tEnd
+      val match_ = got == baselineRows
+      println(f"[harness] layout-build fault-run $q: ${got.size} rows in " +
+        f"${(tEnd - t0) / 1e9}%.1f s; killed=$killedPid duringBuild=$landed identical=$match_")
+      if (!landed) { println("[harness] layout build: kill missed the build window"); ok = false }
+      if (!match_) { println("[harness] layout build: REBUILD DIVERGED"); ok = false }
+    }
+
     println(if (ok) "[harness] RESULT: PASS — byte-identical through executor death"
             else "[harness] RESULT: FAIL")
     spark.stop()
