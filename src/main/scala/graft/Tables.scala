@@ -51,6 +51,10 @@ object Tables {
       .config("spark.executor.extraClassPath",
         new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       .config("spark.executor.extraJavaOptions", addOpens)
+      // these runs exist to be shot at (fault injection, soak): one
+      // executor death must cost a retry, not the job
+      .config("spark.task.maxFailures", "8")
+      .config("spark.stage.maxConsecutiveAttempts", "8")
   }
 
   /** Session defaults shared by Verify / Bench / tests — including the

@@ -1371,11 +1371,16 @@ object CorpusOps {
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // localCheckpoint, not cache(): consumed four times below, but a
-    // cache entry would outlive the query with no cross-query reuse —
-    // checkpoint blocks are GC-reclaimed with the plan instead
-    val exact3 = Similarity.cosineTopK(spark, dir)
-      .filter($"rank" <= 3).select($"q_id", $"c_id").localCheckpoint()
+    // durable pin, not localCheckpoint: consumed four times below, and
+    // the round-10 kill-soak (an executor SIGKILLed every 20 s through
+    // the whole cluster-mode Verify) caught the old localCheckpoint
+    // dying unrecoverably mid-query (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    // — the exact failure mode Pin.shared exists to remove. The exact
+    // top-3 is also a sensible ingest-time artifact in its own right
+    // (the ground-truth table an ANN deployment audits against).
+    val exact3 = graft.core.Pin.shared(spark, s"ann-exact3-${graft.core.Pin.tag(dir)}")(
+      Similarity.cosineTopK(spark, dir)
+        .filter($"rank" <= 3).select($"q_id", $"c_id"))
     val qs = exact3.select($"q_id").distinct()
     val methods = Seq(
       "lsh" -> Similarity.annLsh(spark, dir),

@@ -397,10 +397,12 @@ object TextAnalysis {
     val edges = adj.union(adj.select($"dst".as("src"), $"src".as("dst")))
       .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("wt"))
     val outw = edges.groupBy($"src").agg(sum($"wt").as("ow"))
-    // localCheckpoint is fine for the DRIVER path (one collect and the
-    // blocks are done); the distributed path re-pins it durably below
+    // persist, NOT localCheckpoint: the blocks bridge only count →
+    // collect-or-pin, and a kill inside that window made a truncated
+    // localCheckpoint lineage unrecoverable (round-10 soak class) —
+    // persist keeps lineage, so lost blocks recompute from the scan
     val norm = edges.join(outw, "src")
-      .select($"src", $"dst", ($"wt" / $"ow").as("p")).localCheckpoint()
+      .select($"src", $"dst", ($"wt" / $"ow").as("p")).persist()
     // Driver-side power iteration when the WORD graph is small: vocab
     // grows ~log-ish with corpus size, so even big corpora often fit —
     // 2M edges ≈ tens of MB and milliseconds per iteration on the
@@ -414,6 +416,7 @@ object TextAnalysis {
     // the shape that holds.
     if (norm.count() <= smallEdgeMax) {
       val es = norm.as[(String, String, Double)].collect()
+      norm.unpersist(false)
       val words = es.iterator.map(_._1).toArray.distinct.sorted
       val idx = words.zipWithIndex.toMap
       val n = words.length.toDouble
@@ -433,6 +436,7 @@ object TextAnalysis {
     // truncated localCheckpoint lineage (round-9 verdict).
     val loop = s"textrank-${graft.core.Pin.tag(dir)}"
     val normPinned = graft.core.Pin.shared(spark, s"$loop-edges")(norm)
+    norm.unpersist(false) // pin written; the loop reads parquet
     val nodes = graft.core.Pin.shared(spark, s"$loop-nodes")(
       normPinned.select($"src".as("word")).distinct())
     val n = nodes.count().toDouble

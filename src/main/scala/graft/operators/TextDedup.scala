@@ -773,8 +773,12 @@ object TextDedup {
     * degrees upstream.
     */
   def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = cappedPairs(spark, dir)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
+    // the SAME durable pair-list pin the training funnel and q70 use
+    // (content-identical plan): consumed three times by the self-joins,
+    // and a localCheckpoint here died with a killed executor in the
+    // round-10 soak — a pin re-read cannot
+    val e = graft.core.Pin.shared(spark, s"pairs-${graft.core.Pin.tag(dir)}")(
+      cappedPairs(spark, dir).select(col("a_id"), col("b_id")))
     val ab = e.toDF("a", "b")
     val bc = e.toDF("b", "c")
     val ac = e.toDF("a", "c")
@@ -908,13 +912,17 @@ object TextDedup {
                           onRound: Int => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
     // materialize once: the iteration must not replay the edge pipeline.
-    // localCheckpoint is fine HERE: on the common small-graph path the
-    // blocks feed one driver collect and die with nobody mourning them.
+    // persist, NOT localCheckpoint: the blocks bridge only count →
+    // collect-or-pin, but a kill inside that window made a truncated
+    // localCheckpoint lineage unrecoverable (round-10 soak class) —
+    // persist keeps lineage, so lost blocks recompute from `pairs`.
     val edgesLocal = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst").localCheckpoint()
-    val nEdges = edgesLocal.count() // free scan: just checkpointed
-    if (nEdges <= smallGraphMax) return unionFindLocal(edgesLocal)
+      .toDF("src", "dst").persist()
+    val nEdges = edgesLocal.count()
+    if (nEdges <= smallGraphMax)
+      try return unionFindLocal(edgesLocal)
+      finally edgesLocal.unpersist(false)
     // Distributed regime — exactly where executor loss is likely, so
     // the edges and every round's labels are durable pins, not
     // executor-local blocks (round-9 verdict): a lost executor
@@ -924,6 +932,7 @@ object TextDedup {
       if (loopName.nonEmpty) loopName
       else s"cc-${java.lang.Integer.toHexString(pairs.queryExecution.analyzed.semanticHash())}"
     val edges = graft.core.Pin.shared(spark, s"$loop-edges")(edgesLocal)
+    edgesLocal.unpersist(false) // pin written; the loop reads parquet
     var labels = graft.core.Pin.shared(spark, s"$loop-round0")(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
     var iter = 0
@@ -1003,9 +1012,11 @@ object TextDedup {
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // checkpoint before the CC edge union — otherwise the src→dst +
-    // dst→src legs each replay the pair pipeline
-    val dup = cappedPairs(spark, dir).select(col("a_id"), col("b_id")).localCheckpoint()
+    // durable pin before the CC edge union — otherwise the src→dst +
+    // dst→src legs each replay the pair pipeline; same shared name as
+    // the training funnel and q109 (content-identical plan)
+    val dup = graft.core.Pin.shared(spark, s"pairs-${graft.core.Pin.tag(dir)}")(
+      cappedPairs(spark, dir).select(col("a_id"), col("b_id")))
     // shared loop name with the training funnel's CC over the same
     // df-capped pair table: rounds are built once per session
     val labels = connectedComponents(dup,
