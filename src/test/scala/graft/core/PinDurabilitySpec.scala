@@ -53,6 +53,21 @@ class PinDurabilitySpec extends SparkSpec {
     assert(collectRows(TrainingPipeline.sourceInterleave(spark, dir)) == inter1)
   }
 
+  test("q105/q109 survive total executor-state loss (the class the round-10 kill-soak caught)") {
+    // the soak found q105's ground-truth localCheckpoint dying with a
+    // killed executor; this is the in-process twin that would have
+    // caught it in the wall — unpersisting a localCheckpointed RDD
+    // removes its only blocks, so surviving THIS requires the durable
+    // pin (or intact lineage), exactly like surviving a real kill
+    val recall = collectRows(graft.operators.CorpusOps.annRecall(spark, dir))
+    assert(recall.nonEmpty)
+    killAllExecutorState()
+    assert(collectRows(graft.operators.CorpusOps.annRecall(spark, dir)) == recall)
+    val tri = collectRows(graft.operators.TextDedup.dupTriangles(spark, dir))
+    killAllExecutorState()
+    assert(collectRows(graft.operators.TextDedup.dupTriangles(spark, dir)) == tri)
+  }
+
   test("distributed CC loop survives total executor-state loss EVERY round (durable round pins)") {
     import spark.implicits._
     // a path graph: min label propagates one hop per round, so 8 nodes
