@@ -654,8 +654,19 @@ object TextDedup {
   }
 
   def warmPairTable(spark: SparkSession, dir: String): Unit = {
-    cappedRawPairs(spark, dir).count(); ()
+    cappedRawPairs(spark, dir).count()
+    pairListPin(spark, dir).count() // the durable pin its consumers read
+    ()
   }
+
+  /** THE durable (a_id, b_id) pair-list artifact — ONE definition for
+    * every consumer (q70 clusters, q109 triangles, q148 weights, the
+    * q83/q144/q145 training funnel, and the warm path), so the pin
+    * name and content can never drift apart between them.
+    */
+  private[operators] def pairListPin(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Pin.shared(spark, s"pairs-${graft.core.Pin.tag(dir)}")(
+      cappedPairs(spark, dir).select(col("a_id"), col("b_id")))
 
   /** DuckDB CTE chain ending in `dup(a_id, b_id, jaccard)` =
     * [[cappedPairs]] — the ONE rendering of the df-capped pair
@@ -773,12 +784,10 @@ object TextDedup {
     * degrees upstream.
     */
   def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // the SAME durable pair-list pin the training funnel and q70 use
-    // (content-identical plan): consumed three times by the self-joins,
-    // and a localCheckpoint here died with a killed executor in the
-    // round-10 soak — a pin re-read cannot
-    val e = graft.core.Pin.shared(spark, s"pairs-${graft.core.Pin.tag(dir)}")(
-      cappedPairs(spark, dir).select(col("a_id"), col("b_id")))
+    // the shared durable pair-list pin: consumed three times by the
+    // self-joins, and a localCheckpoint here died with a killed
+    // executor in the round-10 soak — a pin re-read cannot
+    val e = pairListPin(spark, dir)
     val ab = e.toDF("a", "b")
     val bc = e.toDF("b", "c")
     val ac = e.toDF("a", "c")
@@ -1013,10 +1022,8 @@ object TextDedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // durable pin before the CC edge union — otherwise the src→dst +
-    // dst→src legs each replay the pair pipeline; same shared name as
-    // the training funnel and q109 (content-identical plan)
-    val dup = graft.core.Pin.shared(spark, s"pairs-${graft.core.Pin.tag(dir)}")(
-      cappedPairs(spark, dir).select(col("a_id"), col("b_id")))
+    // dst→src legs each replay the pair pipeline
+    val dup = pairListPin(spark, dir)
     // shared loop name with the training funnel's CC over the same
     // df-capped pair table: rounds are built once per session
     val labels = connectedComponents(dup,

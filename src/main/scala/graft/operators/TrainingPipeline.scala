@@ -58,8 +58,7 @@ object TrainingPipeline {
     //    edges union (src→dst + dst→src) would otherwise evaluate the
     //    whole pair pipeline twice — and a localCheckpoint here would
     //    die with an executor on a real cluster (Pin.shared scaladoc).
-    val pairs = graft.core.Pin.shared(spark, s"pairs-${graft.core.Pin.tag(dir)}")(
-      TextDedup.cappedPairs(spark, dir).select($"a_id", $"b_id"))
+    val pairs = TextDedup.pairListPin(spark, dir)
     val clusters = TextDedup.connectedComponents(pairs,
       loopName = s"cc-pairs-${graft.core.Pin.tag(dir)}")
     val nearDeduped = canonical
