@@ -23,6 +23,10 @@ object ProfileQ70 {
     time("capped materialize")(capped.count())
     val dup = TextDedup.jaccardPairs(capped).filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"))
+    // localCheckpoint contract: this main is a single-run profiling
+    // harness measuring checkpoint cost itself — a retry re-runs the
+    // whole main; the library path (connectedComponents) uses durable
+    // pins instead (round-10 soak class does not apply here)
     val edges = time("pairs+edges checkpoint") {
       dup.select(col("a_id"), col("b_id"))
         .union(dup.select(col("b_id"), col("a_id")))

@@ -25,6 +25,8 @@ object ProfileQ83 {
       .filter(col("doc_id") === col("canonical_id"))
       .drop("fp", "canonical_id")
     time("exact dedup count")(canonical.count())
+    // localCheckpoint contract: profiling-only main (retry = re-run);
+    // the catalog q83 path rides the durable pairListPin instead
     val pairs = time("capped pairs (cold)")(
       TextDedup.cappedPairs(spark, dir).select(col("a_id"), col("b_id")).localCheckpoint())
     val clusters = time("cc")(TextDedup.connectedComponents(pairs))

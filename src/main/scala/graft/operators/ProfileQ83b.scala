@@ -55,6 +55,7 @@ object ProfileQ83b {
     time("filter w/o hash")(nearDeduped.filter(col("doc_id") % 2 === 0).count())
     time("filter hash only")(nearDeduped.filter(bucket < 9999).count())
     time("hash on checkpointed base") {
+      // deliberate: this timing MEASURES localCheckpoint (profiling-only)
       val ck = nearDeduped.localCheckpoint()
       ck.filter(bucket < rate * 10000).count()
     }

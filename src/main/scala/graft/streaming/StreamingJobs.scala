@@ -318,8 +318,15 @@ object StreamingJobs {
               .drop("__fp")
           case None => batchDf
         }
-        // LSH bucket-level near-dup: vs corpus, then vs lower-id batch docs
-        val newBands = lshBands(novel).localCheckpoint()
+        // LSH bucket-level near-dup: vs corpus, then vs lower-id batch docs.
+        // persist, NOT localCheckpoint: the bands are consumed three
+        // times, but they are a pure deterministic function of the
+        // replayable batch source + corpus parquet, so lineage-keeping
+        // persist recomputes lost blocks identically after a real
+        // executor death — truncated localCheckpoint lineage cannot
+        // (round-10 soak class, same fix as TextDedup.scala:924-930)
+        val newBands = lshBands(novel).persist()
+        try {
         val dupVsCorpus = corpus match {
           case Some(c) => newBands
             .join(lshBands(c).select(col("band").as("b2"), col("bkey").as("k2")),
@@ -334,6 +341,7 @@ object StreamingJobs {
           .select(col("a_id").as("doc_id")).distinct()
         novel.join(dupVsCorpus.union(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(corpusDir)
+        } finally newBands.unpersist(false)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -530,7 +538,11 @@ object StreamingJobs {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         if (compactEvery > 0) pruneBehindFullSnapshot(spark, gramDir, batchId)
-        val g = graft.operators.SpanOps.gramsOf(batch.toDF()).localCheckpoint()
+        // persist, NOT localCheckpoint: grams are deterministic over the
+        // replayable batch source, so lost blocks recompute identically
+        // (round-10 soak class — see [[incrementalCorpusBuild]])
+        val g = graft.operators.SpanOps.gramsOf(batch.toDF()).persist()
+        try {
         val prevDeltas = versionsBefore(spark, gramDir, batchId)
         val occ = prevDeltas match {
           case Seq() => g.filter(lit(false)) // first batch: nothing to repeat
@@ -556,6 +568,7 @@ object StreamingJobs {
           fs.create(new org.apache.hadoop.fs.Path(
             s"$gramDir/v$batchId/$FullMarker"), true).close()
         }
+        } finally g.unpersist(false)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -656,9 +669,14 @@ object StreamingJobs {
               .otherwise(coalesce(col("sk"), col("sk_new"))).as("sk"),
             (coalesce(col("n_events"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
               .as("n_events"))
-          .localCheckpoint() // consumed twice: state write + report
+        // state first, then report FROM the durable state version — not
+        // localCheckpoint: truncated lineage is unrecoverable after a
+        // real executor death (round-10 soak class), while the state
+        // write was already mandatory, so the report costs one
+        // O(groups) parquet re-read and survives any executor loss
         merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        merged.select(col("event_type"), col("n_events"),
+        spark.read.parquet(s"$stateDir/v$batchId")
+          .select(col("event_type"), col("n_events"),
             hll_sketch_estimate(col("sk")).as("distinct_users"))
           .write.mode("overwrite").parquet(s"$outDir/v$batchId")
       }
@@ -713,9 +731,14 @@ object StreamingJobs {
               .otherwise(coalesce(col("sk"), col("sk_new"))).as("sk"),
             (coalesce(col("n_events"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
               .as("n_events"))
-          .localCheckpoint() // consumed twice: state write + report
+        // state first, report from the durable state version (see
+        // [[hllDistinctStream]] — same no-localCheckpoint rationale;
+        // doubly load-bearing here because KLL merge is NOT idempotent,
+        // so a recompute-under-retry of a truncated lineage could
+        // otherwise publish a different sketch than the state it wrote)
         merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        merged.select(col("event_type"), col("n_events"),
+        spark.read.parquet(s"$stateDir/v$batchId")
+          .select(col("event_type"), col("n_events"),
             expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
             expr("kll_sketch_get_quantile_double(sk, 0.9)").as("p90"),
             expr("kll_sketch_get_quantile_double(sk, 0.99)").as("p99"))
@@ -781,16 +804,22 @@ object StreamingJobs {
           .crossJoin(broadcast(tot))
           .select(col("b"),
             CorpusOps.dsirWeight(col("tc"), col("rc"), col("tt"), col("rt")).as("wt"))
-        val bk = buckets(batch.toDF()).localCheckpoint() // consumed twice
-        bk.join(broadcast(wts), "b")
-          .groupBy(col("doc_id"))
-          .agg(round(sum(col("wt")), 6).as("dsir_score"))
-          .write.mode("overwrite").parquet(s"$outDir/v$batchId")
-        // fold this batch's counts into the pool AFTER scoring
-        val folded = rawPrev.select(col("b"), col("rc"))
-          .unionByName(bk.groupBy(col("b")).agg(count(lit(1)).as("rc")))
-          .groupBy(col("b")).agg(sum(col("rc")).as("rc"))
-        folded.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        // persist, NOT localCheckpoint (consumed twice: score + fold):
+        // the buckets are deterministic over the replayable batch
+        // source, so lineage-keeping persist survives executor death
+        // (round-10 soak class — see [[incrementalCorpusBuild]])
+        val bk = buckets(batch.toDF()).persist()
+        try {
+          bk.join(broadcast(wts), "b")
+            .groupBy(col("doc_id"))
+            .agg(round(sum(col("wt")), 6).as("dsir_score"))
+            .write.mode("overwrite").parquet(s"$outDir/v$batchId")
+          // fold this batch's counts into the pool AFTER scoring
+          val folded = rawPrev.select(col("b"), col("rc"))
+            .unionByName(bk.groupBy(col("b")).agg(count(lit(1)).as("rc")))
+            .groupBy(col("b")).agg(sum(col("rc")).as("rc"))
+          folded.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        } finally bk.unpersist(false)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -844,8 +873,13 @@ object StreamingJobs {
         import graft.operators.{CorpusOps, TextPrims}
         if (compactEvery > 0) pruneBehindFullSnapshot(spark, stateDir, batchId)
         val cents = spark.read.parquet(centroidsDir)
+        // persist, NOT localCheckpoint (consumed four times): assignment
+        // is deterministic over the replayable batch source + the pinned
+        // centroid parquet, so lost blocks recompute identically
+        // (round-10 soak class — see [[incrementalCorpusBuild]])
         val assigned = CorpusOps.assignVectors(
-          batch.toDF().select(col("vec_id"), col("v")), cents).localCheckpoint()
+          batch.toDF().select(col("vec_id"), col("v")), cents).persist()
+        try {
         val prevDeltas = versionsBefore(spark, stateDir, batchId)
         val state = prevDeltas match {
           case Seq() => assigned.select(col("cid"),
@@ -889,6 +923,7 @@ object StreamingJobs {
           fs.create(new org.apache.hadoop.fs.Path(
             s"$stateDir/v$batchId/$FullMarker"), true).close()
         }
+        } finally assigned.unpersist(false)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -933,14 +968,18 @@ object StreamingJobs {
         val cum = prevCnt
           .unionByName(binCounts(batch.toDF().select(col("x")), "cur_n"))
           .groupBy(col("bin")).agg(sum(col("cur_n")).as("cur_n"))
-          .localCheckpoint() // consumed twice: report + state write
+        // state first, report from the durable state version (see
+        // [[hllDistinctStream]] — no localCheckpoint: the state write
+        // was mandatory anyway and the re-read is ten rows)
+        cum.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        val cumD = spark.read.parquet(s"$stateDir/v$batchId")
         val refCnt = binCounts(ref, "ref_n")
         val tot = refCnt.agg(sum(col("ref_n")).as("rt")).crossJoin(
-          cum.agg(coalesce(sum(col("cur_n")), lit(0L)).as("ct")))
+          cumD.agg(coalesce(sum(col("cur_n")), lit(0L)).as("ct")))
         val rr = PipelineOps.psiRate(col("ref_n"), col("rt"))
         val cr = PipelineOps.psiRate(col("cur_n"), col("ct"))
         spark.range(10).select(col("id").as("bin"))
-          .join(refCnt, Seq("bin"), "left").join(cum, Seq("bin"), "left")
+          .join(refCnt, Seq("bin"), "left").join(cumD, Seq("bin"), "left")
           .crossJoin(broadcast(tot))
           .select(col("bin"),
             coalesce(col("ref_n"), lit(0L)).as("ref_n"),
@@ -949,7 +988,6 @@ object StreamingJobs {
             round(PipelineOps.psiTerm(rr, cr), 6).as("psi_term"))
           .orderBy(col("bin"))
           .write.mode("overwrite").parquet(s"$outDir/v$batchId")
-        cum.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .start()
