@@ -62,6 +62,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Pin {
 
+  // memo/sessionIds/lastBeat strongly retain sessions by design — a
+  // live session's pins must stay memoized for the JVM lifetime; tools
+  // that churn sessions call [[release]] to drop a dead session's
+  // entries (and optionally its artifacts) eagerly.
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -85,14 +89,27 @@ object Pin {
   /** Minimum gap between heartbeat touches of one pin dir. */
   private val BeatIntervalMs: Long = 15L * 60 * 1000
 
+  /** Session conf key overriding the pin root — point it at a shared
+    * filesystem URI (`hdfs://…/pins`, `s3a://…/pins`) on a cluster; the
+    * default keeps local runs under the build directory. All pin I/O
+    * (write, re-read, prune, heartbeat) goes through the Hadoop
+    * [[FileSystem]] resolved FROM this path, so HDFS rename/commit
+    * semantics apply unchanged — proven against an in-memory
+    * HDFS-semantics FS in PinMemFsSpec.
+    */
+  val RootConfKey = "spark.graft.pin.root"
+
   private val Root = "target/graft-layout/pins"
+
+  private def rootOf(spark: SparkSession): String =
+    spark.conf.get(RootConfKey, Root)
 
   /** The (FileSystem, fully-qualified root) for this session — resolved
     * through the session's Hadoop conf so relative-path semantics match
     * between local runs (CWD) and cluster runs (default FS).
     */
   private def fsRoot(spark: SparkSession): (FileSystem, Path) = {
-    val raw = new Path(Root)
+    val raw = new Path(rootOf(spark))
     val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
     (fs, fs.makeQualified(raw))
   }
@@ -135,19 +152,37 @@ object Pin {
   /** Re-stamp the pin dir's mtime so a concurrently started JVM's
     * age-based pruner sees it as live (at most once per
     * [[BeatIntervalMs]] per pin).
+    *
+    * CONTRACT (round-10 advice): the beat fires only on [[shared]]
+    * re-entry — a consumer that holds a memoized DataFrame and runs
+    * actions on it for longer than [[PruneAfterMs]] WITHOUT re-calling
+    * `shared` gets no refresh and races a concurrent JVM's pruner.
+    * Re-enter `shared(spark, name)(…)` per consumption (the catalog
+    * paths all do; the by-name argument is not evaluated on a memo
+    * hit, so re-entry costs one map lookup + rate-limited touch).
+    * `lastBeat` records only SUCCESSFUL touches, so a transient FS
+    * error retries on the next call instead of silently skipping a
+    * whole beat interval. On object stores (S3A) directory mtimes are
+    * synthetic and `setTimes` is unsupported — the beat stays
+    * best-effort no-op there and age-based pruning degrades to
+    * "never prunes", never to premature deletion (creation-time
+    * listings can make mtimes look OLD on some stores, so set
+    * [[RootConfKey]] to a per-job unique root on S3-likes and reap by
+    * job lifecycle instead).
     */
   private def heartbeat(spark: SparkSession, name: String): Unit = {
     val key = (spark, name)
     val now = System.currentTimeMillis()
     val prev = lastBeat.get(key)
     if (prev == null || now - prev.longValue() > BeatIntervalMs) {
-      lastBeat.put(key, java.lang.Long.valueOf(now))
       try {
         val (fs, _) = fsRoot(spark)
         fs.setTimes(dirOf(spark, name), now, -1)
+        lastBeat.put(key, java.lang.Long.valueOf(now))
       } catch {
         case _: Exception => // best-effort: a missed beat only risks an
-        // eager prune by ANOTHER jvm after 24h idle, never wrong data
+        // eager prune by ANOTHER jvm after 24h idle, never wrong data;
+        // lastBeat stays unset so the NEXT call retries the touch
       }
     }
   }
@@ -174,4 +209,32 @@ object Pin {
     * — spec hook. */
   private[graft] def isBuilt(spark: SparkSession, name: String): Boolean =
     memo.containsKey((spark, name))
+
+  /** Drop every map entry held for `spark` and (optionally) delete its
+    * pin directories. The memo/sessionIds/lastBeat maps strongly retain
+    * sessions for the JVM lifetime by design (a live catalog session's
+    * pins must stay memoized); tools that CHURN sessions — fault
+    * harnesses spawning a fresh session per attempt — should call this
+    * when done with one, or dead sessions' entries and orphaned pin
+    * dirs accumulate until another JVM's age-based prune.
+    * `deleteArtifacts = true` also removes the session's on-disk pins —
+    * only safe once nothing will read the released session's frames.
+    */
+  def release(spark: SparkSession, deleteArtifacts: Boolean = false): Unit = {
+    val sid = sessionIds.remove(spark)
+    memo.keySet.removeIf(_._1 eq spark)
+    lastBeat.keySet.removeIf(_._1 eq spark)
+    if (deleteArtifacts && sid != null) {
+      try {
+        val (fs, root) = fsRoot(spark)
+        if (fs.exists(root))
+          fs.listStatus(root)
+            .filter(_.getPath.getName.endsWith(s"-s$sid"))
+            .foreach(s => fs.delete(s.getPath, true): Unit)
+      } catch { case _: java.io.IOException => }
+    }
+  }
+
+  /** Spec hook: re-arm the once-per-JVM lazy prune. */
+  private[graft] def rearmPruneForTest(): Unit = pruned.set(false)
 }

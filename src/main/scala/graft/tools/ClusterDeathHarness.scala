@@ -126,6 +126,9 @@ object ClusterDeathHarness {
         val r = rows(graft.SparkEntry.queries(q)(s2, dir))
         val tEnd = System.nanoTime()
         killer.join(10000)
+        // this loop churns up to ~11 sessions; without release their
+        // memo entries + orphaned pin dirs would linger JVM-lifetime
+        graft.core.Pin.release(s2, deleteArtifacts = true)
         landed = killedPid > 0 && killedAt > t0 && killedAt < tEnd
         val match_ = r == baseline(q)._1
         println(f"[harness] fault-run $q (attempt $attempt): ${r.size} rows in " +
@@ -300,6 +303,7 @@ object ClusterDeathHarness {
       val got = rows(graft.SparkEntry.queries(q)(s5, dir))
       val tEnd = System.nanoTime()
       killer.join(10000)
+      graft.core.Pin.release(s5, deleteArtifacts = true)
       val landed = killedPid > 0 && killedAt > t0 && killedAt < tEnd
       val match_ = got == baselineRows
       println(f"[harness] layout-build fault-run $q: ${got.size} rows in " +
