@@ -171,6 +171,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""iters":$iters,"shared_cache_sec":${"%.3f".format(sharedCacheSec)},""" +
         s""""probe":$probeJson,"host_noise":${"%.2f".format(hostNoise)},""" +
+        s""""pin_reclaimed_bytes":${graft.core.Pin.reclaimedBytes},""" +
         s""""noisy_queries":$noisy,$failedJson,$skippedJson,"contaminated":$contaminated}"""
     }
     // only persist full-catalog runs at the CANONICAL sf0.1 dir — a

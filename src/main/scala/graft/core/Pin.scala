@@ -210,6 +210,38 @@ object Pin {
   private[graft] def isBuilt(spark: SparkSession, name: String): Boolean =
     memo.containsKey((spark, name))
 
+  private val reclaimed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Bytes reclaimed by [[retireArtifact]] this JVM — surfaced in the
+    * Bench / CacheItemize JSON so the loop-round retention's win is a
+    * reported number, not a claim.
+    */
+  def reclaimedBytes: Long = reclaimed.get()
+
+  /** Delete the on-disk artifact for (session, `name`), returning the
+    * bytes reclaimed (0 if absent or unmeasurable). The MEMO ENTRY IS
+    * KEPT deliberately: loop-round retention needs later re-entries to
+    * fast-forward (memo-hit, no rebuild, no rewrite) while the caller
+    * guarantees no action will ever execute against the retired
+    * frame — the iterative loops arrange that by recording per-round
+    * convergence and only ever reading the retained tail. Library
+    * callers outside that discipline must use [[release]] or nothing.
+    */
+  private[graft] def retireArtifact(spark: SparkSession, name: String): Long =
+    try {
+      val (fs, _) = fsRoot(spark)
+      val dir = dirOf(spark, name)
+      if (!fs.exists(dir)) 0L
+      else {
+        val bytes =
+          try fs.getContentSummary(dir).getLength
+          catch { case _: java.io.IOException => 0L }
+        fs.delete(dir, true)
+        reclaimed.addAndGet(bytes)
+        bytes
+      }
+    } catch { case _: java.io.IOException => 0L }
+
   /** Drop every map entry held for `spark` and (optionally) delete its
     * pin directories. The memo/sessionIds/lastBeat maps strongly retain
     * sessions for the JVM lifetime by design (a live catalog session's

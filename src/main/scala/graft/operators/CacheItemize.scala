@@ -95,7 +95,8 @@ object CacheItemize {
     val items = steps.map { case (n, s) => s""""$n":${"%.2f".format(s)}""" }.mkString(",")
     println(s"""{"sf":"$dir","artifacts":{$items},""" +
       s""""total":${"%.2f".format(steps.map(_._2).sum)},""" +
-      s""""steady_state_sec":${"%.2f".format(steady)}}""")
+      s""""steady_state_sec":${"%.2f".format(steady)},""" +
+      s""""pin_reclaimed_bytes":${graft.core.Pin.reclaimedBytes}}""")
     spark.stop()
   }
 }

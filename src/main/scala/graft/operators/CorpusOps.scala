@@ -35,12 +35,26 @@ object CorpusOps {
     */
   private val TargetClusterSize = 500L
 
-  /** Vector-count cap for the Lloyd's iteration INPUT (not the final
+  /** Vector-count FLOOR for the Lloyd's iteration INPUT (not the final
     * assignment): above this the fit trains on a deterministic
-    * hash-sample of ~this many vectors. Set above every driver/oracle
-    * SF (2k/20k vecs) so the oracle-replayed model never changes.
+    * hash-sample of ~max(this, [[MinFitPerCentroid]]·k) vectors. Set
+    * above every driver/oracle SF (2k/20k vecs) so the oracle-replayed
+    * model never changes.
     */
   private val FitSampleMax = 50000L
+
+  /** Fit-sample vectors per centroid once k outgrows [[FitSampleMax]]
+    * (round-10 advice): a FIXED 50k sample with adaptive k up to 65536
+    * would leave most centroids 0-1 fit vectors past ~25M-vector
+    * corpora — empty clusters silently drop out of the mean-recompute
+    * groupBy and the model collapses to far fewer centroids than
+    * [[TargetClusterSize]] intends. Scaling the sample with k keeps
+    * ~50 expected fit vectors per centroid at ANY corpus size, and the
+    * iteration cost (sample·k) stays dominated by the one-time full
+    * assignment (n·k) that was always part of the bill — at the
+    * 65536-cap the sample is ~3.3M vectors vs a ≥33M corpus.
+    */
+  private val MinFitPerCentroid = 50L
 
   /** k for an n-vector corpus: n / [[TargetClusterSize]], floored at
     * the [[K]]=4 oracle model (driver SFs reproduce the static oracle
@@ -184,10 +198,13 @@ object CorpusOps {
       // Below the cap — every driver/oracle SF — the sample IS the
       // corpus and the fit is value-identical: the lever only engages
       // at the scale that needs it (the SmallGraphEdgeMax discipline).
+      // The cap scales with k ([[MinFitPerCentroid]]) so huge corpora
+      // never fit 65k centroids on 50k samples.
+      val sampleTarget = math.max(FitSampleMax, MinFitPerCentroid * k.toLong)
       val fitSet =
-        if (n <= FitSampleMax) e
+        if (n <= sampleTarget) e
         else e.filter(pmod(xxhash64(lit("kmfit:"), $"vec_id"),
-          lit(math.max(1L, n / FitSampleMax))) === 0)
+          lit(math.max(1L, n / sampleTarget))) === 0)
       def assign(cents: DataFrame): DataFrame = assignVectors(e, cents)
       (1 to KmeansIters).foreach { _ =>
         centroids = assignVectors(fitSet, centroids)

@@ -324,10 +324,18 @@ object SketchOps {
     *   - `sum_merged_ok`: the split+merge decimal sum EQUALS the
     *     single-pass sum over the full window — exact equality, the
     *     decimal accumulation guarantee by construction;
-    *   - `union_lossless_ok`: the merged sketch's estimate EQUALS the
-    *     single-pass sketch's estimate — same-lgK HLL union is
-    *     register-lossless, so mergeability costs zero accuracy, not
-    *     merely "within epsilon".
+    *   - `union_lossless_ok`: the merged sketch holds the SAME
+    *     register content as the single-pass sketch — same-lgK HLL
+    *     union is register-lossless, so mergeability costs zero
+    *     accuracy, not merely "within epsilon". Compared by pushing
+    *     BOTH sketches through one extra self-union so both estimates
+    *     come from the identical (composite) estimator path: a raw
+    *     estimate compare would be flaky because DataSketches uses the
+    *     HIP estimator for directly-updated sketches but the composite
+    *     estimator for union results, and those can differ over
+    *     identical data (round-10 advice). Equal canonicalized
+    *     estimates ⟺ equal registers in both directions, since union
+    *     takes the per-register max.
     */
   def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -364,7 +372,8 @@ object SketchOps {
         (abs(hll_sketch_estimate($"sk") - $"exact_users") <=
           $"exact_users" * 0.05).as("merged_ok"),
         ($"sum_raw" === $"sum_single").as("sum_merged_ok"),
-        (hll_sketch_estimate($"sk") === hll_sketch_estimate($"sk_single"))
+        (hll_sketch_estimate(hll_union($"sk", $"sk")) ===
+          hll_sketch_estimate(hll_union($"sk_single", $"sk_single")))
           .as("union_lossless_ok"))
       .orderBy($"event_type")
   }

@@ -449,6 +449,13 @@ object TextAnalysis {
         nodes.join(inflow, nodes("word") === inflow("dst"), "left")
           .select($"word",
             round(lit(PrTeleport) / lit(n) + lit(PrDamping) * coalesce($"inflow", lit(0.0)), 9).as("r")))
+      // retention (round-10 verdict): the loop reads only round i (and
+      // a mid-loop retry's first computed round reads round i−1 — the
+      // earlier memo-hit rounds are never acted on, there is no
+      // convergence check here), so rounds ≤ i−2 retire as the loop
+      // advances and the pin dir holds at most two live rounds
+      if (i >= 3)
+        graft.core.Pin.retireArtifact(spark, s"$loop-round${i - 2}"): Unit
     }
     rank.select($"word", round($"r", 6).as("rank")).orderBy($"word")
   }

@@ -858,6 +858,17 @@ object TextDedup {
     */
   private val CcHalvingAfter = 8
 
+  /** Per-(session, loop, round) convergence record. Retention deletes
+    * round parquet two behind the head, so a fast-forward retry can no
+    * longer learn "did round r change anything" from the retired
+    * artifact — it replays this record instead (zero IO). Entries are
+    * a boolean per committed round; memory is bounded by total rounds
+    * run in the JVM.
+    */
+  private val ccRoundConverged =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, Int), java.lang.Boolean]()
+
   /** Duplicate-cluster assembly (q70): pair lists (from LSH/Jaccard)
     * are only half of dedup — production pipelines need each document
     * assigned to a duplicate CLUSTER, with one canonical survivor per
@@ -974,9 +985,31 @@ object TextDedup {
             .select(col("id"), col("comp"),
               least(col("next"), coalesce(col("jcomp"), col("next"))).as("next"))
         }
-      val stepped = graft.core.Pin.shared(spark, s"$loop-round${iter + 1}")(steppedPlan)
-      converged = stepped.filter(col("next") =!= col("comp")).isEmpty
+      val roundName = s"$loop-round${iter + 1}"
+      val wasBuilt = graft.core.Pin.isBuilt(spark, roundName)
+      val stepped = graft.core.Pin.shared(spark, roundName)(steppedPlan)
+      // convergence is RECORDED per round so a fast-forward retry
+      // replays it from the map instead of re-reading the round's
+      // parquet — which retention below may have retired (the record
+      // is what makes bounded retention compatible with fast-forward)
+      val ckey = (spark, loop, iter + 1)
+      val recorded = if (wasBuilt) ccRoundConverged.get(ckey) else null
+      converged =
+        if (recorded != null) recorded.booleanValue()
+        else {
+          val c = stepped.filter(col("next") =!= col("comp")).isEmpty
+          ccRoundConverged.put(ckey, java.lang.Boolean.valueOf(c))
+          c
+        }
       labels = stepped.select(col("id"), col("next").as("comp"))
+      // retention (round-10 verdict): once round iter+1 is committed
+      // and its convergence recorded, rounds ≤ iter−1 are never read
+      // again — the loop reads only {iter, iter+1}, and a mid-loop
+      // retry reads only the LAST retained round's parquet (earlier
+      // memo-hit rounds replay from the record with zero IO) — so the
+      // pin dir holds at most two live rounds instead of one per round
+      if (iter >= 1)
+        graft.core.Pin.retireArtifact(spark, s"$loop-round${iter - 1}"): Unit
       iter += 1
     }
     require(converged, s"connected components did not converge in $MaxCcIters rounds")

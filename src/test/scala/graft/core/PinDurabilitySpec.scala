@@ -89,10 +89,11 @@ class PinDurabilitySpec extends SparkSpec {
     assert(disturbed == undisturbed)
   }
 
-  test("CC loop retry fast-forwards from mid-loop artifacts instead of recomputing rounds") {
+  test("CC loop retry fast-forwards from mid-loop artifacts; retired rounds stay retired (bounded pin dir)") {
     import spark.implicits._
     val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val loop = "spec-cc-resume"
+    val reclaimedBefore = Pin.reclaimedBytes
     // poison round 3: the operator dies mid-loop with rounds 1-3 pinned
     val boom = intercept[RuntimeException] {
       graft.operators.TextDedup.connectedComponents(
@@ -101,17 +102,43 @@ class PinDurabilitySpec extends SparkSpec {
     }
     assert(boom.getMessage.contains("simulated mid-loop job failure"))
     assert(Pin.isBuilt(spark, s"$loop-round3") && !Pin.isBuilt(spark, s"$loop-round4"))
-    val survivors = (0 to 3).map(r => Pin.pathOf(spark, s"$loop-round$r"))
+    // retention already retired rounds ≤ 1 as the head advanced (keep
+    // two): disk is bounded at two live rounds, reclaim is reported
+    assert(!Pin.pathOf(spark, s"$loop-round0").exists(), "round0 should be retired")
+    assert(!Pin.pathOf(spark, s"$loop-round1").exists(), "round1 should be retired")
+    assert(Pin.reclaimedBytes > reclaimedBefore, "retention reclaimed no bytes")
+    val survivors = (2 to 3).map(r => Pin.pathOf(spark, s"$loop-round$r"))
+    survivors.foreach(d => assert(d.exists(), s"retained round missing: $d"))
     val stamps = survivors.map(d => d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
 
-    // the retry resumes: rounds 0-3 are memoized re-reads (artifact
-    // files untouched), only rounds 4+ are computed, output is right
+    // the retry resumes: retained rounds are memoized re-reads
+    // (artifact files untouched UP TO the resume point — after it,
+    // continued progress retires them too, by design), RETIRED rounds
+    // replay from the recorded convergence with zero IO and are NOT
+    // rebuilt on disk, only rounds 4+ are computed, output is right
+    @volatile var stampsAtResume: Seq[Set[(String, Long)]] = null
     val labels = graft.operators.TextDedup
-      .connectedComponents(pairs, smallGraphMax = -1L, loopName = loop)
+      .connectedComponents(pairs, smallGraphMax = -1L, loopName = loop,
+        onRound = r => if (r == 3 && stampsAtResume == null)
+          stampsAtResume = survivors.map(d =>
+            Option(d.listFiles()).map(_.map(f => (f.getName, f.lastModified())).toSet)
+              .getOrElse(Set.empty)))
       .orderBy("id").collect().toSeq.map(_.toString)
     assert(labels == (1L to 8L).map(i => s"[$i,1]"))
-    assert(survivors.map(d => d.listFiles().map(f => (f.getName, f.lastModified())).toSet) == stamps,
-      "retry rewrote round artifacts it should have fast-forwarded through")
+    assert(stampsAtResume == stamps,
+      "retry rewrote retained round artifacts before the resume point")
+    assert(!Pin.pathOf(spark, s"$loop-round0").exists() &&
+      !Pin.pathOf(spark, s"$loop-round1").exists(),
+      "retry rebuilt retired rounds it should have replayed from the record")
+    // after completion THIS SESSION's pin dirs for the loop stay
+    // bounded: at most the final two rounds exist (prior JVMs' stale
+    // dirs carry other session UUIDs and are the 24h pruner's job)
+    val edgesDir = Pin.pathOf(spark, s"$loop-edges")
+    val sid = edgesDir.getName.substring(edgesDir.getName.lastIndexOf("-s"))
+    val roundDirs = edgesDir.getParentFile.listFiles()
+      .filter(f => f.getName.startsWith(s"$loop-round") && f.getName.endsWith(sid))
+      .map(_.getName).toSeq
+    assert(roundDirs.size <= 2, s"unbounded round dirs for this session: $roundDirs")
   }
 
   test("distributed TextRank matches the driver path and survives executor-state loss every iteration") {
