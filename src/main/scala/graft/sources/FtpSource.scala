@@ -155,16 +155,32 @@ object FtpSource {
         } finally ds.close()
       val (cEnd, tEnd) = reply()
       require(cEnd == 226, s"MLSD transfer did not complete: $tEnd")
+      // Malformed lines fail LOUDLY (round-11 fuzz hardening): the old
+      // parse silently DROPPED a line with no fact separator (silent
+      // file loss from a listing is exactly the corruption class the
+      // resume checks exist to prevent) and crashed with raw
+      // StringIndexOutOfBounds / NumberFormatException on a fact
+      // without '=' or a non-numeric size — now each is a diagnosable
+      // IllegalArgumentException carrying the offending line.
       val entries = lines.flatMap { line =>
-        val sep = line.indexOf(' ')
-        if (sep < 0) None
+        if (line.isEmpty) None // blank lines carry no entry to lose
         else {
+          val sep = line.indexOf(' ')
+          require(sep >= 0, s"unparseable MLSD line (no name separator): '$line'")
           val facts = line.substring(0, sep).split(';').filter(_.nonEmpty)
-            .map { f => val i = f.indexOf('='); f.substring(0, i).toLowerCase -> f.substring(i + 1) }
+            .map { f =>
+              val i = f.indexOf('=')
+              require(i > 0, s"unparseable MLSD fact '$f' in line: '$line'")
+              f.substring(0, i).toLowerCase -> f.substring(i + 1)
+            }
             .toMap
           val name = line.substring(sep + 1)
-          Some(FtpEntry(name,
-            facts.get("size").map(_.toLong).getOrElse(0L),
+          require(name.nonEmpty, s"unparseable MLSD line (empty name): '$line'")
+          val size = facts.get("size").fold(0L) { s =>
+            s.toLongOption.filter(_ >= 0L).getOrElse(throw new IllegalArgumentException(
+              s"unparseable MLSD size '$s' in line: '$line'"))
+          }
+          Some(FtpEntry(name, size,
             facts.get("type").exists(t => t == "dir" || t == "cdir" || t == "pdir")))
         }
       }.filterNot(e => e.name == "." || e.name == "..")

@@ -65,6 +65,16 @@ object RarSource extends Serializable {
       val flags = u16(content, pos + 3)
       val headSize = u16(content, pos + 5)
       require(headSize >= 7, s"corrupt RAR header at offset $pos (size $headSize)")
+      require(pos + headSize <= content.length, s"truncated RAR header at $pos")
+      // HEAD_CRC (RARv4 rule: low 16 bits of CRC32 over the header
+      // bytes after the CRC field) — validated so a corrupted header
+      // fails loudly instead of silently mis-parsing a name, a size
+      // field, or a method byte (round-11 fuzz hardening; data bytes
+      // were already CRC-checked, header bytes were not)
+      val headCrc = new CRC32
+      headCrc.update(content, pos + 2, headSize - 2)
+      require((headCrc.getValue & 0xffffL) == (u16(content, pos) & 0xffffL),
+        f"RAR header CRC mismatch at offset $pos")
       // LONG_BLOCK (0x8000): data of ADD_SIZE bytes follows the header.
       // For file headers that field IS the packed size.
       val addSize =

@@ -82,11 +82,26 @@ class RarSourceSpec extends SparkSpec {
     val rar = makeRar("a.csv" -> "id,v\n1,x\n")
     // method byte of the first file header: marker(7) + archive(13) +
     // header offset 25 (base 7 + pack 4 + unp 4 + host 1 + crc 4 + ftime 4 + ver 1)
-    val methodOff = 7 + 13 + 25
+    val hdr = 7 + 13
+    val methodOff = hdr + 25
     assert(rar(methodOff) == 0x30.toByte)
     rar(methodOff) = 0x33.toByte
+    // re-seal the header CRC (the parser validates it since round 11 —
+    // an unsealed flip would fail THERE, which is its own test below)
+    val headSize = (rar(hdr + 5) & 0xff) | ((rar(hdr + 6) & 0xff) << 8)
+    val c = new CRC32; c.update(rar, hdr + 2, headSize - 2)
+    rar(hdr) = (c.getValue & 0xff).toByte
+    rar(hdr + 1) = ((c.getValue >> 8) & 0xff).toByte
     val e = intercept[UnsupportedOperationException](RarSource.members(rar))
     assert(e.getMessage.contains("0x33"))
+  }
+
+  test("RarSource.members: a header byte flip fails the header CRC loudly") {
+    val rar = makeRar("a.csv" -> "id,v\n1,x\n")
+    val methodOff = 7 + 13 + 25
+    rar(methodOff) = 0x33.toByte // flip WITHOUT re-sealing HEAD_CRC
+    val e = intercept[IllegalArgumentException](RarSource.members(rar))
+    assert(e.getMessage.contains("header CRC mismatch"))
   }
 
   test("RarSource: compressed members delegate to a system extractor when one exists") {
