@@ -103,6 +103,18 @@ object Bench {
     }
     val skippedFenced =
       SparkEntry.queries.keys.filter(n => fenced(n) && !selected.contains(n)).toSeq.sorted
+    // JIT-extended queries (round-10 verdict task 6): q23/q122 read as
+    // ±40% round-over-round swings on UNCHANGED plans because their
+    // hot loops — q23's codegen'd banded vector cosine, q122's
+    // imperative Misra–Gries aggregate — take 5+ iterations of C2
+    // compilation to reach steady state, so min-of-3 samples a
+    // still-warming curve whose phase depends on what ran earlier in
+    // the session. Measured (TimeQuery, fresh JVMs, sf0.1): q23 fell
+    // monotonically 1.52→0.80 s across 8 iters with min-of-8
+    // reproducible ±8% over 3 JVMs; q122 1.07→0.56 s, ±2% over 2.
+    // Extra iterations for just these two cost ~6 s of bench wall and
+    // make their round-over-round numbers actually comparable.
+    val jitExtended = Map("q23_dedup_embedding" -> 8, "q122_heavy_hitters" -> 8)
     // A throwing query must be REPORTED as failed, not timed: the
     // seconds elapsed before an AnalysisException are near zero, and
     // recording them would let a broken query masquerade as the
@@ -112,7 +124,8 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       probes += probeOnce()
-      val times = (1 to iters).map { _ =>
+      val qIters = math.max(iters, jitExtended.getOrElse(name, 0))
+      val times = (1 to qIters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed += name }

@@ -148,6 +148,15 @@ class PinDurabilitySpec extends SparkSpec {
         spark, dir, smallEdgeMax = -1L, onRound = _ => killAllExecutorState())
       .collect().toSeq.map(_.toString)
     assert(distributed == driverPath)
+    // round-11 retention: the loop retires rounds ≤ i−2 as it goes, so
+    // THIS SESSION's round dirs for the loop are bounded at two
+    val edgesDir = Pin.pathOf(spark, s"textrank-${Pin.tag(dir)}-edges")
+    val sid = edgesDir.getName.substring(edgesDir.getName.lastIndexOf("-s"))
+    val roundDirs = edgesDir.getParentFile.listFiles()
+      .filter(f => f.getName.startsWith(s"textrank-${Pin.tag(dir)}-round") &&
+        f.getName.endsWith(sid))
+      .map(_.getName).toSeq
+    assert(roundDirs.size <= 2, s"unbounded TextRank round dirs: $roundDirs")
   }
 
   test("sessions get distinct pin directories (UUID component, not identityHashCode)") {
