@@ -276,13 +276,15 @@ object SketchOps {
     */
   def ensureBaseRollup(spark: SparkSession, dir: String): String =
     synchronized {
-      val t = graft.core.Pin.tag(dir)
       // _d6 suffix: artifact format versioning — the round-9 decimal
       // sum changed the stored schema, and a stale double-summed base
-      // from an earlier build must not satisfy the _SUCCESS check
-      val path = s"target/graft-layout/$t/rollup_base_d6"
-      if (!rollupBuilt.contains(t) ||
-        !new java.io.File(path, "_SUCCESS").exists()) {
+      // from an earlier build must not satisfy the _SUCCESS check.
+      // Root + marker probe ride StorageOps' Hadoop-FS helpers
+      // (round 11): a java.io.File check against the driver's local
+      // disk could never see a cluster-side layout.
+      val path = s"${StorageOps.layoutBase(spark, dir)}/rollup_base_d6"
+      if (!rollupBuilt.contains(path) ||
+        !StorageOps.markerExists(spark, path, "_SUCCESS")) {
         Tables.load(spark, dir, "events")
           .filter(col("ts") < lit(RollupDeltaStart).cast("timestamp"))
           .groupBy(col("event_type"))
@@ -298,7 +300,7 @@ object SketchOps {
             hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
           .coalesce(1)
           .write.mode("overwrite").parquet(path)
-        rollupBuilt += t
+        rollupBuilt += path
       }
       path
     }

@@ -47,6 +47,42 @@ object StorageOps {
 
   private def tag(dir: String): String = graft.core.Pin.tag(dir)
 
+  /** Session conf key overriding the layout root — the artifact tree
+    * holding the compacted/sorted/z-order/bloom/erased copies; like
+    * [[graft.core.Pin.RootConfKey]], point it at a shared-filesystem
+    * URI on a cluster. Proven on HDFS-semantics storage by
+    * `LayoutMemFsSpec`.
+    */
+  val RootConfKey = "spark.graft.layout.root"
+  private val DefaultRoot = "target/graft-layout"
+
+  /** The layout base for `dir` under the session's configured root. */
+  private[graft] def layoutBase(spark: SparkSession, dir: String): String =
+    s"${spark.conf.get(RootConfKey, DefaultRoot)}/${tag(dir)}"
+
+  private def hfsPath(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Marker probe via the Hadoop FS (round-11): the old
+    * `java.io.File` check ran against the DRIVER's local disk, so on
+    * a cluster whose default FS is HDFS/S3 it could never see the
+    * layout the write path had created there — every call would
+    * rebuild the layout, and q142's `_ERASED` marker would
+    * split-brain (marker local, data remote). Same hazard class as
+    * the round-9 Pin pruning advice, same fix.
+    */
+  private[operators] def markerExists(spark: SparkSession, dir: String, marker: String): Boolean = {
+    val (fs, p) = hfsPath(spark, s"$dir/$marker")
+    fs.exists(p)
+  }
+
+  private[operators] def touchMarker(spark: SparkSession, dir: String, marker: String): Unit = {
+    val (fs, p) = hfsPath(spark, s"$dir/$marker")
+    fs.create(p, true).close()
+  }
+
   /** Table names of the bucketed (lineitem, orders) copies for `dir`,
     * building them on first use in this JVM. Synchronized: concurrent
     * first-touch from parallel specs must build once.
@@ -184,13 +220,12 @@ object StorageOps {
     */
   def ensureEventLayouts(spark: SparkSession, dir: String): (String, String) =
     synchronized {
-      val t = tag(dir)
-      val base = s"target/graft-layout/$t"
+      val base = layoutBase(spark, dir)
       val frag = s"$base/events_ingest"
       val comp = s"$base/events_by_day"
-      val key = s"events:$t"
+      val key = s"events:$base"
       if (!layoutsBuilt.contains(key) ||
-        !new java.io.File(comp, "_SUCCESS").exists()) {
+        !markerExists(spark, comp, "_SUCCESS")) {
         val ev = Tables.load(spark, dir, "events")
           .withColumn("day", to_date(col("ts")))
         withMicrosTimestamps(spark) {
@@ -220,13 +255,12 @@ object StorageOps {
     */
   def ensureSortedLineitem(spark: SparkSession, dir: String): (String, String) =
     synchronized {
-      val t = tag(dir)
-      val base = s"target/graft-layout/$t"
+      val base = layoutBase(spark, dir)
       val sorted = s"$base/lineitem_by_shipdate"
       val control = s"$base/lineitem_roundrobin"
-      val key = s"lineitem:$t"
+      val key = s"lineitem:$base"
       if (!layoutsBuilt.contains(key) ||
-        !new java.io.File(sorted, "_SUCCESS").exists()) {
+        !markerExists(spark, sorted, "_SUCCESS")) {
         val li = Tables.load(spark, dir, "lineitem")
         withMicrosTimestamps(spark) {
           li.repartitionByRange(32, col("l_shipdate"))
@@ -287,11 +321,10 @@ object StorageOps {
   def ensureAuditDim(spark: SparkSession, dir: String): String =
     synchronized {
       import spark.implicits._
-      val t = tag(dir)
-      val path = s"target/graft-layout/$t/dim_days"
-      val key = s"dim:$t"
+      val path = s"${layoutBase(spark, dir)}/dim_days"
+      val key = s"dim:$path"
       if (!layoutsBuilt.contains(key) ||
-        !new java.io.File(path, "_SUCCESS").exists()) {
+        !markerExists(spark, path, "_SUCCESS")) {
         val audit = AuditDays.toSet
         (1 to 30).map(d => f"2024-01-$d%02d")
           .map(d => (d, if (audit(d)) "audit" else "normal"))
@@ -422,11 +455,10 @@ object StorageOps {
   def ensureZorderLineitem(spark: SparkSession, dir: String): String =
     synchronized {
       import spark.implicits._
-      val t = tag(dir)
-      val path = s"target/graft-layout/$t/lineitem_zorder"
-      val key = s"zorder:$t"
+      val path = s"${layoutBase(spark, dir)}/lineitem_zorder"
+      val key = s"zorder:$path"
       if (!layoutsBuilt.contains(key) ||
-        !new java.io.File(path, "_SUCCESS").exists()) {
+        !markerExists(spark, path, "_SUCCESS")) {
         val li = Tables.load(spark, dir, "lineitem")
         val epoch = to_date(lit("1990-01-01"))
         val bounds = li.agg(
@@ -577,14 +609,12 @@ object StorageOps {
     */
   def ensureErasedLayout(spark: SparkSession, dir: String): String =
     synchronized {
-      val t = tag(dir)
-      val path = s"target/graft-layout/$t/events_erased"
-      val key = s"erased:$t"
+      val path = s"${layoutBase(spark, dir)}/events_erased"
+      val key = s"erased:$path"
       // the copy's own _SUCCESS is not enough: a crash between copy
       // and erase would leave a marker-bearing layout with the victims
       // still present — the erase writes its OWN marker when done
-      val erasedMarker = new java.io.File(path, "_ERASED")
-      if (!layoutsBuilt.contains(key) || !erasedMarker.exists()) {
+      if (!layoutsBuilt.contains(key) || !markerExists(spark, path, "_ERASED")) {
         val (_, comp) = ensureEventLayouts(spark, dir)
         withMicrosTimestamps(spark) {
           spark.read.parquet(comp)
@@ -592,7 +622,7 @@ object StorageOps {
             .write.mode("overwrite").partitionBy("day").parquet(path)
         }
         eraseUsers(spark, path, ErasedUsers)
-        erasedMarker.createNewFile()
+        touchMarker(spark, path, "_ERASED")
         layoutsBuilt += key
       }
       path
@@ -617,13 +647,12 @@ object StorageOps {
     */
   def ensureBloomLineitem(spark: SparkSession, dir: String): (String, String) =
     synchronized {
-      val t = tag(dir)
-      val base = s"target/graft-layout/$t"
+      val base = layoutBase(spark, dir)
       val bloom = s"$base/lineitem_bloom"
       val control = s"$base/lineitem_nobloom"
-      val key = s"bloom:$t"
+      val key = s"bloom:$base"
       if (!layoutsBuilt.contains(key) ||
-        !new java.io.File(bloom, "_SUCCESS").exists()) {
+        !markerExists(spark, bloom, "_SUCCESS")) {
         val li = Tables.load(spark, dir, "lineitem")
         withMicrosTimestamps(spark) {
           li.repartition(32)
