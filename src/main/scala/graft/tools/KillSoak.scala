@@ -156,6 +156,14 @@ object KillSoak {
         } catch { case e: Exception =>
           streamIterations += 1
           println(s"[soak] stream iteration $streamIterations failed outright: ${e.getMessage}")
+        } finally {
+          // one tmp dir per drain — a 10-minute soak makes 100+ of
+          // them; reap each after verification or the soak leaks disk
+          def rec(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+            f.delete(): Unit
+          }
+          rec(tmp.toFile)
         }
       }
     }, "soak-streamer")
