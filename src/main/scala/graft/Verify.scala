@@ -18,8 +18,22 @@ object Verify {
     val builder = Tables.configure(SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus))
+    // Optional artifact-root overrides (round 11): point every Pin and
+    // StorageOps artifact at a non-default filesystem — the whole-gate
+    // form of the PinMemFsSpec/LayoutMemFsSpec proof. Extra Hadoop FS
+    // impls register via SPARK_GRAFT_HADOOP_CONF="k=v,k2=v2" (e.g.
+    // fs.memfs.impl=graft.core.MemFs under Test/runMain, whose
+    // classpath carries the test FS).
+    sys.env.get("SPARK_GRAFT_HADOOP_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(s"spark.hadoop.$k", v)
+    })
     val spark = (if (master.startsWith("local-cluster"))
       Tables.clusterExecutorConf(builder) else builder).getOrCreate()
+    sys.env.get("SPARK_GRAFT_PIN_ROOT")
+      .foreach(spark.conf.set(graft.core.Pin.RootConfKey, _))
+    sys.env.get("SPARK_GRAFT_LAYOUT_ROOT")
+      .foreach(spark.conf.set(graft.operators.StorageOps.RootConfKey, _))
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected = only match {
