@@ -38,6 +38,9 @@ class FtpFuzzSpec extends AnyFunSuite {
       honorRest: Boolean = true,
       truncateRetrTo: Option[Int] = None, // serve only N bytes, then 226 lie
   ) extends AutoCloseable {
+    /** Mutable store behind RETR/STOR (STOR writes land here). */
+    private val store = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    files.foreach { case (k, v) => store.put(k, v) }
     private val listener = new ServerSocket(0, 4, InetAddress.getLoopbackAddress)
     @volatile private var running = true
     def port: Int = listener.getLocalPort
@@ -63,7 +66,7 @@ class FtpFuzzSpec extends AnyFunSuite {
       }
       def sizeOf(name: String): Option[Long] =
         if (sizeLie != null) sizeLie(name)
-        else files.get(name.stripPrefix("/")).map(_.length.toLong)
+        else Option(store.get(name.stripPrefix("/"))).map(_.length.toLong)
       try {
         send("220 liar ready")
         var line: String = null
@@ -96,7 +99,7 @@ class FtpFuzzSpec extends AnyFunSuite {
               }
             case "REST" => rest = arg.trim.toLong; send("350 ok")
             case "RETR" =>
-              val body = files.getOrElse(arg.stripPrefix("/"), Array.empty[Byte])
+              val body = Option(store.get(arg.stripPrefix("/"))).getOrElse(Array.empty[Byte])
               val off = if (honorRest) rest.toInt else 0
               rest = 0L
               send("150 sending")
@@ -107,6 +110,22 @@ class FtpFuzzSpec extends AnyFunSuite {
                 ds.getOutputStream.write(slice); ds.getOutputStream.flush()
               } catch { case _: java.io.IOException => } finally ds.close()
               send("226 done") // the lie: even a truncated stream "completes"
+            case "STOR" =>
+              val name = arg.stripPrefix("/")
+              val off = if (honorRest) rest.toInt else 0
+              rest = 0L
+              send("150 receiving")
+              val ds = acceptData()
+              val incoming =
+                try ds.getInputStream.readAllBytes()
+                catch { case _: java.io.IOException => Array.empty[Byte] }
+                finally ds.close()
+              val prev = Option(store.get(name)).getOrElse(Array.empty[Byte])
+              val merged = new Array[Byte](off + incoming.length)
+              System.arraycopy(prev, 0, merged, 0, math.min(off, prev.length))
+              System.arraycopy(incoming, 0, merged, off, incoming.length)
+              store.put(name, merged)
+              send("226 stored")
             case "QUIT" => send("221 bye"); return
             case other => send(s"502 $other not implemented")
           }
@@ -297,6 +316,24 @@ class FtpFuzzSpec extends AnyFunSuite {
       val e = try intercept[IllegalArgumentException](client.retrieve("/f.bin", local))
         finally client.close()
       assert(e.getMessage.contains("moved"))
+    } finally server.close()
+  }
+
+  test("upload: a server that IGNORES REST cannot splice — the final-size verification fails loudly") {
+    val data = body(1200, 5)
+    // remote already holds a matching 500-byte prefix → store() resumes
+    val server = new LiarFtp(files = Map("up.bin" -> java.util.Arrays.copyOf(data, 500)),
+      honorRest = false)
+    try {
+      val local = Files.createTempDirectory("ftp-liar5").resolve("up.bin")
+      Files.write(local, data)
+      val client = new FtpSource.FtpClient(cfg(server.port))
+      // client skips its local 500-byte prefix; the betraying server
+      // writes the remaining 700 bytes at offset 0 → remote ends up
+      // 700 bytes, not 1200 — the final SIZE check must fire
+      val e = try intercept[IllegalArgumentException](client.store(local, "/up.bin"))
+        finally client.close()
+      assert(e.getMessage.contains("did the server honor REST"))
     } finally server.close()
   }
 
