@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{MemFs, MemFsStore}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Round-11 completion of the MemFs durability story: a STREAMING job
+  * with its checkpoint, versioned state AND output all on the
+  * HDFS-semantics in-memory filesystem. Structured Streaming's
+  * checkpoint (HDFSMetadataLog: offsets/commits via create-rename) and
+  * the versioned-snapshot state discipline (listStatus discovery,
+  * strictly-older-than-self reads, overwrite-own-version, last-N
+  * pruning deletes) all execute against HDFS rename/commit strictness
+  * rather than POSIX leniency — the filesystem surface a real cluster
+  * deployment of these streams actually touches.
+  */
+class StreamMemFsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hllDistinctStream: checkpoint + versioned state + reports all on HDFS-semantics storage, batch-exact") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    MemFsStore.clear()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.memfs.impl", classOf[MemFs].getName)
+    val stateDir = "memfs://shared/stream/state"
+    val outDir = "memfs://shared/stream/out"
+    val ckpt = "memfs://shared/stream/ckpt"
+
+    val rows = graft.Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id").as[(String, Long)]
+      .collect().toSeq
+    // four batches: pruning runs at batch START, so the 4th batch is
+    // what actually deletes state v0 (retain=2 keeps v1, v2) — the
+    // deletion must execute on the mem FS to count
+    val batches = rows.grouped((rows.length + 3) / 4).toSeq
+    assert(batches.length == 4)
+
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingJobs.hllDistinctStream(
+      mem.toDF().toDF("event_type", "user_id"), stateDir, outDir, ckpt)
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    // the checkpoint's offset/commit logs and the state/report versions
+    // all live in the mem store
+    val keys = {
+      import scala.jdk.CollectionConverters._
+      MemFsStore.entries.keySet().asScala.toSeq
+    }
+    assert(keys.exists(_.contains("/stream/ckpt/offsets")), "checkpoint offsets not on memfs")
+    assert(keys.exists(_.contains("/stream/ckpt/commits")), "checkpoint commits not on memfs")
+    assert(keys.exists(_.contains("/stream/state/v3")), "state v3 not on memfs")
+    assert(keys.exists(_.contains("/stream/out/v3")), "report v3 not on memfs")
+    // batch 3's start-of-batch prune deleted state v0 (retain=2 keeps
+    // v1, v2 as its strictly-older set) — a real delete on the mem FS
+    assert(!keys.exists(_.contains("/stream/state/v0/")), "state v0 should be pruned")
+    assert(keys.exists(_.contains("/stream/state/v2/")), "retained state v2 missing")
+
+    // value contract unchanged: final cumulative report == batch twin
+    val streamed = spark.read.parquet(s"$outDir/v3")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("distinct_users"))).toMap
+    val expected = graft.Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("est"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.keySet == expected.keySet)
+    expected.foreach { case (k, (n, est)) =>
+      assert(streamed(k) == ((n, est)), s"$k diverged on memfs")
+    }
+  }
+}
