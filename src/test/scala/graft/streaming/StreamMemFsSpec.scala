@@ -73,4 +73,55 @@ class StreamMemFsSpec extends SparkSpec {
       assert(streamed(k) == ((n, est)), s"$k diverged on memfs")
     }
   }
+
+  test("incrementalSpanScrub delta-state compaction (_FULL marker + tail prune) executes on HDFS-semantics storage") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    MemFsStore.clear()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.memfs.impl", classOf[MemFs].getName)
+    val gramDir = "memfs://shared/scrub/grams"
+    val spansDir = "memfs://shared/scrub/spans"
+    val ckpt = "memfs://shared/scrub/ckpt"
+
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.take(120)
+    // 6 batches with compactEvery = 2: batch 2 and 4 fold older deltas
+    // into _FULL snapshots, later batches prune the subsumed tail —
+    // marker create, exists-probe and tail delete all on the mem FS
+    val batches = docs.grouped(20).toSeq
+    assert(batches.length == 6)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingJobs.incrementalSpanScrub(
+      mem.toDF().toDF("doc_id", "text"), gramDir, spansDir, ckpt, compactEvery = 2)
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    val keys = {
+      import scala.jdk.CollectionConverters._
+      MemFsStore.entries.keySet().asScala.toSeq
+    }
+    assert(keys.exists(_.endsWith("/scrub/grams/v4/_FULL")), "compaction marker missing on memfs")
+    assert(!keys.exists(_.contains("/scrub/grams/v0")) &&
+      !keys.exists(_.contains("/scrub/grams/v1")),
+      "pre-full tail should be pruned behind the v2/v4 snapshots")
+    assert(keys.exists(_.contains("/scrub/grams/v5")), "latest delta missing")
+    assert((0 to 5).forall(b => keys.exists(_.contains(s"/scrub/spans/v$b"))),
+      "per-batch span reports missing on memfs")
+
+    // value contract: union of per-batch spans == the same stream run
+    // on the local FS (the memfs run must change nothing but location)
+    val got = (0 to 5).flatMap(b => spark.read.parquet(s"$spansDir/v$b")
+      .collect().map(_.toString)).sorted
+    val (lg, ls, lc) = (tmpDir("scrub-l") + "/g", tmpDir("scrub-l") + "/s", tmpDir("scrub-l") + "/c")
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingJobs.incrementalSpanScrub(
+      mem2.toDF().toDF("doc_id", "text"), lg, ls, lc, compactEvery = 2)
+    try batches.foreach { b => mem2.addData(b); q2.processAllAvailable() }
+    finally q2.stop()
+    val local = (0 to 5).flatMap(b => spark.read.parquet(s"$ls/v$b")
+      .collect().map(_.toString)).sorted
+    assert(got == local, "memfs-rooted scrub diverged from the local-FS run")
+  }
 }
