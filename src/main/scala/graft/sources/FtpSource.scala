@@ -41,8 +41,11 @@ object FtpSource {
       connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 30000)
 
-  /** One remote directory entry (MLSD fact line). */
-  final case class FtpEntry(name: String, size: Long, isDir: Boolean)
+  /** One remote directory entry (MLSD fact line) — the shared staging
+    * entry type since the SFTP tier arrived.
+    */
+  type FtpEntry = RemoteEntry
+  val FtpEntry: RemoteEntry.type = RemoteEntry
 
   /** How many overlapping bytes the resume path re-reads and compares
     * before trusting a partial transfer (the reference checks 800 KB,
@@ -57,7 +60,7 @@ object FtpSource {
     * connection, exactly the reference's concurrency unit (its
     * `with_ftp_lock` serializes per controller, `ftpmodel.py:263`).
     */
-  final class FtpClient(cfg: FtpConfig) extends AutoCloseable {
+  final class FtpClient(cfg: FtpConfig) extends RemoteFileClient {
     private val ctrl = new Socket()
     ctrl.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.connectTimeoutMs)
     ctrl.setSoTimeout(cfg.readTimeoutMs)
@@ -134,7 +137,7 @@ object FtpSource {
       expect(s"RNTO $to", 250)
     }
 
-    def size(path: String): Option[Long] = cmd(s"SIZE $path") match {
+    override def size(path: String): Option[Long] = cmd(s"SIZE $path") match {
       case (213, t) => Some(t.drop(4).trim.toLong)
       case _ => None
     }
@@ -144,7 +147,7 @@ object FtpSource {
       * parsing, `ftpmodel.py:469-497`). `ignoreHidden` mirrors its
       * `toggle_hidden_files`.
       */
-    def list(path: String, ignoreHidden: Boolean = true): Seq[FtpEntry] = {
+    override def list(path: String, ignoreHidden: Boolean): Seq[FtpEntry] = {
       val ds = dataSocket()
       val (c150, t150) = cmd(s"MLSD $path")
       require(c150 == 150, s"MLSD rejected: $t150")
@@ -212,7 +215,7 @@ object FtpSource {
       * equal `remote`'s — the overlap check both resume directions and
       * the staged-file skip run before trusting existing bytes.
       */
-    def prefixMatches(remote: String, local: Path, n: Long): Boolean = {
+    override def prefixMatches(remote: String, local: Path, n: Long): Boolean = {
       val check = math.min(n, ResumeCheckBytes.toLong).toInt
       if (check <= 0) true
       else {
@@ -243,7 +246,7 @@ object FtpSource {
       * byte count is also checked against `SIZE - offset`, so even a
       * server that ignores REST outright cannot splice a corrupt file.
       */
-    def retrieve(remote: String, local: Path, resume: Boolean = true): Long = {
+    override def retrieve(remote: String, local: Path, resume: Boolean): Long = {
       val remoteLen = size(remote) // before PASV: nothing may intervene REST→RETR
       val offset =
         if (resume && Files.exists(local) && Files.size(local) > 0L) {
@@ -299,7 +302,7 @@ object FtpSource {
       * short file, which this check turns into a loud failure instead
       * of a silent splice.
       */
-    def store(local: Path, remote: String, resume: Boolean = true): Long = {
+    override def store(local: Path, remote: String, resume: Boolean): Long = {
       val localLen = Files.size(local)
       val offset =
         if (resume) size(remote) match {
@@ -333,167 +336,58 @@ object FtpSource {
       moved
     }
 
+    /** Directory probe via CWD (restoring cwd), not SIZE: RFC 3659
+      * defines SIZE for files only — most servers answer 550 for a
+      * directory whether or not it exists, which made MKD
+      * unconditional with every error blanket-swallowed. Only a lost
+      * already-exists race is swallowed; real MKD failures
+      * (permissions, missing parent) surface here, not as an opaque
+      * later STOR error.
+      */
+    override def ensureDir(path: String): Unit = {
+      val home = pwd()
+      val dirExists =
+        try { cwd(path); cwd(home); true }
+        catch { case _: Throwable => false }
+      if (!dirExists)
+        try mkdir(path)
+        catch {
+          case e: Throwable
+              if e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("exist") => ()
+        }
+    }
+
     override def close(): Unit = {
       try cmd("QUIT") catch { case _: Throwable => }
       ctrl.close()
     }
   }
 
-  /** True iff the staged copy can be trusted without a transfer:
-    * exists, same size, AND the [[ResumeCheckBytes]] prefix still
-    * matches — size alone would silently serve a stale copy of a
-    * remote file replaced in place with identical length, the one
-    * case the resume path verified but the skip path used not to.
-    */
-  private def stagedIsCurrent(client: FtpClient, remote: String,
-      local: Path, remoteSize: Long): Boolean =
-    Files.exists(local) && Files.size(local) == remoteSize &&
-      client.prefixMatches(remote, local, remoteSize)
-
-  /** Stage every regular file under `remoteDir` whose name matches
-    * `pattern` into `stagingDir`, resuming partial downloads, and
-    * return the local paths (name-sorted, deterministic). The
-    * re-entry contract mirrors the incremental file-watch source:
-    * files already staged with matching size AND matching
-    * [[ResumeCheckBytes]] prefix are skipped, partials resume — so a
-    * crashed ingest run is re-runnable at file cost, not corpus cost,
-    * and an in-place same-size remote replacement is re-fetched
-    * instead of silently served stale.
+  /** The staging/scan/sink surface below delegates to the shared
+    * [[RemoteStaging]] layer (extracted verbatim from this tier when
+    * SFTP arrived — see RemoteFiles.scala for the skip/resume/verify
+    * re-entry contract and the per-executor fan-out story).
     */
   def stageFiles(cfg: FtpConfig, remoteDir: String, pattern: String,
-      stagingDir: String): Seq[String] = {
-    val rx = java.util.regex.Pattern.compile(pattern)
-    val client = new FtpClient(cfg)
-    try {
-      val base = if (remoteDir.endsWith("/")) remoteDir.dropRight(1) else remoteDir
-      val wanted = client.list(remoteDir)
-        .filter(e => !e.isDir && rx.matcher(e.name).matches())
-        .sortBy(_.name)
-      Files.createDirectories(Paths.get(stagingDir))
-      val stagingRoot = Paths.get(stagingDir).toAbsolutePath.normalize()
-      wanted.map { e =>
-        // a hostile LIST name ("../x") must not escape the staging root
-        val local = stagingRoot.resolve(e.name).normalize()
-        require(local.startsWith(stagingRoot),
-          s"remote name escapes staging dir: ${e.name}")
-        if (!stagedIsCurrent(client, s"$base/${e.name}", local, e.size))
-          client.retrieve(s"$base/${e.name}", local)
-        local.toString
-      }
-    } finally client.close()
-  }
+      stagingDir: String): Seq[String] =
+    RemoteStaging.stageFiles(() => new FtpClient(cfg), remoteDir, pattern, stagingDir)
 
-  /** Per-executor staging fan-out — the distributed form the scaladoc
-    * used to only sketch: partition the remote file list across the
-    * cluster; every partition opens ONE [[FtpClient]] (its own control
-    * + data connections, no shared state) and stages its slice into
-    * `stagingDir` — which on a real cluster is a shared-filesystem
-    * path — with the same skip/resume/verify contract as
-    * [[stageFiles]]. A task retry or a re-run after an executor loss
-    * re-enters per FILE: finished files skip on size+prefix, torn
-    * files prefix-verify and REST-resume from their length. Returns
-    * one row per file: (remote, local, bytes moved THIS run).
-    *
-    * Parallelism is `slices` FTP connections (default
-    * `defaultParallelism`, capped by the file count) — the knob a real
-    * deployment sets to whatever the far server tolerates.
-    */
   def stageAll(spark: SparkSession, cfg: FtpConfig, remoteFiles: Seq[String],
-      stagingDir: String, slices: Int = 0): Seq[(String, String, Long)] = {
-    if (remoteFiles.isEmpty) return Nil
-    Files.createDirectories(Paths.get(stagingDir))
-    val n = math.min(
-      if (slices > 0) slices else spark.sparkContext.defaultParallelism,
-      remoteFiles.length)
-    spark.sparkContext.parallelize(remoteFiles.sorted, n)
-      .mapPartitions { it =>
-        val files = it.toVector
-        if (files.isEmpty) Iterator.empty
-        else {
-          val client = new FtpClient(cfg)
-          try files.iterator.map { remote =>
-            // local path mirrors the FULL remote path, not the
-            // basename: /2024/data.bin and /2025/data.bin must never
-            // collide on one local file (with slices > 1 they could
-            // even be written concurrently by different executors).
-            // A hostile listing ("/a/../../etc/passwd") must not
-            // escape the staging root — normalize and fence.
-            val stagingRoot = Paths.get(stagingDir).toAbsolutePath.normalize()
-            val local = stagingRoot.resolve(remote.stripPrefix("/")).normalize()
-            require(local.startsWith(stagingRoot),
-              s"remote path escapes staging dir: $remote")
-            val current = client.size(remote)
-              .exists(sz => stagedIsCurrent(client, remote, local, sz))
-            val moved = if (current) 0L else client.retrieve(remote, local)
-            (remote, local.toString, moved)
-          }.toVector.iterator
-          finally client.close()
-        }
-      }
-      .collect().toSeq.sortBy(_._1)
-  }
+      stagingDir: String, slices: Int = 0): Seq[(String, String, Long)] =
+    RemoteStaging.stageAll(spark, () => new FtpClient(cfg), remoteFiles, stagingDir, slices)
 
-  /** Remote CSV directory → DataFrame through the staged files and
-    * Spark's native CSV reader (header + schema inference defaults
-    * match [[graft.core.Connectors]]' CSV scan).
-    */
   def scanCsv(spark: SparkSession, cfg: FtpConfig, remoteDir: String,
       stagingDir: String, pattern: String = ".*\\.csv",
       options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"))
-      : DataFrame = {
-    val staged = stageFiles(cfg, remoteDir, pattern, stagingDir)
-    require(staged.nonEmpty, s"no files matching '$pattern' under $remoteDir")
-    spark.read.options(options).csv(staged: _*)
-  }
+      : DataFrame =
+    RemoteStaging.scanCsv(spark, () => new FtpClient(cfg), remoteDir, stagingDir, pattern, options)
 
-  /** Remote NDJSON directory → DataFrame (line-delimited, the
-    * reference's json file convention).
-    */
   def scanNdjson(spark: SparkSession, cfg: FtpConfig, remoteDir: String,
-      stagingDir: String, pattern: String = ".*\\.(json|ndjson)"): DataFrame = {
-    val staged = stageFiles(cfg, remoteDir, pattern, stagingDir)
-    require(staged.nonEmpty, s"no files matching '$pattern' under $remoteDir")
-    spark.read.json(staged: _*)
-  }
+      stagingDir: String, pattern: String = ".*\\.(json|ndjson)"): DataFrame =
+    RemoteStaging.scanNdjson(spark, () => new FtpClient(cfg), remoteDir, stagingDir, pattern)
 
-  /** Write `df` as CSV part files locally, then upload each part to
-    * `remoteDir` (created if absent) — the sink half of the
-    * reference's `upload_file`/`upload_dir` surface. Returns the
-    * uploaded remote names (part files renamed to a stable
-    * `part-NNNNN.csv` sequence).
-    */
   def sinkCsv(df: DataFrame, cfg: FtpConfig, remoteDir: String,
-      stagingDir: String): Seq[String] = {
-    val out = Paths.get(stagingDir, "csv-out").toString
-    df.write.mode("overwrite").option("header", "true").csv(out)
-    val parts = new java.io.File(out).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
-      .sortBy(_.getName)
-    val client = new FtpClient(cfg)
-    try {
-      // Directory probe via CWD (restoring cwd), not SIZE: RFC 3659
-      // defines SIZE for files only — most servers answer 550 for a
-      // directory whether or not it exists, which made MKD
-      // unconditional with every error blanket-swallowed. Now only a
-      // lost already-exists race is swallowed; real MKD failures
-      // (permissions, missing parent) surface here, not as an opaque
-      // later STOR error.
-      val home = client.pwd()
-      val dirExists =
-        try { client.cwd(remoteDir); client.cwd(home); true }
-        catch { case _: Throwable => false }
-      if (!dirExists)
-        try client.mkdir(remoteDir)
-        catch {
-          case e: Throwable
-              if e.getMessage != null &&
-                e.getMessage.toLowerCase.contains("exist") => ()
-        }
-      parts.zipWithIndex.map { case (f, i) =>
-        val name = f"part-$i%05d.csv"
-        client.store(f.toPath, s"$remoteDir/$name")
-        name
-      }.toSeq
-    } finally client.close()
-  }
+      stagingDir: String): Seq[String] =
+    RemoteStaging.sinkCsv(df, () => new FtpClient(cfg), remoteDir, stagingDir)
 }

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One remote directory entry, shared by the FTP and SFTP tiers. */
+final case class RemoteEntry(name: String, size: Long, isDir: Boolean)
+
+/** The transfer surface the staging layer needs from a remote-file
+  * protocol — implemented by [[FtpSource.FtpClient]] (RFC 959) and
+  * [[SftpSource.SftpClient]] (SFTP v3 over SSH-2). The contract both
+  * must honor, because [[RemoteStaging]] builds its re-entry story on
+  * it, is the reference's resume discipline (`d22d/model/
+  * ftpmodel.py:686-720`, `sftpmodel.py:376-431`): partial transfers
+  * resume only after the overlapping prefix verifies byte-identical,
+  * and transfer byte counts are checked against the remote size so a
+  * server that mishandles the resume offset fails loudly instead of
+  * splicing two files.
+  */
+trait RemoteFileClient extends AutoCloseable {
+
+  /** Regular entries of a remote directory (hidden entries dropped by
+    * default, mirroring the reference's `hidden_files` toggle).
+    */
+  def list(path: String, ignoreHidden: Boolean = true): Seq[RemoteEntry]
+
+  /** Remote file size; None when the file does not exist. */
+  def size(path: String): Option[Long]
+
+  /** True iff `local`'s first min(n, check-window) bytes equal
+    * `remote`'s — run before trusting any existing bytes.
+    */
+  def prefixMatches(remote: String, local: Path, n: Long): Boolean
+
+  /** Download with prefix-verified resume; returns bytes moved. */
+  def retrieve(remote: String, local: Path, resume: Boolean = true): Long
+
+  /** Upload with prefix-verified resume; returns bytes moved. */
+  def store(local: Path, remote: String, resume: Boolean = true): Long
+
+  /** Create `path` (and, where the protocol supports it, parents) if
+    * absent; idempotent — an already-existing directory is not an
+    * error.
+    */
+  def ensureDir(path: String): Unit
+}
+
+/** Protocol-agnostic staging: remote files land in a local (on a real
+  * cluster: shared-filesystem) staging directory with a skip/resume/
+  * verify contract, and Spark's native readers take over. Extracted
+  * from the FTP tier verbatim when SFTP arrived — the contract and its
+  * scale story (driver/edge I/O, per-executor fan-out with one client
+  * per partition, re-entry at file cost after a crash) are identical
+  * across protocols; only the [[RemoteFileClient]] differs.
+  */
+object RemoteStaging {
+
+  /** True iff the staged copy can be trusted without a transfer:
+    * exists, same size, AND the prefix-check window still matches —
+    * size alone would silently serve a stale copy of a remote file
+    * replaced in place with identical length.
+    */
+  def stagedIsCurrent(client: RemoteFileClient, remote: String,
+      local: Path, remoteSize: Long): Boolean =
+    Files.exists(local) && Files.size(local) == remoteSize &&
+      client.prefixMatches(remote, local, remoteSize)
+
+  /** Stage every regular file under `remoteDir` whose name matches
+    * `pattern` into `stagingDir`, resuming partial downloads, and
+    * return the local paths (name-sorted, deterministic). Files
+    * already staged with matching size AND matching prefix are
+    * skipped, partials resume — a crashed ingest run is re-runnable at
+    * file cost, not corpus cost, and an in-place same-size remote
+    * replacement is re-fetched instead of silently served stale.
+    */
+  def stageFiles(open: () => RemoteFileClient, remoteDir: String,
+      pattern: String, stagingDir: String): Seq[String] = {
+    val rx = java.util.regex.Pattern.compile(pattern)
+    val client = open()
+    try {
+      val base = if (remoteDir.endsWith("/")) remoteDir.dropRight(1) else remoteDir
+      val wanted = client.list(remoteDir)
+        .filter(e => !e.isDir && rx.matcher(e.name).matches())
+        .sortBy(_.name)
+      Files.createDirectories(Paths.get(stagingDir))
+      val stagingRoot = Paths.get(stagingDir).toAbsolutePath.normalize()
+      wanted.map { e =>
+        // a hostile listing name ("../x") must not escape the staging root
+        val local = stagingRoot.resolve(e.name).normalize()
+        require(local.startsWith(stagingRoot),
+          s"remote name escapes staging dir: ${e.name}")
+        if (!stagedIsCurrent(client, s"$base/${e.name}", local, e.size))
+          client.retrieve(s"$base/${e.name}", local)
+        local.toString
+      }
+    } finally client.close()
+  }
+
+  /** Per-executor staging fan-out: partition the remote file list
+    * across the cluster; every partition opens ONE client (its own
+    * connections, no shared state) and stages its slice into
+    * `stagingDir` with the same skip/resume/verify contract as
+    * [[stageFiles]]. A task retry or a re-run after an executor loss
+    * re-enters per FILE: finished files skip on size+prefix, torn
+    * files prefix-verify and resume from their length. Returns one row
+    * per file: (remote, local, bytes moved THIS run).
+    *
+    * Parallelism is `slices` connections (default
+    * `defaultParallelism`, capped by the file count) — the knob a real
+    * deployment sets to whatever the far server tolerates.
+    */
+  def stageAll(spark: SparkSession, open: () => RemoteFileClient,
+      remoteFiles: Seq[String], stagingDir: String,
+      slices: Int = 0): Seq[(String, String, Long)] = {
+    if (remoteFiles.isEmpty) return Nil
+    Files.createDirectories(Paths.get(stagingDir))
+    val n = math.min(
+      if (slices > 0) slices else spark.sparkContext.defaultParallelism,
+      remoteFiles.length)
+    spark.sparkContext.parallelize(remoteFiles.sorted, n)
+      .mapPartitions { it =>
+        val files = it.toVector
+        if (files.isEmpty) Iterator.empty
+        else {
+          val client = open()
+          try files.iterator.map { remote =>
+            // local path mirrors the FULL remote path, not the
+            // basename: /2024/data.bin and /2025/data.bin must never
+            // collide on one local file (with slices > 1 they could
+            // even be written concurrently by different executors).
+            // A hostile listing ("/a/../../etc/passwd") must not
+            // escape the staging root — normalize and fence.
+            val stagingRoot = Paths.get(stagingDir).toAbsolutePath.normalize()
+            val local = stagingRoot.resolve(remote.stripPrefix("/")).normalize()
+            require(local.startsWith(stagingRoot),
+              s"remote path escapes staging dir: $remote")
+            val current = client.size(remote)
+              .exists(sz => stagedIsCurrent(client, remote, local, sz))
+            val moved = if (current) 0L else client.retrieve(remote, local)
+            (remote, local.toString, moved)
+          }.toVector.iterator
+          finally client.close()
+        }
+      }
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  /** Remote CSV directory → DataFrame through the staged files and
+    * Spark's native CSV reader.
+    */
+  def scanCsv(spark: SparkSession, open: () => RemoteFileClient,
+      remoteDir: String, stagingDir: String, pattern: String,
+      options: Map[String, String]): DataFrame = {
+    val staged = stageFiles(open, remoteDir, pattern, stagingDir)
+    require(staged.nonEmpty, s"no files matching '$pattern' under $remoteDir")
+    spark.read.options(options).csv(staged: _*)
+  }
+
+  /** Remote NDJSON directory → DataFrame (line-delimited). */
+  def scanNdjson(spark: SparkSession, open: () => RemoteFileClient,
+      remoteDir: String, stagingDir: String, pattern: String): DataFrame = {
+    val staged = stageFiles(open, remoteDir, pattern, stagingDir)
+    require(staged.nonEmpty, s"no files matching '$pattern' under $remoteDir")
+    spark.read.json(staged: _*)
+  }
+
+  /** Write `df` as CSV part files locally, then upload each part to
+    * `remoteDir` (created if absent) — the sink half of the
+    * reference's `upload_file`/`upload_dir` surface. Returns the
+    * uploaded remote names (part files renamed to a stable
+    * `part-NNNNN.csv` sequence).
+    */
+  def sinkCsv(df: DataFrame, open: () => RemoteFileClient,
+      remoteDir: String, stagingDir: String): Seq[String] = {
+    val out = Paths.get(stagingDir, "csv-out").toString
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    val client = open()
+    try {
+      client.ensureDir(remoteDir)
+      parts.zipWithIndex.map { case (f, i) =>
+        val name = f"part-$i%05d.csv"
+        client.store(f.toPath, s"$remoteDir/$name")
+        name
+      }.toSeq
+    } finally client.close()
+  }
+}

@@ -1,0 +1,585 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, IOException}
+import java.math.BigInteger
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.interfaces.{ECPublicKey, EdECPublicKey}
+import java.security.spec.{ECGenParameterSpec, ECParameterSpec, ECPoint, ECPublicKeySpec, EdECPoint, EdECPublicKeySpec, NamedParameterSpec}
+import java.security.{AlgorithmParameters, KeyFactory, KeyPair, KeyPairGenerator, MessageDigest, SecureRandom, Signature}
+
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+import javax.crypto.{Cipher, KeyAgreement, Mac}
+
+/** A minimal, dependency-free SSH-2 transport (RFC 4253/4252/4254) —
+  * the protocol layer under the SFTP tier ([[SftpSource]]), which
+  * re-expresses the reference's `SftpController`
+  * (`d22d/model/sftpmodel.py:41`, built on paramiko's Transport). The
+  * reference delegates the wire protocol to paramiko; with zero
+  * external dependencies available here, the transport is implemented
+  * directly on the JDK's JCE primitives, deliberately as ONE modern
+  * cipher suite rather than a negotiation matrix:
+  *
+  *  - key exchange `ecdh-sha2-nistp256` (RFC 5656; JCE ECDH)
+  *  - host key `ssh-ed25519` (RFC 8709; JCE Ed25519)
+  *  - cipher `aes128-ctr` both directions (RFC 4344)
+  *  - MAC `hmac-sha2-256` both directions (RFC 6668)
+  *  - compression `none`
+  *
+  * Every algorithm is in OpenSSH's default client proposal, so the
+  * single-suite server negotiates cleanly with a stock `sftp` binary
+  * (proven by the interop spec, which drives a real OpenSSH 9.x
+  * client against [[graft.sources]]' test server). Negotiation
+  * follows the RFC rule — first algorithm in the CLIENT's list that
+  * the peer also advertises — so the one-entry lists here interoperate
+  * with many-entry peers in either role.
+  *
+  * Concurrency model matches the FTP tier: one `SshTransport` = one
+  * socket = one thread, blocking I/O, no shared state — the unit that
+  * `SftpSource.stageAll` fans out per executor. Re-keying is not
+  * initiated (sessions are per-file-batch and short); an unexpected
+  * peer-initiated KEXINIT fails loudly rather than corrupting state.
+  */
+private[sources] object SshWire {
+
+  /** Growable big-endian writer for the SSH wire types (RFC 4251 §5). */
+  final class W {
+    private var buf = new Array[Byte](256)
+    private var n = 0
+    private def ensure(k: Int): Unit =
+      if (n + k > buf.length) {
+        var cap = buf.length
+        while (cap < n + k) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    def u8(v: Int): W = { ensure(1); buf(n) = v.toByte; n += 1; this }
+    def bool(v: Boolean): W = u8(if (v) 1 else 0)
+    def u32(v: Long): W = {
+      ensure(4)
+      buf(n) = (v >>> 24).toByte; buf(n + 1) = (v >>> 16).toByte
+      buf(n + 2) = (v >>> 8).toByte; buf(n + 3) = v.toByte
+      n += 4; this
+    }
+    def u64(v: Long): W = { u32(v >>> 32); u32(v & 0xffffffffL) }
+    def raw(b: Array[Byte]): W = { ensure(b.length); System.arraycopy(b, 0, buf, n, b.length); n += b.length; this }
+    def raw(b: Array[Byte], off: Int, len: Int): W = { ensure(len); System.arraycopy(b, off, buf, n, len); n += len; this }
+    def str(b: Array[Byte]): W = { u32(b.length.toLong); raw(b) }
+    def str(s: String): W = str(s.getBytes(UTF_8))
+    def mpint(v: BigInteger): W = {
+      if (v.signum == 0) u32(0L)
+      else str(v.toByteArray) // toByteArray is minimal two's-complement: correct mpint for positive v
+    }
+    /** mpint of a raw big-endian POSITIVE integer (kex shared secrets). */
+    def mpintRaw(b: Array[Byte]): W = mpint(new BigInteger(1, b))
+    def nameList(names: Seq[String]): W = str(names.mkString(","))
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(buf, n)
+    def length: Int = n
+  }
+
+  /** Reader over one payload; all reads bounds-checked. */
+  final class R(buf: Array[Byte], private var p: Int = 0) {
+    def this(buf: Array[Byte]) = this(buf, 0)
+    private def need(k: Int): Unit =
+      if (p + k > buf.length)
+        throw new IOException(s"ssh: truncated payload (want $k at $p of ${buf.length})")
+    def u8(): Int = { need(1); val v = buf(p) & 0xff; p += 1; v }
+    def bool(): Boolean = u8() != 0
+    def u32(): Long = {
+      need(4)
+      val v = ((buf(p) & 0xffL) << 24) | ((buf(p + 1) & 0xffL) << 16) |
+        ((buf(p + 2) & 0xffL) << 8) | (buf(p + 3) & 0xffL)
+      p += 4; v
+    }
+    def u64(): Long = (u32() << 32) | u32()
+    def raw(k: Int): Array[Byte] = { need(k); val v = java.util.Arrays.copyOfRange(buf, p, p + k); p += k; v }
+    def str(): Array[Byte] = {
+      val k = u32()
+      if (k > Int.MaxValue - 8 || k > buf.length - p)
+        throw new IOException(s"ssh: string length $k exceeds payload")
+      raw(k.toInt)
+    }
+    def strUtf8(): String = new String(str(), UTF_8)
+    def mpint(): BigInteger = { val b = str(); if (b.isEmpty) BigInteger.ZERO else new BigInteger(b) }
+    def nameList(): Seq[String] = {
+      val s = strUtf8()
+      if (s.isEmpty) Nil else s.split(",", -1).toSeq
+    }
+    def remaining: Int = buf.length - p
+    def rest(): Array[Byte] = raw(remaining)
+    def position: Int = p
+  }
+
+  // SSH message numbers (RFC 4250 §4.1)
+  val MsgDisconnect = 1
+  val MsgIgnore = 2
+  val MsgUnimplemented = 3
+  val MsgDebug = 4
+  val MsgServiceRequest = 5
+  val MsgServiceAccept = 6
+  val MsgExtInfo = 7
+  val MsgKexInit = 20
+  val MsgNewKeys = 21
+  val MsgKexEcdhInit = 30
+  val MsgKexEcdhReply = 31
+  val MsgUserauthRequest = 50
+  val MsgUserauthFailure = 51
+  val MsgUserauthSuccess = 52
+  val MsgUserauthBanner = 53
+  val MsgUserauthPkOk = 60
+  val MsgGlobalRequest = 80
+  val MsgRequestSuccess = 81
+  val MsgRequestFailure = 82
+  val MsgChannelOpen = 90
+  val MsgChannelOpenConfirmation = 91
+  val MsgChannelOpenFailure = 92
+  val MsgChannelWindowAdjust = 93
+  val MsgChannelData = 94
+  val MsgChannelExtendedData = 95
+  val MsgChannelEof = 96
+  val MsgChannelClose = 97
+  val MsgChannelRequest = 98
+  val MsgChannelSuccess = 99
+  val MsgChannelFailure = 100
+
+  // ---- ssh-ed25519 key blob codecs (RFC 8709) ----
+
+  /** Raw 32-byte wire encoding of an Ed25519 public key (little-endian
+    * y with the x-parity bit in bit 255, RFC 8032 §5.1.2).
+    */
+  def ed25519Raw(pub: EdECPublicKey): Array[Byte] = {
+    val point = pub.getPoint
+    val y = point.getY.toByteArray.dropWhile(_ == 0)
+    require(y.length <= 32, "ed25519 y out of range")
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < y.length) { out(i) = y(y.length - 1 - i); i += 1 }
+    if (point.isXOdd) out(31) = (out(31) | 0x80).toByte
+    out
+  }
+
+  def ed25519FromRaw(raw: Array[Byte]): java.security.PublicKey = {
+    require(raw.length == 32, s"ed25519 raw key must be 32 bytes, got ${raw.length}")
+    val xOdd = (raw(31) & 0x80) != 0
+    val yLe = raw.clone()
+    yLe(31) = (yLe(31) & 0x7f).toByte
+    val y = new BigInteger(1, yLe.reverse)
+    KeyFactory.getInstance("Ed25519")
+      .generatePublic(new EdECPublicKeySpec(NamedParameterSpec.ED25519, new EdECPoint(xOdd, y)))
+  }
+
+  /** `string "ssh-ed25519", string key(32)` — the K_S / userauth blob. */
+  def ed25519Blob(pub: EdECPublicKey): Array[Byte] =
+    new W().str("ssh-ed25519").str(ed25519Raw(pub)).bytes
+
+  def ed25519FromBlob(blob: Array[Byte]): java.security.PublicKey = {
+    val r = new R(blob)
+    val alg = r.strUtf8()
+    require(alg == "ssh-ed25519", s"unsupported key algorithm: $alg")
+    ed25519FromRaw(r.str())
+  }
+
+  /** `string "ssh-ed25519", string sig(64)` — the signature wrapper. */
+  def ed25519SigBlob(sig: Array[Byte]): Array[Byte] =
+    new W().str("ssh-ed25519").str(sig).bytes
+
+  def ed25519SigFromBlob(blob: Array[Byte]): Array[Byte] = {
+    val r = new R(blob)
+    val alg = r.strUtf8()
+    require(alg == "ssh-ed25519", s"unsupported signature algorithm: $alg")
+    val sig = r.str()
+    require(sig.length == 64, s"ed25519 signature must be 64 bytes, got ${sig.length}")
+    sig
+  }
+
+  def ed25519Sign(priv: java.security.PrivateKey, data: Array[Byte]): Array[Byte] = {
+    val s = Signature.getInstance("Ed25519")
+    s.initSign(priv); s.update(data); s.sign()
+  }
+
+  def ed25519Verify(pub: java.security.PublicKey, data: Array[Byte], sig: Array[Byte]): Boolean = {
+    val s = Signature.getInstance("Ed25519")
+    s.initVerify(pub); s.update(data); s.verify(sig)
+  }
+
+  def generateEd25519(): KeyPair =
+    KeyPairGenerator.getInstance("Ed25519").generateKeyPair()
+
+  /** Parse one OpenSSH `authorized_keys`-style line
+    * (`ssh-ed25519 <base64-blob> [comment]`) to a verify key.
+    */
+  def parseAuthorizedEd25519(line: String): java.security.PublicKey = {
+    val parts = line.trim.split("\\s+")
+    require(parts.length >= 2 && parts(0) == "ssh-ed25519",
+      s"not an ssh-ed25519 public key line: ${line.take(60)}")
+    ed25519FromBlob(java.util.Base64.getDecoder.decode(parts(1)))
+  }
+
+  // ---- ecdh-sha2-nistp256 point codecs (RFC 5656 §4) ----
+
+  lazy val P256: ECParameterSpec = {
+    val ap = AlgorithmParameters.getInstance("EC")
+    ap.init(new ECGenParameterSpec("secp256r1"))
+    ap.getParameterSpec(classOf[ECParameterSpec])
+  }
+
+  private def fixed32(v: BigInteger): Array[Byte] = {
+    val b = v.toByteArray.dropWhile(_ == 0)
+    require(b.length <= 32, "p256 coordinate out of range")
+    val out = new Array[Byte](32)
+    System.arraycopy(b, 0, out, 32 - b.length, b.length)
+    out
+  }
+
+  /** Uncompressed SEC1 point `04 || X || Y` (65 bytes). */
+  def p256Encode(pub: ECPublicKey): Array[Byte] = {
+    val w = pub.getW
+    Array[Byte](4) ++ fixed32(w.getAffineX) ++ fixed32(w.getAffineY)
+  }
+
+  def p256Decode(enc: Array[Byte]): ECPublicKey = {
+    require(enc.length == 65 && enc(0) == 4,
+      s"expected uncompressed P-256 point (65 bytes, leading 04), got ${enc.length}")
+    val x = new BigInteger(1, java.util.Arrays.copyOfRange(enc, 1, 33))
+    val y = new BigInteger(1, java.util.Arrays.copyOfRange(enc, 33, 65))
+    KeyFactory.getInstance("EC")
+      .generatePublic(new ECPublicKeySpec(new ECPoint(x, y), P256))
+      .asInstanceOf[ECPublicKey]
+  }
+}
+
+/** One negotiated, keyed SSH-2 connection over `socket`. Construct via
+  * [[SshTransport.client]] or [[SshTransport.server]] (which run
+  * version exchange + key exchange), then talk payloads with
+  * [[send]]/[[recv]]. IGNORE/DEBUG/UNIMPLEMENTED are absorbed by
+  * `recv`; DISCONNECT raises with the peer's message.
+  */
+final class SshTransport private (
+    socket: Socket,
+    in: DataInputStream,
+    out: DataOutputStream,
+    /** H of the first key exchange — the session id userauth signs over. */
+    val sessionId: Array[Byte],
+    encOut: Cipher, macOut: Mac,
+    encIn: Cipher, macIn: Mac,
+    seqOut0: Long, seqIn0: Long) extends AutoCloseable {
+
+  import SshWire._
+
+  // packet sequence numbers continue from the plaintext kex packets
+  // (version lines are unnumbered; IGNORE/DEBUG during kex count too)
+  private var seqOut = seqOut0
+  private var seqIn = seqIn0
+  private val rnd = new SecureRandom
+
+  /** Encrypt-and-send one payload as a binary packet (RFC 4253 §6). */
+  def send(payload: Array[Byte]): Unit = {
+    val block = 16
+    // 4 (length) + 1 (padlen) + payload + padding ≡ 0 (mod block), padding ≥ 4
+    var pad = block - ((5 + payload.length) % block)
+    if (pad < 4) pad += block
+    val padding = new Array[Byte](pad)
+    rnd.nextBytes(padding)
+    val plain = new W().u32((1 + payload.length + pad).toLong).u8(pad)
+      .raw(payload).raw(padding).bytes
+    val mac = { macOut.reset(); macOut.update(new W().u32(seqOut).bytes); macOut.doFinal(plain) }
+    out.write(encOut.update(plain))
+    out.write(mac)
+    out.flush()
+    seqOut = (seqOut + 1) & 0xffffffffL
+  }
+
+  /** Read-and-decrypt the next payload; absorbs keepalive noise. */
+  def recv(): Array[Byte] = {
+    while (true) {
+      val first = new Array[Byte](16)
+      in.readFully(first)
+      val head = encIn.update(first)
+      val plen = ((head(0) & 0xffL) << 24) | ((head(1) & 0xffL) << 16) |
+        ((head(2) & 0xffL) << 8) | (head(3) & 0xffL)
+      if (plen < 1 || plen > (256 * 1024))
+        throw new IOException(s"ssh: implausible packet length $plen")
+      val restLen = (plen + 4 - 16).toInt
+      val restEnc = new Array[Byte](restLen)
+      in.readFully(restEnc)
+      val rest = encIn.update(restEnc)
+      val plain = head ++ rest
+      val macGot = new Array[Byte](32)
+      in.readFully(macGot)
+      val macWant = { macIn.reset(); macIn.update(new W().u32(seqIn).bytes); macIn.doFinal(plain) }
+      if (!MessageDigest.isEqual(macGot, macWant))
+        throw new IOException("ssh: MAC verification failed")
+      seqIn = (seqIn + 1) & 0xffffffffL
+      val padLen = plain(4) & 0xff
+      val payload = java.util.Arrays.copyOfRange(plain, 5, 5 + (plen.toInt - 1 - padLen))
+      (payload(0) & 0xff) match {
+        case MsgIgnore | MsgDebug | MsgUnimplemented => () // absorb and keep reading
+        case MsgDisconnect =>
+          val r = new R(payload); r.u8(); r.u32()
+          throw new IOException(s"ssh: peer disconnected: ${r.strUtf8()}")
+        case MsgKexInit =>
+          throw new IOException(
+            "ssh: peer initiated re-key — unsupported by this short-session transport")
+        case _ => return payload
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Send DISCONNECT (best-effort) and close the socket. */
+  override def close(): Unit = {
+    try send(new W().u8(MsgDisconnect).u32(11L).str("bye").str("").bytes)
+    catch { case _: Throwable => () }
+    try socket.close() catch { case _: Throwable => () }
+  }
+}
+
+object SshTransport {
+  import SshWire._
+
+  val ClientVersion = "SSH-2.0-graft_sftp_0.1"
+  val ServerVersion = "SSH-2.0-graft_sftpd_0.1"
+
+  private val KexAlgs = Seq("ecdh-sha2-nistp256")
+  private val HostKeyAlgs = Seq("ssh-ed25519")
+  private val CipherAlgs = Seq("aes128-ctr")
+  private val MacAlgs = Seq("hmac-sha2-256")
+  private val CompAlgs = Seq("none")
+
+  /** The outcome of version + key exchange, before role-specific auth. */
+  final case class Keyed(transport: SshTransport, hostKeyBlob: Array[Byte])
+
+  /** Client role: connect-side version exchange, kex, host-key check.
+    * `verifyHostKey` receives the server's ssh-ed25519 blob; return
+    * false to abort (default pins nothing — the spec pins explicitly,
+    * mirroring `StrictHostKeyChecking=no` which is what the
+    * reference's paramiko usage effectively does —
+    * `sftpmodel.py:86-89` connects with no host-key policy beyond
+    * paramiko's default).
+    */
+  def client(socket: Socket,
+      verifyHostKey: Array[Byte] => Boolean = _ => true): SshTransport = {
+    val keyed = handshake(socket, isServer = false, hostKey = None)
+    if (!verifyHostKey(keyed.hostKeyBlob)) {
+      socket.close()
+      throw new IOException("ssh: host key rejected by verifier")
+    }
+    keyed.transport
+  }
+
+  /** Server role: accept-side handshake signing with `hostKey`. */
+  def server(socket: Socket, hostKey: KeyPair): SshTransport =
+    handshake(socket, isServer = true, hostKey = Some(hostKey)).transport
+
+  private def readVersionLine(in: DataInputStream): String = {
+    // RFC 4253 §4.2: lines before the version string are allowed (server
+    // banners); the version line itself starts with SSH-. Cap both line
+    // length and line count so a hostile peer cannot feed us forever.
+    var lines = 0
+    while (lines < 64) {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != '\n' && c != -1 && sb.length < 1024) { if (c != '\r') sb.append(c.toChar); c = in.read() }
+      if (c == -1) throw new EOFException("ssh: peer closed during version exchange")
+      if (sb.length >= 1024) throw new IOException("ssh: version line too long")
+      val line = sb.toString
+      if (line.startsWith("SSH-")) {
+        if (!line.startsWith("SSH-2.")) throw new IOException(s"ssh: unsupported protocol version: $line")
+        return line
+      }
+      lines += 1
+    }
+    throw new IOException("ssh: no version line in first 64 lines")
+  }
+
+  /** Plaintext binary packet I/O used only before NEWKEYS; counts
+    * packet sequence numbers (the MAC'd counters start at the version
+    * exchange, so IGNORE/DEBUG absorbed here must count too).
+    */
+  private final class PlainIo(in: DataInputStream, out: DataOutputStream) {
+    var seqOut = 0L
+    var seqIn = 0L
+    def send(payload: Array[Byte]): Unit = {
+      val block = 8
+      var pad = block - ((5 + payload.length) % block)
+      if (pad < 4) pad += block
+      val w = new W().u32((1 + payload.length + pad).toLong).u8(pad).raw(payload).raw(new Array[Byte](pad))
+      out.write(w.bytes); out.flush()
+      seqOut = (seqOut + 1) & 0xffffffffL
+    }
+    def recv(): Array[Byte] = {
+      while (true) {
+        val plen = in.readInt()
+        if (plen < 1 || plen > (256 * 1024)) throw new IOException(s"ssh: implausible packet length $plen")
+        val body = new Array[Byte](plen)
+        in.readFully(body)
+        seqIn = (seqIn + 1) & 0xffffffffL
+        val padLen = body(0) & 0xff
+        if (padLen + 1 > plen) throw new IOException("ssh: padding exceeds packet")
+        val payload = java.util.Arrays.copyOfRange(body, 1, plen - padLen)
+        (payload(0) & 0xff) match {
+          case MsgIgnore | MsgDebug => ()
+          case MsgDisconnect =>
+            val r = new R(payload); r.u8(); r.u32()
+            throw new IOException(s"ssh: peer disconnected in kex: ${r.strUtf8()}")
+          case _ => return payload
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  private def kexInitPayload(rnd: SecureRandom): Array[Byte] = {
+    val cookie = new Array[Byte](16); rnd.nextBytes(cookie)
+    new W().u8(MsgKexInit).raw(cookie)
+      .nameList(KexAlgs).nameList(HostKeyAlgs)
+      .nameList(CipherAlgs).nameList(CipherAlgs)
+      .nameList(MacAlgs).nameList(MacAlgs)
+      .nameList(CompAlgs).nameList(CompAlgs)
+      .nameList(Nil).nameList(Nil)
+      .bool(false).u32(0L).bytes
+  }
+
+  /** RFC 4253 §7.1: the chosen algorithm is the first on the CLIENT's
+    * list also present on the server's.
+    */
+  private def negotiate(clientList: Seq[String], serverList: Seq[String], what: String): String =
+    clientList.find(serverList.contains).getOrElse(
+      throw new IOException(
+        s"ssh: no common $what (client: ${clientList.mkString(",")}; server: ${serverList.mkString(",")})"))
+
+  private final case class PeerKexInit(payload: Array[Byte],
+      kex: Seq[String], hostKeys: Seq[String],
+      encC2S: Seq[String], encS2C: Seq[String],
+      macC2S: Seq[String], macS2C: Seq[String])
+
+  private def parseKexInit(payload: Array[Byte]): PeerKexInit = {
+    val r = new R(payload)
+    require(r.u8() == MsgKexInit, "expected KEXINIT")
+    r.raw(16)
+    val kex = r.nameList(); val hk = r.nameList()
+    val eC = r.nameList(); val eS = r.nameList()
+    val mC = r.nameList(); val mS = r.nameList()
+    r.nameList(); r.nameList(); r.nameList(); r.nameList() // compression + languages
+    PeerKexInit(payload, kex, hk, eC, eS, mC, mS)
+  }
+
+  private def handshake(socket: Socket, isServer: Boolean, hostKey: Option[KeyPair]): Keyed = {
+    socket.setTcpNoDelay(true)
+    val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream, 64 * 1024))
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream, 64 * 1024))
+    val rnd = new SecureRandom
+
+    val myVersion = if (isServer) ServerVersion else ClientVersion
+    out.write((myVersion + "\r\n").getBytes(UTF_8)); out.flush()
+    val peerVersion = readVersionLine(in)
+    val (vC, vS) = if (isServer) (peerVersion, myVersion) else (myVersion, peerVersion)
+
+    val io = new PlainIo(in, out)
+    val myKexInit = kexInitPayload(rnd)
+    io.send(myKexInit)
+    val peerKexInit = parseKexInit(io.recv())
+    val (iC, iS) = if (isServer) (peerKexInit.payload, myKexInit) else (myKexInit, peerKexInit.payload)
+    // validate the negotiation lands on the single implemented suite
+    val (cKex, cHk, cE1, cE2, cM1, cM2) =
+      if (isServer) (peerKexInit.kex, peerKexInit.hostKeys, peerKexInit.encC2S,
+        peerKexInit.encS2C, peerKexInit.macC2S, peerKexInit.macS2C)
+      else (KexAlgs, HostKeyAlgs, CipherAlgs, CipherAlgs, MacAlgs, MacAlgs)
+    val (sKex, sHk, sE1, sE2, sM1, sM2) =
+      if (isServer) (KexAlgs, HostKeyAlgs, CipherAlgs, CipherAlgs, MacAlgs, MacAlgs)
+      else (peerKexInit.kex, peerKexInit.hostKeys, peerKexInit.encC2S,
+        peerKexInit.encS2C, peerKexInit.macC2S, peerKexInit.macS2C)
+    require(negotiate(cKex, sKex, "kex") == "ecdh-sha2-nistp256")
+    require(negotiate(cHk, sHk, "host key") == "ssh-ed25519")
+    require(negotiate(cE1, sE1, "cipher c2s") == "aes128-ctr")
+    require(negotiate(cE2, sE2, "cipher s2c") == "aes128-ctr")
+    require(negotiate(cM1, sM1, "mac c2s") == "hmac-sha2-256")
+    require(negotiate(cM2, sM2, "mac s2c") == "hmac-sha2-256")
+
+    val sha = MessageDigest.getInstance("SHA-256")
+
+    val (k, h, hostBlob) =
+      if (!isServer) {
+        val kpg = KeyPairGenerator.getInstance("EC")
+        kpg.initialize(new ECGenParameterSpec("secp256r1"), rnd)
+        val eph = kpg.generateKeyPair()
+        val qC = p256Encode(eph.getPublic.asInstanceOf[ECPublicKey])
+        io.send(new W().u8(MsgKexEcdhInit).str(qC).bytes)
+        val reply = new R(io.recv())
+        require(reply.u8() == MsgKexEcdhReply, "expected KEX_ECDH_REPLY")
+        val kS = reply.str()
+        val qS = reply.str()
+        val sigBlob = reply.str()
+        val ka = KeyAgreement.getInstance("ECDH")
+        ka.init(eph.getPrivate)
+        ka.doPhase(p256Decode(qS), true)
+        val secret = ka.generateSecret()
+        val hash = exchangeHash(sha, vC, vS, iC, iS, kS, qC, qS, secret)
+        require(ed25519Verify(ed25519FromBlob(kS), hash, ed25519SigFromBlob(sigBlob)),
+          "ssh: host key signature verification failed")
+        (secret, hash, kS)
+      } else {
+        val init = new R(io.recv())
+        require(init.u8() == MsgKexEcdhInit, "expected KEX_ECDH_INIT")
+        val qC = init.str()
+        val kpg = KeyPairGenerator.getInstance("EC")
+        kpg.initialize(new ECGenParameterSpec("secp256r1"), rnd)
+        val eph = kpg.generateKeyPair()
+        val qS = p256Encode(eph.getPublic.asInstanceOf[ECPublicKey])
+        val ka = KeyAgreement.getInstance("ECDH")
+        ka.init(eph.getPrivate)
+        ka.doPhase(p256Decode(qC), true)
+        val secret = ka.generateSecret()
+        val hk = hostKey.getOrElse(throw new IllegalArgumentException("server needs a host key"))
+        val kS = ed25519Blob(hk.getPublic.asInstanceOf[EdECPublicKey])
+        val hash = exchangeHash(sha, vC, vS, iC, iS, kS, qC, qS, secret)
+        val sig = ed25519SigBlob(ed25519Sign(hk.getPrivate, hash))
+        io.send(new W().u8(MsgKexEcdhReply).str(kS).str(qS).str(sig).bytes)
+        (secret, hash, kS)
+      }
+
+    io.send(Array[Byte](MsgNewKeys.toByte))
+    val nk = io.recv()
+    require((nk(0) & 0xff) == MsgNewKeys, "expected NEWKEYS")
+
+    // RFC 4253 §7.2 key derivation: K?(X) = HASH(K || H || X || session_id)
+    def derive(x: Char, len: Int): Array[Byte] = {
+      val kM = new W().mpintRaw(k).bytes
+      var acc = sha.digest(kM ++ h ++ Array(x.toByte) ++ h) // session_id = H (first kex)
+      while (acc.length < len) acc = acc ++ sha.digest(kM ++ h ++ acc)
+      java.util.Arrays.copyOf(acc, len)
+    }
+    val ivC2S = derive('A', 16); val ivS2C = derive('B', 16)
+    val keyC2S = derive('C', 16); val keyS2C = derive('D', 16)
+    val macC2S = derive('E', 32); val macS2C = derive('F', 32)
+
+    def ctr(key: Array[Byte], iv: Array[Byte], mode: Int): Cipher = {
+      val c = Cipher.getInstance("AES/CTR/NoPadding")
+      c.init(mode, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+      c
+    }
+    def hmac(key: Array[Byte]): Mac = {
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(key, "HmacSHA256"))
+      m
+    }
+    // CTR "decrypt" == encrypt; direction picks the key set
+    val (eo, mo, ei, mi) =
+      if (isServer)
+        (ctr(keyS2C, ivS2C, Cipher.ENCRYPT_MODE), hmac(macS2C),
+          ctr(keyC2S, ivC2S, Cipher.ENCRYPT_MODE), hmac(macC2S))
+      else
+        (ctr(keyC2S, ivC2S, Cipher.ENCRYPT_MODE), hmac(macC2S),
+          ctr(keyS2C, ivS2C, Cipher.ENCRYPT_MODE), hmac(macS2C))
+
+    Keyed(new SshTransport(socket, in, out, h, eo, mo, ei, mi, io.seqOut, io.seqIn), hostBlob)
+  }
+
+  /** H = HASH(V_C || V_S || I_C || I_S || K_S || Q_C || Q_S || K)
+    * with strings length-prefixed and K as mpint (RFC 5656 §4).
+    */
+  private def exchangeHash(sha: MessageDigest, vC: String, vS: String,
+      iC: Array[Byte], iS: Array[Byte], kS: Array[Byte],
+      qC: Array[Byte], qS: Array[Byte], k: Array[Byte]): Array[Byte] =
+    sha.digest(new W().str(vC).str(vS).str(iC).str(iS).str(kS)
+      .str(qC).str(qS).mpintRaw(k).bytes)
+}
