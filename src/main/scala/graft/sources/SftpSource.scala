@@ -1,0 +1,506 @@
+package graft.sources
+
+import java.io.IOException
+import java.net.{InetSocketAddress, Socket}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SFTP transfer tier — the reference's `SftpController`
+  * (`d22d/model/sftpmodel.py:41`, 793 LoC on paramiko) re-expressed
+  * as a dependency-free SFTP v3 client
+  * (draft-ietf-secsh-filexfer-02, the dialect OpenSSH speaks) over
+  * the pure-JDK [[SshTransport]], plus the same Spark bridge as the
+  * FTP tier: remote files stage locally through [[RemoteStaging]]
+  * and Spark's native readers take over.
+  *
+  * Reference behaviors carried over:
+  *  - password-only authentication (`sftpmodel.py:72-74` —
+  *    `transport.connect(username=..., password=...)`);
+  *  - client-side working-directory tracking with realpath-style
+  *    normalization (`cwd_recode_path`/`format_realpath`,
+  *    `sftpmodel.py:95-101,170-176` — SFTP itself is stateless);
+  *  - recursive mkdir -p before uploads (`sftp_mkdir_p`,
+  *    `sftpmodel.py:327-342`);
+  *  - resumable transfer: the reference seeks the local file to the
+  *    remote length and appends (`_upload_file_to_some_where`,
+  *    `sftpmodel.py:376-431`), optionally verifying the first 800 KB
+  *    window match first (`check_ftp_file_same`). Here the
+  *    prefix-verification is NOT optional — both directions compare
+  *    the overlap window before resuming and restart from zero on
+  *    mismatch, the strictly-safer recovery the FTP tier already
+  *    applies (see [[RemoteFileClient]]).
+  *
+  * Scale note: like FTP, SFTP is driver/edge I/O — staging is a
+  * one-time ingest step and [[stageAll]] fans one client out per
+  * executor over a file-list RDD. The SSH transport adds no shared
+  * state: one `SftpClient` = one socket = one serializable unit of
+  * partition work.
+  */
+object SftpSource {
+
+  final case class SftpConfig(
+      host: String,
+      port: Int,
+      user: String,
+      password: String,
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000)
+
+  /** Same resume-overlap window as the FTP tier (the reference checks
+    * 800 KB, `sftpmodel.py:398`; 64 KB keeps spec fixtures honest).
+    */
+  val ResumeCheckBytes: Int = 64 * 1024
+
+  // SFTP v3 packet types (draft-ietf-secsh-filexfer-02 §3)
+  val FxpInit = 1; val FxpVersion = 2
+  val FxpOpen = 3; val FxpClose = 4; val FxpRead = 5; val FxpWrite = 6
+  val FxpLstat = 7; val FxpFstat = 8; val FxpSetstat = 9; val FxpFsetstat = 10
+  val FxpOpendir = 11; val FxpReaddir = 12; val FxpRemove = 13
+  val FxpMkdir = 14; val FxpRmdir = 15; val FxpRealpath = 16
+  val FxpStat = 17; val FxpRename = 18
+  val FxpStatus = 101; val FxpHandle = 102; val FxpData = 103
+  val FxpName = 104; val FxpAttrs = 105
+  val FxpExtended = 200; val FxpExtendedReply = 201
+
+  // status codes (§7)
+  val FxOk = 0; val FxEof = 1; val FxNoSuchFile = 2; val FxPermissionDenied = 3
+  val FxFailure = 4; val FxBadMessage = 5; val FxOpUnsupported = 8
+
+  // open pflags (§6.3)
+  val FlagRead = 1; val FlagWrite = 2; val FlagAppend = 4
+  val FlagCreat = 8; val FlagTrunc = 16; val FlagExcl = 32
+
+  // attrs flags (§5)
+  val AttrSize = 1; val AttrUidGid = 2; val AttrPermissions = 4; val AttrAcModTime = 8
+
+  /** Parsed SFTP file attributes (only what the tier consumes). */
+  final case class SftpAttrs(size: Option[Long], permissions: Option[Int]) {
+    def isDir: Boolean = permissions.exists(p => (p & 0xf000) == 0x4000)
+  }
+
+  private[sources] def readAttrs(r: SshWire.R): SftpAttrs = {
+    val flags = r.u32()
+    val size = if ((flags & AttrSize) != 0) Some(r.u64()) else None
+    if ((flags & AttrUidGid) != 0) { r.u32(); r.u32() }
+    val perms = if ((flags & AttrPermissions) != 0) Some(r.u32().toInt) else None
+    if ((flags & AttrAcModTime) != 0) { r.u32(); r.u32() }
+    if ((flags & 0x80000000L) != 0) { // extended pairs
+      var n = r.u32()
+      while (n > 0) { r.str(); r.str(); n -= 1 }
+    }
+    SftpAttrs(size, perms)
+  }
+
+  /** Normalize an absolute remote path string — the reference's
+    * `format_realpath` (`sftpmodel.py:170-176`): collapse `//`,
+    * resolve `.`/`..` lexically, keep it rooted.
+    */
+  def normalizePath(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    path.split('/').foreach {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    "/" + out.mkString("/")
+  }
+
+  /** SFTP v3 client over one [[SshTransport]] + session channel.
+    * Blocking request/response (the reference's paramiko usage is
+    * likewise synchronous per controller); one client = one SSH
+    * connection = the `stageAll` partition unit.
+    */
+  final class SftpClient(cfg: SftpConfig) extends RemoteFileClient {
+    private val socket = new Socket()
+    socket.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.connectTimeoutMs)
+    socket.setSoTimeout(cfg.readTimeoutMs)
+    private val chan: SshClientChannel = {
+      val t = SshTransport.client(socket)
+      val c = new SshClientChannel(t)
+      c.authPassword(cfg.user, cfg.password)
+      c.openSubsystem("sftp")
+      c
+    }
+    private var reqId = 0L
+    private var workDir = "/"
+
+    // ---- SFTP packet framing over the channel byte stream ----
+    private var inBuf: Array[Byte] = Array.emptyByteArray
+    private var inPos = 0
+
+    private def fill(need: Int): Unit = {
+      while (inBuf.length - inPos < need) {
+        val chunk = chan.read()
+        if (chunk == null)
+          throw new IOException("sftp: channel EOF mid-packet")
+        val merged = new Array[Byte](inBuf.length - inPos + chunk.length)
+        System.arraycopy(inBuf, inPos, merged, 0, inBuf.length - inPos)
+        System.arraycopy(chunk, 0, merged, inBuf.length - inPos, chunk.length)
+        inBuf = merged; inPos = 0
+      }
+    }
+
+    private def readPacket(): (Int, SshWire.R) = {
+      fill(4)
+      val len = ((inBuf(inPos) & 0xff) << 24) | ((inBuf(inPos + 1) & 0xff) << 16) |
+        ((inBuf(inPos + 2) & 0xff) << 8) | (inBuf(inPos + 3) & 0xff)
+      require(len >= 1 && len <= (1 << 26), s"sftp: implausible packet length $len")
+      inPos += 4
+      fill(len)
+      val body = java.util.Arrays.copyOfRange(inBuf, inPos, inPos + len)
+      inPos += len
+      if (inPos == inBuf.length) { inBuf = Array.emptyByteArray; inPos = 0 }
+      val r = new SshWire.R(body)
+      (r.u8(), r)
+    }
+
+    private def sendPacket(tpe: Int, body: SshWire.W): Unit = {
+      val payload = body.bytes
+      val framed = new SshWire.W().u32((1 + payload.length).toLong).u8(tpe).raw(payload).bytes
+      chan.write(framed)
+    }
+
+    /** One request/response round-trip; verifies the id echoes back. */
+    private def request(tpe: Int, body: SshWire.W, id: Long): (Int, SshWire.R) = {
+      sendPacket(tpe, body)
+      val (rt, r) = readPacket()
+      val got = r.u32()
+      require(got == id, s"sftp: response id $got for request $id")
+      (rt, r)
+    }
+
+    private def nextId(): Long = { reqId += 1; reqId }
+
+    private def statusOf(r: SshWire.R): (Int, String) = {
+      val code = r.u32().toInt
+      val msg = if (r.remaining > 0) r.strUtf8() else ""
+      (code, msg)
+    }
+
+    private def expectOk(rt: Int, r: SshWire.R, what: String): Unit = {
+      require(rt == FxpStatus, s"sftp: $what expected STATUS, got $rt")
+      val (code, msg) = statusOf(r)
+      if (code != FxOk) throw new IOException(s"sftp: $what failed ($code): $msg")
+    }
+
+    // version negotiation at construction
+    locally {
+      sendPacket(FxpInit, new SshWire.W().u32(3L))
+      val (t, r) = readPacket()
+      require(t == FxpVersion, s"sftp: expected VERSION, got $t")
+      val v = r.u32()
+      require(v == 3L, s"sftp: server negotiated unsupported version $v")
+    }
+
+    /** Resolve `path` against the tracked working directory — the
+      * reference keeps the cwd client-side (`work_dir_now`,
+      * `sftpmodel.py:95-101`).
+      */
+    private def resolve(path: String): String =
+      if (path.startsWith("/")) normalizePath(path)
+      else normalizePath(workDir + "/" + path)
+
+    def pwd(): String = workDir
+
+    def cwd(path: String): Unit = {
+      val rp = resolve(path)
+      val attrs = statAttrs(rp).getOrElse(
+        throw new IOException(s"sftp: no such directory: $rp"))
+      if (!attrs.isDir) throw new IOException(s"sftp: not a directory: $rp")
+      workDir = rp
+    }
+
+    /** Server-canonical absolute path (FXP_REALPATH). */
+    def realpath(path: String): String = {
+      val id = nextId()
+      val (t, r) = request(FxpRealpath, new SshWire.W().u32(id).str(resolve(path)), id)
+      require(t == FxpName, s"sftp: REALPATH expected NAME, got $t")
+      require(r.u32() == 1L, "sftp: REALPATH must return one name")
+      r.strUtf8()
+    }
+
+    private def statAttrs(path: String): Option[SftpAttrs] = {
+      val id = nextId()
+      val (t, r) = request(FxpStat, new SshWire.W().u32(id).str(resolve(path)), id)
+      t match {
+        case FxpAttrs => Some(readAttrs(r))
+        case FxpStatus =>
+          val (code, msg) = statusOf(r)
+          if (code == FxNoSuchFile) None
+          else throw new IOException(s"sftp: STAT $path failed ($code): $msg")
+        case other => throw new IOException(s"sftp: STAT expected ATTRS/STATUS, got $other")
+      }
+    }
+
+    def stat(path: String): Option[SftpAttrs] = statAttrs(path)
+
+    override def size(path: String): Option[Long] =
+      statAttrs(path).flatMap(_.size)
+
+    override def list(path: String, ignoreHidden: Boolean): Seq[RemoteEntry] = {
+      val id = nextId()
+      val (t, r) = request(FxpOpendir, new SshWire.W().u32(id).str(resolve(path)), id)
+      require(t == FxpHandle, {
+        val detail = if (t == FxpStatus) s" (${statusOf(r)._2})" else ""
+        s"sftp: OPENDIR $path rejected$detail"
+      })
+      val handle = r.str()
+      val out = scala.collection.mutable.ArrayBuffer[RemoteEntry]()
+      try {
+        var done = false
+        while (!done) {
+          val rid = nextId()
+          val (rt, rr) = request(FxpReaddir, new SshWire.W().u32(rid).str(handle), rid)
+          rt match {
+            case FxpName =>
+              var n = rr.u32()
+              while (n > 0) {
+                val name = rr.strUtf8()
+                rr.str() // longname — display-only
+                val attrs = readAttrs(rr)
+                val hidden = name.startsWith(".")
+                if (name != "." && name != ".." && !(ignoreHidden && hidden))
+                  out += RemoteEntry(name, attrs.size.getOrElse(0L), attrs.isDir)
+                n -= 1
+              }
+            case FxpStatus =>
+              val (code, msg) = statusOf(rr)
+              if (code == FxEof) done = true
+              else throw new IOException(s"sftp: READDIR failed ($code): $msg")
+            case other => throw new IOException(s"sftp: READDIR expected NAME/STATUS, got $other")
+          }
+        }
+      } finally closeHandle(handle)
+      out.toSeq
+    }
+
+    def mkdir(path: String): Unit = {
+      val id = nextId()
+      val (t, r) = request(FxpMkdir, new SshWire.W().u32(id).str(resolve(path)).u32(0L), id)
+      expectOk(t, r, s"MKDIR $path")
+    }
+
+    /** mkdir -p — the reference's `sftp_mkdir_p` (`sftpmodel.py:
+      * 327-342`): walk components, stat each, create the missing tail.
+      */
+    def mkdirs(path: String): Unit = {
+      val rp = resolve(path)
+      val parts = rp.split('/').filter(_.nonEmpty)
+      var cur = ""
+      parts.foreach { seg =>
+        cur = cur + "/" + seg
+        statAttrs(cur) match {
+          case Some(a) =>
+            if (!a.isDir) throw new IOException(s"sftp: $cur exists and is not a directory")
+          case None => mkdir(cur)
+        }
+      }
+    }
+
+    override def ensureDir(path: String): Unit = mkdirs(path)
+
+    def rmdir(path: String): Unit = {
+      val id = nextId()
+      val (t, r) = request(FxpRmdir, new SshWire.W().u32(id).str(resolve(path)), id)
+      expectOk(t, r, s"RMDIR $path")
+    }
+
+    def delete(path: String): Unit = {
+      val id = nextId()
+      val (t, r) = request(FxpRemove, new SshWire.W().u32(id).str(resolve(path)), id)
+      expectOk(t, r, s"REMOVE $path")
+    }
+
+    def rename(from: String, to: String): Unit = {
+      val id = nextId()
+      val (t, r) = request(FxpRename,
+        new SshWire.W().u32(id).str(resolve(from)).str(resolve(to)), id)
+      expectOk(t, r, s"RENAME $from -> $to")
+    }
+
+    // ---- handle-level file I/O ----
+
+    private def openFile(path: String, pflags: Int): Array[Byte] = {
+      val id = nextId()
+      val (t, r) = request(FxpOpen,
+        new SshWire.W().u32(id).str(resolve(path)).u32(pflags.toLong).u32(0L), id)
+      t match {
+        case FxpHandle => r.str()
+        case FxpStatus =>
+          val (code, msg) = statusOf(r)
+          throw new IOException(s"sftp: OPEN $path failed ($code): $msg")
+        case other => throw new IOException(s"sftp: OPEN expected HANDLE/STATUS, got $other")
+      }
+    }
+
+    private def closeHandle(handle: Array[Byte]): Unit = {
+      val id = nextId()
+      val (t, r) = request(FxpClose, new SshWire.W().u32(id).str(handle), id)
+      expectOk(t, r, "CLOSE")
+    }
+
+    /** One READ at `offset`; None at EOF; may return fewer than `len`. */
+    private def readAt(handle: Array[Byte], offset: Long, len: Int): Option[Array[Byte]] = {
+      val id = nextId()
+      val (t, r) = request(FxpRead,
+        new SshWire.W().u32(id).str(handle).u64(offset).u32(len.toLong), id)
+      t match {
+        case FxpData => Some(r.str())
+        case FxpStatus =>
+          val (code, msg) = statusOf(r)
+          if (code == FxEof) None
+          else throw new IOException(s"sftp: READ failed ($code): $msg")
+        case other => throw new IOException(s"sftp: READ expected DATA/STATUS, got $other")
+      }
+    }
+
+    private def writeAt(handle: Array[Byte], offset: Long, data: Array[Byte], off: Int, len: Int): Unit = {
+      val id = nextId()
+      val body = new SshWire.W().u32(id).str(handle).u64(offset)
+        .u32(len.toLong).raw(data, off, len)
+      val (t, r) = request(FxpWrite, body, id)
+      expectOk(t, r, "WRITE")
+    }
+
+    private val ChunkSize = 32 * 1024
+
+    private def remotePrefix(remote: String, n: Int): Array[Byte] = {
+      val handle = openFile(remote, FlagRead)
+      try {
+        val buf = new Array[Byte](n)
+        var got = 0
+        var eof = false
+        while (got < n && !eof) {
+          readAt(handle, got.toLong, math.min(ChunkSize, n - got)) match {
+            case Some(chunk) =>
+              val take = math.min(chunk.length, n - got)
+              System.arraycopy(chunk, 0, buf, got, take); got += take
+            case None => eof = true
+          }
+        }
+        java.util.Arrays.copyOf(buf, got)
+      } finally closeHandle(handle)
+    }
+
+    override def prefixMatches(remote: String, local: Path, n: Long): Boolean = {
+      val check = math.min(n, ResumeCheckBytes.toLong).toInt
+      if (check <= 0) true
+      else {
+        val remoteStart = remotePrefix(remote, check)
+        val localStart = {
+          val is = Files.newInputStream(local)
+          try is.readNBytes(check) finally is.close()
+        }
+        remoteStart.length == check &&
+          java.util.Arrays.equals(remoteStart, localStart)
+      }
+    }
+
+    /** Download with prefix-verified resume — the same decision table
+      * as the FTP tier ([[FtpSource.FtpClient.retrieve]]); SFTP's
+      * explicit read offsets replace the REST ordering fragility, and
+      * the byte-count + final-size checks stay as belt-and-braces.
+      */
+    override def retrieve(remote: String, local: Path, resume: Boolean): Long = {
+      val remoteLen = size(remote)
+      val offset =
+        if (resume && Files.exists(local) && Files.size(local) > 0L) {
+          val localLen = Files.size(local)
+          // a remote file REPLACED by a shorter one whose prefix still
+          // matches must restart from zero (same clamp as FTP)
+          if (remoteLen.exists(_ < localLen)) 0L
+          else if (prefixMatches(remote, local, localLen)) localLen
+          else 0L
+        } else 0L
+      val handle = openFile(remote, FlagRead)
+      Option(local.getParent).foreach(Files.createDirectories(_))
+      val os = Files.newByteChannel(local,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      var moved = 0L
+      try {
+        os.position(offset)
+        if (offset == 0L) os.truncate(0L)
+        var eof = false
+        while (!eof) {
+          readAt(handle, offset + moved, ChunkSize) match {
+            case Some(chunk) =>
+              os.write(java.nio.ByteBuffer.wrap(chunk)); moved += chunk.length
+            case None => eof = true
+          }
+        }
+      } finally { os.close(); closeHandle(handle) }
+      remoteLen.foreach { rl =>
+        require(moved == rl - offset,
+          s"sftp: GET $remote moved $moved bytes, expected ${rl - offset} (resume offset $offset of $rl)")
+        require(Files.size(local) == rl,
+          s"staged $local is ${Files.size(local)} bytes, remote is $rl")
+      }
+      moved
+    }
+
+    /** Upload with prefix-verified resume — the reference seeks local
+      * to the remote length and appends (`sftpmodel.py:405-425`); here
+      * the overlap is verified first and the final remote size checked
+      * against the local length (same contract as FTP's store).
+      */
+    override def store(local: Path, remote: String, resume: Boolean): Long = {
+      val localLen = Files.size(local)
+      val offset =
+        if (resume) size(remote) match {
+          case Some(remoteLen) if remoteLen > 0 && remoteLen <= localLen =>
+            if (prefixMatches(remote, local, remoteLen)) remoteLen else 0L
+          case _ => 0L
+        } else 0L
+      val flags =
+        if (offset > 0L) FlagWrite
+        else FlagWrite | FlagCreat | FlagTrunc
+      val handle = openFile(remote, flags)
+      var moved = 0L
+      try {
+        val is = Files.newInputStream(local)
+        try {
+          is.skipNBytes(offset)
+          val buf = new Array[Byte](ChunkSize)
+          var r = 0
+          while ({ r = is.read(buf); r >= 0 }) {
+            if (r > 0) { writeAt(handle, offset + moved, buf, 0, r); moved += r }
+          }
+        } finally is.close()
+      } finally closeHandle(handle)
+      size(remote).foreach { rl =>
+        require(rl == localLen,
+          s"sftp: PUT $remote left $rl bytes, expected $localLen (resume offset $offset)")
+      }
+      moved
+    }
+
+    override def close(): Unit = chan.close()
+  }
+
+  /** Staging/scan/sink surface — the shared [[RemoteStaging]] layer
+    * with an SFTP client factory (see RemoteFiles.scala for the
+    * skip/resume/verify contract and per-executor fan-out story).
+    */
+  def stageFiles(cfg: SftpConfig, remoteDir: String, pattern: String,
+      stagingDir: String): Seq[String] =
+    RemoteStaging.stageFiles(() => new SftpClient(cfg), remoteDir, pattern, stagingDir)
+
+  def stageAll(spark: SparkSession, cfg: SftpConfig, remoteFiles: Seq[String],
+      stagingDir: String, slices: Int = 0): Seq[(String, String, Long)] =
+    RemoteStaging.stageAll(spark, () => new SftpClient(cfg), remoteFiles, stagingDir, slices)
+
+  def scanCsv(spark: SparkSession, cfg: SftpConfig, remoteDir: String,
+      stagingDir: String, pattern: String = ".*\\.csv",
+      options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"))
+      : DataFrame =
+    RemoteStaging.scanCsv(spark, () => new SftpClient(cfg), remoteDir, stagingDir, pattern, options)
+
+  def scanNdjson(spark: SparkSession, cfg: SftpConfig, remoteDir: String,
+      stagingDir: String, pattern: String = ".*\\.(json|ndjson)"): DataFrame =
+    RemoteStaging.scanNdjson(spark, () => new SftpClient(cfg), remoteDir, stagingDir, pattern)
+
+  def sinkCsv(df: DataFrame, cfg: SftpConfig, remoteDir: String,
+      stagingDir: String): Seq[String] =
+    RemoteStaging.sinkCsv(df, () => new SftpClient(cfg), remoteDir, stagingDir)
+}

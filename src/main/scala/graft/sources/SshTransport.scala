@@ -301,7 +301,9 @@ final class SshTransport private (
       val restLen = (plen + 4 - 16).toInt
       val restEnc = new Array[Byte](restLen)
       in.readFully(restEnc)
-      val rest = encIn.update(restEnc)
+      // Cipher.update(empty) returns null — a minimal packet (1-byte
+      // payload, e.g. USERAUTH_SUCCESS) is exactly one block
+      val rest = if (restLen == 0) Array.emptyByteArray else encIn.update(restEnc)
       val plain = head ++ rest
       val macGot = new Array[Byte](32)
       in.readFully(macGot)
@@ -582,4 +584,175 @@ object SshTransport {
       qC: Array[Byte], qS: Array[Byte], k: Array[Byte]): Array[Byte] =
     sha.digest(new W().str(vC).str(vS).str(iC).str(iS).str(kS)
       .str(qC).str(qS).mpintRaw(k).bytes)
+}
+
+/** Client side of the SSH connection layer (RFC 4252 auth + one RFC
+  * 4254 session channel carrying a subsystem) — the piece paramiko's
+  * `Transport.connect` + `SFTPClient.from_transport` provide the
+  * reference (`sftpmodel.py:71-74`). Single-threaded: one blocking
+  * pump services window adjusts, data, and channel bookkeeping.
+  */
+final class SshClientChannel(t: SshTransport) extends AutoCloseable {
+  import SshWire._
+
+  private val LocalWindow = 1 << 21 // 2 MiB grant to the server
+  private val MaxPacket = 32768
+
+  private var localId = 0L
+  private var remoteId = -1L
+  private var remoteWindow = 0L
+  private var remoteMaxPacket = 0L
+  private var consumed = 0L
+  private var eofSeen = false
+  private var closeSeen = false
+  private var closeSent = false
+  private val dataQueue = new scala.collection.mutable.Queue[Array[Byte]]
+
+  /** Password auth (RFC 4252 §8) — the reference's only method
+    * (`sftpmodel.py:72-74`). Throws on rejection.
+    */
+  def authPassword(user: String, password: String): Unit = {
+    t.send(new W().u8(MsgServiceRequest).str("ssh-userauth").bytes)
+    val acc = new R(t.recv())
+    require(acc.u8() == MsgServiceAccept, "expected SERVICE_ACCEPT")
+    t.send(new W().u8(MsgUserauthRequest).str(user).str("ssh-connection")
+      .str("password").bool(false).str(password).bytes)
+    awaitAuthResult()
+  }
+
+  /** Public-key auth with an in-memory Ed25519 keypair (RFC 4252 §7)
+    * — exercises the server's signature-verification path without an
+    * on-disk key. Sends the signed request directly (the try-then-sign
+    * round-trip is an optimization for expensive keys, not a protocol
+    * requirement).
+    */
+  def authPublicKey(user: String, key: java.security.KeyPair): Unit = {
+    t.send(new W().u8(MsgServiceRequest).str("ssh-userauth").bytes)
+    val acc = new R(t.recv())
+    require(acc.u8() == MsgServiceAccept, "expected SERVICE_ACCEPT")
+    val blob = ed25519Blob(key.getPublic.asInstanceOf[java.security.interfaces.EdECPublicKey])
+    val request = new W().u8(MsgUserauthRequest).str(user).str("ssh-connection")
+      .str("publickey").bool(true).str("ssh-ed25519").str(blob)
+    val signed = new W().str(t.sessionId).raw(request.bytes).bytes
+    val sig = ed25519SigBlob(ed25519Sign(key.getPrivate, signed))
+    t.send(request.str(sig).bytes)
+    awaitAuthResult()
+  }
+
+  private def awaitAuthResult(): Unit = {
+    while (true) {
+      val r = new R(t.recv())
+      r.u8() match {
+        case MsgUserauthSuccess => return
+        case MsgUserauthBanner => () // absorb; next packet carries the verdict
+        case MsgUserauthFailure =>
+          throw new IOException(s"ssh: authentication failed (server offers: ${r.nameList().mkString(",")})")
+        case other => throw new IOException(s"ssh: unexpected message $other during auth")
+      }
+    }
+  }
+
+  /** Open the session channel and start `name` (e.g. "sftp"). */
+  def openSubsystem(name: String): Unit = {
+    t.send(new W().u8(MsgChannelOpen).str("session").u32(localId)
+      .u32(LocalWindow.toLong).u32(MaxPacket.toLong).bytes)
+    val conf = new R(t.recv())
+    conf.u8() match {
+      case MsgChannelOpenConfirmation =>
+        conf.u32() // our id echoed
+        remoteId = conf.u32()
+        remoteWindow = conf.u32()
+        remoteMaxPacket = conf.u32()
+      case MsgChannelOpenFailure =>
+        conf.u32(); conf.u32()
+        throw new IOException(s"ssh: channel open failed: ${conf.strUtf8()}")
+      case other => throw new IOException(s"ssh: unexpected message $other opening channel")
+    }
+    t.send(new W().u8(MsgChannelRequest).u32(remoteId).str("subsystem")
+      .bool(true).str(name).bytes)
+    // the success/failure reply may interleave with early channel traffic
+    var verdict = -1
+    while (verdict < 0) {
+      val r = new R(t.recv())
+      r.u8() match {
+        case MsgChannelSuccess => verdict = 1
+        case MsgChannelFailure => verdict = 0
+        case other => dispatch(other, r)
+      }
+    }
+    if (verdict == 0) throw new IOException(s"ssh: subsystem '$name' rejected")
+  }
+
+  private def dispatch(msgType: Int, r: R): Unit = msgType match {
+    case MsgChannelWindowAdjust => r.u32(); remoteWindow += r.u32()
+    case MsgChannelData =>
+      r.u32()
+      val data = r.str()
+      consumed += data.length
+      dataQueue.enqueue(data)
+      if (consumed >= LocalWindow / 2) {
+        t.send(new W().u8(MsgChannelWindowAdjust).u32(remoteId).u32(consumed).bytes)
+        consumed = 0L
+      }
+    case MsgChannelExtendedData => () // stderr chatter — not part of the subsystem stream
+    case MsgChannelEof => eofSeen = true
+    case MsgChannelClose =>
+      closeSeen = true; eofSeen = true
+      if (!closeSent) {
+        t.send(new W().u8(MsgChannelClose).u32(remoteId).bytes)
+        closeSent = true
+      }
+    case MsgChannelRequest =>
+      r.u32(); r.strUtf8()
+      if (r.bool()) t.send(new W().u8(MsgChannelFailure).u32(remoteId).bytes)
+    case MsgGlobalRequest =>
+      r.strUtf8()
+      if (r.bool()) t.send(Array[Byte](MsgRequestFailure.toByte))
+    case other => throw new IOException(s"ssh: unexpected message $other on channel")
+  }
+
+  private def pump(): Unit = {
+    val r = new R(t.recv())
+    dispatch(r.u8(), r)
+  }
+
+  /** Next data chunk from the subsystem, or null at EOF. */
+  def read(): Array[Byte] = {
+    while (dataQueue.isEmpty && !eofSeen) pump()
+    if (dataQueue.nonEmpty) dataQueue.dequeue() else null
+  }
+
+  /** Send bytes to the subsystem, honoring the server's window and
+    * max-packet limits (RFC 4254 §5.2).
+    */
+  def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    var p = off
+    val end = off + len
+    val cap = math.min(remoteMaxPacket - 64L, 32768L).toInt
+    while (p < end) {
+      while (remoteWindow <= 0 && !closeSeen) pump()
+      if (closeSeen) throw new IOException("ssh: channel closed by peer mid-write")
+      val n = math.min(math.min(end - p, cap).toLong, remoteWindow).toInt
+      t.send(new W().u8(MsgChannelData).u32(remoteId).u32(n.toLong)
+        .raw(b, p, n).bytes)
+      remoteWindow -= n
+      p += n
+    }
+  }
+
+  def write(b: Array[Byte]): Unit = write(b, 0, b.length)
+
+  override def close(): Unit = {
+    try {
+      if (!closeSent && remoteId >= 0) {
+        t.send(new W().u8(MsgChannelEof).u32(remoteId).bytes)
+        t.send(new W().u8(MsgChannelClose).u32(remoteId).bytes)
+        closeSent = true
+        // drain until the peer's CLOSE (bounded patience)
+        var spins = 0
+        while (!closeSeen && spins < 64) { pump(); spins += 1 }
+      }
+    } catch { case _: Throwable => () }
+    t.close()
+  }
 }
