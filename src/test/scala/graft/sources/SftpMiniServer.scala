@@ -24,7 +24,17 @@ import scala.collection.mutable
   */
 final class SftpMiniServer(root: Path, user: String = "graft",
     password: String = "secret",
-    authorizedKeys: Seq[String] = Nil) extends AutoCloseable {
+    authorizedKeys: Seq[String] = Nil,
+    /** Fault-injection mode for the liar-server fuzz (mirrors the FTP
+      * tier's REST-ignoring server): "" = honest,
+      * "write-at-zero" = WRITE requests ignore the offset and land at
+      * byte 0 (the upload-resume splice a broken server produces),
+      * "size-minus-one" = STAT/READDIR report size-1 (a stale-metadata
+      * server at a resume boundary). The client contract under test:
+      * every lie must surface as a LOUD error, never a spliced or
+      * truncated file.
+      */
+    chaos: String = "") extends AutoCloseable {
 
   val hostKey: KeyPair = SshWire.generateEd25519()
 
@@ -116,7 +126,7 @@ final class SftpMiniServer(root: Path, user: String = "graft",
         }
 
         // ---- connection phase: one session channel ----
-        new SftpServerSession(t, root).run()
+        new SftpServerSession(t, root, chaos).run()
       } finally t.close()
     } catch {
       case _: IOException => () // peer went away — session over
@@ -127,7 +137,7 @@ final class SftpMiniServer(root: Path, user: String = "graft",
 }
 
 /** One authenticated connection's channel + SFTP v3 dispatch. */
-private final class SftpServerSession(t: SshTransport, root: Path) {
+private final class SftpServerSession(t: SshTransport, root: Path, chaos: String) {
   import SshWire._
 
   private val LocalWindow = 1L << 21
@@ -180,7 +190,7 @@ private final class SftpServerSession(t: SshTransport, root: Path) {
     }
     if (!subsystemUp) return
 
-    val fs = new SftpFileOps(root)
+    val fs = new SftpFileOps(root, chaos)
     try {
       while (!peerEof && !peerClosed) {
         val pkt = nextSftpPacket()
@@ -295,7 +305,7 @@ private final class SftpServerSession(t: SshTransport, root: Path) {
 /** SFTP v3 request dispatch over a jailed directory root. Returns
   * fully-framed reply packets (length-prefixed).
   */
-private final class SftpFileOps(root: Path) {
+private final class SftpFileOps(root: Path, chaos: String = "") {
   import SshWire._
   import SftpSource._
   import scala.jdk.CollectionConverters._
@@ -332,8 +342,11 @@ private final class SftpFileOps(root: Path) {
   private def attrsOf(p: Path): Array[Byte] = {
     val a = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
     val perms = (if (a.isDirectory) 0x4000 | 0x1ed else 0x8000 | 0x1a4) // 755 / 644
+    val size =
+      if (chaos == "size-minus-one" && !a.isDirectory && a.size() > 0) a.size() - 1
+      else a.size()
     new W().u32((AttrSize | AttrPermissions | AttrAcModTime).toLong)
-      .u64(a.size())
+      .u64(size)
       .u32(perms.toLong)
       .u32(a.lastModifiedTime().toMillis / 1000)
       .u32(a.lastModifiedTime().toMillis / 1000)
@@ -431,7 +444,7 @@ private final class SftpFileOps(root: Path) {
       val f = lookup[RandomAccessFile](r.str())
       val offset = r.u64()
       val data = r.str()
-      f.seek(offset)
+      f.seek(if (chaos == "write-at-zero") 0L else offset)
       f.write(data)
       status(id, FxOk, "ok")
     case FxpOpendir =>
