@@ -36,9 +36,19 @@ import javax.crypto.{Cipher, KeyAgreement, Mac}
   *
   * Concurrency model matches the FTP tier: one `SshTransport` = one
   * socket = one thread, blocking I/O, no shared state — the unit that
-  * `SftpSource.stageAll` fans out per executor. Re-keying is not
-  * initiated (sessions are per-file-batch and short); an unexpected
-  * peer-initiated KEXINIT fails loudly rather than corrupting state.
+  * `SftpSource.stageAll` fans out per executor.
+  *
+  * Re-keying (RFC 4253 §9) is supported in BOTH directions, because a
+  * staging tier that moves multi-GiB files cannot live without it:
+  * stock OpenSSH re-keys after 1-4 GiB (its default `RekeyLimit`), so
+  * a transport that dies on a peer-initiated KEXINIT caps every
+  * staged file at the peer's limit. A peer's KEXINIT is answered
+  * transparently inside `recv`; this side initiates its own
+  * re-exchange after `rekeyAfterBytes` of payload traffic (default
+  * 1 GiB, inside every stock peer's window). Per RFC 4253 §7.2 the
+  * re-derived keys bind the NEW exchange hash but the ORIGINAL
+  * session id; the client role additionally pins the host key across
+  * re-keys (a changed key mid-connection is an attack, not rotation).
   */
 private[sources] object SshWire {
 
@@ -259,20 +269,44 @@ final class SshTransport private (
     out: DataOutputStream,
     /** H of the first key exchange — the session id userauth signs over. */
     val sessionId: Array[Byte],
-    encOut: Cipher, macOut: Mac,
-    encIn: Cipher, macIn: Mac,
-    seqOut0: Long, seqIn0: Long) extends AutoCloseable {
+    private var encOut: Cipher, private var macOut: Mac,
+    private var encIn: Cipher, private var macIn: Mac,
+    seqOut0: Long, seqIn0: Long,
+    isServer: Boolean, vC: String, vS: String,
+    hostKey: Option[KeyPair],
+    /** Host-key blob of the first kex — the pin re-keys must match. */
+    firstHostBlob: Array[Byte],
+    rekeyAfterBytes: Long) extends AutoCloseable {
 
   import SshWire._
 
   // packet sequence numbers continue from the plaintext kex packets
   // (version lines are unnumbered; IGNORE/DEBUG during kex count too)
+  // and are NOT reset by re-keys (strict-kex is never advertised)
   private var seqOut = seqOut0
   private var seqIn = seqIn0
   private val rnd = new SecureRandom
+  private var bytesSinceKex = 0L
+  private var inKex = false
+  // peer packets that arrive between OUR KEXINIT and the peer's —
+  // legal regular traffic the peer sent before it saw ours
+  private val pending = new scala.collection.mutable.Queue[Array[Byte]]
+  private var rekeysDone = 0L
 
-  /** Encrypt-and-send one payload as a binary packet (RFC 4253 §6). */
+  /** Completed re-key exchanges on this connection (diagnostics). */
+  def rekeys: Long = rekeysDone
+
+  /** Encrypt-and-send one payload as a binary packet (RFC 4253 §6);
+    * initiates a key re-exchange first once the traffic volume since
+    * the last kex passes `rekeyAfterBytes`.
+    */
   def send(payload: Array[Byte]): Unit = {
+    if (!inKex && rekeyAfterBytes > 0 && bytesSinceKex >= rekeyAfterBytes)
+      rekey(None)
+    sendRaw(payload)
+  }
+
+  private def sendRaw(payload: Array[Byte]): Unit = {
     val block = 16
     // 4 (length) + 1 (padlen) + payload + padding ≡ 0 (mod block), padding ≥ 4
     var pad = block - ((5 + payload.length) % block)
@@ -286,10 +320,26 @@ final class SshTransport private (
     out.write(mac)
     out.flush()
     seqOut = (seqOut + 1) & 0xffffffffL
+    bytesSinceKex += payload.length
   }
 
-  /** Read-and-decrypt the next payload; absorbs keepalive noise. */
+  /** Read-and-decrypt the next payload; absorbs keepalive noise and
+    * services peer-initiated re-keys transparently.
+    */
   def recv(): Array[Byte] = {
+    while (true) {
+      if (pending.nonEmpty) return pending.dequeue()
+      val p = recvRaw()
+      if ((p(0) & 0xff) == MsgKexInit) rekey(Some(p))
+      else return p
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One decrypted payload, KEXINIT included (re-key handled by the
+    * caller); absorbs IGNORE/DEBUG/UNIMPLEMENTED, raises DISCONNECT.
+    */
+  private def recvRaw(): Array[Byte] = {
     while (true) {
       val first = new Array[Byte](16)
       in.readFully(first)
@@ -318,18 +368,61 @@ final class SshTransport private (
         case MsgDisconnect =>
           val r = new R(payload); r.u8(); r.u32()
           throw new IOException(s"ssh: peer disconnected: ${r.strUtf8()}")
-        case MsgKexInit =>
-          throw new IOException(
-            "ssh: peer initiated re-key — unsupported by this short-session transport")
-        case _ => return payload
+        case _ =>
+          bytesSinceKex += payload.length
+          return payload
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
+  /** RFC 4253 §9 key re-exchange over the encrypted connection.
+    * `peerInitOpt` carries the peer's KEXINIT when IT initiated (we
+    * respond); `None` means this side initiates. Either way both
+    * KEXINITs are exchanged, the ECDH runs in the connection's
+    * original client/server roles (independent of who initiated), and
+    * NEWKEYS swaps ciphers — old inbound keys apply until the peer's
+    * NEWKEYS, old outbound until ours, exactly the initial-kex
+    * ordering. Sequence numbers continue uninterrupted.
+    */
+  private def rekey(peerInitOpt: Option[Array[Byte]]): Unit = {
+    inKex = true
+    try {
+      val myInit = SshTransport.kexInitPayload(rnd)
+      sendRaw(myInit)
+      val peerInit = peerInitOpt.getOrElse {
+        // until the peer sees our KEXINIT it may legally keep sending
+        // regular packets — queue them for recv(); after its KEXINIT
+        // only kex traffic may follow (RFC 4253 §7.1)
+        var got: Array[Byte] = null
+        while (got == null) {
+          val p = recvRaw()
+          if ((p(0) & 0xff) == MsgKexInit) got = p else pending.enqueue(p)
+        }
+        got
+      }
+      val pk = SshTransport.parseKexInit(peerInit)
+      SshTransport.requireSuite(pk, isServer)
+      val (iC, iS) = if (isServer) (peerInit, myInit) else (myInit, peerInit)
+      val (secret, hash, hostBlob) = SshTransport.ecdhExchange(
+        sendRaw, () => recvRaw(), isServer, hostKey, vC, vS, iC, iS, rnd)
+      if (!isServer && !java.util.Arrays.equals(hostBlob, firstHostBlob))
+        throw new IOException("ssh: host key changed across re-key")
+      sendRaw(Array[Byte](MsgNewKeys.toByte))
+      val nk = recvRaw()
+      if ((nk(0) & 0xff) != MsgNewKeys)
+        throw new IOException(s"ssh: expected NEWKEYS in re-key, got ${nk(0) & 0xff}")
+      val (eo, mo, ei, mi) =
+        SshTransport.deriveKeySets(secret, hash, sessionId, isServer)
+      encOut = eo; macOut = mo; encIn = ei; macIn = mi
+      bytesSinceKex = 0L
+      rekeysDone += 1
+    } finally inKex = false
+  }
+
   /** Send DISCONNECT (best-effort) and close the socket. */
   override def close(): Unit = {
-    try send(new W().u8(MsgDisconnect).u32(11L).str("bye").str("").bytes)
+    try sendRaw(new W().u8(MsgDisconnect).u32(11L).str("bye").str("").bytes)
     catch { case _: Throwable => () }
     try socket.close() catch { case _: Throwable => () }
   }
@@ -347,6 +440,12 @@ object SshTransport {
   private val MacAlgs = Seq("hmac-sha2-256")
   private val CompAlgs = Seq("none")
 
+  /** Initiate a re-key after this much payload traffic — inside every
+    * stock peer's own window (OpenSSH defaults to 1-4 GiB) and far
+    * below RFC 4344's 2^32-block bound for aes128-ctr (64 GiB).
+    */
+  val DefaultRekeyBytes: Long = 1L << 30
+
   /** The outcome of version + key exchange, before role-specific auth. */
   final case class Keyed(transport: SshTransport, hostKeyBlob: Array[Byte])
 
@@ -359,8 +458,9 @@ object SshTransport {
     * paramiko's default).
     */
   def client(socket: Socket,
-      verifyHostKey: Array[Byte] => Boolean = _ => true): SshTransport = {
-    val keyed = handshake(socket, isServer = false, hostKey = None)
+      verifyHostKey: Array[Byte] => Boolean = _ => true,
+      rekeyAfterBytes: Long = DefaultRekeyBytes): SshTransport = {
+    val keyed = handshake(socket, isServer = false, hostKey = None, rekeyAfterBytes)
     if (!verifyHostKey(keyed.hostKeyBlob)) {
       socket.close()
       throw new IOException("ssh: host key rejected by verifier")
@@ -369,8 +469,9 @@ object SshTransport {
   }
 
   /** Server role: accept-side handshake signing with `hostKey`. */
-  def server(socket: Socket, hostKey: KeyPair): SshTransport =
-    handshake(socket, isServer = true, hostKey = Some(hostKey)).transport
+  def server(socket: Socket, hostKey: KeyPair,
+      rekeyAfterBytes: Long = DefaultRekeyBytes): SshTransport =
+    handshake(socket, isServer = true, hostKey = Some(hostKey), rekeyAfterBytes).transport
 
   private def readVersionLine(in: DataInputStream): String = {
     // RFC 4253 §4.2: lines before the version string are allowed (server
@@ -465,7 +566,112 @@ object SshTransport {
     PeerKexInit(payload, kex, hk, eC, eS, mC, mS)
   }
 
-  private def handshake(socket: Socket, isServer: Boolean, hostKey: Option[KeyPair]): Keyed = {
+  /** Validate that the RFC 4253 §7.1 negotiation (first algorithm on
+    * the CLIENT's list the server also offers) lands on the single
+    * implemented suite, for the connection's role.
+    */
+  private def requireSuite(peer: PeerKexInit, isServer: Boolean): Unit = {
+    val (cKex, cHk, cE1, cE2, cM1, cM2) =
+      if (isServer) (peer.kex, peer.hostKeys, peer.encC2S, peer.encS2C, peer.macC2S, peer.macS2C)
+      else (KexAlgs, HostKeyAlgs, CipherAlgs, CipherAlgs, MacAlgs, MacAlgs)
+    val (sKex, sHk, sE1, sE2, sM1, sM2) =
+      if (isServer) (KexAlgs, HostKeyAlgs, CipherAlgs, CipherAlgs, MacAlgs, MacAlgs)
+      else (peer.kex, peer.hostKeys, peer.encC2S, peer.encS2C, peer.macC2S, peer.macS2C)
+    require(negotiate(cKex, sKex, "kex") == "ecdh-sha2-nistp256")
+    require(negotiate(cHk, sHk, "host key") == "ssh-ed25519")
+    require(negotiate(cE1, sE1, "cipher c2s") == "aes128-ctr")
+    require(negotiate(cE2, sE2, "cipher s2c") == "aes128-ctr")
+    require(negotiate(cM1, sM1, "mac c2s") == "hmac-sha2-256")
+    require(negotiate(cM2, sM2, "mac s2c") == "hmac-sha2-256")
+  }
+
+  /** One `ecdh-sha2-nistp256` exchange over `send`/`recv` (plaintext
+    * packets for the initial kex, encrypted for re-keys). Returns
+    * (shared secret K, exchange hash H, server host-key blob K_S);
+    * the client role verifies the host signature over H.
+    */
+  private def ecdhExchange(send: Array[Byte] => Unit, recv: () => Array[Byte],
+      isServer: Boolean, hostKey: Option[KeyPair], vC: String, vS: String,
+      iC: Array[Byte], iS: Array[Byte], rnd: SecureRandom)
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    val sha = MessageDigest.getInstance("SHA-256")
+    if (!isServer) {
+      val kpg = KeyPairGenerator.getInstance("EC")
+      kpg.initialize(new ECGenParameterSpec("secp256r1"), rnd)
+      val eph = kpg.generateKeyPair()
+      val qC = p256Encode(eph.getPublic.asInstanceOf[ECPublicKey])
+      send(new W().u8(MsgKexEcdhInit).str(qC).bytes)
+      val reply = new R(recv())
+      require(reply.u8() == MsgKexEcdhReply, "expected KEX_ECDH_REPLY")
+      val kS = reply.str()
+      val qS = reply.str()
+      val sigBlob = reply.str()
+      val ka = KeyAgreement.getInstance("ECDH")
+      ka.init(eph.getPrivate)
+      ka.doPhase(p256Decode(qS), true)
+      val secret = ka.generateSecret()
+      val hash = exchangeHash(sha, vC, vS, iC, iS, kS, qC, qS, secret)
+      require(ed25519Verify(ed25519FromBlob(kS), hash, ed25519SigFromBlob(sigBlob)),
+        "ssh: host key signature verification failed")
+      (secret, hash, kS)
+    } else {
+      val init = new R(recv())
+      require(init.u8() == MsgKexEcdhInit, "expected KEX_ECDH_INIT")
+      val qC = init.str()
+      val kpg = KeyPairGenerator.getInstance("EC")
+      kpg.initialize(new ECGenParameterSpec("secp256r1"), rnd)
+      val eph = kpg.generateKeyPair()
+      val qS = p256Encode(eph.getPublic.asInstanceOf[ECPublicKey])
+      val ka = KeyAgreement.getInstance("ECDH")
+      ka.init(eph.getPrivate)
+      ka.doPhase(p256Decode(qC), true)
+      val secret = ka.generateSecret()
+      val hk = hostKey.getOrElse(throw new IllegalArgumentException("server needs a host key"))
+      val kS = ed25519Blob(hk.getPublic.asInstanceOf[EdECPublicKey])
+      val hash = exchangeHash(sha, vC, vS, iC, iS, kS, qC, qS, secret)
+      val sig = ed25519SigBlob(ed25519Sign(hk.getPrivate, hash))
+      send(new W().u8(MsgKexEcdhReply).str(kS).str(qS).str(sig).bytes)
+      (secret, hash, kS)
+    }
+  }
+
+  /** RFC 4253 §7.2 key derivation — K?(X) = HASH(K || H || X ||
+    * session_id), stretched by HASH(K || H || running). `h` is THIS
+    * exchange's hash; `sessionId` stays the first exchange's hash for
+    * the connection's lifetime (they coincide only in the initial
+    * kex). Returns (encOut, macOut, encIn, macIn) for the role.
+    */
+  private def deriveKeySets(k: Array[Byte], h: Array[Byte],
+      sessionId: Array[Byte], isServer: Boolean): (Cipher, Mac, Cipher, Mac) = {
+    val sha = MessageDigest.getInstance("SHA-256")
+    def derive(x: Char, len: Int): Array[Byte] = {
+      val kM = new W().mpintRaw(k).bytes
+      var acc = sha.digest(kM ++ h ++ Array(x.toByte) ++ sessionId)
+      while (acc.length < len) acc = acc ++ sha.digest(kM ++ h ++ acc)
+      java.util.Arrays.copyOf(acc, len)
+    }
+    val ivC2S = derive('A', 16); val ivS2C = derive('B', 16)
+    val keyC2S = derive('C', 16); val keyS2C = derive('D', 16)
+    val macC2S = derive('E', 32); val macS2C = derive('F', 32)
+    def ctr(key: Array[Byte], iv: Array[Byte]): Cipher = {
+      val c = Cipher.getInstance("AES/CTR/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+      c
+    }
+    def hmac(key: Array[Byte]): Mac = {
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(key, "HmacSHA256"))
+      m
+    }
+    // CTR "decrypt" == encrypt; direction picks the key set
+    if (isServer)
+      (ctr(keyS2C, ivS2C), hmac(macS2C), ctr(keyC2S, ivC2S), hmac(macC2S))
+    else
+      (ctr(keyC2S, ivC2S), hmac(macC2S), ctr(keyS2C, ivS2C), hmac(macS2C))
+  }
+
+  private def handshake(socket: Socket, isServer: Boolean, hostKey: Option[KeyPair],
+      rekeyAfterBytes: Long): Keyed = {
     socket.setTcpNoDelay(true)
     val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream, 64 * 1024))
     val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream, 64 * 1024))
@@ -481,99 +687,20 @@ object SshTransport {
     io.send(myKexInit)
     val peerKexInit = parseKexInit(io.recv())
     val (iC, iS) = if (isServer) (peerKexInit.payload, myKexInit) else (myKexInit, peerKexInit.payload)
-    // validate the negotiation lands on the single implemented suite
-    val (cKex, cHk, cE1, cE2, cM1, cM2) =
-      if (isServer) (peerKexInit.kex, peerKexInit.hostKeys, peerKexInit.encC2S,
-        peerKexInit.encS2C, peerKexInit.macC2S, peerKexInit.macS2C)
-      else (KexAlgs, HostKeyAlgs, CipherAlgs, CipherAlgs, MacAlgs, MacAlgs)
-    val (sKex, sHk, sE1, sE2, sM1, sM2) =
-      if (isServer) (KexAlgs, HostKeyAlgs, CipherAlgs, CipherAlgs, MacAlgs, MacAlgs)
-      else (peerKexInit.kex, peerKexInit.hostKeys, peerKexInit.encC2S,
-        peerKexInit.encS2C, peerKexInit.macC2S, peerKexInit.macS2C)
-    require(negotiate(cKex, sKex, "kex") == "ecdh-sha2-nistp256")
-    require(negotiate(cHk, sHk, "host key") == "ssh-ed25519")
-    require(negotiate(cE1, sE1, "cipher c2s") == "aes128-ctr")
-    require(negotiate(cE2, sE2, "cipher s2c") == "aes128-ctr")
-    require(negotiate(cM1, sM1, "mac c2s") == "hmac-sha2-256")
-    require(negotiate(cM2, sM2, "mac s2c") == "hmac-sha2-256")
-
-    val sha = MessageDigest.getInstance("SHA-256")
+    requireSuite(peerKexInit, isServer)
 
     val (k, h, hostBlob) =
-      if (!isServer) {
-        val kpg = KeyPairGenerator.getInstance("EC")
-        kpg.initialize(new ECGenParameterSpec("secp256r1"), rnd)
-        val eph = kpg.generateKeyPair()
-        val qC = p256Encode(eph.getPublic.asInstanceOf[ECPublicKey])
-        io.send(new W().u8(MsgKexEcdhInit).str(qC).bytes)
-        val reply = new R(io.recv())
-        require(reply.u8() == MsgKexEcdhReply, "expected KEX_ECDH_REPLY")
-        val kS = reply.str()
-        val qS = reply.str()
-        val sigBlob = reply.str()
-        val ka = KeyAgreement.getInstance("ECDH")
-        ka.init(eph.getPrivate)
-        ka.doPhase(p256Decode(qS), true)
-        val secret = ka.generateSecret()
-        val hash = exchangeHash(sha, vC, vS, iC, iS, kS, qC, qS, secret)
-        require(ed25519Verify(ed25519FromBlob(kS), hash, ed25519SigFromBlob(sigBlob)),
-          "ssh: host key signature verification failed")
-        (secret, hash, kS)
-      } else {
-        val init = new R(io.recv())
-        require(init.u8() == MsgKexEcdhInit, "expected KEX_ECDH_INIT")
-        val qC = init.str()
-        val kpg = KeyPairGenerator.getInstance("EC")
-        kpg.initialize(new ECGenParameterSpec("secp256r1"), rnd)
-        val eph = kpg.generateKeyPair()
-        val qS = p256Encode(eph.getPublic.asInstanceOf[ECPublicKey])
-        val ka = KeyAgreement.getInstance("ECDH")
-        ka.init(eph.getPrivate)
-        ka.doPhase(p256Decode(qC), true)
-        val secret = ka.generateSecret()
-        val hk = hostKey.getOrElse(throw new IllegalArgumentException("server needs a host key"))
-        val kS = ed25519Blob(hk.getPublic.asInstanceOf[EdECPublicKey])
-        val hash = exchangeHash(sha, vC, vS, iC, iS, kS, qC, qS, secret)
-        val sig = ed25519SigBlob(ed25519Sign(hk.getPrivate, hash))
-        io.send(new W().u8(MsgKexEcdhReply).str(kS).str(qS).str(sig).bytes)
-        (secret, hash, kS)
-      }
+      ecdhExchange(io.send, () => io.recv(), isServer, hostKey, vC, vS, iC, iS, rnd)
 
     io.send(Array[Byte](MsgNewKeys.toByte))
     val nk = io.recv()
     require((nk(0) & 0xff) == MsgNewKeys, "expected NEWKEYS")
 
-    // RFC 4253 §7.2 key derivation: K?(X) = HASH(K || H || X || session_id)
-    def derive(x: Char, len: Int): Array[Byte] = {
-      val kM = new W().mpintRaw(k).bytes
-      var acc = sha.digest(kM ++ h ++ Array(x.toByte) ++ h) // session_id = H (first kex)
-      while (acc.length < len) acc = acc ++ sha.digest(kM ++ h ++ acc)
-      java.util.Arrays.copyOf(acc, len)
-    }
-    val ivC2S = derive('A', 16); val ivS2C = derive('B', 16)
-    val keyC2S = derive('C', 16); val keyS2C = derive('D', 16)
-    val macC2S = derive('E', 32); val macS2C = derive('F', 32)
+    // session_id = H of this first kex, for the connection's lifetime
+    val (eo, mo, ei, mi) = deriveKeySets(k, h, sessionId = h, isServer)
 
-    def ctr(key: Array[Byte], iv: Array[Byte], mode: Int): Cipher = {
-      val c = Cipher.getInstance("AES/CTR/NoPadding")
-      c.init(mode, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
-      c
-    }
-    def hmac(key: Array[Byte]): Mac = {
-      val m = Mac.getInstance("HmacSHA256")
-      m.init(new SecretKeySpec(key, "HmacSHA256"))
-      m
-    }
-    // CTR "decrypt" == encrypt; direction picks the key set
-    val (eo, mo, ei, mi) =
-      if (isServer)
-        (ctr(keyS2C, ivS2C, Cipher.ENCRYPT_MODE), hmac(macS2C),
-          ctr(keyC2S, ivC2S, Cipher.ENCRYPT_MODE), hmac(macC2S))
-      else
-        (ctr(keyC2S, ivC2S, Cipher.ENCRYPT_MODE), hmac(macC2S),
-          ctr(keyS2C, ivS2C, Cipher.ENCRYPT_MODE), hmac(macS2C))
-
-    Keyed(new SshTransport(socket, in, out, h, eo, mo, ei, mi, io.seqOut, io.seqIn), hostBlob)
+    Keyed(new SshTransport(socket, in, out, h, eo, mo, ei, mi, io.seqOut, io.seqIn,
+      isServer, vC, vS, hostKey, hostBlob, rekeyAfterBytes), hostBlob)
   }
 
   /** H = HASH(V_C || V_S || I_C || I_S || K_S || Q_C || Q_S || K)
