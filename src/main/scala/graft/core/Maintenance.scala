@@ -34,21 +34,36 @@ object Maintenance {
       .parquet(path)
   }
 
-  /** Rewrite the parquet directory at `path` into ≈`targetBytes` files.
+  /** Read a table maintained by [[compactParquet]]: resolves the
+    * manifest pointer when one exists, else a plain directory read.
+    * Callers must come through here (not `spark.read.parquet(path)`)
+    * once a table has been compacted — the live file set is named by
+    * the manifest, not by directory shape.
+    */
+  def readTable(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    ManifestTable.read(spark, path)
+
+  /** Rewrite the live file set of the table at `path` into
+    * ≈`targetBytes` files.
     *
-    * - Sizing: output partition count = ceil(current bytes /
-    *   targetBytes) — parquet re-encodes on write, so sizes are an
-    *   estimate from current on-disk bytes (documented heuristic, the
-    *   same one table formats' OPTIMIZE uses).
+    * - Sizing: output file count = ceil(current bytes / targetBytes) —
+    *   parquet re-encodes on write, so sizes are an estimate from
+    *   current on-disk bytes (documented heuristic, the same one table
+    *   formats' OPTIMIZE uses).
     * - `coalesce`, not `repartition`: partition merging without an
     *   exchange — the rewrite is a scan + write, zero shuffles.
-    * - Staging: written ONCE to a same-filesystem sibling, then two
-    *   atomic renames swap it in (the FileConnector.mergeRewrite
-    *   discipline). The data is never in a mixed state, but a crash in
-    *   the instant BETWEEN the two renames leaves nothing at `path`
-    *   (the old data parked intact at `<path>.old-<stamp>`); the next
-    *   compactParquet call detects that state and restores the parked
-    *   directory before proceeding, so recovery is automatic — rerun.
+    * - Commit: the rewrite lands in a fresh `g-*` generation directory
+    *   and goes live via ONE [[ManifestTable]] pointer commit — data
+    *   directories are never renamed (round 12; the previous
+    *   two-rename swap was atomic on HDFS but a non-atomic O(data)
+    *   copy window on S3-family stores, where `rename` does not
+    *   exist — `ObjectStoreCommitSpec` demonstrates the torn state
+    *   the old discipline left there). A plain directory is ADOPTED
+    *   in place on first touch (commit 1 references its existing
+    *   files; zero data movement); superseded files are gc'd after
+    *   commit with a reader-grace history window. A crash at ANY
+    *   point leaves either the old or the new file set live — never a
+    *   mix, on any store that has atomic single-object creation.
     *
     * Returns (filesBefore, filesAfter) for the caller's audit log.
     */
@@ -58,61 +73,42 @@ object Maintenance {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      // crash-between-renames recovery: restore the newest parked copy
-      val parent = p.getParent
-      val parked =
-        if (parent == null || !fs.exists(parent)) Nil
-        else fs.listStatus(parent).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(p.getName + ".old-"))
-      require(parked.nonEmpty, s"compactParquet: no data files under $path")
-      val newest = parked.maxBy(_.getModificationTime).getPath
-      if (!fs.rename(newest, p))
-        throw new java.io.IOException(s"compact: could not restore parked $newest to $p")
-      // the crash also orphaned the staging copy of that run — drop it,
-      // or every crash permanently doubles the table's disk footprint
-      fs.listStatus(p.getParent).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(p.getName + ".compact-"))
-        .foreach(s => fs.delete(s.getPath, true))
-    }
-    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(dir).toSeq.filter(_.isFile)
-        .filterNot { s =>
-          val n = s.getPath.getName
-          n.startsWith("_") || n.startsWith(".")
-        }
     // a Hive-partitioned layout (dt=.../part-*.parquet) must be
     // compacted per partition directory — rewriting it flat through
     // this path would destroy the partitioning and mis-size the output
-    val subDirs = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
-    require(subDirs.isEmpty,
-      s"compactParquet: $path has partition subdirectories " +
-        s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
-        "compact each partition directory individually")
-    val before = dataFiles(p)
-    require(before.nonEmpty, s"compactParquet: no data files under $path")
-    // a crash DURING a previous staging write (path still present)
-    // leaves `<path>.compact-*` siblings behind — sweep them here too,
-    // not only in the crash-between-renames branch, or they live forever
-    if (p.getParent != null && fs.exists(p.getParent))
-      fs.listStatus(p.getParent).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(p.getName + ".compact-"))
-        .foreach(s => fs.delete(s.getPath, true))
-    val totalBytes = before.map(_.getLen).sum
-    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val staging = p.suffix(s".compact-$stamp")
-    val retired = p.suffix(s".old-$stamp")
-    spark.read.parquet(path).coalesce(n)
-      .write.mode("overwrite").parquet(staging.toString)
-    if (!fs.rename(p, retired))
-      throw new java.io.IOException(s"compact: could not retire $p")
-    if (!fs.rename(staging, p)) { // roll back before failing
-      fs.rename(retired, p)
-      throw new java.io.IOException(s"compact: could not swap in $staging")
+    if (ManifestTable.resolve(fs, p).isEmpty) {
+      val subDirs = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+      require(subDirs.isEmpty,
+        s"compactParquet: $path has partition subdirectories " +
+          s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+          "compact each partition directory individually")
     }
-    fs.delete(retired, true)
-    (before.size, dataFiles(p).size)
+    val manifest = ManifestTable.adoptIfPlain(fs, p, partCol = "")
+    val entry = manifest.entries.find(_.part == "").getOrElse(
+      throw new IllegalStateException(s"compactParquet: empty manifest at $path"))
+    val livePaths = ManifestTable.entryPaths(p, entry)
+    val liveFiles = livePaths.flatMap { lp =>
+      val st = fs.getFileStatus(lp)
+      if (st.isFile) Seq(st)
+      else fs.listStatus(lp).toSeq.filter(_.isFile).filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+    }
+    require(liveFiles.nonEmpty, s"compactParquet: no data files under $path")
+    val totalBytes = liveFiles.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
+    val genPath = new Path(p, gen)
+    spark.read.parquet(liveFiles.map(_.getPath.toString): _*).coalesce(n)
+      .write.mode("error").parquet(genPath.toString)
+    fs.delete(new Path(genPath, "_SUCCESS"), false)
+    ManifestTable.commit(fs, p, partCol = "",
+      Map("" -> Some(ManifestEntry("", gen, Nil))))
+    ManifestTable.gc(fs, p)
+    val after = fs.listStatus(genPath).count(_.isFile)
+    (liveFiles.size, after)
   }
 }

@@ -1,0 +1,353 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One committed state of a manifested table: the set of live data
+  * directories/files, keyed by partition value (`part` is "" for an
+  * unpartitioned table). `dir` is relative to the table root; an entry
+  * with explicit `files` references exactly those files inside `dir`
+  * (the in-place-adoption case), otherwise the whole directory.
+  */
+final case class ManifestEntry(part: String, dir: String, files: Seq[String])
+
+final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry])
+
+/** Manifest-pointer commits for directory-shaped tables — the
+  * object-store-safe replacement for rename-swap maintenance
+  * (round-12; the round-11 verdict's task 1).
+  *
+  * Why: the previous engine staged a rewrite in a `.tmp` sibling and
+  * atomically RENAMED it over the live directory. On HDFS (and on
+  * [[MemFs]]'s default mode, which models it) a rename is an O(1)
+  * atomic metadata move and the discipline is correct. On S3-family
+  * object stores there IS no rename: S3A emulates it as a non-atomic
+  * O(data) copy-then-delete, so the "atomic" swap becomes a
+  * seconds-to-minutes window in which readers see a missing, partial,
+  * or doubled table — and a crash mid-copy strands it there. That
+  * failure is demonstrated, not assumed: `ObjectStoreCommitSpec`
+  * replays the two-rename discipline on [[MemFs]]'s copy-rename mode
+  * and asserts the torn state.
+  *
+  * The fix is the standard Iceberg/Delta discipline:
+  *   - data files are IMMUTABLE and never renamed or moved — every
+  *     rewrite lands in a fresh generation directory under the root;
+  *   - the live state is named by a small commit file under
+  *     `_commits/`, written once via `create(overwrite = false)`.
+  *     The only primitive this protocol needs from the store is
+  *     create-if-absent: HDFS gives it natively (the NameNode
+  *     reserves the name atomically at create), S3 via conditional
+  *     PUT (`If-None-Match: *`). The sha-256 payload guard below
+  *     makes even a NON-atomic create safe for readers (a torn
+  *     pointer is skipped, the previous commit stays live) — only
+  *     CONCURRENT committers need the atomic variant, and the
+  *     in-repo callers additionally serialize per table in-JVM;
+  *   - commit files are numbered; readers list `_commits/` and take
+  *     the highest-numbered file that VALIDATES (each carries a
+  *     sha-256 of its payload, so a torn or half-written pointer is
+  *     skipped and the previous commit stays live — readers never
+  *     observe a broken state, they observe the previous one);
+  *   - superseded generations are garbage-collected AFTER the commit
+  *     (`gc`, keeping a configurable history window for in-flight
+  *     readers) — a crash anywhere leaves either the old state or
+  *     the new state live, plus unreferenced debris the next gc
+  *     sweeps.
+  *
+  * Scale contract (100 TB): a commit is one small-file PUT regardless
+  * of table size; a partition rewrite touches only the rewritten
+  * partitions' bytes (untouched partitions are carried by reference —
+  * byte-identical, never listed, never opened); `resolve` is one
+  * directory listing of `_commits/` plus one small read. Concurrent
+  * committers race on `create(overwrite = false)` of the same
+  * sequence number — the loser re-resolves and retries on the next
+  * number, so the log stays linear without any lock service
+  * (single-table writers here are additionally serialized in-JVM by
+  * the callers' `synchronized` ensure-blocks).
+  *
+  * Reading: leaf directories are grouped by generation prefix and
+  * each group is read with its own `basePath`, so Hive-style
+  * partition-column inference works per group even though adopted
+  * (`root/day=X`) and rewritten (`root/rw-u/day=X`) leaves sit at
+  * different depths — Spark rejects mixed depths under one basePath
+  * ("conflicting directory structures"). The groups are unioned; the
+  * plan has one scan leg per LIVE GENERATION (bounded by gc), not per
+  * partition.
+  */
+object ManifestTable {
+  val CommitsDir = "_commits"
+  private val Header = "graft-manifest"
+  private val TokenRe = "[A-Za-z0-9_=.:@+-]*".r
+  /** History window: generations referenced by this many most-recent
+    * valid commits survive gc (in-flight readers hold resolved paths,
+    * not locks — the window is their grace period, the same caveat
+    * Delta's VACUUM documents).
+    */
+  val KeepCommits = 2
+
+  private def token(s: String): String = {
+    require(TokenRe.pattern.matcher(s).matches() && !s.contains("\t"),
+      s"manifest token has characters outside the path-safe set: '$s'")
+    s
+  }
+
+  private def sha256(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Serialized form: line 1 `sha256:<hex of the remaining bytes>`,
+    * line 2 `graft-manifest\t1\t<seq>\t<partCol>`, then one
+    * `<part>\t<dir>\t<comma-joined files>` line per entry. Tokens are
+    * charset-restricted at write time so the format needs no escaping.
+    */
+  private[core] def serialize(m: Manifest): Array[Byte] = {
+    val body = new StringBuilder
+    body.append(Header).append('\t').append(1).append('\t')
+      .append(m.seq).append('\t').append(token(m.partCol)).append('\n')
+    m.entries.sortBy(_.part).foreach { e =>
+      body.append(token(e.part)).append('\t')
+      // dir may contain '/' between path-safe segments
+      e.dir.split('/').foreach(token)
+      body.append(e.dir).append('\t')
+      body.append(e.files.map(token).mkString(",")).append('\n')
+    }
+    val payload = body.toString.getBytes(StandardCharsets.UTF_8)
+    (s"sha256:${sha256(payload)}\n").getBytes(StandardCharsets.UTF_8) ++ payload
+  }
+
+  /** Strict parse; returns None for ANY malformed/torn content — the
+    * reader's fallback to the previous commit depends on a torn write
+    * parsing as invalid, never as a partial entry list.
+    */
+  private[core] def deserialize(bytes: Array[Byte]): Option[Manifest] = {
+    val text = new String(bytes, StandardCharsets.UTF_8)
+    val nl = text.indexOf('\n')
+    if (nl < 0 || !text.startsWith("sha256:")) return None
+    val declared = text.substring(7, nl)
+    val payload = text.substring(nl + 1)
+    if (sha256(payload.getBytes(StandardCharsets.UTF_8)) != declared) return None
+    val lines = payload.split("\n", -1).toSeq.dropRight(1) // payload ends with \n
+    if (lines.isEmpty) return None
+    val head = lines.head.split("\t", -1)
+    if (head.length != 4 || head(0) != Header || head(1) != "1") return None
+    val seq = head(2).toLongOption.getOrElse(return None)
+    val entries = lines.tail.map { ln =>
+      val f = ln.split("\t", -1)
+      if (f.length != 3) return None
+      ManifestEntry(f(0), f(1), if (f(2).isEmpty) Nil else f(2).split(',').toSeq)
+    }
+    Some(Manifest(seq, head(3), entries))
+  }
+
+  private def commitPath(root: Path, seq: Long): Path =
+    new Path(new Path(root, CommitsDir), f"$seq%020d")
+
+  private def listCommitSeqs(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, CommitsDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName.toLongOption)
+      .sorted.reverse
+  }
+
+  private def readCommit(fs: FileSystem, root: Path, seq: Long): Option[Manifest] =
+    try {
+      val p = commitPath(root, seq)
+      val len = fs.getFileStatus(p).getLen
+      if (len <= 0 || len > (16L << 20)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(0, buf)
+          deserialize(buf).filter(_.seq == seq)
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** The newest VALID committed manifest, or None if the root is not
+    * (yet) a manifested table. Torn or corrupt commit files are
+    * skipped — the previous valid commit stays live.
+    */
+  def resolve(fs: FileSystem, root: Path): Option[Manifest] =
+    listCommitSeqs(fs, root).iterator.flatMap(readCommit(fs, root, _)).nextOption()
+
+  /** Commit a new manifest state: current entries with `updates`
+    * applied (a part mapping to None is dropped — the
+    * erased-to-empty-partition case). Winner of the
+    * `create(overwrite=false)` race owns the sequence number; losers
+    * re-resolve and retry on the next.
+    *
+    * Linearizability: the state read AND the claimed sequence come
+    * from ONE listing — we claim exactly `newestSeen + 1`, so a
+    * successful create proves no commit landed between our read and
+    * our write (integer seqs leave no room below the claim; a racing
+    * committer that read an older newest claims a lower number and
+    * loses its create). Reading the state and claiming the seq from
+    * SEPARATE listings would lose the update of any commit landing
+    * between the two — the classic read-modify-write race this
+    * protocol exists to prevent (caught by `ObjectStoreCommitSpec`'s
+    * 8-way race before this was hardened).
+    */
+  def commit(fs: FileSystem, root: Path, partCol: String,
+      updates: Map[String, Option[ManifestEntry]]): Manifest = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"manifest commit contended out after 50 attempts at $root")
+      val seqs = listCommitSeqs(fs, root)
+      val cur = seqs.iterator.flatMap(readCommit(fs, root, _)).nextOption()
+      cur.foreach(m => require(m.partCol == partCol,
+        s"manifest at $root partitions on '${m.partCol}', caller expected '$partCol'"))
+      val carried = cur.map(_.entries).getOrElse(Nil)
+        .filterNot(e => updates.contains(e.part))
+      val merged = carried ++ updates.toSeq.sortBy(_._1).flatMap(_._2)
+      val seq = seqs.headOption.getOrElse(0L) + 1
+      val m = Manifest(seq, partCol, merged)
+      val bytes = serialize(m)
+      fs.mkdirs(new Path(root, CommitsDir))
+      try {
+        val out = fs.create(commitPath(root, seq), false)
+        try out.write(bytes) finally out.close()
+        return m
+      } catch {
+        case _: FileAlreadyExistsException => // raced; re-resolve and retry
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("exists") => // HDFS surfaces the race as plain IOE
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Adopt a PLAIN layout in place — reference its existing
+    * files/dirs in commit 1 with ZERO data movement (the
+    * CONVERT-TO-DELTA discipline). Partitioned (`partCol` nonempty):
+    * each `partCol=value` child dir becomes an entry. Unpartitioned:
+    * the root's top-level data files become one explicit-file entry.
+    * No-op if the root is already manifested.
+    */
+  def adoptIfPlain(fs: FileSystem, root: Path, partCol: String): Manifest = {
+    resolve(fs, root) match {
+      case Some(m) => m
+      case None =>
+        require(fs.exists(root), s"manifest adopt: no layout at $root")
+        val children = fs.listStatus(root).toSeq
+          .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+        val updates: Map[String, Option[ManifestEntry]] =
+          if (partCol.nonEmpty) {
+            val parts = children.filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith(partCol + "="))
+            require(parts.nonEmpty, s"manifest adopt: no $partCol= partitions at $root")
+            parts.map { s =>
+              val value = s.getPath.getName.substring(partCol.length + 1)
+              value -> Some(ManifestEntry(value, s.getPath.getName, Nil))
+            }.toMap
+          } else {
+            val subDirs = children.filter(_.isDirectory)
+            require(subDirs.isEmpty,
+              s"manifest adopt: $root has subdirectories " +
+                s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+                "unpartitioned adoption needs a flat file layout")
+            val files = children.filter(_.isFile).map(_.getPath.getName)
+            require(files.nonEmpty, s"manifest adopt: no data files at $root")
+            Map("" -> Some(ManifestEntry("", "", files.sorted)))
+          }
+        commit(fs, root, partCol, updates)
+    }
+  }
+
+  /** Absolute paths an entry's data lives at. */
+  def entryPaths(root: Path, e: ManifestEntry): Seq[Path] = {
+    val dir = if (e.dir.isEmpty) root else new Path(root, e.dir)
+    if (e.files.isEmpty) Seq(dir) else e.files.map(new Path(dir, _))
+  }
+
+  /** Read the manifested table at `root` as a DataFrame. Entries are
+    * grouped by generation prefix; each group gets its own `basePath`
+    * so partition inference sees a uniform depth, and the groups are
+    * unioned — one scan leg per live generation. `parts` (if given)
+    * prunes whole partitions at RESOLVE time: unselected directories
+    * are never listed or opened, the manifest-table equivalent of
+    * partition pruning.
+    */
+  def read(spark: SparkSession, root: String,
+      parts: Option[Set[String]] = None): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = resolve(fs, rootPath).getOrElse(
+      return spark.read.parquet(root)) // plain layout: native read
+    val wanted = parts match {
+      case Some(sel) => m.entries.filter(e => sel.contains(e.part))
+      case None => m.entries
+    }
+    require(wanted.nonEmpty, s"manifested table at $root has no matching partitions")
+    if (m.partCol.isEmpty) {
+      val paths = wanted.flatMap(e => entryPaths(rootPath, e)).map(_.toString)
+      spark.read.parquet(paths: _*)
+    } else {
+      val groups = wanted.groupBy(e => e.dir.stripSuffix(
+        s"${m.partCol}=${e.part}").stripSuffix("/"))
+      val frames = groups.toSeq.sortBy(_._1).map { case (gen, entries) =>
+        val base = if (gen.isEmpty) rootPath else new Path(rootPath, gen)
+        val leaves = entries.flatMap(e => entryPaths(rootPath, e)).map(_.toString)
+        spark.read.option("basePath", base.toString).parquet(leaves: _*)
+      }
+      frames.reduce(_ unionByName _)
+    }
+  }
+
+  /** Prefix of every generation directory this engine writes. */
+  val GenPrefix = "g-"
+
+  /** Delete everything the newest [[KeepCommits]] valid commits do not
+    * reference: superseded generation directories, adopted files/dirs
+    * that have since been rewritten, retired commit files, and —
+    * behind an mtime retention window — `g-*` orphans left by a crash
+    * between data write and commit (never referenced by any commit;
+    * the window keeps gc from deleting a generation an IN-FLIGHT
+    * writer is still filling, the same time-based guard as Delta's
+    * VACUUM). Returns reclaimed bytes. Markers (`_*`, `.*`) and
+    * foreign files are never touched. Crash-safe: gc only ever
+    * deletes unreferenced data, so a half-finished sweep just leaves
+    * debris for the next one.
+    */
+  def gc(fs: FileSystem, root: Path, keepCommits: Int = KeepCommits,
+      orphanRetentionMs: Long = 3600L * 1000): Long = {
+    val seqs = listCommitSeqs(fs, root)
+    val manifests = seqs.flatMap(s => readCommit(fs, root, s))
+    if (manifests.isEmpty) return 0L
+    val kept = manifests.take(keepCommits)
+    val dropped = manifests.drop(keepCommits)
+    def topLevel(e: ManifestEntry): Option[String] =
+      e.dir.split('/').headOption.filter(_.nonEmpty)
+    val liveTop = kept.flatMap(_.entries).flatMap(topLevel).toSet
+    val liveRootFiles = kept.flatMap(_.entries)
+      .filter(e => e.dir.isEmpty && e.files.nonEmpty).flatMap(_.files).toSet
+    // dead = referenced by a dropped manifest only, plus aged g-*
+    // orphans no valid commit ever referenced
+    val droppedTop = dropped.flatMap(_.entries).flatMap(topLevel).toSet
+    val now = System.currentTimeMillis()
+    val orphanTop = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix) &&
+        now - s.getModificationTime >= orphanRetentionMs)
+      .map(_.getPath.getName).toSet -- droppedTop
+    val deadTop = (droppedTop ++ orphanTop) -- liveTop
+    val deadRootFiles = dropped.flatMap(_.entries)
+      .filter(e => e.dir.isEmpty && e.files.nonEmpty).flatMap(_.files).toSet -- liveRootFiles
+    var reclaimed = 0L
+    def sizeOf(p: Path): Long =
+      try fs.getContentSummary(p).getLength catch { case _: java.io.IOException => 0L }
+    (deadTop.toSeq.sorted.map(n => (n, true)) ++
+      deadRootFiles.toSeq.sorted.map(n => (n, false))).foreach { case (name, recursive) =>
+      val p = new Path(root, name)
+      if (!name.startsWith("_") && !name.startsWith(".") && fs.exists(p)) {
+        reclaimed += sizeOf(p)
+        fs.delete(p, recursive)
+      }
+    }
+    // retire commit files older than the kept window (and any corrupt
+    // strays below the newest kept seq)
+    val minKeep = kept.map(_.seq).min
+    seqs.filter(_ < minKeep).foreach(s => fs.delete(commitPath(root, s), false))
+    reclaimed
+  }
+}

@@ -520,57 +520,77 @@ object StorageOps {
   /** Partition-scoped incremental compaction: rewrite ONLY the given
     * `day=` partitions of a date-partitioned layout, leaving every
     * other partition's files untouched (byte-identical, never listed,
-    * never opened). This is the form a live table runs — a nightly
-    * job compacts yesterday's closed partition behind the ingest
-    * watermark while the table stays queryable; table-at-once
-    * (ensureEventLayouts' build) is only for bootstraps. Per
-    * partition: read its directory, rewrite at `filesPerPartition`
-    * target files into a `.tmp` sibling, fsync-rename over the live
-    * dir — readers see the old files or the new, never a mix. The
-    * swap is the same last-writer-wins directory-replace contract
-    * Spark's own dynamic partition overwrite uses
-    * (`InsertIntoHadoopFsRelationCommand` with
-    * partitionOverwriteMode=dynamic); at 100 TB the rename is an
-    * O(1) metadata move on HDFS and a manifest swap on object-store
-    * tables.
+    * never opened — they are carried BY REFERENCE in the manifest).
+    * This is the form a live table runs — a nightly job compacts
+    * yesterday's closed partition behind the ingest watermark while
+    * the table stays queryable; table-at-once (ensureEventLayouts'
+    * build) is only for bootstraps.
     */
   def compactDays(
       spark: SparkSession, layoutDir: String, days: Seq[String],
       filesPerPartition: Int = 1): Unit =
     rewritePartitions(spark, layoutDir, days, identity, filesPerPartition)
 
+  /** Read a day-partitioned layout maintained by this engine —
+    * resolves the manifest pointer when present (grouped-basePath
+    * read, see [[graft.core.ManifestTable.read]]), plain directory
+    * read otherwise.
+    */
+  def readDayLayout(spark: SparkSession, layoutDir: String,
+      days: Option[Set[String]] = None): DataFrame =
+    graft.core.ManifestTable.read(spark, layoutDir, days)
+
   /** The shared partition-rewrite engine behind [[compactDays]] and
-    * [[eraseUsers]]: per named `day=` partition, read its directory,
-    * apply `transform`, rewrite at `filesPerPartition` target files
-    * into a `.tmp` sibling, fsync-rename over the live dir. Every
-    * other partition's files stay byte-identical — never listed,
-    * never opened.
+    * [[eraseUsers]]: per named `day=` partition, read its live files,
+    * apply `transform`, write `filesPerPartition` target files into a
+    * fresh `g-*` generation directory — then ONE manifest-pointer
+    * commit flips every rewritten partition live together (round 12:
+    * the whole batch is atomic now, where the old per-partition
+    * rename swap was not even per-PARTITION atomic on object stores —
+    * S3A's rename is a non-atomic O(data) copy; see
+    * [[graft.core.ManifestTable]] and `ObjectStoreCommitSpec` for the
+    * demonstrated torn state). Untouched partitions are carried by
+    * reference: byte-identical, never listed, never opened. A plain
+    * `partitionBy` directory is adopted in place on first touch;
+    * superseded partition data is gc'd after commit behind a
+    * reader-grace history window. A partition whose rewrite comes
+    * back EMPTY (every row erased) is dropped from the manifest.
     */
   private def rewritePartitions(
       spark: SparkSession, layoutDir: String, days: Seq[String],
       transform: DataFrame => DataFrame,
       filesPerPartition: Int = 1): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    days.foreach { d =>
-      val live = new org.apache.hadoop.fs.Path(s"$layoutDir/day=$d")
-      val fs = live.getFileSystem(conf)
-      require(fs.exists(live), s"no partition day=$d under $layoutDir")
-      val tmp = new org.apache.hadoop.fs.Path(s"$layoutDir/.day=$d.compact.tmp")
-      fs.delete(tmp, true)
+    import graft.core.{ManifestEntry, ManifestTable}
+    if (days.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = ManifestTable.adoptIfPlain(fs, root, partCol = "day")
+    val byPart = manifest.entries.map(e => e.part -> e).toMap
+    val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
+    val updates: Map[String, Option[ManifestEntry]] = days.map { d =>
+      val entry = byPart.getOrElse(d, throw new IllegalArgumentException(
+        s"no partition day=$d under $layoutDir"))
+      val live = ManifestTable.entryPaths(root, entry).map(_.toString)
+      val outDir = s"$gen/day=$d"
+      val out = new org.apache.hadoop.fs.Path(root, outDir)
       withMicrosTimestamps(spark) {
-        transform(spark.read.parquet(live.toString))
+        transform(spark.read.parquet(live: _*))
           .repartition(filesPerPartition)
-          .write.mode("overwrite").parquet(tmp.toString)
+          .write.mode("error").parquet(out.toString)
       }
-      // drop the _SUCCESS marker so the swapped-in dir holds data
+      // drop the _SUCCESS marker so the committed dir holds data
       // files only, like every other partition dir
-      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-      val trash = new org.apache.hadoop.fs.Path(s"$layoutDir/.day=$d.old.tmp")
-      fs.delete(trash, true)
-      require(fs.rename(live, trash), s"could not stage out day=$d")
-      require(fs.rename(tmp, live), s"could not swap in compacted day=$d")
-      fs.delete(trash, true)
-    }
+      fs.delete(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), false)
+      // an erased-to-empty partition leaves a schema-only parquet file
+      // (nonzero bytes, zero rows): detect with a limit-1 read — O(one
+      // footer), independent of partition size
+      val dataFiles = fs.listStatus(out).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      val hasRows = dataFiles.nonEmpty && !spark.read.parquet(out.toString).isEmpty
+      d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil)) else None)
+    }.toMap
+    ManifestTable.commit(fs, root, "day", updates)
+    ManifestTable.gc(fs, root)
   }
 
   /** Targeted row erasure — the right-to-be-forgotten primitive every
@@ -589,7 +609,7 @@ object StorageOps {
     */
   def eraseUsers(spark: SparkSession, layoutDir: String,
       userIds: Seq[Long]): Seq[String] = {
-    val affected = spark.read.parquet(layoutDir)
+    val affected = readDayLayout(spark, layoutDir)
       .filter(col("user_id").isin(userIds: _*))
       .select(col("day").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -745,7 +765,7 @@ object StorageOps {
     */
   def eraseAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(ensureErasedLayout(spark, dir))
+    readDayLayout(spark, ensureErasedLayout(spark, dir))
       .groupBy($"day")
       .agg(count(lit(1)).as("n_rows"),
         countDistinct($"user_id").as("n_users"),

@@ -18,7 +18,29 @@ object MemFsStore {
   /** When false, setTimes throws like S3A — the object-store emulation
     * knob for the heartbeat-degradation spec. */
   @volatile var supportSetTimes: Boolean = true
-  def clear(): Unit = { entries.clear(); supportSetTimes = true }
+  /** When true, `rename` loses its HDFS atomicity and becomes what
+    * S3A actually executes: a per-object COPY (each destination object
+    * appearing individually) followed by a per-object DELETE of the
+    * source — a window in which readers observe src and dst both
+    * present, partially populated. The round-12 object-store knob.
+    */
+  @volatile var renameAsCopy: Boolean = false
+  /** Crash injection for copy-rename mode: a countdown of per-object
+    * copy steps across all renames; when it reaches zero the rename
+    * throws mid-copy, stranding a partial destination AND the intact
+    * source — the state a process crash (or S3A client death) leaves.
+    * Negative = disabled. Once fired, [[renameCopyCrashed]] latches
+    * and EVERY further rename throws until cleared — the process is
+    * "dead", so task-level retries (spark.task.maxFailures=8) must
+    * not quietly absorb the injection.
+    */
+  val renameCopyCrashAfter = new java.util.concurrent.atomic.AtomicInteger(-1)
+  @volatile var renameCopyCrashed: Boolean = false
+  def disarmCrash(): Unit = { renameCopyCrashAfter.set(-1); renameCopyCrashed = false }
+  def clear(): Unit = {
+    entries.clear(); supportSetTimes = true
+    renameAsCopy = false; disarmCrash()
+  }
 
   private[core] def parentOf(key: String): String = {
     val i = key.lastIndexOf('/')
@@ -135,6 +157,15 @@ class MemFs extends FileSystem {
       if (!overwrite) throw new FileAlreadyExistsException(s"memfs: $k exists")
     }
     mkdirs(new Path(parentOf(k)), permission)
+    if (!overwrite) {
+      // HDFS reserves the name ATOMICALLY at create time (zero-length
+      // file visible while being written) — the primitive manifest
+      // commits race on; a check-then-put would let two concurrent
+      // committers both "win" the same sequence number
+      val prev = entries.putIfAbsent(k, Entry(Array.empty, isDir = false,
+        System.currentTimeMillis()))
+      if (prev != null) throw new FileAlreadyExistsException(s"memfs: $k exists")
+    }
     val buf = new ByteArrayOutputStream()
     new FSDataOutputStream(new java.io.FilterOutputStream(buf) {
       // FilterOutputStream.write(b,off,len) loops single bytes; delegate
@@ -175,13 +206,35 @@ class MemFs extends FileSystem {
       }
     if (entries.containsKey(dk)) return false
     if (sk == dk) return true
-    // move the node and, for a directory, its whole subtree
     import scala.jdk.CollectionConverters._
     val moves = entries.keySet().asScala.toSeq
       .filter(k2 => k2 == sk || k2.startsWith(sk + "/"))
-    moves.foreach { k2 =>
-      val e2 = entries.remove(k2)
-      if (e2 != null) entries.put(dk + k2.substring(sk.length), e2)
+      .sorted // parents before children, deterministic injection points
+    if (renameAsCopy) {
+      // S3A semantics: copy object-by-object (each copy individually
+      // visible), then delete the sources — nothing about this is
+      // atomic, and a crash mid-copy strands the partial destination
+      moves.foreach { k2 =>
+        if (renameCopyCrashed)
+          throw new IOException("memfs: process already crashed (latched)")
+        if (renameCopyCrashAfter.get() >= 0 &&
+            renameCopyCrashAfter.getAndDecrement() == 0) {
+          renameCopyCrashed = true
+          throw new IOException(
+            s"memfs: injected crash mid-copy-rename ($k2 of ${moves.size} objects)")
+        }
+        val e2 = entries.get(k2)
+        if (e2 != null)
+          entries.put(dk + k2.substring(sk.length),
+            Entry(e2.bytes, e2.isDir, System.currentTimeMillis()))
+      }
+      moves.foreach(entries.remove)
+    } else {
+      // HDFS semantics: the whole subtree moves atomically
+      moves.foreach { k2 =>
+        val e2 = entries.remove(k2)
+        if (e2 != null) entries.put(dk + k2.substring(sk.length), e2)
+      }
     }
     true
   }

@@ -61,7 +61,7 @@ class StorageLayoutSpec extends SparkSpec {
       "compacted layout diverged from the source table")
   }
 
-  test("incremental compaction rewrites only the target partitions, atomically swapped") {
+  test("incremental compaction rewrites only the target partitions via a manifest commit") {
     val (frag, _) = StorageOps.ensureEventLayouts(spark, dir)
     // work on a private copy — the shared layout must stay fragmented
     val work = tmpDir("graft-compact-incr")
@@ -76,31 +76,48 @@ class StorageLayoutSpec extends SparkSpec {
       }
     }
     copyTree(src, new java.io.File(work))
-    def fileList(day: String): Seq[(String, Long)] = {
-      val d = new java.io.File(work, s"day=$day")
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.length()).toSeq.sorted
+    // the LIVE file set per partition, resolved through the manifest
+    // (falls back to the plain day= dir before adoption)
+    def liveFiles(day: String): Seq[(String, Long)] = {
+      val root = new org.apache.hadoop.fs.Path(work)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val dirPath = graft.core.ManifestTable.resolve(fs, root) match {
+        case Some(m) =>
+          val e = m.entries.find(_.part == day).getOrElse(
+            fail(s"day=$day missing from manifest"))
+          graft.core.ManifestTable.entryPaths(root, e).head
+        case None => new org.apache.hadoop.fs.Path(root, s"day=$day")
+      }
+      fs.listStatus(dirPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.toString.stripPrefix(root.toString) -> s.getLen).sorted
     }
-    // materialize BEFORE state now — the compaction replaces files, so
-    // a lazy frame would re-list a layout that no longer exists
+    // materialize BEFORE state now — the compaction replaces the live
+    // set, so a lazy frame would re-list a state that no longer exists
     def snapshot(): Seq[String] =
-      spark.read.parquet(work).collect()
+      StorageOps.readDayLayout(spark, work).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     val beforeSnap = snapshot()
-    val untouchedBefore = fileList("2024-01-05")
-    val targetBefore = fileList("2024-01-10").size
+    val untouchedBefore = liveFiles("2024-01-05")
+    val targetBefore = liveFiles("2024-01-10").size
     assert(targetBefore > 1, "fixture day should start fragmented")
 
     StorageOps.compactDays(spark, work, Seq("2024-01-10", "2024-01-11"))
 
-    assert(fileList("2024-01-10").size == 1 && fileList("2024-01-11").size == 1,
+    assert(liveFiles("2024-01-10").size == 1 && liveFiles("2024-01-11").size == 1,
       "target partitions not folded to one file")
-    assert(fileList("2024-01-05") == untouchedBefore,
+    // untouched partitions are carried BY REFERENCE: same absolute
+    // files, same sizes — never rewritten, never moved
+    assert(liveFiles("2024-01-05") == untouchedBefore,
       "untouched partition's files changed")
     assert(!new java.io.File(work).listFiles().exists(_.getName.contains(".tmp")),
       "staging dirs left behind")
     assert(snapshot() == beforeSnap,
       "incremental compaction changed the row set")
+    // partition pruning survives the manifest read: selecting one day
+    // resolves (and scans) exactly that partition's files
+    val oneDay = StorageOps.readDayLayout(spark, work, Some(Set("2024-01-10")))
+    assert(oneDay.inputFiles.length == 1, oneDay.inputFiles.mkString(", "))
   }
 
   test("q136 row-group skipping: sorted footers exclude the window, control cannot") {
@@ -235,10 +252,26 @@ class StorageLayoutSpec extends SparkSpec {
       .limit(40).withColumn("user_id", lit(9999L))
     base.unionByName(victims).repartition(col("day"))
       .write.partitionBy("day").parquet(work)
-    def files(): Map[String, Seq[(String, Long)]] =
-      new java.io.File(work).listFiles().filter(_.getName.startsWith("day="))
-        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName -> f.length()).toSeq.sorted).toMap
+    // the LIVE per-partition file set through the manifest (identity
+    // check: untouched partitions must resolve to the SAME absolute
+    // files with the same bytes — carried by reference, not copied)
+    def files(): Map[String, Seq[(String, Long)]] = {
+      val root = new org.apache.hadoop.fs.Path(work)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val entries = graft.core.ManifestTable.resolve(fs, root) match {
+        case Some(m) => m.entries.map(e =>
+          e.part -> graft.core.ManifestTable.entryPaths(root, e).head)
+        case None => new java.io.File(work).listFiles().toSeq
+          .filter(_.getName.startsWith("day=")).map(d =>
+            d.getName.stripPrefix("day=") ->
+              new org.apache.hadoop.fs.Path(root, d.getName))
+      }
+      entries.map { case (part, dirPath) =>
+        part -> fs.listStatus(dirPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => s.getPath.toString -> s.getLen).sorted
+      }.toMap
+    }
     val before = files()
     val keepSnap = spark.read.parquet(work).filter($"user_id" =!= 9999L)
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
@@ -248,12 +281,13 @@ class StorageLayoutSpec extends SparkSpec {
     assert(touched.sorted == Seq("2024-01-02", "2024-01-20"),
       s"erase rewrote the wrong partitions: $touched")
     val after = files()
-    (before.keySet -- touched.map("day=" + _)).foreach { d =>
+    (before.keySet -- touched).foreach { d =>
       assert(after(d) == before(d), s"untouched partition $d changed")
     }
-    assert(spark.read.parquet(work).filter($"user_id" === 9999L).count() == 0,
+    def live() = StorageOps.readDayLayout(spark, work)
+    assert(live().filter($"user_id" === 9999L).count() == 0,
       "victim rows survived the erase")
-    val got = spark.read.parquet(work)
+    val got = live()
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(got == keepSnap, "erase changed non-victim rows")
     assert(!new java.io.File(work).listFiles().exists(_.getName.contains(".tmp")),
