@@ -45,7 +45,13 @@ object SftpSource {
       user: String,
       password: String,
       connectTimeoutMs: Int = 10000,
-      readTimeoutMs: Int = 30000)
+      readTimeoutMs: Int = 30000,
+      /** Re-key after this much transport traffic (RFC 4253 §9). The
+        * default matches [[SshTransport.DefaultRekeyBytes]] (1 GiB);
+        * specs set it to a few KiB so a MiB-scale transfer executes
+        * the re-key state machine many times in both directions.
+        */
+      rekeyAfterBytes: Long = SshTransport.DefaultRekeyBytes)
 
   /** Same resume-overlap window as the FTP tier (the reference checks
     * 800 KB, `sftpmodel.py:398`; 64 KB keeps spec fixtures honest).
@@ -116,12 +122,15 @@ object SftpSource {
     socket.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.connectTimeoutMs)
     socket.setSoTimeout(cfg.readTimeoutMs)
     private val chan: SshClientChannel = {
-      val t = SshTransport.client(socket)
+      val t = SshTransport.client(socket, rekeyAfterBytes = cfg.rekeyAfterBytes)
       val c = new SshClientChannel(t)
       c.authPassword(cfg.user, cfg.password)
       c.openSubsystem("sftp")
       c
     }
+
+    /** Completed transport re-keys on this connection (diagnostics). */
+    def rekeys: Long = chan.rekeys
     private var reqId = 0L
     private var workDir = "/"
 

@@ -722,6 +722,9 @@ object SshTransport {
 final class SshClientChannel(t: SshTransport) extends AutoCloseable {
   import SshWire._
 
+  /** Completed transport re-keys on this connection (diagnostics). */
+  def rekeys: Long = t.rekeys
+
   private val LocalWindow = 1 << 21 // 2 MiB grant to the server
   private val MaxPacket = 32768
 

@@ -34,9 +34,17 @@ final class SftpMiniServer(root: Path, user: String = "graft",
       * every lie must surface as a LOUD error, never a spliced or
       * truncated file.
       */
-    chaos: String = "") extends AutoCloseable {
+    chaos: String = "",
+    /** Server-side re-key threshold (RFC 4253 §9); specs shrink it so
+      * the SERVER initiates re-keys mid-transfer, forcing the client
+      * to service peer-initiated kex.
+      */
+    rekeyAfterBytes: Long = SshTransport.DefaultRekeyBytes) extends AutoCloseable {
 
   val hostKey: KeyPair = SshWire.generateEd25519()
+
+  /** Total completed re-keys across all finished sessions. */
+  val totalRekeys = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The server host key as an `authorized_keys`/`known_hosts` body
     * (`ssh-ed25519 <base64>`), for client-side pinning.
@@ -71,7 +79,7 @@ final class SftpMiniServer(root: Path, user: String = "graft",
     import SshWire._
     try {
       socket.setSoTimeout(30000)
-      val t = SshTransport.server(socket, hostKey)
+      val t = SshTransport.server(socket, hostKey, rekeyAfterBytes)
       try {
         // ---- service + auth phase (RFC 4252) ----
         val svc = new R(t.recv())
@@ -127,7 +135,7 @@ final class SftpMiniServer(root: Path, user: String = "graft",
 
         // ---- connection phase: one session channel ----
         new SftpServerSession(t, root, chaos).run()
-      } finally t.close()
+      } finally { totalRekeys.addAndGet(t.rekeys); t.close() }
     } catch {
       case _: IOException => () // peer went away — session over
       case e: Throwable if running =>

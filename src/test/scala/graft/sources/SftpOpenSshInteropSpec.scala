@@ -143,4 +143,67 @@ class SftpOpenSshInteropSpec extends AnyFunSuite {
         == "written by the graft SftpClient")
     } finally srv.close()
   }
+
+  test("stock OpenSSH with RekeyLimit=64K drives REPEATED re-keys against the graft server, byte-exact") {
+    if (!haveBinary("sftp") || !haveBinary("ssh-keygen"))
+      cancel("OpenSSH client binaries not available")
+
+    val keyDir = tmpDir("ssh-keys3")
+    val keyFile = keyDir.resolve("id_ed25519")
+    run(Seq("ssh-keygen", "-t", "ed25519", "-N", "", "-q", "-f", keyFile.toString))
+    val pubLine = new String(Files.readAllBytes(Paths.get(keyFile.toString + ".pub")), "UTF-8").trim
+
+    val root = tmpDir("sftp-rekey-root")
+    val work = tmpDir("sftp-rekey-work")
+    val payload = {
+      val out = new Array[Byte](3 * 1024 * 1024 + 77)
+      var x = 0x5bd1e995L
+      var i = 0
+      while (i < out.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        out(i) = x.toByte; i += 1
+      }
+      out
+    }
+    Files.write(work.resolve("local.bin"), payload)
+
+    val srv = new SftpMiniServer(root, user = "graft", authorizedKeys = Seq(pubLine))
+    try {
+      val batch = work.resolve("batch.txt")
+      Files.write(batch, Seq(
+        s"put ${work.resolve("local.bin")} /data.bin",
+        s"get /data.bin ${work.resolve("fetched.bin")}",
+        "bye").mkString("\n").getBytes("UTF-8"))
+
+      // RekeyLimit=64K: the REFERENCE implementation initiates a key
+      // re-exchange roughly every 64 KiB of traffic — a ~6 MiB batch
+      // drives the graft server's peer-initiated re-key path ~dozens
+      // of times, the exact regime a >1 GiB real-server staging run
+      // would hit with stock defaults.
+      val (code, out) = run(Seq("sftp",
+        "-F", "/dev/null",
+        "-P", srv.port.toString,
+        "-o", "StrictHostKeyChecking=no",
+        "-o", "UserKnownHostsFile=/dev/null",
+        "-o", s"IdentityFile=$keyFile",
+        "-o", "IdentitiesOnly=yes",
+        "-o", "BatchMode=yes",
+        "-o", "RekeyLimit=64K",
+        "-b", batch.toString,
+        "graft@127.0.0.1"), timeoutSec = 180)
+      assert(code == 0, s"sftp re-key batch failed (exit $code):\n$out")
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(work.resolve("fetched.bin")), payload),
+        "round-trip diverged across OpenSSH-driven re-keys")
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(root.resolve("data.bin")), payload),
+        "server-side upload diverged across OpenSSH-driven re-keys")
+      // the session thread books its count on teardown
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (srv.totalRekeys.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(srv.totalRekeys.get() >= 10,
+        s"expected dozens of OpenSSH-initiated re-keys, got ${srv.totalRekeys.get()}")
+    } finally srv.close()
+  }
 }
