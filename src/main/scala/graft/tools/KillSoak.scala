@@ -30,10 +30,16 @@ import graft.Tables
   *   - exit 1 if any query failed, any stream drain diverged, or no
   *     kill landed (a soak with zero kills proves nothing).
   *
+  * A third concurrent phase (round 12) soaks the REMOTE-STAGING tier:
+  * FTP + SFTP `stageAll` loops whose transfer tasks run on the
+  * executors being shot, each iteration verified byte-identical with
+  * no orphaned partials ([[SoakPhase]]; the fixture needs the
+  * test-classpath mini servers, so launch via `Test/runMain`).
+  *
   * Run (SPARK_SCALA_VERSION is REQUIRED — the binary Spark distro has
   * no build dirs for the executor launcher to probe):
   * {{{
-  *   SPARK_SCALA_VERSION=2.13 sbt "runMain graft.tools.KillSoak \
+  *   SPARK_SCALA_VERSION=2.13 sbt "Test/runMain graft.tools.KillSoak \
   *     /root/testdata/sf0.01 [outDir] [killEverySec]"
   *   python3 scripts/check.py /root/testdata/sf0.01 <outDir>
   * }}}
@@ -170,6 +176,29 @@ object KillSoak {
     streamer.setDaemon(true)
     streamer.start()
 
+    // ---- concurrent remote-staging soak (round-12 verdict task 3):
+    // FTP + SFTP stageAll over the in-JVM mini servers, whose transfer
+    // tasks run ON THE EXECUTORS being shot — an executor dying
+    // mid-retrieve must cost a task retry that resumes per file
+    // (size+prefix skip, seek-and-append), never a torn or orphaned
+    // staging tree. The fixture lives on the TEST classpath; launch
+    // with `sbt "Test/runMain graft.tools.KillSoak …"` to include it
+    // (plain runMain records the phase as absent).
+    @volatile var stageIterations = 0
+    @volatile var stageGreen = 0
+    val stagePhase = SoakPhase.load("graft.tools.StageSoakPhase")
+    val stager = stagePhase.map { phase =>
+      val t = new Thread(() => {
+        val (it, green) = phase.run(spark, () => !soaking)
+        stageIterations = it; stageGreen = green
+      }, "soak-stager")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    if (stagePhase.isEmpty)
+      println("[soak] staging phase ABSENT (launch via Test/runMain to include it)")
+
     // ---- the catalog, one attempt per query, kills landing throughout
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     var green = 0
@@ -186,6 +215,7 @@ object KillSoak {
     }
     soaking = false
     streamer.join(120000)
+    stager.foreach(_.join(180000))
 
     // oracle SQL dump so scripts/check.py can value-verify the outputs
     def q(s: String): String = "\"" + s.flatMap {
@@ -208,17 +238,23 @@ object KillSoak {
       s""""kills":$kills,"queries_attempted":${names.size},"queries_green":$green,""" +
       s""""queries_failed":${failed.map(q).mkString("[", ",", "]")},""" +
       s""""stream_iterations":$streamIterations,"stream_green":$streamGreen,""" +
+      s""""stage_phase":${q(if (stagePhase.isDefined) "present" else "absent")},""" +
+      s""""stage_iterations":$stageIterations,"stage_green":$stageGreen,""" +
       f""""wall_sec":$wallSec%.1f,"out":${q(outDir)}}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/killsoak.json"), json + "\n")
     spark.stop()
+    val stageOk = stagePhase.isEmpty ||
+      (stageIterations > 0 && stageGreen == stageIterations)
     val ok = failed.isEmpty && kills > 0 &&
-      streamIterations > 0 && streamGreen == streamIterations
+      streamIterations > 0 && streamGreen == streamIterations && stageOk
     if (!ok) {
       if (kills == 0) System.err.println("[soak] ZERO kills landed — soak proved nothing")
       if (streamGreen != streamIterations)
         System.err.println(s"[soak] stream: $streamGreen/$streamIterations green")
+      if (!stageOk)
+        System.err.println(s"[soak] stage: $stageGreen/$stageIterations green")
       sys.exit(1)
     }
   }
