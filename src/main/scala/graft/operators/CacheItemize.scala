@@ -92,10 +92,49 @@ object CacheItemize {
     }
     val steady = (System.nanoTime() - t0) / 1e9
 
+    // ---- loop-round retention, MEASURED (round-12 verdict task 4):
+    // sf0.1's organic near-dup graphs converge in ≤2 driver-side
+    // rounds, so no measured run had ever actually retired a round
+    // pin — pin_reclaimed_bytes sat at 0 and the retention win stayed
+    // a spec-only claim. This probe forces the DISTRIBUTED loop over
+    // a deep duplicate chain (the retention spec's 300-deep shape,
+    // scaled to 4096 real doc ids), where hash-min + pointer-halving
+    // takes ~CcHalvingAfter + log2(d) ≈ 20 PINNED rounds and
+    // retention retires all but the last two as the loop walks. The
+    // line prices the discipline: wall cost of the loop, bytes the
+    // retirement reclaimed (≈ one round-pin per round, each O(nodes)).
+    val reclaim0 = graft.core.Pin.reclaimedBytes
+    val ccRetention =
+      if (!only.forall(_.exists("cc_retention".startsWith))) 0.0
+      else {
+        val w0 = System.nanoTime()
+        import org.apache.spark.sql.functions.col
+        // 4096 consecutive ids → one path graph; the collect is the
+        // fixture's, bounded by construction
+        val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+          .orderBy(col("doc_id")).limit(4096)
+          .collect().map(_.getLong(0))
+        val pairs = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ids.sliding(2).map(p => (p(0), p(1))).toSeq, 8))
+          .toDF("a_id", "b_id")
+        val labels = TextDedup.connectedComponents(pairs,
+          smallGraphMax = -1, loopName = "cc-retention-probe")
+        val comps = labels.select(col("comp")).distinct().count()
+        require(comps == 1, s"chain fixture must form ONE component, got $comps")
+        val sec = (System.nanoTime() - w0) / 1e9
+        println(f"[itemize] cc_retention       $sec%7.2f s " +
+          f"(reclaimed ${graft.core.Pin.reclaimedBytes - reclaim0}%d bytes)")
+        sec
+      }
+    val ccReclaimed = graft.core.Pin.reclaimedBytes - reclaim0
+
     val items = steps.map { case (n, s) => s""""$n":${"%.2f".format(s)}""" }.mkString(",")
     println(s"""{"sf":"$dir","artifacts":{$items},""" +
       s""""total":${"%.2f".format(steps.map(_._2).sum)},""" +
       s""""steady_state_sec":${"%.2f".format(steady)},""" +
+      s""""cc_retention_sec":${"%.2f".format(ccRetention)},""" +
+      s""""cc_retention_reclaimed_bytes":$ccReclaimed,""" +
       s""""pin_reclaimed_bytes":${graft.core.Pin.reclaimedBytes}}""")
     spark.stop()
   }
