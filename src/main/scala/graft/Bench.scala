@@ -34,9 +34,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,4,4096] times the catalog on
+    // real separate-JVM executors (round-12 verdict task 5): every
+    // row crosses process boundaries, so serialization + real shuffle
+    // fetch are PRICED instead of subsidized by in-process transfers.
+    // Needs SPARK_SCALA_VERSION=2.13 in the env; the record persists
+    // to BENCH_CLUSTER.json (BENCH_LOCAL.json stays local-mode-only).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val isCluster = master.startsWith("local-cluster")
+    val builder = Tables.configure(SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus))
+    val spark = (if (isCluster) Tables.clusterExecutorConf(builder) else builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -182,7 +191,8 @@ object Bench {
       val skippedJson =
         "\"skipped_fenced\":" + skippedFenced.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""iters":$iters,"shared_cache_sec":${"%.3f".format(sharedCacheSec)},""" +
+        s""""master":"$master","iters":$iters,""" +
+        s""""shared_cache_sec":${"%.3f".format(sharedCacheSec)},""" +
         s""""probe":$probeJson,"host_noise":${"%.2f".format(hostNoise)},""" +
         s""""pin_reclaimed_bytes":${graft.core.Pin.reclaimedBytes},""" +
         s""""noisy_queries":$noisy,$failedJson,$skippedJson,"contaminated":$contaminated}"""
@@ -197,12 +207,13 @@ object Bench {
     val canonicalSf = try {
       java.nio.file.Paths.get(sfDir).toRealPath().toString
     } catch { case _: Throwable => sfDir }
+    val record = if (isCluster) "BENCH_CLUSTER.json" else "BENCH_LOCAL.json"
     if (only.isEmpty && canonicalSf == "/root/testdata/sf0.1")
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(s"/root/repo/$record"),
         render(identity, "%.4f", full = true) + "\n")
       catch { case _: Throwable => }
     else System.err.println(
-      s"[bench] BENCH_LOCAL.json not updated: " +
+      s"[bench] $record not updated: " +
         (if (only.nonEmpty) s"filtered run (${only.get.mkString(",")})"
          else s"non-canonical sf dir $canonicalSf (canonical record is sf0.1 only)"))
     println(render(_.takeWhile(_ != '_'), "%.3f", full = false))
