@@ -23,8 +23,13 @@ object MemFsStore {
     * appearing individually) followed by a per-object DELETE of the
     * source — a window in which readers observe src and dst both
     * present, partially populated. The round-12 object-store knob.
+    * Env default `GRAFT_MEMFS_RENAME_AS_COPY=1` lets whole-gate mains
+    * (`Test/runMain graft.Verify` with memfs artifact roots) run the
+    * entire catalog on copy-rename semantics.
     */
-  @volatile var renameAsCopy: Boolean = false
+  private val renameAsCopyDefault: Boolean =
+    sys.env.get("GRAFT_MEMFS_RENAME_AS_COPY").contains("1")
+  @volatile var renameAsCopy: Boolean = renameAsCopyDefault
   /** Crash injection for copy-rename mode: a countdown of per-object
     * copy steps across all renames; when it reaches zero the rename
     * throws mid-copy, stranding a partial destination AND the intact
@@ -39,7 +44,7 @@ object MemFsStore {
   def disarmCrash(): Unit = { renameCopyCrashAfter.set(-1); renameCopyCrashed = false }
   def clear(): Unit = {
     entries.clear(); supportSetTimes = true
-    renameAsCopy = false; disarmCrash()
+    renameAsCopy = renameAsCopyDefault; disarmCrash()
   }
 
   private[core] def parentOf(key: String): String = {

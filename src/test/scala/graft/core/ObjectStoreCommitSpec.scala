@@ -170,6 +170,36 @@ class ObjectStoreCommitSpec extends SparkSpec {
       "gc touched live data")
   }
 
+  test("compactParquet (unpartitioned, explicit-file adoption) is crash-safe on copy-rename storage") {
+    freshStore()
+    val root = "memfs://shared/flat/t"
+    (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(6).write.parquet(root)
+    fs.delete(new Path(root, "_SUCCESS"), false)
+    def content() = Maintenance.readTable(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    val snap = content()
+    val (b1, a1) = Maintenance.compactParquet(spark, root, targetBytes = 1L << 30)
+    assert(b1 == 6 && a1 == 1 && content() == snap)
+    // crash sweep inside the rewrite's own job-commit copies: whatever
+    // the step, readers see the 1-file state or the (identical)
+    // recompacted one — never a partial directory
+    var fired = 0
+    (1 to 5).foreach { step =>
+      MemFsStore.renameCopyCrashAfter.set(step)
+      val crashed =
+        try { Maintenance.compactParquet(spark, root, targetBytes = 1L << 30); false }
+        catch { case _: Throwable => true }
+      if (crashed) fired += 1
+      MemFsStore.disarmCrash()
+      assert(content() == snap, s"step-$step crash tore the unpartitioned table")
+    }
+    assert(fired > 0, "injection never fired")
+    assert(ManifestTable.gc(fs, new Path(root),
+      keepCommits = 1, orphanRetentionMs = 0L) >= 0L)
+    assert(content() == snap)
+  }
+
   test("a torn or corrupt commit pointer is skipped; readers observe the previous state") {
     freshStore()
     val root = new Path("memfs://shared/torn/t")
