@@ -53,7 +53,12 @@ final case class EsConnector(
         val survivors = existing.join(keyed.select("_id"), Seq("_id"), "left_anti")
         val out = keyed.unionByName(survivors, allowMissingColumns = true)
         // Single write to a same-FS sibling, then swap (the plan reads
-        // the target, so in-place overwrite would clobber its own input).
+        // the target, so in-place overwrite would clobber its own
+        // input). The delete+rename here is EMULATION-ONLY surface: a
+        // real deployment bulk-indexes into an ES server over the
+        // wire; this file tree is the offline stand-in, not a table
+        // layout (the manifest-commit discipline in core/ManifestTable
+        // covers the real table-maintenance paths).
         val staging = new Path(target + ".stage-" + java.util.UUID.randomUUID().toString.take(8))
         out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         fs.delete(new Path(target), true)
