@@ -464,7 +464,12 @@ object StreamingJobs {
     * restarted batch re-reads the same predecessor snapshot it saw the
     * first time and rewrites the same output, so exactly-once comes from
     * the checkpoint + deterministic merge, with no read-then-clobber
-    * hazard on a single table path. At 100 TB the same shape is a
+    * hazard on a single table path. This also holds on object stores
+    * (round 12): version dirs are written fresh and never renamed over
+    * live data, and no later batch exists to read v<B> until batch B's
+    * foreachBatch completed and checkpoint-committed — a crash
+    * mid-write strands a torn v<B> that only B's own replay ever
+    * touches, by overwriting it. At 100 TB the same shape is a
     * Delta/Iceberg MERGE (their commit log is exactly this versioning);
     * plain parquet keeps the sandbox dependency-free. Batches are
     * assumed per-key time-ordered (CDC commit order); late events need

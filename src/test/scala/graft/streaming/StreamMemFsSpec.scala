@@ -74,6 +74,50 @@ class StreamMemFsSpec extends SparkSpec {
     }
   }
 
+  test("hllDistinctStream state + reports on COPY-RENAME (S3A-semantics) storage, checkpoint on atomic-rename FS, batch-exact") {
+    // the realistic 100 TB split: Structured Streaming's checkpoint
+    // log REQUIRES an atomic-rename FS by Spark's own contract (HDFS/
+    // DBFS), while the heavy state/report parquet lives on the object
+    // store. The versioned-snapshot discipline needs NO rename at all
+    // — version dirs are written fresh and only read by strictly
+    // later batches — so it must hold even where rename is a
+    // non-atomic copy (round 12).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    MemFsStore.clear()
+    MemFsStore.renameAsCopy = true
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.memfs.impl", classOf[MemFs].getName)
+    val stateDir = "memfs://shared/s3stream/state"
+    val outDir = "memfs://shared/s3stream/out"
+    val ckpt = tmpDir("s3stream-ckpt") // atomic-rename FS, per Spark's contract
+
+    val rows = graft.Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id").as[(String, Long)]
+      .collect().toSeq
+    val batches = rows.grouped((rows.length + 3) / 4).toSeq
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingJobs.hllDistinctStream(
+      mem.toDF().toDF("event_type", "user_id"), stateDir, outDir, ckpt)
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    val keys = {
+      import scala.jdk.CollectionConverters._
+      MemFsStore.entries.keySet().asScala.toSeq
+    }
+    assert(keys.exists(_.contains("/s3stream/state/v3")), "state v3 not on memfs")
+    assert(!keys.exists(_.contains("/s3stream/state/v0/")), "state v0 should be pruned")
+    val streamed = spark.read.parquet(s"$outDir/v3")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("distinct_users"))).toMap
+    val expected = graft.Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("est"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == expected, "copy-rename-rooted stream diverged")
+  }
+
   test("incrementalSpanScrub delta-state compaction (_FULL marker + tail prune) executes on HDFS-semantics storage") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     MemFsStore.clear()
