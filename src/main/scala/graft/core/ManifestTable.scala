@@ -312,6 +312,13 @@ object ManifestTable {
     */
   def gc(fs: FileSystem, root: Path, keepCommits: Int = KeepCommits,
       orphanRetentionMs: Long = 3600L * 1000): Long = {
+    // Granularity note: retirement is per TOP-LEVEL directory — a
+    // generation is deleted only when NO kept commit references ANY
+    // entry under it, so a gen holding one dead and one live partition
+    // survives whole until the live one is rewritten too. Lazier space
+    // reclamation, but never a live-data delete — and safe against
+    // committers racing this sweep: they only ever reference
+    // generations named by kept commits or their own fresh dirs.
     val seqs = listCommitSeqs(fs, root)
     val manifests = seqs.flatMap(s => readCommit(fs, root, s))
     if (manifests.isEmpty) return 0L

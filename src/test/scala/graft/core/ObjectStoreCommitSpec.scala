@@ -252,6 +252,60 @@ class ObjectStoreCommitSpec extends SparkSpec {
       s"lost update: ${fin.entries.map(_.part).sorted}")
   }
 
+  test("gc racing live committers never deletes live data; the final state carries every update") {
+    freshStore()
+    val root = new Path("memfs://shared/gcrace/t")
+    // seed: 6 adopted partitions
+    ManifestTable.commit(fs, root, "day", (1 to 6).map { i =>
+      val d = s"d$i"
+      val p = new Path(root, s"day=$d/part-0.parquet")
+      val out = fs.create(p, true); out.write(Array.fill(32)(i.toByte)); out.close()
+      d -> Some(ManifestEntry(d, s"day=$d", Nil))
+    }.toMap)
+    @volatile var stop = false
+    val gcErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+    // default orphan retention: a retention shorter than the longest
+    // in-flight write WOULD race data written before its commit — the
+    // documented VACUUM caveat, not a bug; production keeps the 1 h
+    // grace. Dropped-commit generations still retire on every sweep.
+    val sweeper = new Thread(() => {
+      while (!stop) {
+        try ManifestTable.gc(fs, root)
+        catch { case _: Throwable => gcErrors.incrementAndGet() }
+      }
+    }, "gc-race-sweeper")
+    sweeper.start()
+    // 30 sequential rewrites across the 6 partitions while gc churns:
+    // each writes a fresh generation file then commits the pointer
+    (1 to 30).foreach { n =>
+      val d = s"d${(n % 6) + 1}"
+      val gen = s"${ManifestTable.GenPrefix}r$n"
+      val p = new Path(root, s"$gen/day=$d/part-0.parquet")
+      val out = fs.create(p, true)
+      out.write(Array.fill(32)((100 + n).toByte)); out.close()
+      ManifestTable.commit(fs, root, "day",
+        Map(d -> Some(ManifestEntry(d, s"$gen/day=$d", Nil))))
+    }
+    stop = true
+    sweeper.join(10000)
+    assert(gcErrors.get() == 0, s"gc threw ${gcErrors.get()} times under the race")
+    // every partition's LIVE file exists and carries its newest bytes
+    val fin = ManifestTable.resolve(fs, root).get
+    assert(fin.entries.map(_.part).toSet == (1 to 6).map(i => s"d$i").toSet)
+    fin.entries.foreach { e =>
+      val files = ManifestTable.entryPaths(root, e)
+        .flatMap(p => fs.listStatus(p).toSeq.filter(_.isFile))
+      assert(files.nonEmpty, s"live partition ${e.part} lost its data to gc")
+      files.foreach { st =>
+        val in = fs.open(st.getPath)
+        val b = new Array[Byte](st.getLen.toInt)
+        in.readFully(0, b); in.close()
+        assert(b.nonEmpty && (b(0) & 0xff) >= 100,
+          s"live partition ${e.part} serves stale adopted bytes after 30 rewrites")
+      }
+    }
+  }
+
   test("q142 erased layout + audit runs end-to-end on copy-rename storage, value-identical") {
     val sfDir = "/root/testdata/sf0.001"
     val expected = graft.SparkEntry.queries("q142_erase_audit")(spark, sfDir)
