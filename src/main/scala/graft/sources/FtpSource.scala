@@ -374,8 +374,10 @@ object FtpSource {
     RemoteStaging.stageFiles(() => new FtpClient(cfg), remoteDir, pattern, stagingDir)
 
   def stageAll(spark: SparkSession, cfg: FtpConfig, remoteFiles: Seq[String],
-      stagingDir: String, slices: Int = 0): Seq[(String, String, Long)] =
-    RemoteStaging.stageAll(spark, () => new FtpClient(cfg), remoteFiles, stagingDir, slices)
+      stagingDir: String, slices: Int = 0,
+      publishTo: Option[String] = None): Seq[(String, String, Long)] =
+    RemoteStaging.stageAll(spark, () => new FtpClient(cfg), remoteFiles,
+      stagingDir, slices, publishTo)
 
   def scanCsv(spark: SparkSession, cfg: FtpConfig, remoteDir: String,
       stagingDir: String, pattern: String = ".*\\.csv",

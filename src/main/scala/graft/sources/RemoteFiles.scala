@@ -109,15 +109,33 @@ object RemoteStaging {
     * Parallelism is `slices` connections (default
     * `defaultParallelism`, capped by the file count) — the knob a real
     * deployment sets to whatever the far server tolerates.
+    *
+    * `publishTo` (round 12) closes the multi-host gap this sandbox
+    * cannot otherwise observe: executor-LOCAL staging disks are not
+    * visible to the rest of a real cluster, so a downstream
+    * `spark.read` over the returned local paths only works when every
+    * executor shares one filesystem (this sandbox; NFS mounts). With
+    * `publishTo = Some(sharedUri)` each task, after its local
+    * stage/resume completes, copies the file to the shared Hadoop FS
+    * (HDFS/S3) and the returned path is the SHARED one — local disk
+    * stays the fast resumable transfer buffer, the shared FS is what
+    * the cluster reads. Idempotent per file (size-matched publishes
+    * skip); single-writer per file by the slice partitioning; no
+    * reader exists until stageAll returns, so a direct write with no
+    * rename is crash-safe on object stores (a torn publish re-copies
+    * on the re-run because the size differs).
     */
   def stageAll(spark: SparkSession, open: () => RemoteFileClient,
       remoteFiles: Seq[String], stagingDir: String,
-      slices: Int = 0): Seq[(String, String, Long)] = {
+      slices: Int = 0,
+      publishTo: Option[String] = None): Seq[(String, String, Long)] = {
     if (remoteFiles.isEmpty) return Nil
     Files.createDirectories(Paths.get(stagingDir))
     val n = math.min(
       if (slices > 0) slices else spark.sparkContext.defaultParallelism,
       remoteFiles.length)
+    val pubConf = publishTo.map(_ => new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
     spark.sparkContext.parallelize(remoteFiles.sorted, n)
       .mapPartitions { it =>
         val files = it.toVector
@@ -138,7 +156,25 @@ object RemoteStaging {
             val current = client.size(remote)
               .exists(sz => stagedIsCurrent(client, remote, local, sz))
             val moved = if (current) 0L else client.retrieve(remote, local)
-            (remote, local.toString, moved)
+            val servedAt = (publishTo, pubConf) match {
+              case (Some(rootUri), Some(conf)) =>
+                // the fenced staging-relative path IS the shared name
+                val rel = stagingRoot.relativize(local).toString
+                val dst = new org.apache.hadoop.fs.Path(
+                  new org.apache.hadoop.fs.Path(rootUri), rel)
+                val fs = dst.getFileSystem(conf.value)
+                val sz = Files.size(local)
+                val already =
+                  try fs.getFileStatus(dst).getLen == sz
+                  catch { case _: java.io.FileNotFoundException => false }
+                if (!already) {
+                  val out = fs.create(dst, true)
+                  try Files.copy(local, out) finally out.close()
+                }
+                dst.toString
+              case _ => local.toString
+            }
+            (remote, servedAt, moved)
           }.toVector.iterator
           finally client.close()
         }

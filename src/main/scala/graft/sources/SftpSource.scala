@@ -496,8 +496,10 @@ object SftpSource {
     RemoteStaging.stageFiles(() => new SftpClient(cfg), remoteDir, pattern, stagingDir)
 
   def stageAll(spark: SparkSession, cfg: SftpConfig, remoteFiles: Seq[String],
-      stagingDir: String, slices: Int = 0): Seq[(String, String, Long)] =
-    RemoteStaging.stageAll(spark, () => new SftpClient(cfg), remoteFiles, stagingDir, slices)
+      stagingDir: String, slices: Int = 0,
+      publishTo: Option[String] = None): Seq[(String, String, Long)] =
+    RemoteStaging.stageAll(spark, () => new SftpClient(cfg), remoteFiles,
+      stagingDir, slices, publishTo)
 
   def scanCsv(spark: SparkSession, cfg: SftpConfig, remoteDir: String,
       stagingDir: String, pattern: String = ".*\\.csv",

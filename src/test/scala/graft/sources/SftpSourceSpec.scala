@@ -273,6 +273,57 @@ class SftpSourceSpec extends SparkSpec {
     }
   }
 
+  test("stageAll publishes to a shared (copy-rename object-store) FS the whole cluster can read") {
+    // executor-LOCAL staging disks are invisible to the rest of a real
+    // multi-host cluster; publishTo copies each staged file to a
+    // shared Hadoop FS and returns the SHARED path — here MemFs in
+    // copy-rename (S3A-semantics) mode, consumed back through a
+    // normal spark.read over the returned URIs.
+    withServer { (_, cfg, root) =>
+      graft.core.MemFsStore.clear()
+      graft.core.MemFsStore.renameAsCopy = true
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.memfs.impl", classOf[graft.core.MemFs].getName)
+      val remotes = (1 to 3).map { i =>
+        val rel = s"corpus/shard$i/doc.txt"
+        val p = root.resolve(rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p, (1 to 50).map(j => s"shard$i line$j").mkString("\n").getBytes("UTF-8"))
+        "/" + rel
+      }
+      val staging = tmpDir("sftp-pub")
+      val shared = "memfs://shared/staged"
+      val out = SftpSource.stageAll(spark, cfg, remotes, staging,
+        slices = 2, publishTo = Some(shared))
+      assert(out.map(_._1) == remotes.sorted)
+      assert(out.forall(_._2.startsWith("memfs://")), out.map(_._2).mkString(", "))
+      // shared bytes identical to the server's
+      val fs = new org.apache.hadoop.fs.Path(shared)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      out.foreach { case (remote, sharedPath, _) =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(sharedPath))
+        val got = in.readAllBytes(); in.close()
+        assert(java.util.Arrays.equals(got,
+          Files.readAllBytes(root.resolve(remote.stripPrefix("/")))),
+          s"$remote diverged on the shared FS")
+      }
+      // the cluster-side consumer: a plain spark.read over shared URIs
+      val lines = spark.read.textFile(out.map(_._2): _*).count()
+      assert(lines == 150, s"expected 150 published lines, read $lines")
+      // idempotent: re-run moves zero bytes and re-publishes nothing
+      // (size-matched skip) — mtimes on the shared FS stay put
+      val mtimes = out.map(o => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(o._2)).getModificationTime)
+      val again = SftpSource.stageAll(spark, cfg, remotes, staging,
+        slices = 2, publishTo = Some(shared))
+      assert(again.forall(_._3 == 0L), "re-run re-transferred bytes")
+      val mtimes2 = again.map(o => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(o._2)).getModificationTime)
+      assert(mtimes2 == mtimes, "re-run re-published size-matched files")
+      graft.core.MemFsStore.clear()
+    }
+  }
+
   test("large transfer crosses channel-window and packet boundaries intact") {
     withServer { (_, cfg, root) =>
       // > 2 MiB initial window and >> 32 KiB max packet: forces
