@@ -381,13 +381,16 @@ object FtpSource {
 
   def scanCsv(spark: SparkSession, cfg: FtpConfig, remoteDir: String,
       stagingDir: String, pattern: String = ".*\\.csv",
-      options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"))
-      : DataFrame =
-    RemoteStaging.scanCsv(spark, () => new FtpClient(cfg), remoteDir, stagingDir, pattern, options)
+      options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"),
+      publishTo: Option[String] = None): DataFrame =
+    RemoteStaging.scanCsv(spark, () => new FtpClient(cfg), remoteDir, stagingDir,
+      pattern, options, publishTo)
 
   def scanNdjson(spark: SparkSession, cfg: FtpConfig, remoteDir: String,
-      stagingDir: String, pattern: String = ".*\\.(json|ndjson)"): DataFrame =
-    RemoteStaging.scanNdjson(spark, () => new FtpClient(cfg), remoteDir, stagingDir, pattern)
+      stagingDir: String, pattern: String = ".*\\.(json|ndjson)",
+      publishTo: Option[String] = None): DataFrame =
+    RemoteStaging.scanNdjson(spark, () => new FtpClient(cfg), remoteDir, stagingDir,
+      pattern, publishTo)
 
   def sinkCsv(df: DataFrame, cfg: FtpConfig, remoteDir: String,
       stagingDir: String): Seq[String] =

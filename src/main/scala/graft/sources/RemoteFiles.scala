@@ -75,7 +75,9 @@ object RemoteStaging {
     * replacement is re-fetched instead of silently served stale.
     */
   def stageFiles(open: () => RemoteFileClient, remoteDir: String,
-      pattern: String, stagingDir: String): Seq[String] = {
+      pattern: String, stagingDir: String,
+      publishConf: Option[(String, org.apache.hadoop.conf.Configuration)] = None)
+      : Seq[String] = {
     val rx = java.util.regex.Pattern.compile(pattern)
     val client = open()
     try {
@@ -92,9 +94,33 @@ object RemoteStaging {
           s"remote name escapes staging dir: ${e.name}")
         if (!stagedIsCurrent(client, s"$base/${e.name}", local, e.size))
           client.retrieve(s"$base/${e.name}", local)
-        local.toString
+        publishConf match {
+          case None => local.toString
+          case Some((rootUri, conf)) =>
+            publishOne(local, stagingRoot.relativize(local).toString, rootUri, conf)
+        }
       }
     } finally client.close()
+  }
+
+  /** Copy one locally-staged file to the shared Hadoop FS under
+    * `rootUri`/`rel` (size-matched skip, rename-free — see
+    * [[stageAll]]'s publishTo contract); returns the shared path.
+    */
+  private def publishOne(local: Path, rel: String, rootUri: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val dst = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(rootUri), rel)
+    val fs = dst.getFileSystem(conf)
+    val sz = Files.size(local)
+    val already =
+      try fs.getFileStatus(dst).getLen == sz
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!already) {
+      val out = fs.create(dst, true)
+      try Files.copy(local, out) finally out.close()
+    }
+    dst.toString
   }
 
   /** Per-executor staging fan-out: partition the remote file list
@@ -159,19 +185,8 @@ object RemoteStaging {
             val servedAt = (publishTo, pubConf) match {
               case (Some(rootUri), Some(conf)) =>
                 // the fenced staging-relative path IS the shared name
-                val rel = stagingRoot.relativize(local).toString
-                val dst = new org.apache.hadoop.fs.Path(
-                  new org.apache.hadoop.fs.Path(rootUri), rel)
-                val fs = dst.getFileSystem(conf.value)
-                val sz = Files.size(local)
-                val already =
-                  try fs.getFileStatus(dst).getLen == sz
-                  catch { case _: java.io.FileNotFoundException => false }
-                if (!already) {
-                  val out = fs.create(dst, true)
-                  try Files.copy(local, out) finally out.close()
-                }
-                dst.toString
+                publishOne(local, stagingRoot.relativize(local).toString,
+                  rootUri, conf.value)
               case _ => local.toString
             }
             (remote, servedAt, moved)
@@ -185,18 +200,28 @@ object RemoteStaging {
   /** Remote CSV directory → DataFrame through the staged files and
     * Spark's native CSV reader.
     */
+  private def publishConfOf(spark: SparkSession, publishTo: Option[String]) =
+    publishTo.map(uri => (uri, spark.sessionState.newHadoopConf()))
+
   def scanCsv(spark: SparkSession, open: () => RemoteFileClient,
       remoteDir: String, stagingDir: String, pattern: String,
-      options: Map[String, String]): DataFrame = {
-    val staged = stageFiles(open, remoteDir, pattern, stagingDir)
+      options: Map[String, String],
+      publishTo: Option[String] = None): DataFrame = {
+    // publishTo: on a multi-host cluster the executors CANNOT read the
+    // driver-local staging dir this scan fills — publish the staged
+    // files to a shared FS and hand Spark THOSE paths (see stageAll)
+    val staged = stageFiles(open, remoteDir, pattern, stagingDir,
+      publishConfOf(spark, publishTo))
     require(staged.nonEmpty, s"no files matching '$pattern' under $remoteDir")
     spark.read.options(options).csv(staged: _*)
   }
 
   /** Remote NDJSON directory → DataFrame (line-delimited). */
   def scanNdjson(spark: SparkSession, open: () => RemoteFileClient,
-      remoteDir: String, stagingDir: String, pattern: String): DataFrame = {
-    val staged = stageFiles(open, remoteDir, pattern, stagingDir)
+      remoteDir: String, stagingDir: String, pattern: String,
+      publishTo: Option[String] = None): DataFrame = {
+    val staged = stageFiles(open, remoteDir, pattern, stagingDir,
+      publishConfOf(spark, publishTo))
     require(staged.nonEmpty, s"no files matching '$pattern' under $remoteDir")
     spark.read.json(staged: _*)
   }

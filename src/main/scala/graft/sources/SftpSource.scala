@@ -503,13 +503,16 @@ object SftpSource {
 
   def scanCsv(spark: SparkSession, cfg: SftpConfig, remoteDir: String,
       stagingDir: String, pattern: String = ".*\\.csv",
-      options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"))
-      : DataFrame =
-    RemoteStaging.scanCsv(spark, () => new SftpClient(cfg), remoteDir, stagingDir, pattern, options)
+      options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"),
+      publishTo: Option[String] = None): DataFrame =
+    RemoteStaging.scanCsv(spark, () => new SftpClient(cfg), remoteDir, stagingDir,
+      pattern, options, publishTo)
 
   def scanNdjson(spark: SparkSession, cfg: SftpConfig, remoteDir: String,
-      stagingDir: String, pattern: String = ".*\\.(json|ndjson)"): DataFrame =
-    RemoteStaging.scanNdjson(spark, () => new SftpClient(cfg), remoteDir, stagingDir, pattern)
+      stagingDir: String, pattern: String = ".*\\.(json|ndjson)",
+      publishTo: Option[String] = None): DataFrame =
+    RemoteStaging.scanNdjson(spark, () => new SftpClient(cfg), remoteDir, stagingDir,
+      pattern, publishTo)
 
   def sinkCsv(df: DataFrame, cfg: SftpConfig, remoteDir: String,
       stagingDir: String): Seq[String] =

@@ -146,6 +146,24 @@ class FtpSourceSpec extends SparkSpec {
     }
   }
 
+  test("scanCsv publishTo: executors read the shared-FS copies, not the driver's disk") {
+    withServer { (_, cfg, root) =>
+      graft.core.MemFsStore.clear()
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.memfs.impl", classOf[graft.core.MemFs].getName)
+      Files.createDirectories(root.resolve("pub"))
+      Files.write(root.resolve("pub/a.csv"), "id,v\n1,x\n2,y\n".getBytes("UTF-8"))
+      Files.write(root.resolve("pub/b.csv"), "id,v\n3,z\n".getBytes("UTF-8"))
+      val df = FtpSource.scanCsv(spark, cfg, "/pub", tmpDir("ftp-pubstage"),
+        publishTo = Some("memfs://shared/csvstage"))
+      // the scan's input files ARE the shared-FS URIs
+      assert(df.inputFiles.forall(_.startsWith("memfs://")),
+        df.inputFiles.mkString(", "))
+      assert(df.count() == 3)
+      graft.core.MemFsStore.clear()
+    }
+  }
+
   test("stageFiles re-fetches a same-size in-place replacement (prefix check on the skip path)") {
     withServer { (_, cfg, root) =>
       val v1 = noiseBytes(96 * 1024, seed = 5)
