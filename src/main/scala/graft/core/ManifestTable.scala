@@ -61,7 +61,16 @@ final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry
   * directory listing of `_commits/` plus one small read. Concurrent
   * committers race on `create(overwrite = false)` of the same
   * sequence number — the loser re-resolves and retries on the next
-  * number, so the log stays linear without any lock service
+  * number, so the log stays linear without any lock service.
+  *
+  * What each store family actually guarantees (round 13):
+  *
+  * | store primitive              | committer linearizability | reader safety |
+  * |------------------------------|---------------------------|---------------|
+  * | atomic create+content (S3 conditional PUT: object visible only complete) | yes — create race IS the commit | yes |
+  * | atomic create, content at close (HDFS: name reserved at create, bytes land later) | yes — an open-but-unwritten newest commit is WAITED OUT (`invalidGraceMs` below) instead of claimed over | yes |
+  * | non-atomic create (check-then-put, torn bytes visible) | NO — two committers can both "win" one seq; bring a lock service or conditional PUT | yes — the sha-256 payload guard rejects torn/partial pointers, readers fall back to the newest valid commit, never regress past data loss, never mix states (`TornCreateCommitSpec`) |
+  *
   * (single-table writers here are additionally serialized in-JVM by
   * the callers' `synchronized` ensure-blocks).
   *
@@ -187,32 +196,55 @@ object ManifestTable {
     * between the two — the classic read-modify-write race this
     * protocol exists to prevent (caught by `ObjectStoreCommitSpec`'s
     * 8-way race before this was hardened).
+    *
+    * HDFS-family caveat (round 13): create reserves the NAME
+    * atomically but the CONTENT lands at close, so the newest listed
+    * commit can be open-but-unwritten (len 0 / torn). Claiming above
+    * it would silently drop its update once the bytes land — so when
+    * the newest listed seq does not validate and its file is younger
+    * than `invalidGraceMs`, we WAIT and re-list instead of claiming;
+    * only an invalid commit OLDER than the grace window (a genuinely
+    * dead committer's husk) is claimed over. On atomic-content stores
+    * (S3 conditional PUT) the window cannot arise; on NON-atomic
+    * create (check-then-put) linearizability needs a lock service —
+    * see the store-family table in the class doc.
     */
   def commit(fs: FileSystem, root: Path, partCol: String,
-      updates: Map[String, Option[ManifestEntry]]): Manifest = {
+      updates: Map[String, Option[ManifestEntry]],
+      invalidGraceMs: Long = 30000L): Manifest = {
     var attempts = 0
     while (true) {
-      attempts += 1
-      require(attempts <= 50, s"manifest commit contended out after 50 attempts at $root")
       val seqs = listCommitSeqs(fs, root)
       val cur = seqs.iterator.flatMap(readCommit(fs, root, _)).nextOption()
-      cur.foreach(m => require(m.partCol == partCol,
-        s"manifest at $root partitions on '${m.partCol}', caller expected '$partCol'"))
-      val carried = cur.map(_.entries).getOrElse(Nil)
-        .filterNot(e => updates.contains(e.part))
-      val merged = carried ++ updates.toSeq.sortBy(_._1).flatMap(_._2)
-      val seq = seqs.headOption.getOrElse(0L) + 1
-      val m = Manifest(seq, partCol, merged)
-      val bytes = serialize(m)
-      fs.mkdirs(new Path(root, CommitsDir))
-      try {
-        val out = fs.create(commitPath(root, seq), false)
-        try out.write(bytes) finally out.close()
-        return m
-      } catch {
-        case _: FileAlreadyExistsException => // raced; re-resolve and retry
-        case e: java.io.IOException if e.getMessage != null &&
-            e.getMessage.contains("exists") => // HDFS surfaces the race as plain IOE
+      val newestInvalid = seqs.headOption.filter(n => !cur.map(_.seq).contains(n))
+      val youngGap = newestInvalid.exists { n =>
+        try System.currentTimeMillis() -
+          fs.getFileStatus(commitPath(root, n)).getModificationTime < invalidGraceMs
+        catch { case _: java.io.IOException => false } // vanished: re-list settles it
+      }
+      if (youngGap) {
+        Thread.sleep(50) // wait out the open commit rather than orphan its update
+      } else {
+        attempts += 1
+        require(attempts <= 50, s"manifest commit contended out after 50 attempts at $root")
+        cur.foreach(m => require(m.partCol == partCol,
+          s"manifest at $root partitions on '${m.partCol}', caller expected '$partCol'"))
+        val carried = cur.map(_.entries).getOrElse(Nil)
+          .filterNot(e => updates.contains(e.part))
+        val merged = carried ++ updates.toSeq.sortBy(_._1).flatMap(_._2)
+        val seq = seqs.headOption.getOrElse(0L) + 1
+        val m = Manifest(seq, partCol, merged)
+        val bytes = serialize(m)
+        fs.mkdirs(new Path(root, CommitsDir))
+        try {
+          val out = fs.create(commitPath(root, seq), false)
+          try out.write(bytes) finally out.close()
+          return m
+        } catch {
+          case _: FileAlreadyExistsException => // raced; re-resolve and retry
+          case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.contains("exists") => // HDFS surfaces the race as plain IOE
+        }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -227,7 +259,12 @@ object ManifestTable {
     */
   def adoptIfPlain(fs: FileSystem, root: Path, partCol: String): Manifest = {
     resolve(fs, root) match {
-      case Some(m) => m
+      case Some(m) =>
+        // same guard commit() enforces — failing HERE names the real
+        // problem instead of a misleading empty-manifest error later
+        require(m.partCol == partCol,
+          s"manifest at $root partitions on '${m.partCol}', caller expected '$partCol'")
+        m
       case None =>
         require(fs.exists(root), s"manifest adopt: no layout at $root")
         val children = fs.listStatus(root).toSeq
@@ -267,14 +304,28 @@ object ManifestTable {
     * unioned — one scan leg per live generation. `parts` (if given)
     * prunes whole partitions at RESOLVE time: unselected directories
     * are never listed or opened, the manifest-table equivalent of
-    * partition pruning.
+    * partition pruning. On a NOT-yet-manifested (plain) layout a
+    * `parts` selection still applies — as a filter on `partCol`
+    * (which Catalyst turns into ordinary partition pruning on the
+    * inferred column), so callers get the same rows either way
+    * instead of silently receiving every partition.
     */
   def read(spark: SparkSession, root: String,
-      parts: Option[Set[String]] = None): DataFrame = {
+      parts: Option[Set[String]] = None, partCol: String = ""): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val m = resolve(fs, rootPath).getOrElse(
-      return spark.read.parquet(root)) // plain layout: native read
+    val m = resolve(fs, rootPath).getOrElse {
+      // plain layout: native read; honor a partition selection
+      val df = spark.read.parquet(root)
+      return parts match {
+        case Some(sel) =>
+          require(partCol.nonEmpty,
+            s"partition selection on a plain (unmanifested) layout at $root needs partCol")
+          df.filter(org.apache.spark.sql.functions.col(partCol)
+            .cast("string").isin(sel.toSeq.sorted: _*))
+        case None => df
+      }
+    }
     val wanted = parts match {
       case Some(sel) => m.entries.filter(e => sel.contains(e.part))
       case None => m.entries
@@ -330,13 +381,35 @@ object ManifestTable {
     val liveRootFiles = kept.flatMap(_.entries)
       .filter(e => e.dir.isEmpty && e.files.nonEmpty).flatMap(_.files).toSet
     // dead = referenced by a dropped manifest only, plus aged g-*
-    // orphans no valid commit ever referenced
+    // orphans no valid commit ever referenced. Orphan AGE is the
+    // newest FILE mtime under the generation (recursive max), never
+    // the directory status: on real S3A the "directory" is synthetic
+    // and reports mtime 0, which would make every fresh generation an
+    // in-flight writer is still filling look infinitely old. A
+    // FILELESS candidate (a crashed writer's empty husk on a real FS)
+    // falls back to the directory mtime when that is non-zero; a
+    // fileless candidate whose dir also reports 0 — impossible on real
+    // S3A, where an empty prefix never lists at all — counts as YOUNG,
+    // as a writer may be about to land its first object there.
     val droppedTop = dropped.flatMap(_.entries).flatMap(topLevel).toSet
     val now = System.currentTimeMillis()
-    val orphanTop = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix) &&
-        now - s.getModificationTime >= orphanRetentionMs)
-      .map(_.getPath.getName).toSet -- droppedTop
+    def newestFileMtime(p: Path): Option[Long] =
+      try {
+        val st = fs.listStatus(p)
+        val mt = st.flatMap(s =>
+          if (s.isDirectory) newestFileMtime(s.getPath) else Some(s.getModificationTime))
+        if (mt.isEmpty) None else Some(mt.max)
+      } catch { case _: java.io.IOException => None }
+    def orphanAge(n: String): Option[Long] = {
+      val p = new Path(root, n)
+      newestFileMtime(p).orElse(
+        try Some(fs.getFileStatus(p).getModificationTime).filter(_ > 0L)
+        catch { case _: java.io.IOException => None })
+    }
+    val orphanTop = (fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .map(_.getPath.getName).toSet -- droppedTop -- liveTop)
+      .filter(n => orphanAge(n).exists(mt => now - mt >= orphanRetentionMs))
     val deadTop = (droppedTop ++ orphanTop) -- liveTop
     val deadRootFiles = dropped.flatMap(_.entries)
       .filter(e => e.dir.isEmpty && e.files.nonEmpty).flatMap(_.files).toSet -- liveRootFiles

@@ -538,7 +538,7 @@ object StorageOps {
     */
   def readDayLayout(spark: SparkSession, layoutDir: String,
       days: Option[Set[String]] = None): DataFrame =
-    graft.core.ManifestTable.read(spark, layoutDir, days)
+    graft.core.ManifestTable.read(spark, layoutDir, days, partCol = "day")
 
   /** The shared partition-rewrite engine behind [[compactDays]] and
     * [[eraseUsers]]: per named `day=` partition, read its live files,

@@ -92,30 +92,37 @@ object RemoteStaging {
         val local = stagingRoot.resolve(e.name).normalize()
         require(local.startsWith(stagingRoot),
           s"remote name escapes staging dir: ${e.name}")
-        if (!stagedIsCurrent(client, s"$base/${e.name}", local, e.size))
-          client.retrieve(s"$base/${e.name}", local)
+        val fetched = !stagedIsCurrent(client, s"$base/${e.name}", local, e.size)
+        if (fetched) client.retrieve(s"$base/${e.name}", local)
         publishConf match {
           case None => local.toString
           case Some((rootUri, conf)) =>
-            publishOne(local, stagingRoot.relativize(local).toString, rootUri, conf)
+            publishOne(local, stagingRoot.relativize(local).toString, rootUri, conf,
+              force = fetched)
         }
       }
     } finally client.close()
   }
 
   /** Copy one locally-staged file to the shared Hadoop FS under
-    * `rootUri`/`rel` (size-matched skip, rename-free — see
-    * [[stageAll]]'s publishTo contract); returns the shared path.
+    * `rootUri`/`rel` (rename-free — see [[stageAll]]'s publishTo
+    * contract); returns the shared path. The size-matched skip applies
+    * ONLY when this run moved no bytes (`force = false`): the staging
+    * tier deliberately re-fetches an in-place same-size remote
+    * replacement (prefix mismatch, contract at [[stageFiles]]), and a
+    * size-only publish check after that re-fetch would leave the
+    * cluster reading the STALE shared copy forever — so any retrieve
+    * this run performed forces the publish through.
     */
   private def publishOne(local: Path, rel: String, rootUri: String,
-      conf: org.apache.hadoop.conf.Configuration): String = {
+      conf: org.apache.hadoop.conf.Configuration, force: Boolean): String = {
     val dst = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(rootUri), rel)
     val fs = dst.getFileSystem(conf)
     val sz = Files.size(local)
-    val already =
+    val already = !force && (
       try fs.getFileStatus(dst).getLen == sz
-      catch { case _: java.io.FileNotFoundException => false }
+      catch { case _: java.io.FileNotFoundException => false })
     if (!already) {
       val out = fs.create(dst, true)
       try Files.copy(local, out) finally out.close()
@@ -184,9 +191,12 @@ object RemoteStaging {
             val moved = if (current) 0L else client.retrieve(remote, local)
             val servedAt = (publishTo, pubConf) match {
               case (Some(rootUri), Some(conf)) =>
-                // the fenced staging-relative path IS the shared name
+                // the fenced staging-relative path IS the shared name;
+                // a retrieve this run forces the publish — a same-size
+                // in-place replacement re-fetch must not be skipped by
+                // the size match (see publishOne)
                 publishOne(local, stagingRoot.relativize(local).toString,
-                  rootUri, conf.value)
+                  rootUri, conf.value, force = !current)
               case _ => local.toString
             }
             (remote, servedAt, moved)

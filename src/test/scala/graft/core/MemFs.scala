@@ -41,10 +41,21 @@ object MemFsStore {
     */
   val renameCopyCrashAfter = new java.util.concurrent.atomic.AtomicInteger(-1)
   @volatile var renameCopyCrashed: Boolean = false
+  /** When true, `create(overwrite = false)` loses HDFS's atomic name
+    * reservation and becomes what a bare object store without
+    * conditional PUT executes: a CHECK (does the key exist?) followed
+    * later by PUTs of the bytes — with every partial write visible to
+    * readers as a torn object, and two concurrent creators both able
+    * to "win" the same key (last close overwrites). The round-13 knob
+    * behind `TornCreateCommitSpec`: proves which manifest guarantee
+    * degrades without atomic create (committer linearizability) and
+    * which survives (reader safety via the sha-256 payload guard).
+    */
+  @volatile var nonAtomicCreate: Boolean = false
   def disarmCrash(): Unit = { renameCopyCrashAfter.set(-1); renameCopyCrashed = false }
   def clear(): Unit = {
     entries.clear(); supportSetTimes = true
-    renameAsCopy = renameAsCopyDefault; disarmCrash()
+    renameAsCopy = renameAsCopyDefault; nonAtomicCreate = false; disarmCrash()
   }
 
   private[core] def parentOf(key: String): String = {
@@ -162,7 +173,8 @@ class MemFs extends FileSystem {
       if (!overwrite) throw new FileAlreadyExistsException(s"memfs: $k exists")
     }
     mkdirs(new Path(parentOf(k)), permission)
-    if (!overwrite) {
+    val torn = nonAtomicCreate
+    if (!overwrite && !torn) {
       // HDFS reserves the name ATOMICALLY at create time (zero-length
       // file visible while being written) — the primitive manifest
       // commits race on; a check-then-put would let two concurrent
@@ -171,10 +183,19 @@ class MemFs extends FileSystem {
         System.currentTimeMillis()))
       if (prev != null) throw new FileAlreadyExistsException(s"memfs: $k exists")
     }
+    // nonAtomicCreate: the existence CHECK above (entries.get) is all
+    // the exclusion a store without conditional PUT offers — no name
+    // reservation, so a racing creator that also passed the check
+    // coexists; last close wins the key
     val buf = new ByteArrayOutputStream()
     new FSDataOutputStream(new java.io.FilterOutputStream(buf) {
       // FilterOutputStream.write(b,off,len) loops single bytes; delegate
-      override def write(b: Array[Byte], off: Int, len: Int): Unit = buf.write(b, off, len)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        buf.write(b, off, len)
+        // torn mode: every partial write is immediately reader-visible
+        if (torn)
+          entries.put(k, Entry(buf.toByteArray, isDir = false, System.currentTimeMillis()))
+      }
       override def close(): Unit = {
         super.close()
         entries.put(k, Entry(buf.toByteArray, isDir = false, System.currentTimeMillis()))

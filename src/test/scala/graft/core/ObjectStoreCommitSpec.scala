@@ -225,9 +225,11 @@ class ObjectStoreCommitSpec extends SparkSpec {
     assert(resolved.map(_.seq).contains(2L),
       s"reader must fall back to the newest VALID commit, got $resolved")
     assert(resolved.get.entries.head.dir == "g-bbb")
-    // the next commit goes ABOVE the debris — sequence stays linear
+    // the next commit goes ABOVE the debris — sequence stays linear.
+    // Grace 0: these husks are modeled as a LONG-dead committer's; a
+    // YOUNG invalid newest is waited out instead (CommitGraceSpec).
     val m5 = ManifestTable.commit(fs, root, "", Map("" ->
-      Some(ManifestEntry("", "g-ccc", Seq("part-0.parquet")))))
+      Some(ManifestEntry("", "g-ccc", Seq("part-0.parquet")))), invalidGraceMs = 0L)
     assert(m5.seq == 5 && ManifestTable.resolve(fs, root).get.seq == 5)
   }
 

@@ -164,6 +164,72 @@ class FtpSourceSpec extends SparkSpec {
     }
   }
 
+  test("publish follows a same-size in-place replacement re-fetch — the shared copy is never stale") {
+    withServer { (_, cfg, root) =>
+      graft.core.MemFsStore.clear()
+      val hconf = spark.sparkContext.hadoopConfiguration
+      hconf.set("fs.memfs.impl", classOf[graft.core.MemFs].getName)
+      val shared = "memfs://shared/pubstale"
+      val memfs = new org.apache.hadoop.fs.Path(shared).getFileSystem(hconf)
+      def sharedBytes(name: String): Array[Byte] = {
+        val p = new org.apache.hadoop.fs.Path(s"$shared/$name")
+        val len = memfs.getFileStatus(p).getLen.toInt
+        val in = memfs.open(p)
+        try { val b = new Array[Byte](len); in.readFully(0, b); b } finally in.close()
+      }
+      val v1 = noiseBytes(64 * 1024, seed = 11)
+      Files.write(root.resolve("data.bin"), v1)
+      val staging = tmpDir("ftp-pubstale")
+
+      // stage + publish v1, both via the driver tier and the executor
+      // fan-out tier
+      FtpSource.stageFiles(cfg, "/", ".*\\.bin", staging) // local only (no publish arg)
+      FtpSource.stageAll(spark, cfg, Seq("/data.bin"), staging,
+        slices = 1, publishTo = Some(shared))
+      assert(java.util.Arrays.equals(sharedBytes("data.bin"), v1))
+
+      // replace the remote in place, SAME length, different content.
+      // The local tier re-fetches (prefix mismatch); a size-only
+      // publish check would then skip and leave the cluster on v1.
+      val v2 = noiseBytes(64 * 1024, seed = 12)
+      Files.write(root.resolve("data.bin"), v2)
+      val movedExec = FtpSource.stageAll(spark, cfg, Seq("/data.bin"), staging,
+        slices = 1, publishTo = Some(shared))
+      assert(movedExec.head._3 > 0L, "replacement was not re-fetched")
+      assert(java.util.Arrays.equals(sharedBytes("data.bin"), v2),
+        "shared copy is STALE after a same-size in-place replacement")
+
+      // and the driver tier (stageFiles w/ publishConf via scanCsv path):
+      // same contract through RemoteStaging.stageFiles' publish leg
+      val v3 = ("id,v\n" + (1 to 50).map(i => s"$i,r$i").mkString("\n") + "\n")
+        .getBytes("UTF-8")
+      Files.write(root.resolve("t.csv"), v3)
+      FtpSource.scanCsv(spark, cfg, "/", tmpDir("ftp-pubstale2"),
+        pattern = ".*\\.csv", publishTo = Some(shared + "2")).count()
+      val v4 = ("id,v\n" + (1 to 50).map(i => s"$i,s$i").mkString("\n") + "\n")
+        .getBytes("UTF-8")
+      assert(v3.length == v4.length, "fixture must be same-size to exercise the skip")
+      Files.write(root.resolve("t.csv"), v4)
+      // fresh staging dir: the LOCAL copy is gone (executor replaced),
+      // but the SHARED copy survives — publish must still refresh it
+      val csvStage = tmpDir("ftp-pubstale3")
+      val df = FtpSource.scanCsv(spark, cfg, "/", csvStage,
+        pattern = ".*\\.csv", publishTo = Some(shared + "2"))
+      assert(df.filter(col("v").startsWith("s")).count() == 50,
+        "scan served the stale shared CSV")
+
+      // unchanged remote, SAME staging dir: local copy is current, no
+      // bytes move, and publish skips (shared mtime stable)
+      val p2 = new org.apache.hadoop.fs.Path(shared + "2/t.csv")
+      val t1 = memfs.getFileStatus(p2).getModificationTime
+      FtpSource.scanCsv(spark, cfg, "/", csvStage,
+        pattern = ".*\\.csv", publishTo = Some(shared + "2")).count()
+      assert(memfs.getFileStatus(p2).getModificationTime == t1,
+        "a current staged copy was re-published")
+      graft.core.MemFsStore.clear()
+    }
+  }
+
   test("stageFiles re-fetches a same-size in-place replacement (prefix check on the skip path)") {
     withServer { (_, cfg, root) =>
       val v1 = noiseBytes(96 * 1024, seed = 5)
