@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
@@ -64,8 +65,20 @@ final case class FileConnector(
     case _      => "" // parquet dirs have no extension requirement
   }
 
+  /** Non-`file:` URI roots (hdfs://, s3a://, memfs://…) go through the
+    * Hadoop FileSystem API and the [[ManifestTable]] commit protocol;
+    * plain local paths keep the java.nio fast path (rename IS atomic
+    * on one local filesystem, and a manifest would be pure overhead).
+    */
+  private val isRemote: Boolean =
+    root.contains("://") && !root.startsWith("file:")
+
   def pathFor(index: String): String =
-    Paths.get(root, index.replace("-", java.io.File.separator) + ext).toString
+    if (isRemote) s"${root.stripSuffix("/")}/${index.replace("-", "/")}$ext"
+    else Paths.get(root, index.replace("-", java.io.File.separator) + ext).toString
+
+  private def hfs(spark: SparkSession): FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def configure(r: DataFrameReader): DataFrameReader = {
     val withDefaults = format match {
@@ -75,8 +88,19 @@ final case class FileConnector(
     options.foldLeft(withDefaults) { case (rr, (k, v)) => rr.option(k, v) }
   }
 
-  def read(spark: SparkSession, index: String): DataFrame =
-    configure(spark.read).format(format).load(pathFor(index))
+  def read(spark: SparkSession, index: String): DataFrame = {
+    val target = pathFor(index)
+    val manifested = if (isRemote) {
+      // once a remote table has been upserted/appended its live file
+      // set is named by the manifest pointer, not by directory shape
+      val p = new HPath(target)
+      ManifestTable.resolve(hfs(spark), p).map { m =>
+        val paths = m.entries.flatMap(e => ManifestTable.entryPaths(p, e)).map(_.toString)
+        configure(spark.read).format(format).load(paths: _*)
+      }
+    } else None
+    manifested.getOrElse(configure(spark.read).format(format).load(target))
+  }
 
   private def configureW[T](w: DataFrameWriter[T]): DataFrameWriter[T] = {
     val withDefaults = format match {
@@ -88,12 +112,14 @@ final case class FileConnector(
 
   def write(df: DataFrame, index: String, mode: WriteMode): Unit = {
     val target = pathFor(index)
-    val exists = Files.exists(Paths.get(target))
+    val exists =
+      if (isRemote) hfs(df.sparkSession).exists(new HPath(target))
+      else Files.exists(Paths.get(target))
     mode match {
       case WriteMode.Append =>
-        configureW(df.write).format(format).mode(SaveMode.Append).save(target)
+        appendTo(df, target)
       case WriteMode.Overwrite =>
-        configureW(df.write).format(format).mode(SaveMode.Overwrite).save(target)
+        overwriteTo(df, target)
       case WriteMode.InsertIgnore(pks) if exists =>
         mergeRewrite(df, index, pks, newWins = false)
       case WriteMode.Replace(pks) if exists =>
@@ -103,38 +129,127 @@ final case class FileConnector(
     }
   }
 
+  /** Append. On a remote MANIFESTED table a plain directory append
+    * would land files the manifest never names (invisible to readers),
+    * so the batch goes into a fresh generation committed as an
+    * ADDITIONAL entry — the manifest's multi-entry union makes append
+    * a one-pointer operation with no read-modify-write of data.
+    */
+  private def appendTo(df: DataFrame, target: String): Unit = {
+    val remoteManifest = if (isRemote)
+      ManifestTable.resolve(hfs(df.sparkSession), new HPath(target)) else None
+    remoteManifest match {
+      case Some(_) =>
+        val fs = hfs(df.sparkSession)
+        val gen = writeGeneration(df, fs, new HPath(target))
+        ManifestTable.commit(fs, new HPath(target), partCol = "",
+          Map(gen -> Some(ManifestEntry(gen, gen, Nil))))
+        ()
+      case None =>
+        configureW(df.write).format(format).mode(SaveMode.Append).save(target)
+    }
+  }
+
+  /** Overwrite. On a remote MANIFESTED table SaveMode.Overwrite would
+    * delete `_commits` and live generations out from under concurrent
+    * readers — instead the new data lands in a fresh generation and
+    * ONE pointer commit retires every previous entry (readers flip
+    * between complete states; gc reclaims the old data later).
+    */
+  private def overwriteTo(df: DataFrame, target: String): Unit = {
+    val remoteManifest = if (isRemote)
+      ManifestTable.resolve(hfs(df.sparkSession), new HPath(target)) else None
+    remoteManifest match {
+      case Some(m) =>
+        val fs = hfs(df.sparkSession)
+        val gen = writeGeneration(df, fs, new HPath(target))
+        val retire = m.entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap
+        ManifestTable.commit(fs, new HPath(target), partCol = "",
+          retire + ("" -> Some(ManifestEntry("", gen, Nil))))
+        ManifestTable.gc(fs, new HPath(target))
+        ()
+      case None =>
+        configureW(df.write).format(format).mode(SaveMode.Overwrite).save(target)
+    }
+  }
+
+  /** Write `df` into a fresh immutable `g-*` generation under `table`
+    * and return the generation's directory name (not yet committed).
+    */
+  private def writeGeneration(df: DataFrame, fs: FileSystem, table: HPath): String = {
+    val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
+    val genPath = new HPath(table, gen)
+    configureW(df.write).format(format).mode(SaveMode.ErrorIfExists).save(genPath.toString)
+    fs.delete(new HPath(genPath, "_SUCCESS"), false)
+    gen
+  }
+
   /** Keyed upsert on a non-transactional file target: read-union-rewrite.
     * The anti-join side is the loser; at 100 TB this is `MERGE INTO` on
     * Delta/Iceberg — semantics identical, rewrite scoped to touched files.
     *
     * Staging: the plan reads the target path, so it cannot be overwritten
-    * in place. The result is written ONCE to a sibling directory on the
-    * SAME filesystem as the target, then swapped in with two renames
-    * (rename is atomic on one FS and is exactly what a cluster would do
-    * on HDFS/object-store-with-rename; a driver-local temp dir would not
-    * even be visible to executors off local mode).
+    * in place. Two swap disciplines by store family:
+    *
+    *   - REMOTE roots (hdfs/s3a/…): the rewrite lands in a fresh
+    *     immutable `g-*` generation INSIDE the table directory and goes
+    *     live via one [[ManifestTable]] pointer commit (adopt-if-plain
+    *     on first touch). No data directory is ever renamed — on
+    *     S3-family stores `rename` is a non-atomic O(data) copy window
+    *     (`ObjectStoreCommitSpec` shows the two-rename swap silently
+    *     losing rows there); a crash at any step leaves the previous
+    *     commit live, never a mix (`FileConnectorObjectStoreSpec`).
+    *   - LOCAL paths: the result is written once to a sibling directory
+    *     on the same filesystem, then swapped in with two java.nio
+    *     ATOMIC_MOVE renames — atomic on one local FS, and cheaper than
+    *     a manifest a single-host table will never need.
     */
   private def mergeRewrite(df: DataFrame, index: String, pks: Seq[String], newWins: Boolean): Unit = {
     require(pks.nonEmpty, s"$name/$index: InsertIgnore/Replace need pk columns")
     val spark = df.sparkSession
-    val existing = read(spark, index)
+    if (isRemote) {
+      // adopt FIRST: pins the pre-rewrite file set by name, so the scan
+      // below and the commit's retire list speak the same state
+      val fs = hfs(spark)
+      val table = new HPath(pathFor(index))
+      val adopted = ManifestTable.adoptIfPlain(fs, table, partCol = "")
+      val existing = read(spark, index)
+      val out = mergeFrames(df, existing, pks, newWins)
+      val gen = writeGeneration(out, fs, table)
+      val retire = adopted.entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap
+      ManifestTable.commit(fs, table, partCol = "",
+        retire + ("" -> Some(ManifestEntry("", gen, Nil))))
+      ManifestTable.gc(fs, table)
+      ()
+    } else {
+      val existing = read(spark, index)
+      val out = mergeFrames(df, existing, pks, newWins)
+      val target = Paths.get(pathFor(index))
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      def sibling(tag: String): Path =
+        target.resolveSibling(target.getFileName.toString + s".$tag-$stamp")
+      val staging = sibling("stage")
+      configureW(out.write).format(format).mode(SaveMode.Overwrite).save(staging.toString)
+      val retired = sibling("old")
+      Files.move(target, retired, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(staging, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: Throwable => // roll the old data back before failing
+        Files.move(retired, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE); throw e
+      }
+      deleteRecursively(retired)
+    }
+  }
+
+  /** The upsert's merge plan: winner rows + loser rows whose pk has no
+    * winner conflict (left anti join — the distributed `MERGE` shape).
+    */
+  private def mergeFrames(df: DataFrame, existing: DataFrame,
+      pks: Seq[String], newWins: Boolean): DataFrame = {
     val winner = if (newWins) df else existing
     val loser = if (newWins) existing else df
-    val survivors = loser.join(winner.select(pks.map(winner.apply): _*).dropDuplicates(pks), pks, "left_anti")
-    val out = winner.unionByName(survivors, allowMissingColumns = true)
-    val target = Paths.get(pathFor(index))
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    def sibling(tag: String): Path =
-      target.resolveSibling(target.getFileName.toString + s".$tag-$stamp")
-    val staging = sibling("stage")
-    configureW(out.write).format(format).mode(SaveMode.Overwrite).save(staging.toString)
-    val retired = sibling("old")
-    Files.move(target, retired, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(staging, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: Throwable => // roll the old data back before failing
-      Files.move(retired, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE); throw e
-    }
-    deleteRecursively(retired)
+    val survivors = loser.join(
+      winner.select(pks.map(winner.apply): _*).dropDuplicates(pks), pks, "left_anti")
+    winner.unionByName(survivors, allowMissingColumns = true)
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -150,6 +265,7 @@ final case class FileConnector(
   }
 
   def listIndexes(spark: SparkSession): Seq[String] = {
+    if (isRemote) return listIndexesRemote(spark)
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil
     // A Spark output "file" is a directory of part-files; treat any dir
@@ -173,6 +289,36 @@ final case class FileConnector(
       .map { p =>
         val rel = rootPath.relativize(p).toString
         rel.stripSuffix(ext).replace(java.io.File.separator, "-")
+      }
+      .sorted
+  }
+
+  /** Catalog walk over a Hadoop FS root — same index mapping as the
+    * local walk, with manifest internals (`_commits`, `g-*`
+    * generations) marking a directory as a TABLE leaf, never listed as
+    * tables themselves.
+    */
+  private def listIndexesRemote(spark: SparkSession): Seq[String] = {
+    val fs = hfs(spark)
+    val rootPath = fs.makeQualified(new HPath(root))
+    if (!fs.exists(rootPath)) return Nil
+    def isTableDir(p: HPath): Boolean =
+      (ext.nonEmpty && p.getName.endsWith(ext)) ||
+        fs.listStatus(p).exists { s =>
+          val n = s.getPath.getName
+          n.startsWith("part-") || n == "_SUCCESS" ||
+            n == ManifestTable.CommitsDir || n.startsWith(ManifestTable.GenPrefix)
+        }
+    def walk(p: HPath): Seq[HPath] =
+      if (fs.getFileStatus(p).isDirectory && !isTableDir(p))
+        fs.listStatus(p).toSeq.map(_.getPath).sortBy(_.getName).flatMap(walk)
+      else Seq(p)
+    val rootUriPath = rootPath.toUri.getPath.stripSuffix("/")
+    walk(rootPath)
+      .filter(p => ext.isEmpty || p.getName.endsWith(ext))
+      .map { p =>
+        val rel = p.toUri.getPath.stripPrefix(rootUriPath).stripPrefix("/")
+        rel.stripSuffix(ext).replace("/", "-")
       }
       .sorted
   }
