@@ -216,6 +216,10 @@ object KillSoak {
     soaking = false
     streamer.join(120000)
     stager.foreach(_.join(180000))
+    // phase-specific counter split (e.g. the publish leg), read only
+    // after the phase thread has exited
+    val stageDetail: Map[String, Int] =
+      stagePhase.map(_.detail).getOrElse(Map.empty)
 
     // oracle SQL dump so scripts/check.py can value-verify the outputs
     def q(s: String): String = "\"" + s.flatMap {
@@ -240,6 +244,7 @@ object KillSoak {
       s""""stream_iterations":$streamIterations,"stream_green":$streamGreen,""" +
       s""""stage_phase":${q(if (stagePhase.isDefined) "present" else "absent")},""" +
       s""""stage_iterations":$stageIterations,"stage_green":$stageGreen,""" +
+      stageDetail.toSeq.sorted.map { case (k, v) => s""""stage_$k":$v,""" }.mkString +
       f""""wall_sec":$wallSec%.1f,"out":${q(outDir)}}"""
     println(json)
     java.nio.file.Files.writeString(
@@ -247,14 +252,23 @@ object KillSoak {
     spark.stop()
     val stageOk = stagePhase.isEmpty ||
       (stageIterations > 0 && stageGreen == stageIterations)
+    // every detail pair `<k>_iterations`/`<k>_green` gates like the
+    // primary pair: present, nonzero, and fully green
+    val detailOk = stagePhase.isEmpty || stageDetail.keys
+      .filter(_.endsWith("_iterations")).forall { k =>
+        val it = stageDetail(k)
+        it > 0 && stageDetail.getOrElse(k.stripSuffix("_iterations") + "_green", -1) == it
+      }
     val ok = failed.isEmpty && kills > 0 &&
-      streamIterations > 0 && streamGreen == streamIterations && stageOk
+      streamIterations > 0 && streamGreen == streamIterations && stageOk && detailOk
     if (!ok) {
       if (kills == 0) System.err.println("[soak] ZERO kills landed — soak proved nothing")
       if (streamGreen != streamIterations)
         System.err.println(s"[soak] stream: $streamGreen/$streamIterations green")
       if (!stageOk)
         System.err.println(s"[soak] stage: $stageGreen/$stageIterations green")
+      if (!detailOk)
+        System.err.println(s"[soak] stage detail not green: $stageDetail")
       sys.exit(1)
     }
   }

@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-13 verdict task 6: PRICE the manifest read path.
+  *
+  * [[graft.core.ManifestTable.read]] unions one scan leg per live
+  * generation group with a per-group `basePath`. q135/q142 exercise it
+  * at a handful of partitions; this tool measures the overhead at a
+  * realistic maintenance shape — 30+ day partitions where EVERY
+  * partition has been independently compacted (worst case: one
+  * generation group per partition, the maximum leg count the
+  * gc-bounded window allows), against the identical data in one plain
+  * `partitionBy` directory.
+  *
+  * Three reads are timed (min-of-N wall seconds, full-scan agg +
+  * 3-partition selective agg each):
+  *   - `plain`      : native `spark.read.parquet(root)`
+  *   - `manifested` : ManifestTable.read at max legs (P groups)
+  *   - `consolidated`: the same table after ONE whole-table
+  *     compaction — every partition in a single generation, the
+  *     1-leg shape periodic consolidation restores (ManifestChurnSpec
+  *     holds the bound at 23 legs / 74 partitions).
+  *
+  * Usage: runMain graft.tools.ManifestReadBench <sfDir> [partitions] [iters]
+  * Prints one JSON line; quoted in SCALING.md §12.
+  */
+object ManifestReadBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val parts = args.lift(1).map(_.toInt).getOrElse(36)
+    val iters = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.core.ManifestTable
+
+    val work = java.nio.file.Files.createTempDirectory("manifest-read-bench").toString
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("day", date_add(lit("2024-01-01").cast("date"),
+        pmod(col("event_id"), lit(parts)).cast("int")))
+    val plainDir = s"$work/plain"
+    val manifDir = s"$work/manifested"
+    val consDir = s"$work/consolidated"
+    events.repartition(col("day")).write.partitionBy("day").parquet(plainDir)
+    Seq(manifDir, consDir).foreach(d =>
+      events.repartition(col("day")).write.partitionBy("day").parquet(d))
+    val days = (0 until parts).map(i =>
+      java.time.LocalDate.parse("2024-01-01").plusDays(i).toString)
+
+    // churn every partition INDIVIDUALLY: one generation group per
+    // partition — the maximum leg count a gc-bounded table reaches
+    days.foreach(d => graft.operators.StorageOps.compactDays(spark, manifDir, Seq(d)))
+    // consolidated twin: one whole-table compaction, single group
+    graft.operators.StorageOps.compactDays(spark, consDir, days)
+
+    val fs = new Path(manifDir).getFileSystem(spark.sessionState.newHadoopConf())
+    def legs(dir: String): Int = ManifestTable.resolve(fs, new Path(dir)).get
+      .entries.map(_.dir.split('/').head).distinct.size
+    require(legs(manifDir) == parts, s"expected $parts legs, got ${legs(manifDir)}")
+    require(legs(consDir) == 1, s"expected 1 leg, got ${legs(consDir)}")
+
+    val sel = days.take(3).toSet
+    def fullScan(df: org.apache.spark.sql.DataFrame): Unit =
+      { df.agg(sum("value"), count(lit(1))).head(); () }
+    def time(f: () => Unit): Double =
+      (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+    def scenario(tag: String, full: () => Unit, selective: () => Unit): Seq[(String, Double)] = {
+      full(); selective() // warm (file listing caches, JIT)
+      Seq(s"${tag}_full_sec" -> time(full), s"${tag}_sel3_sec" -> time(selective))
+    }
+
+    val results =
+      scenario("plain",
+        () => fullScan(spark.read.parquet(plainDir)),
+        () => fullScan(spark.read.parquet(plainDir)
+          .filter(col("day").cast("string").isin(sel.toSeq.sorted: _*)))) ++
+      scenario("manifested",
+        () => fullScan(graft.operators.StorageOps.readDayLayout(spark, manifDir)),
+        () => fullScan(graft.operators.StorageOps.readDayLayout(spark, manifDir, Some(sel)))) ++
+      scenario("consolidated",
+        () => fullScan(graft.operators.StorageOps.readDayLayout(spark, consDir)),
+        () => fullScan(graft.operators.StorageOps.readDayLayout(spark, consDir, Some(sel))))
+
+    // resolve cost alone (driver-side, no scan)
+    val rt = (1 to 50).map { _ =>
+      val t0 = System.nanoTime()
+      ManifestTable.resolve(fs, new Path(manifDir))
+      (System.nanoTime() - t0) / 1e6
+    }
+    val rows = spark.read.parquet(plainDir).count()
+    val json = (Seq(
+      "tool" -> "\"manifest-read-bench\"",
+      "sf" -> s""""$sfDir"""",
+      "partitions" -> parts.toString,
+      "rows" -> rows.toString,
+      "legs_manifested" -> legs(manifDir).toString,
+      "iters" -> iters.toString,
+      "resolve_ms_min" -> f"${rt.min}%.3f") ++
+      results.map { case (k, v) => k -> f"$v%.3f" })
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

@@ -18,6 +18,14 @@ trait SoakPhase {
     * not take the soak down.
     */
   def run(spark: SparkSession, stop: () => Boolean): (Int, Int)
+
+  /** Extra per-phase counters for the soak JSON, read after [[run]]
+    * returns (e.g. the staging phase's publish-leg split). Every
+    * `<k> -> v` lands as `"<name>_<k>":v`; keys ending in
+    * `_iterations` are gated green like the primary pair by
+    * [[KillSoak]] (their `_green` twin must match).
+    */
+  def detail: Map[String, Int] = Map.empty
 }
 
 object SoakPhase {

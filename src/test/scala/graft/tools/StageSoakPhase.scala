@@ -16,14 +16,27 @@ import org.apache.spark.sql.SparkSession
   * NOTHING beyond the expected set (no orphaned partials), then
   * wipes the tree so the next iteration transfers for real.
   *
-  * Fixture: 8 files per protocol, 1.5-3.5 MiB of seeded noise each
-  * (~40 MiB per iteration round-trip) — large enough that a
-  * kill-every-10/20s soak lands kills INSIDE transfers across the
-  * soak's lifetime.
+  * Round 13 (verdict task 1): every iteration ALSO runs the PUBLISH
+  * leg — `stageAll(publishTo = Some("file://<host-shared dir>"))`, a
+  * root every local-cluster executor JVM can reach — so SIGKILLs land
+  * mid-publish (inside the executor-side shared-FS copy at
+  * `RemoteFiles.publishOne`), not just mid-retrieve. Per iteration the
+  * leg asserts: the SHARED tree is byte-identical to the fixture with
+  * nothing beyond the expected set (a kill mid-copy strands a partial
+  * only until the task retry re-copies it — never past stageAll's
+  * return), and an immediate RE-RUN republishes nothing (every file
+  * reports 0 bytes moved and every shared mtime is unchanged — the
+  * size-matched skip, `RemoteFiles.scala` publishOne). The split is
+  * reported via [[detail]] as `publish_iterations`/`publish_green`.
   */
 final class StageSoakPhase extends SoakPhase {
 
   def name: String = "stage"
+
+  @volatile private var publishIterations = 0
+  @volatile private var publishGreen = 0
+  override def detail: Map[String, Int] =
+    Map("publish_iterations" -> publishIterations, "publish_green" -> publishGreen)
 
   private def noise(n: Int, seed: Long): Array[Byte] = {
     val out = new Array[Byte](n)
@@ -89,10 +102,15 @@ final class StageSoakPhase extends SoakPhase {
               case _: Throwable =>
                 try { f(); true } catch { case _: Throwable => false }
             }
+          val pubRoot = staging.resolve("shared") // host-shared: all executor JVMs see it
+          val ftpPub = s"file://$pubRoot/ftp"
+          val sftpPub = s"file://$pubRoot/sftp"
           val ftpOk = staged(() => FtpSource.stageAll(spark, ftpCfg,
-            ftpFix.keys.toSeq, ftpDst.toString, slices = 4): Unit)
+            ftpFix.keys.toSeq, ftpDst.toString, slices = 4,
+            publishTo = Some(ftpPub)): Unit)
           val sftpOk = staged(() => SftpSource.stageAll(spark, sftpCfg,
-            sftpFix.keys.toSeq, sftpDst.toString, slices = 4): Unit)
+            sftpFix.keys.toSeq, sftpDst.toString, slices = 4,
+            publishTo = Some(sftpPub)): Unit)
           // byte-identity of every staged file, and not one file more
           // (an orphaned partial or stray temp would show up here)
           def verify(dst: Path, fix: Map[String, Array[Byte]]): Boolean = {
@@ -107,6 +125,44 @@ final class StageSoakPhase extends SoakPhase {
             green += 1
           else println(s"[soak] stage iteration $iterations NOT green " +
             s"(ftp=$ftpOk sftp=$sftpOk)")
+
+          // ---- publish-leg verification (round 13): shared side
+          // byte-identical with nothing extra, and a re-run is a
+          // complete no-op (0 bytes moved, shared mtimes untouched)
+          if (ftpOk && sftpOk) {
+            publishIterations += 1
+            // Hadoop's LocalFileSystem writes `.name.crc` checksum
+            // sidecars next to every file it creates (client-side
+            // checksums; HDFS/S3 keep them out of the namespace) —
+            // hidden files are not part of the published data set
+            def dataFiles(dir: Path): Seq[Path] =
+              treeFiles(dir).filterNot(_.getFileName.toString.startsWith("."))
+            def sharedOk(proto: String, fix: Map[String, Array[Byte]]): Boolean = {
+              val dst = pubRoot.resolve(proto)
+              val got = dataFiles(dst).map(p => "/" + dst.relativize(p).toString).sorted
+              got == fix.keys.toSeq.sorted && fix.forall { case (remote, bytes) =>
+                java.util.Arrays.equals(
+                  Files.readAllBytes(dst.resolve(remote.stripPrefix("/"))), bytes)
+              }
+            }
+            def mtimes(): Map[String, Long] =
+              dataFiles(pubRoot).map(p =>
+                pubRoot.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis).toMap
+            val firstPass = sharedOk("ftp", ftpFix) && sharedOk("sftp", sftpFix)
+            val before = mtimes()
+            val rerun =
+              try {
+                val m1 = FtpSource.stageAll(spark, ftpCfg, ftpFix.keys.toSeq,
+                  ftpDst.toString, slices = 4, publishTo = Some(ftpPub))
+                val m2 = SftpSource.stageAll(spark, sftpCfg, sftpFix.keys.toSeq,
+                  sftpDst.toString, slices = 4, publishTo = Some(sftpPub))
+                Some((m1 ++ m2).map(_._3).sum)
+              } catch { case _: Throwable => None } // a kill mid-re-run: not green
+            val stable = mtimes() == before
+            if (firstPass && rerun.contains(0L) && stable) publishGreen += 1
+            else println(s"[soak] publish leg $publishIterations NOT green " +
+              s"(shared=$firstPass rerunMoved=$rerun mtimesStable=$stable)")
+          }
         } catch {
           case e: Throwable =>
             iterations += 1
