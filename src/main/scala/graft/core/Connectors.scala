@@ -203,6 +203,14 @@ final case class FileConnector(
     *     on the same filesystem, then swapped in with two java.nio
     *     ATOMIC_MOVE renames — atomic on one local FS, and cheaper than
     *     a manifest a single-host table will never need.
+    *
+    * Writer model: SINGLE writer per table (the reference's batch-loop
+    * shape). Two CONCURRENT upserts to one index are last-commit-wins —
+    * each rewrite carries its own full merged state, so the later
+    * pointer flip discards the earlier upsert's rows (the commit
+    * protocol keeps the log linear and readers safe, it does not
+    * validate snapshot staleness the way Iceberg's optimistic retry
+    * does). Readers are never torn either way.
     */
   private def mergeRewrite(df: DataFrame, index: String, pks: Seq[String], newWins: Boolean): Unit = {
     require(pks.nonEmpty, s"$name/$index: InsertIgnore/Replace need pk columns")
