@@ -355,11 +355,27 @@ object ManifestTable {
         schema.fold(r)(r.schema).parquet(leaves: _*)
       }
       val first = readGroup(ordered.head._1, ordered.head._2, None)
-      val frames = first +: ordered.tail.map { case (gen, entries) =>
-        // full schema incl. the partition column: its VALUES still
-        // come from each leg's directory names, parsed to this type
-        readGroup(gen, entries, Some(first.schema)).select(first.columns.map(
-          org.apache.spark.sql.functions.col): _*)
+      // construct the remaining legs CONCURRENTLY: each spark.read
+      // lists its generation's files eagerly on the driver, and at max
+      // gc-bounded fragmentation (tens of legs) doing that serially is
+      // the residual fixed cost — the listings are independent I/O and
+      // the DataFrame builds are thread-safe
+      val tail = ordered.tail.toVector
+      val frames = first +: {
+        if (tail.isEmpty) Vector.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, tail.size))
+          try pool.invokeAll(tail.map[java.util.concurrent.Callable[DataFrame]] {
+            case (gen, entries) => () =>
+              // full schema incl. the partition column: its VALUES
+              // still come from each leg's directory names
+              readGroup(gen, entries, Some(first.schema)).select(first.columns.map(
+                org.apache.spark.sql.functions.col): _*)
+          }.asJava).asScala.toVector.map(_.get())
+          finally pool.shutdown()
+        }
       }
       frames.reduce(_ union _)
     }
