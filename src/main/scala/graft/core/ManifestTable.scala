@@ -14,6 +14,14 @@ final case class ManifestEntry(part: String, dir: String, files: Seq[String])
 
 final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry])
 
+/** Liveness failure, named: `commit()` spent its whole young-gap wait
+  * ceiling blocked behind open-but-unwritten newer commits (a stream of
+  * crash-looping committers each reserving a fresh husk, or a store
+  * clock skewed far ahead of the client). Safety is untouched — nothing
+  * was committed; the caller can retry once the contention clears.
+  */
+final class ManifestContentionException(msg: String) extends java.io.IOException(msg)
+
 /** Manifest-pointer commits for directory-shaped tables — the
   * object-store-safe replacement for rename-swap maintenance
   * (round-12; the round-11 verdict's task 1).
@@ -208,22 +216,46 @@ object ManifestTable {
     * (S3 conditional PUT) the window cannot arise; on NON-atomic
     * create (check-then-put) linearizability needs a lock service —
     * see the store-family table in the class doc.
+    *
+    * Liveness bound (round 14): store mtime alone could stall forever —
+    * a store clock skewed AHEAD of the client keeps one husk "young"
+    * indefinitely, and a crash-looping committer reserving fresh husks
+    * restarts the grace window each time. Two ceilings, both on the
+    * CLIENT clock: a blocking seq is waited at most 2x `invalidGraceMs`
+    * from our first observation of it (then claimed over as dead
+    * regardless of its reported mtime), and the commit as a whole
+    * spends at most 3x `invalidGraceMs` in young-gap waits before
+    * failing loudly with [[ManifestContentionException]] — never a
+    * silent hang, never a silent claim-over of a still-live stream of
+    * committers.
     */
   def commit(fs: FileSystem, root: Path, partCol: String,
       updates: Map[String, Option[ManifestEntry]],
       invalidGraceMs: Long = 30000L): Manifest = {
     var attempts = 0
+    val firstSeen = scala.collection.mutable.Map.empty[Long, Long]
+    var gapWaitedMs = 0L
     while (true) {
       val seqs = listCommitSeqs(fs, root)
       val cur = seqs.iterator.flatMap(readCommit(fs, root, _)).nextOption()
       val newestInvalid = seqs.headOption.filter(n => !cur.map(_.seq).contains(n))
       val youngGap = newestInvalid.exists { n =>
-        try System.currentTimeMillis() -
-          fs.getFileStatus(commitPath(root, n)).getModificationTime < invalidGraceMs
-        catch { case _: java.io.IOException => false } // vanished: re-list settles it
+        val now = System.currentTimeMillis()
+        // client-clock age: immune to store-clock skew; caps per-husk wait
+        val clientAgeMs = now - firstSeen.getOrElseUpdate(n, now)
+        clientAgeMs < 2 * invalidGraceMs && (
+          try now - fs.getFileStatus(commitPath(root, n)).getModificationTime < invalidGraceMs
+          catch { case _: java.io.IOException => false }) // vanished: re-list settles it
       }
       if (youngGap) {
+        if (gapWaitedMs >= 3 * invalidGraceMs)
+          throw new ManifestContentionException(
+            s"manifest commit at $root blocked $gapWaitedMs ms (ceiling 3x " +
+              s"invalidGraceMs=$invalidGraceMs) by open-but-unwritten commits " +
+              s"seq ${firstSeen.keys.toSeq.sorted.mkString(",")} — " +
+              "crash-looping committers or store clock far ahead of client")
         Thread.sleep(50) // wait out the open commit rather than orphan its update
+        gapWaitedMs += 50
       } else {
         attempts += 1
         require(attempts <= 50, s"manifest commit contended out after 50 attempts at $root")
@@ -346,6 +378,20 @@ object ManifestTable {
       // this engine share one schema by construction; a drifted alien
       // file still fails loudly at execution exactly as it would in a
       // plain directory read.
+      //
+      // Guard on the reuse (round 14): reusing a schema on a leg whose
+      // files actually DIFFER would silently narrow results — a column
+      // present only in a newer generation is dropped, one missing from
+      // it reads as null. So ONE tail leg (the last in group order) is
+      // spot-checked: its schema is inferred from its own footers and
+      // its column-name set must equal the reused one, else the read
+      // fails loudly naming the drifted columns. One extra footer read
+      // total (not per leg), overlapped with the concurrent leg builds.
+      // A drift hiding in a MIDDLE generation of a 3+-generation table
+      // can still slip past the spot-check — cross-generation schema
+      // evolution is NOT a supported operation on a manifested table
+      // (rewrite via Overwrite to evolve); the check exists to turn the
+      // common drift case into a loud error instead of silent nulls.
       val ordered = groups.toSeq.sortBy(_._1)
       def readGroup(gen: String, entries: Seq[ManifestEntry],
           schema: Option[org.apache.spark.sql.types.StructType]) = {
@@ -367,13 +413,29 @@ object ManifestTable {
           import scala.jdk.CollectionConverters._
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
             math.min(8, tail.size))
-          try pool.invokeAll(tail.map[java.util.concurrent.Callable[DataFrame]] {
-            case (gen, entries) => () =>
-              // full schema incl. the partition column: its VALUES
-              // still come from each leg's directory names
-              readGroup(gen, entries, Some(first.schema)).select(first.columns.map(
-                org.apache.spark.sql.functions.col): _*)
-          }.asJava).asScala.toVector.map(_.get())
+          try pool.invokeAll(tail.zipWithIndex.map[java.util.concurrent.Callable[DataFrame]] {
+            case ((gen, entries), i) => () =>
+              if (i == tail.size - 1) {
+                // the spot-check leg: inferred from its own footers
+                val probe = readGroup(gen, entries, None)
+                val drift = (probe.columns.toSet diff first.columns.toSet) ++
+                  (first.columns.toSet diff probe.columns.toSet)
+                require(drift.isEmpty,
+                  s"manifest read at $root: generation '$gen' schema drifted from " +
+                    s"'${ordered.head._1}' on columns ${drift.toSeq.sorted.mkString(", ")} — " +
+                    "cross-generation schema evolution is not supported on a manifested " +
+                    "table; rewrite it (Overwrite) to evolve its schema")
+                probe.select(first.columns.map(org.apache.spark.sql.functions.col): _*)
+              } else
+                // full schema incl. the partition column: its VALUES
+                // still come from each leg's directory names
+                readGroup(gen, entries, Some(first.schema)).select(first.columns.map(
+                  org.apache.spark.sql.functions.col): _*)
+          }.asJava).asScala.toVector.map(f =>
+            try f.get()
+            catch { // surface the real failure (e.g. the drift check), not the pool wrapper
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            })
           finally pool.shutdown()
         }
       }

@@ -133,6 +133,89 @@ class ManifestHardeningSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("2024-01-02"))
   }
 
+  test("a husk whose store mtime is skewed into the future is claimed over on the CLIENT clock, not waited on forever") {
+    freshStore()
+    val root = new Path("memfs://shared/grace/skew")
+    ManifestTable.commit(fs, root, "day",
+      Map("d1" -> Some(ManifestEntry("d1", "day=d1", Nil))))
+    val husk = fs.create(commitFile(root, 2L), false)
+    husk.write("dead committer, skewed store clock".getBytes("UTF-8")); husk.close()
+    // store clock an hour AHEAD of the client: store-mtime age is
+    // negative forever, so the pre-round-14 wait never ends
+    fs.setTimes(commitFile(root, 2L), System.currentTimeMillis() + 3600L * 1000, -1)
+    val t0 = System.nanoTime()
+    val m3 = ManifestTable.commit(fs, root, "day",
+      Map("d3" -> Some(ManifestEntry("d3", "g-y/day=d3", Nil))),
+      invalidGraceMs = 150L)
+    val tookMs = (System.nanoTime() - t0) / 1000000
+    assert(tookMs >= 250 && tookMs < 5000,
+      s"expected a ~2x-grace client-clock wait then claim-over, took $tookMs ms")
+    assert(m3.seq == 3L && m3.entries.map(_.part).toSet == Set("d1", "d3"))
+  }
+
+  test("a stream of crash-looping committers planting fresh husks fails loudly at the total-wait ceiling, never hangs") {
+    freshStore()
+    val root = new Path("memfs://shared/grace/stream")
+    ManifestTable.commit(fs, root, "day",
+      Map("d1" -> Some(ManifestEntry("d1", "day=d1", Nil))))
+    // the planter: every 40 ms a "new committer" reserves the next seq,
+    // writes garbage, stamps a future mtime (always store-young), and
+    // dies — the newest husk is never older than 40 ms on our clock
+    def plantHusk(): Unit = {
+      val newest = fs.listStatus(new Path(root, ManifestTable.CommitsDir))
+        .flatMap(_.getPath.getName.toLongOption).max
+      try {
+        val p = commitFile(root, newest + 1)
+        val o = fs.create(p, false)
+        o.write("husk".getBytes("UTF-8")); o.close()
+        fs.setTimes(p, System.currentTimeMillis() + 3600L * 1000, -1)
+      } catch { case _: java.io.IOException => } // raced; re-plant next tick
+    }
+    plantHusk() // the first husk is in place BEFORE the committer starts
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val planter = new Thread(() => {
+      while (!stop.get()) { Thread.sleep(40); plantHusk() }
+    }, "husk-planter")
+    planter.start()
+    try {
+      val ex = intercept[ManifestContentionException] {
+        ManifestTable.commit(fs, root, "day",
+          Map("dx" -> Some(ManifestEntry("dx", "g-x/day=dx", Nil))),
+          invalidGraceMs = 100L)
+      }
+      assert(ex.getMessage.contains("ceiling"), ex.getMessage)
+    } finally { stop.set(true); planter.join(5000) }
+    // safety untouched: the last VALID state is still commit 1
+    assert(ManifestTable.resolve(fs, root).get.entries.map(_.part) == Seq("d1"))
+  }
+
+  test("schema drift across generations fails the read loudly instead of silently narrowing") {
+    freshStore()
+    val root = "memfs://shared/drift/t"
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$root/g-aa/day=d1")
+    // the newer generation grew a column the first group lacks
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra")
+      .write.parquet(s"$root/g-zz/day=d2")
+    ManifestTable.commit(fs, new Path(root), "day", Map(
+      "d1" -> Some(ManifestEntry("d1", "g-aa/day=d1", Nil)),
+      "d2" -> Some(ManifestEntry("d2", "g-zz/day=d2", Nil))))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, root, partCol = "day").collect()
+    }
+    assert(ex.getMessage.contains("schema drifted") && ex.getMessage.contains("extra"),
+      ex.getMessage)
+    // same shape with NO drift still reads: both generations united
+    val root2 = "memfs://shared/drift/ok"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root2/g-aa/day=d1")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root2/g-zz/day=d2")
+    ManifestTable.commit(fs, new Path(root2), "day", Map(
+      "d1" -> Some(ManifestEntry("d1", "g-aa/day=d1", Nil)),
+      "d2" -> Some(ManifestEntry("d2", "g-zz/day=d2", Nil))))
+    assert(ManifestTable.read(spark, root2, partCol = "day")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("adoptIfPlain on an already-manifested root rejects a partCol mismatch by name") {
     freshStore()
     val root = new Path("memfs://shared/adoptchk/t")

@@ -196,6 +196,16 @@ class MemFs extends FileSystem {
         if (torn)
           entries.put(k, Entry(buf.toByteArray, isDir = false, System.currentTimeMillis()))
       }
+      // single-byte writes publish partials too — without this a
+      // byte-by-byte writer (TornCreateCommitSpec's torn-pointer loop)
+      // would leave the key ABSENT until close, so the spec's
+      // sha-guard-rejects-a-partial-prefix assertions would only ever
+      // exercise the file-missing fallback, never a real torn read
+      override def write(b: Int): Unit = {
+        buf.write(b)
+        if (torn)
+          entries.put(k, Entry(buf.toByteArray, isDir = false, System.currentTimeMillis()))
+      }
       override def close(): Unit = {
         super.close()
         entries.put(k, Entry(buf.toByteArray, isDir = false, System.currentTimeMillis()))

@@ -52,6 +52,12 @@ class TornCreateCommitSpec extends SparkSpec {
     bytes.indices.foreach { i =>
       out.write(bytes(i).toInt)
       if (i % 7 == 0 || i == bytes.length - 2) {
+        // anti-vacuity guard (round 14): the torn prefix must be a REAL
+        // reader-visible partial object, not an absent key — otherwise
+        // every assertion below only exercises the file-missing
+        // fallback, never the sha guard rejecting partial content
+        assert(fs.getFileStatus(commitFile(root, 2L)).getLen == i + 1L,
+          s"torn byte $i: partial pointer not visible — torn-create emulation broke")
         val r = ManifestTable.resolve(fs, root)
         assert(r.isDefined, s"reader threw/empty at torn byte $i")
         seen += r.get.seq
