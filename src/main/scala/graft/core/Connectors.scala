@@ -90,16 +90,36 @@ final case class FileConnector(
 
   def read(spark: SparkSession, index: String): DataFrame = {
     val target = pathFor(index)
-    val manifested = if (isRemote) {
-      // once a remote table has been upserted/appended its live file
-      // set is named by the manifest pointer, not by directory shape
+    if (isRemote) {
+      // once a remote table has been written its live file set is named
+      // by the manifest pointer, not by directory shape
       val p = new HPath(target)
-      ManifestTable.resolve(hfs(spark), p).map { m =>
-        val paths = m.entries.flatMap(e => ManifestTable.entryPaths(p, e)).map(_.toString)
-        configure(spark.read).format(format).load(paths: _*)
+      val fs = hfs(spark)
+      ManifestTable.resolve(fs, p) match {
+        case Some(m) =>
+          val paths = m.entries.flatMap(e => ManifestTable.entryPaths(p, e)).map(_.toString)
+          return configure(spark.read).format(format).load(paths: _*)
+        case None if fs.exists(p) =>
+          // no commit ever landed, but a crashed FIRST write may have
+          // left g-*/_commits debris — a plain directory read would
+          // surface its partial bytes as the table. Only flat data
+          // files (a genuinely plain layout) are readable here.
+          val children = fs.listStatus(p).toSeq
+          val debris = children.exists { s =>
+            val n = s.getPath.getName
+            n == ManifestTable.CommitsDir || n.startsWith(ManifestTable.GenPrefix)
+          }
+          if (debris) {
+            val flat = children.filter(s => s.isFile &&
+              !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+            require(flat.nonEmpty,
+              s"$name/$index: only uncommitted write debris at $target — no committed data")
+            return configure(spark.read).format(format).load(flat.map(_.getPath.toString): _*)
+          }
+        case None => // plain layout or absent: native read below
       }
-    } else None
-    manifested.getOrElse(configure(spark.read).format(format).load(target))
+    }
+    configure(spark.read).format(format).load(target)
   }
 
   private def configureW[T](w: DataFrameWriter[T]): DataFrameWriter[T] = {
@@ -112,14 +132,13 @@ final case class FileConnector(
 
   def write(df: DataFrame, index: String, mode: WriteMode): Unit = {
     val target = pathFor(index)
-    val exists =
-      if (isRemote) hfs(df.sparkSession).exists(new HPath(target))
-      else Files.exists(Paths.get(target))
+    if (isRemote) return writeRemote(df, index, new HPath(target), mode)
+    val exists = Files.exists(Paths.get(target))
     mode match {
       case WriteMode.Append =>
-        appendTo(df, target)
+        configureW(df.write).format(format).mode(SaveMode.Append).save(target)
       case WriteMode.Overwrite =>
-        overwriteTo(df, target)
+        configureW(df.write).format(format).mode(SaveMode.Overwrite).save(target)
       case WriteMode.InsertIgnore(pks) if exists =>
         mergeRewrite(df, index, pks, newWins = false)
       case WriteMode.Replace(pks) if exists =>
@@ -129,49 +148,91 @@ final case class FileConnector(
     }
   }
 
-  /** Append. On a remote MANIFESTED table a plain directory append
-    * would land files the manifest never names (invisible to readers),
-    * so the batch goes into a fresh generation committed as an
-    * ADDITIONAL entry — the manifest's multi-entry union makes append
-    * a one-pointer operation with no read-modify-write of data.
+  /** Remote (object-store / HDFS-URI) writes: EVERY mode gets the
+    * [[ManifestTable]] pointer-flip discipline from the table's FIRST
+    * write (round 14). Previously a not-yet-manifested table fell
+    * through to plain `SaveMode.Overwrite`/`Append` — delete-then-
+    * rewrite and rename-based job commit, whose torn/crash windows on
+    * S3-family stores persisted for pure overwrite/append workloads
+    * until a keyed upsert first touched the table.
+    *
+    *   - Append on a manifested table commits the fresh generation as
+    *     an ADDITIONAL entry — one pointer PUT, no data read-modify-
+    *     write. On a plain layout the existing flat files are ADOPTED
+    *     (pointer-only, zero data movement) first, so they stay
+    *     visible and become gc-able; a fresh/empty target starts
+    *     manifested from this very write.
+    *   - Overwrite lands the new data in a fresh generation and ONE
+    *     commit retires every previous entry — readers flip between
+    *     complete states; gc reclaims superseded bytes later. Plain
+    *     `SaveMode.Overwrite` would delete `_commits` and live
+    *     generations out from under concurrent readers.
+    *   - Upserts on an existing table keep the adopt+merge-rewrite
+    *     path ([[mergeRewrite]]); on an absent one they degenerate to
+    *     the manifested overwrite.
+    *
+    * One documented fallback: an externally-written layout with
+    * foreign SUBDIRECTORIES (e.g. hand-partitioned data) cannot be
+    * adopted unpartitioned, so Append there stays a plain directory
+    * append — visibility of the existing data wins over the commit
+    * discipline this connector cannot retrofit onto a layout it did
+    * not write.
     */
-  private def appendTo(df: DataFrame, target: String): Unit = {
-    val remoteManifest = if (isRemote)
-      ManifestTable.resolve(hfs(df.sparkSession), new HPath(target)) else None
-    remoteManifest match {
-      case Some(_) =>
-        val fs = hfs(df.sparkSession)
-        val gen = writeGeneration(df, fs, new HPath(target))
-        ManifestTable.commit(fs, new HPath(target), partCol = "",
-          Map(gen -> Some(ManifestEntry(gen, gen, Nil))))
-        ()
-      case None =>
-        configureW(df.write).format(format).mode(SaveMode.Append).save(target)
+  private def writeRemote(df: DataFrame, index: String, table: HPath, mode: WriteMode): Unit = {
+    val fs = hfs(df.sparkSession)
+    def foreignSubdirs: Boolean = fs.exists(table) && fs.listStatus(table).exists(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith(ManifestTable.GenPrefix))
+    def commitOverwrite(retire: Seq[ManifestEntry]): Unit = {
+      val gen = writeGeneration(df, fs, table)
+      ManifestTable.commit(fs, table, partCol = "",
+        retire.map(e => e.part -> (None: Option[ManifestEntry])).toMap +
+          ("" -> Some(ManifestEntry("", gen, Nil))))
+      ManifestTable.gc(fs, table)
+      ()
+    }
+    mode match {
+      case WriteMode.Append =>
+        resolveOrAdopt(fs, table) match {
+          case Some(_) =>
+            val gen = writeGeneration(df, fs, table)
+            ManifestTable.commit(fs, table, partCol = "",
+              Map(gen -> Some(ManifestEntry(gen, gen, Nil))))
+            ()
+          case None if foreignSubdirs =>
+            configureW(df.write).format(format).mode(SaveMode.Append).save(table.toString)
+          case None => // fresh or empty target: manifested from write one
+            commitOverwrite(Nil)
+        }
+      case WriteMode.Overwrite =>
+        commitOverwrite(resolveOrAdopt(fs, table).map(_.entries).getOrElse(Nil))
+      case WriteMode.InsertIgnore(pks) if fs.exists(table) =>
+        mergeRewrite(df, index, pks, newWins = false)
+      case WriteMode.Replace(pks) if fs.exists(table) =>
+        mergeRewrite(df, index, pks, newWins = true)
+      case _ => // upsert on an absent target degenerates to overwrite
+        commitOverwrite(Nil)
     }
   }
 
-  /** Overwrite. On a remote MANIFESTED table SaveMode.Overwrite would
-    * delete `_commits` and live generations out from under concurrent
-    * readers — instead the new data lands in a fresh generation and
-    * ONE pointer commit retires every previous entry (readers flip
-    * between complete states; gc reclaims the old data later).
+  /** The table's current committed state: its manifest, or — when only
+    * a plain flat layout exists — that layout adopted in place
+    * (pointer-only commit 1 referencing the existing files by name).
+    * None for a fresh/empty target and for foreign subdirectory
+    * layouts this connector cannot adopt unpartitioned.
     */
-  private def overwriteTo(df: DataFrame, target: String): Unit = {
-    val remoteManifest = if (isRemote)
-      ManifestTable.resolve(hfs(df.sparkSession), new HPath(target)) else None
-    remoteManifest match {
-      case Some(m) =>
-        val fs = hfs(df.sparkSession)
-        val gen = writeGeneration(df, fs, new HPath(target))
-        val retire = m.entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap
-        ManifestTable.commit(fs, new HPath(target), partCol = "",
-          retire + ("" -> Some(ManifestEntry("", gen, Nil))))
-        ManifestTable.gc(fs, new HPath(target))
-        ()
-      case None =>
-        configureW(df.write).format(format).mode(SaveMode.Overwrite).save(target)
+  private def resolveOrAdopt(fs: FileSystem, table: HPath): Option[Manifest] =
+    ManifestTable.resolve(fs, table).orElse {
+      val children = if (fs.exists(table)) fs.listStatus(table).toSeq else Nil
+      val visible = children.filterNot(s =>
+        s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      val flatData = visible.exists(_.isFile)
+      val foreign = visible.exists(s =>
+        s.isDirectory && !s.getPath.getName.startsWith(ManifestTable.GenPrefix))
+      if (flatData && !foreign) Some(ManifestTable.adoptIfPlain(fs, table, partCol = ""))
+      else None
     }
-  }
 
   /** Write `df` into a fresh immutable `g-*` generation under `table`
     * and return the generation's directory name (not yet committed).

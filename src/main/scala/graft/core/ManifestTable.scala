@@ -311,7 +311,12 @@ object ManifestTable {
               value -> Some(ManifestEntry(value, s.getPath.getName, Nil))
             }.toMap
           } else {
+            // g-* dirs under an UNmanifested root are crash debris by
+            // contract: a writer died between its generation write and
+            // the commit that would have named it. Never data — a later
+            // gc sweeps them; they must not block adoption.
             val subDirs = children.filter(_.isDirectory)
+              .filterNot(_.getPath.getName.startsWith(GenPrefix))
             require(subDirs.isEmpty,
               s"manifest adopt: $root has subdirectories " +
                 s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +

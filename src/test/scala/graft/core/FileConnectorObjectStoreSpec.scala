@@ -100,6 +100,70 @@ class FileConnectorObjectStoreSpec extends SparkSpec {
       before + (1 -> "NEW") + (51 -> "ADD"), "gc touched live data")
   }
 
+  test("round 14: a remote table is manifested from its FIRST write — no plain-save fallthrough for overwrite/append") {
+    val c = freshStore()
+    // fresh overwrite: pointer-flip discipline from write one
+    c.write(Seq((1, "a")).toDF("id", "v"), "fresh_ow", WriteMode.Overwrite)
+    assert(ManifestTable.resolve(fs, new Path(c.pathFor("fresh_ow"))).isDefined,
+      "fresh overwrite fell through to plain SaveMode.Overwrite")
+    assert(c.read(spark, "fresh_ow").as[(Int, String)].collect().toMap == Map(1 -> "a"))
+    // fresh append: same
+    c.write(Seq((2, "b")).toDF("id", "v"), "fresh_ap", WriteMode.Append)
+    assert(ManifestTable.resolve(fs, new Path(c.pathFor("fresh_ap"))).isDefined,
+      "fresh append fell through to plain SaveMode.Append")
+    c.write(Seq((3, "c")).toDF("id", "v"), "fresh_ap", WriteMode.Append)
+    assert(c.read(spark, "fresh_ap").as[(Int, String)].collect().toMap ==
+      Map(2 -> "b", 3 -> "c"))
+  }
+
+  test("round 14: append/overwrite on a PLAIN remote layout adopt it in place — old rows stay visible and become gc-able") {
+    val c = freshStore()
+    // plant a plain (pre-manifest) layout the way an external writer
+    // or an older engine version would have left it
+    Seq((1, "old"), (2, "keep")).toDF("id", "v")
+      .write.parquet(c.pathFor("t"))
+    assert(ManifestTable.resolve(fs, new Path(c.pathFor("t"))).isEmpty)
+    c.write(Seq((3, "new")).toDF("id", "v"), "t", WriteMode.Append)
+    assert(c.read(spark, "t").as[(Int, String)].collect().toMap ==
+      Map(1 -> "old", 2 -> "keep", 3 -> "new"),
+      "adopted rows vanished after the manifested append")
+    // overwrite retires BOTH the adopted files and the appended gen
+    c.write(Seq((9, "z")).toDF("id", "v"), "t", WriteMode.Overwrite)
+    assert(c.read(spark, "t").as[(Int, String)].collect().toMap == Map(9 -> "z"))
+    // after the history window passes, gc reclaims the adopted originals
+    ManifestTable.gc(fs, new Path(c.pathFor("t")), keepCommits = 1, orphanRetentionMs = 0L)
+    val liveParts = fs.listStatus(new Path(c.pathFor("t"))).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-")).toSeq
+    assert(liveParts.isEmpty, s"adopted plain files never became gc-able: $liveParts")
+    assert(c.read(spark, "t").as[(Int, String)].collect().toMap == Map(9 -> "z"))
+  }
+
+  test("round 14: a crash during a fresh table's FIRST write never surfaces partial data to readers") {
+    val c = freshStore()
+    val incoming = (1 to 40).map(i => (i, s"v$i")).toDF("id", "v")
+    var fired = 0
+    (1 to 4).foreach { step =>
+      MemFsStore.renameCopyCrashAfter.set(step)
+      val crashed =
+        try { c.write(incoming, "first", WriteMode.Overwrite); false }
+        catch { case _: Throwable => true }
+      if (crashed) fired += 1
+      MemFsStore.disarmCrash()
+      // a reader must see either the complete table or a loud
+      // "no committed data" — NEVER a partial row set
+      val seen =
+        try Some(c.read(spark, "first").as[(Int, String)].collect().toMap)
+        catch { case _: Exception => None }
+      seen.foreach(m => assert(m.size == 40,
+        s"step-$step crash surfaced a PARTIAL table: ${m.size} rows"))
+    }
+    assert(fired > 0, "injection never fired — the first write does no renames?")
+    // rerun converges value-exactly over the debris
+    c.write(incoming, "first", WriteMode.Overwrite)
+    assert(c.read(spark, "first").as[(Int, String)].collect().toMap.size == 40)
+    assert(ManifestTable.resolve(fs, new Path(c.pathFor("first"))).isDefined)
+  }
+
   test("csv tables get the same manifest discipline; listIndexes never leaks manifest internals") {
     val c = FileConnector("objcsv", "memfs://shared/conncsv", "csv")
     MemFsStore.clear()
