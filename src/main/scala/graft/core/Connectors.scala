@@ -265,31 +265,76 @@ final case class FileConnector(
     *     ATOMIC_MOVE renames — atomic on one local FS, and cheaper than
     *     a manifest a single-host table will never need.
     *
-    * Writer model: SINGLE writer per table (the reference's batch-loop
-    * shape). Two CONCURRENT upserts to one index are last-commit-wins —
-    * each rewrite carries its own full merged state, so the later
-    * pointer flip discards the earlier upsert's rows (the commit
-    * protocol keeps the log linear and readers safe, it does not
-    * validate snapshot staleness the way Iceberg's optimistic retry
-    * does). Readers are never torn either way.
+    * Writer model (round 14): remote upserts are OPTIMISTICALLY
+    * CONCURRENT — each attempt records the committed state its merge
+    * was derived from (the adopted/resolved manifest's seq) and commits
+    * conditionally on that state still being live
+    * (`ManifestTable.commit(expectedSeq)`). An interleaved commit makes
+    * the attempt fail STALE instead of silently discarding the other
+    * writer's rows (the pre-round-14 last-commit-wins anomaly); the
+    * loser deletes its orphaned generation, re-reads the NEW state,
+    * re-merges and retries — the Iceberg optimistic-retry discipline,
+    * bounded at [[FileConnector.MaxUpsertAttempts]] (each retry is
+    * caused by one other writer's SUCCESSFUL commit, so K concurrent
+    * upserts need at most K-1 retries for the last to land; the bound
+    * failing loudly means pathological sustained contention, not data
+    * loss). The single-writer common case pays nothing: first attempt,
+    * no extra I/O beyond the seq already in hand. Local paths keep the
+    * single-writer rename swap (the reference's batch-loop shape).
+    * Readers are never torn either way.
     */
   private def mergeRewrite(df: DataFrame, index: String, pks: Seq[String], newWins: Boolean): Unit = {
     require(pks.nonEmpty, s"$name/$index: InsertIgnore/Replace need pk columns")
     val spark = df.sparkSession
     if (isRemote) {
-      // adopt FIRST: pins the pre-rewrite file set by name, so the scan
-      // below and the commit's retire list speak the same state
       val fs = hfs(spark)
       val table = new HPath(pathFor(index))
-      val adopted = ManifestTable.adoptIfPlain(fs, table, partCol = "")
-      val existing = read(spark, index)
-      val out = mergeFrames(df, existing, pks, newWins)
-      val gen = writeGeneration(out, fs, table)
-      val retire = adopted.entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap
-      ManifestTable.commit(fs, table, partCol = "",
-        retire + ("" -> Some(ManifestEntry("", gen, Nil))))
-      ManifestTable.gc(fs, table)
-      ()
+      var attempts = 0
+      while (attempts < FileConnector.MaxUpsertAttempts) {
+        attempts += 1
+        // adopt/resolve FIRST: pins the pre-rewrite file set by name, so
+        // the scan below, the retire list, AND the expectedSeq guard all
+        // speak the same state. The merge reads the base manifest's
+        // paths explicitly (never a re-resolving read()) — a base/scan
+        // disagreement would unmoor the staleness check from the rows
+        // actually merged.
+        val base = ManifestTable.resolve(fs, table)
+          .getOrElse(ManifestTable.adoptIfPlain(fs, table, partCol = ""))
+        val basePaths = base.entries
+          .flatMap(e => ManifestTable.entryPaths(table, e)).map(_.toString)
+        val existing = configure(spark.read).format(format).load(basePaths: _*)
+        val out = mergeFrames(df, existing, pks, newWins)
+        var gen: String = null
+        try {
+          gen = writeGeneration(out, fs, table)
+          FileConnector.beforeUpsertCommit()
+          val retire = base.entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap
+          ManifestTable.commit(fs, table, partCol = "",
+            retire + ("" -> Some(ManifestEntry("", gen, Nil))),
+            expectedSeq = Some(base.seq))
+          ManifestTable.gc(fs, table)
+          return
+        } catch {
+          case _: ManifestStaleException =>
+            // our generation was never committed — orphan debris; sweep
+            // it eagerly rather than waiting for gc's retention window
+            if (gen != null) fs.delete(new HPath(table, gen), true)
+          case e: Throwable =>
+            // a concurrent WINNER's gc can retire our base's files while
+            // our merge scan is still reading them (the in-flight-reader
+            // grace caveat) — that surfaces as a job failure, not a
+            // commit-guard trip. Same staleness, detected later: retry
+            // iff the table really did advance past our base, else the
+            // failure is genuine and must propagate.
+            val nowSeq = ManifestTable.resolve(fs, table).map(_.seq).getOrElse(0L)
+            if (nowSeq == base.seq) throw e
+            if (gen != null) fs.delete(new HPath(table, gen), true)
+        }
+      }
+      throw new java.io.IOException(
+        s"$name/$index: upsert lost the optimistic-commit race " +
+          s"${FileConnector.MaxUpsertAttempts} times — sustained concurrent-writer " +
+          "contention on one table; nothing was lost, retry when it clears")
     } else {
       val existing = read(spark, index)
       val out = mergeFrames(df, existing, pks, newWins)
@@ -391,6 +436,23 @@ final case class FileConnector(
       }
       .sorted
   }
+}
+
+object FileConnector {
+  /** Optimistic-upsert retry bound. Each retry is triggered by one
+    * OTHER writer's successful commit landing mid-attempt, so the bound
+    * is "how many concurrent upserts to ONE table the connector rides
+    * out", not a spin count — 10 covers any realistic batch-loop fleet;
+    * beyond it the named failure below reports contention, never data
+    * loss (the table is left at the last successfully committed state).
+    */
+  val MaxUpsertAttempts = 10
+
+  /** Test seam: runs between an upsert attempt's generation write and
+    * its conditional commit — the exact window an interleaved writer's
+    * commit makes the attempt stale. Production no-op.
+    */
+  @volatile private[graft] var beforeUpsertCommit: () => Unit = () => ()
 }
 
 /** In-memory connector (`ListD`, `d22d/utils/db/__init__.py:1469-1498`):

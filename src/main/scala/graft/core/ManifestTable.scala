@@ -22,6 +22,15 @@ final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry
   */
 final class ManifestContentionException(msg: String) extends java.io.IOException(msg)
 
+/** Optimistic-concurrency failure, named: the caller declared the
+  * committed state its update was computed FROM (`expectedSeq`), and by
+  * commit time a different state was live — committing would silently
+  * discard the interleaved writer's rows (the lost-update anomaly).
+  * Nothing was committed; the caller re-reads the new state, re-derives
+  * its update, and retries — the Iceberg optimistic-retry discipline.
+  */
+final class ManifestStaleException(msg: String) extends java.io.IOException(msg)
+
 /** Manifest-pointer commits for directory-shaped tables — the
   * object-store-safe replacement for rename-swap maintenance
   * (round-12; the round-11 verdict's task 1).
@@ -217,6 +226,17 @@ object ManifestTable {
     * create (check-then-put) linearizability needs a lock service —
     * see the store-family table in the class doc.
     *
+    * Optimistic concurrency (round 14): `expectedSeq = Some(s)` makes
+    * the commit CONDITIONAL on the newest valid state still being `s`
+    * (0 for "no valid commit existed") — the caller's declaration of
+    * the snapshot its update was derived from. A mismatch throws
+    * [[ManifestStaleException]] before any write; the linearizable
+    * claim (seq = newestSeen+1 from the SAME listing) guarantees the
+    * check cannot pass while another commit lands unseen. Pure
+    * ADDITIVE updates (append's fresh entry) don't need it — the carry
+    * logic preserves interleaved entries — only read-modify-write
+    * updates whose retire set names a snapshot do.
+    *
     * Liveness bound (round 14): store mtime alone could stall forever —
     * a store clock skewed AHEAD of the client keeps one husk "young"
     * indefinitely, and a crash-looping committer reserving fresh husks
@@ -231,7 +251,8 @@ object ManifestTable {
     */
   def commit(fs: FileSystem, root: Path, partCol: String,
       updates: Map[String, Option[ManifestEntry]],
-      invalidGraceMs: Long = 30000L): Manifest = {
+      invalidGraceMs: Long = 30000L,
+      expectedSeq: Option[Long] = None): Manifest = {
     var attempts = 0
     val firstSeen = scala.collection.mutable.Map.empty[Long, Long]
     var gapWaitedMs = 0L
@@ -259,6 +280,20 @@ object ManifestTable {
       } else {
         attempts += 1
         require(attempts <= 50, s"manifest commit contended out after 50 attempts at $root")
+        // Optimistic-concurrency guard (round 14): updates that REPLACE
+        // state (a merge-rewrite's retire set) are only valid against
+        // the exact state they were computed from — a commit that
+        // landed in between holds rows our merged frame never saw, and
+        // writing over it would drop them. Checked on every claim
+        // attempt (including after losing a create race), BEFORE any
+        // bytes are written.
+        expectedSeq.foreach { es =>
+          val curSeq = cur.map(_.seq).getOrElse(0L)
+          if (curSeq != es)
+            throw new ManifestStaleException(
+              s"manifest at $root advanced to seq $curSeq while an update computed " +
+                s"from seq $es was in flight — re-read, re-derive, retry")
+        }
         cur.foreach(m => require(m.partCol == partCol,
           s"manifest at $root partitions on '${m.partCol}', caller expected '$partCol'"))
         val carried = cur.map(_.entries).getOrElse(Nil)
