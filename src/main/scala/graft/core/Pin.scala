@@ -122,14 +122,76 @@ object Pin {
 
   private def pruneStale(fs: FileSystem, root: Path): Unit =
     if (pruned.compareAndSet(false, true)) {
-      val cutoff = System.currentTimeMillis() - PruneAfterMs
-      try {
-        if (fs.exists(root))
-          fs.listStatus(root)
-            .filter(s => s.isDirectory && s.getModificationTime < cutoff)
-            .foreach(s => fs.delete(s.getPath, true): Unit)
-      } catch { case _: java.io.IOException => }
+      try { gcAt(fs, root, PruneAfterMs); () }
+      catch { case _: java.io.IOException => }
     }
+
+  /** Newest FILE mtime under `p` (recursive max) — the same aging
+    * discipline as [[ManifestTable.gc]]'s orphan sweep. Directory
+    * statuses are never trusted for age: on object stores the
+    * "directory" is synthetic and reports mtime 0, which would make a
+    * pin another JVM is actively writing look infinitely old — the
+    * round-12 gc lesson, re-applied here (the previous prune aged on
+    * dir mtime ALONE and would have PREMATURELY deleted live pins on
+    * real S3A). The dir's own mtime still PARTICIPATES when non-zero —
+    * it is what [[heartbeat]] re-stamps, so a multi-day job whose pin
+    * files were written once on day one stays protected — the age is
+    * the MAX of both signals. A dir with neither signal (fileless,
+    * mtime 0) counts as YOUNG: a writer may be about to land its first
+    * file.
+    */
+  private def pinAge(fs: FileSystem, p: Path): Option[Long] = {
+    def newestFile(q: Path): Option[Long] =
+      try {
+        val st = fs.listStatus(q)
+        val mt = st.flatMap(s =>
+          if (s.isDirectory) newestFile(s.getPath) else Some(s.getModificationTime))
+        if (mt.isEmpty) None else Some(mt.max)
+      } catch { case _: java.io.IOException => None }
+    val dirMt =
+      try Some(fs.getFileStatus(p).getModificationTime).filter(_ > 0L)
+      catch { case _: java.io.IOException => None }
+    (newestFile(p).toSeq ++ dirMt.toSeq).maxOption
+  }
+
+  /** Sweep the pin store: delete every pin directory that is (a)
+    * UNREACHABLE — pin names carry a session-unique random component,
+    * so a pin from any session not live in THIS JVM can never be read
+    * by name again (the reachability criterion; no manifest scan
+    * needed, unreachability is structural) — and (b) OLDER than
+    * `maxAgeMs` by newest-file mtime, the grace window that keeps the
+    * sweep from reaping a CONCURRENT JVM's live pins (whose heartbeat
+    * re-stamps them every [[BeatIntervalMs]], exactly so this check
+    * stays true for multi-day jobs). Returns reclaimed bytes and adds
+    * them to [[reclaimedBytes]] — the number Bench publishes, so the
+    * store's lifecycle is a measured fact, not a claim. Runs lazily on
+    * every JVM's first pin ([[PruneAfterMs]] window) and on demand
+    * from maintenance tooling with a caller-chosen window.
+    */
+  def gc(spark: SparkSession, maxAgeMs: Long = PruneAfterMs): Long = {
+    val (fs, root) = fsRoot(spark)
+    gcAt(fs, root, maxAgeMs)
+  }
+
+  private def gcAt(fs: FileSystem, root: Path, maxAgeMs: Long): Long = {
+    if (!fs.exists(root)) return 0L
+    import scala.jdk.CollectionConverters._
+    val liveSuffixes = sessionIds.values.asScala.map(id => s"-s$id").toSet
+    val now = System.currentTimeMillis()
+    var bytes = 0L
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        !liveSuffixes.exists(s.getPath.getName.endsWith) &&
+        pinAge(fs, s.getPath).exists(mt => now - mt >= maxAgeMs))
+      .foreach { s =>
+        bytes += (try fs.getContentSummary(s.getPath).getLength
+                  catch { case _: java.io.IOException => 0L })
+        fs.delete(s.getPath, true)
+        ()
+      }
+    reclaimed.addAndGet(bytes)
+    bytes
+  }
 
   /** Corpus-dir tag for artifact names — the ONE rendering of the
     * scheme (StorageOps layouts, SketchOps rollups and the tools call
@@ -163,12 +225,15 @@ object Pin {
     * `lastBeat` records only SUCCESSFUL touches, so a transient FS
     * error retries on the next call instead of silently skipping a
     * whole beat interval. On object stores (S3A) directory mtimes are
-    * synthetic and `setTimes` is unsupported — the beat stays
-    * best-effort no-op there and age-based pruning degrades to
-    * "never prunes", never to premature deletion (creation-time
-    * listings can make mtimes look OLD on some stores, so set
-    * [[RootConfKey]] to a per-job unique root on S3-likes and reap by
-    * job lifecycle instead).
+    * synthetic and `setTimes` is unsupported — the beat stays a
+    * best-effort no-op there, so [[gc]]'s age signal falls back to
+    * FILE mtimes (S3 upload times: real, but frozen at write — a
+    * multi-day job's pins look old without any heartbeat to refresh
+    * them). The S3-like discipline therefore stays what this doc has
+    * always mandated: set [[RootConfKey]] to a per-job unique root and
+    * reap by job lifecycle (or pass gc a window exceeding the job's
+    * duration); on heartbeat-capable stores (local, HDFS) the
+    * [[PruneAfterMs]] default is safe for jobs of any length.
     */
   private def heartbeat(spark: SparkSession, name: String): Unit = {
     val key = (spark, name)

@@ -120,6 +120,53 @@ class PinMemFsSpec extends SparkSpec {
     Pin.release(s, deleteArtifacts = true)
   }
 
+  test("round 14 Pin.gc: dead-session pins are swept by newest-file age and the bytes are counted; live and young pins survive") {
+    MemFsStore.clear()
+    val s = freshMemSession("memfs://shared/pins")
+    import s.implicits._
+    val now = System.currentTimeMillis()
+    def plant(dir: String, fileAgeMs: Long, dirMtime: Long, bytes: Int): Unit = {
+      MemFsStore.entries.put(dir, MemFsStore.Entry(Array.empty, isDir = true, dirMtime))
+      MemFsStore.entries.put(s"$dir/part-0.parquet",
+        MemFsStore.Entry(Array.fill(bytes)(1.toByte), isDir = false, now - fileAgeMs))
+      ()
+    }
+    // a dead JVM's pin: old files, old dir → reaped, bytes counted
+    plant("/pins/dead-sdeadbeef", 25L * 3600 * 1000, now - 25L * 3600 * 1000, 64)
+    // S3A shape: synthetic dir mtime 0 but FRESH file — the dir-mtime-
+    // only aging of the pre-round-14 prune would have reaped this live
+    // pin prematurely; newest-file aging must keep it
+    plant("/pins/fresh-s3a-scafebabe", 0L, 0L, 8)
+    // heartbeat shape: file written a day ago, dir mtime re-stamped NOW
+    // (what a long-running foreign JVM's heartbeat does) → must survive
+    plant("/pins/beating-sfeedf00d", 25L * 3600 * 1000, now, 8)
+    // this session's OWN pin, aged artificially: live-session suffix
+    // protection must keep it regardless of any mtime
+    val mine = Pin.shared(s, "spec-gc-live")(Seq((1L, "x")).toDF("id", "v"))
+    assert(mine.collect().length == 1)
+    val myDir = memKeys().filter(_.contains("/pins/spec-gc-live-s"))
+    myDir.foreach { k =>
+      val e = MemFsStore.entries.get(k)
+      MemFsStore.entries.put(k, MemFsStore.Entry(e.bytes, e.isDir, now - 48L * 3600 * 1000))
+    }
+    val before = Pin.reclaimedBytes
+    val swept = Pin.gc(s)
+    assert(swept == 64, s"expected exactly the dead pin's 64 bytes, got $swept")
+    assert(Pin.reclaimedBytes == before + 64, "reclaimedBytes did not absorb the sweep")
+    assert(!memKeys().exists(_.startsWith("/pins/dead-sdeadbeef")), "dead pin survived")
+    assert(memKeys().exists(_.startsWith("/pins/fresh-s3a-scafebabe")),
+      "fresh pin with synthetic dir mtime 0 was reaped — the S3A premature-deletion hazard")
+    assert(memKeys().exists(_.startsWith("/pins/beating-sfeedf00d")),
+      "heartbeat-stamped pin was reaped — the dir-mtime signal was ignored")
+    assert(memKeys().exists(_.contains("/pins/spec-gc-live-s")),
+      "the LIVE session's own pin was reaped despite the session-suffix protection")
+    // release drops the session; its pin becomes structurally
+    // unreachable and the next aged sweep reaps it too
+    Pin.release(s)
+    assert(Pin.gc(s, maxAgeMs = 24L * 3600 * 1000) > 0, "released session's aged pin not reaped")
+    assert(!memKeys().exists(_.contains("/pins/spec-gc-live-s")))
+  }
+
   test("object-store mode (setTimes unsupported): pins still build and re-read; heartbeat degrades to no-op") {
     MemFsStore.clear()
     MemFsStore.supportSetTimes = false
