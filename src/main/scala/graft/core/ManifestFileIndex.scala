@@ -1,0 +1,225 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileFormat, FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ONE-scan reads for manifested tables (round-14 verdict task 3).
+  *
+  * [[ManifestTable.read]] unions one scan leg per live generation
+  * group — correct, but each leg costs fixed driver time (file
+  * listing, plan node) and the union denies Spark a single uniform
+  * scan: at the gc-bounded worst case of one group per partition
+  * (36 legs), ~0.6 s of plan-time overhead independent of data size
+  * (`ManifestReadBench`, SCALING §12-16). This class removes the legs
+  * entirely: it implements Spark's [[FileIndex]] — the exact seam
+  * `InMemoryFileIndex` (plain directories) and Delta's
+  * `TahoeLogFileIndex` plug into — so the manifest's live file set
+  * feeds ONE `FileScan parquet` node through the native
+  * `FileSourceStrategy`, with:
+  *   - partition pruning intact: `listFiles(partitionFilters, …)`
+  *     evaluates the pruned predicate against each entry's partition
+  *     value, so unselected partitions are never listed into the scan
+  *     (`PruneFileSourcePartitions` pushes catalyst filters here);
+  *   - accurate `sizeInBytes` from the manifest's own file statuses,
+  *     so broadcast-join decisions see the LIVE bytes, not a stale
+  *     directory estimate;
+  *   - whole-stage codegen, vectorized parquet, pushed data filters —
+  *     everything the native file source gives a plain directory.
+  *
+  * File listing happens ONCE at construction, driver-side, straight
+  * from the manifest entries (generation dirs are immutable by
+  * protocol, so the listing cannot go stale while this index lives;
+  * `refresh()` re-resolves the pointer). Partition-column TYPE follows
+  * the same inference a per-leg basePath read would produce for the
+  * layouts this engine writes (int / long / ISO-date / string) so the
+  * two read paths stay schema-identical — proven by the parity spec.
+  *
+  * Scale contract (100 TB): construction is O(live files) driver
+  * metadata — the same listing any InMemoryFileIndex does, minus the
+  * directory walk (paths come from the manifest, no recursive
+  * discovery I/O) — and the scan itself is a single native parquet
+  * scan over exactly the live bytes.
+  */
+final class ManifestFileIndex(
+    spark: SparkSession,
+    val root: Path,
+    partColName: String,
+    selected: Option[Set[String]] = None,
+) extends FileIndex {
+
+  private val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** (manifest, per-partition file statuses) — resolved once; immutable
+    * generations make the statuses stable for this index's lifetime.
+    */
+  @volatile private var state: (Manifest, Seq[(String, Seq[FileStatus])]) = load()
+
+  private def dataFile(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".")
+
+  private def load(): (Manifest, Seq[(String, Seq[FileStatus])]) = {
+    val m = ManifestTable.resolve(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $root"))
+    require(m.partCol == partColName,
+      s"manifest at $root partitions on '${m.partCol}', caller expected '$partColName'")
+    val wanted = selected match {
+      case Some(sel) => m.entries.filter(e => sel.contains(e.part))
+      case None      => m.entries
+    }
+    require(wanted.nonEmpty, s"manifested table at $root has no matching partitions")
+    val perPart = wanted.map { e =>
+      val statuses = ManifestTable.entryPaths(root, e).flatMap { p =>
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) fs.listStatus(p).toSeq.filter(s => s.isFile && dataFile(s.getPath.getName))
+        else Seq(st)
+      }
+      e.part -> statuses
+    }
+    (m, perPart)
+  }
+
+  /** Partition-column type, inferred over ALL partition values with the
+    * same ladder Spark's own partition inference applies to the layouts
+    * this engine writes: int → long → ISO date → string. Inferring over
+    * every value (not a sample) keeps one alien value from silently
+    * coercing the column.
+    */
+  val partType: DataType = {
+    val vs = state._2.map(_._1)
+    if (partColName.isEmpty) NullType
+    else if (vs.forall(_.toIntOption.isDefined)) IntegerType
+    else if (vs.forall(_.toLongOption.isDefined)) LongType
+    else if (vs.forall(v => scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
+    else StringType
+  }
+
+  private def toInternal(v: String): Any = partType match {
+    case IntegerType => v.toInt
+    case LongType    => v.toLong
+    case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case _           => UTF8String.fromString(v)
+  }
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def partitionSchema: StructType =
+    if (partColName.isEmpty) StructType(Nil)
+    else StructType(Seq(StructField(partColName, partType, nullable = false)))
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (_, perPart) = state
+    if (partColName.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, perPart.flatMap(_._2).toArray))
+    else {
+      val dirs = perPart.map { case (part, sts) =>
+        PartitionDirectory(InternalRow(toInternal(part)), sts.toArray)
+      }
+      if (partitionFilters.isEmpty) dirs
+      else {
+        // bind the pruned predicate to the single-column partition row —
+        // the same evaluation PartitioningAwareFileIndex does, minus the
+        // multi-column generality this layout never has
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference if a.name.equalsIgnoreCase(partColName) =>
+            BoundReference(0, partType, nullable = false)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        dirs.filter(d => pred.eval(d.values))
+      }
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    state._2.flatMap(_._2).map(_.getPath.toString).toArray
+
+  override def sizeInBytes: Long = state._2.flatMap(_._2).map(_.getLen).sum
+
+  override def refresh(): Unit = { state = load() }
+
+  /** One sample file per generation group, group-name-sorted — the
+    * schema-inference probes ([[ManifestFileIndex.relation]]) read
+    * exactly two of these (first + last group), never O(groups)
+    * footers.
+    */
+  private[core] def sampleFilePerGroup: Seq[(String, Path)] = {
+    val (m, perPart) = state
+    val groupOf: ManifestEntry => String = e =>
+      if (e.dir.startsWith(ManifestTable.GenPrefix)) e.dir.takeWhile(_ != '/') else ""
+    val entryByPart = m.entries.map(e => e.part -> e).toMap
+    perPart.flatMap { case (part, sts) =>
+      sts.headOption.flatMap(st =>
+        entryByPart.get(part).map(e => groupOf(e) -> st.getPath))
+    }.groupBy(_._1).map { case (g, xs) => g -> xs.head._2 }.toSeq.sortBy(_._1)
+  }
+
+  override def toString: String =
+    s"ManifestFileIndex($root, seq=${state._1.seq}, parts=${state._2.size})"
+}
+
+object ManifestFileIndex {
+
+  private def fileFormatFor(format: String): FileFormat = format match {
+    case "parquet" => new ParquetFileFormat
+    case "csv"     => new CSVFileFormat
+    case "json"    => new JsonFileFormat
+    case other => throw new IllegalArgumentException(
+      s"graftmanifest: unsupported format '$other' (parquet|csv|json)")
+  }
+
+  /** The manifested table at `root` as ONE native file-source scan.
+    * Semantics match [[ManifestTable.read]] (same rows, same schema,
+    * same loud failure on cross-generation schema drift); the plan is a
+    * single `FileScan` instead of one leg per generation group. `parts`
+    * prunes at resolve time exactly like the legacy read; catalyst
+    * partition filters additionally prune through [[FileIndex.listFiles]].
+    */
+  def relation(spark: SparkSession, root: String, partCol: String,
+      parts: Option[Set[String]] = None, format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val index = new ManifestFileIndex(spark, new Path(root), partCol, parts)
+    val effOptions = (format match {
+      case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+      case _     => Map.empty[String, String]
+    }) ++ options
+    // Data schema from the FIRST generation group's footers, with the
+    // same drift guard the legacy read applies: ONE tail group is
+    // spot-checked (two footer probes total, never O(groups)) and a
+    // drifted column-name set fails loudly instead of silently
+    // narrowing — cross-generation schema evolution is not a supported
+    // operation on a manifested table.
+    val samples = index.sampleFilePerGroup
+    def inferOn(path: Path): StructType =
+      spark.read.options(effOptions).format(format).load(path.toString).schema
+    val first = inferOn(samples.head._2)
+    if (samples.size > 1) {
+      val probe = inferOn(samples.last._2)
+      val drift = (probe.fieldNames.toSet diff first.fieldNames.toSet) ++
+        (first.fieldNames.toSet diff probe.fieldNames.toSet)
+      require(drift.isEmpty,
+        s"manifest read at $root: generation '${samples.last._1}' schema drifted from " +
+          s"'${samples.head._1}' on columns ${drift.toSeq.sorted.mkString(", ")} — " +
+          "cross-generation schema evolution is not supported on a manifested " +
+          "table; rewrite it (Overwrite) to evolve its schema")
+    }
+    val rel = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = first,
+      bucketSpec = None,
+      fileFormat = fileFormatFor(format),
+      options = effOptions)(spark)
+    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+}

@@ -531,14 +531,25 @@ object StorageOps {
       filesPerPartition: Int = 1): Unit =
     rewritePartitions(spark, layoutDir, days, identity, filesPerPartition)
 
-  /** Read a day-partitioned layout maintained by this engine —
-    * resolves the manifest pointer when present (grouped-basePath
-    * read, see [[graft.core.ManifestTable.read]]), plain directory
-    * read otherwise.
+  /** Read a day-partitioned layout maintained by this engine. A
+    * manifested layout reads through [[graft.core.ManifestFileIndex]]
+    * (round 14): the live file set feeds ONE native FileScan node —
+    * no per-generation union legs, so the ~60 ms/leg fixed driver cost
+    * ManifestReadBench priced at max fragmentation is gone, and
+    * catalyst partition filters prune inside the single scan. A plain
+    * (not-yet-manifested) directory falls back to
+    * [[graft.core.ManifestTable.read]]'s native-read path, which
+    * honors `days` as an ordinary partition filter.
     */
   def readDayLayout(spark: SparkSession, layoutDir: String,
-      days: Option[Set[String]] = None): DataFrame =
-    graft.core.ManifestTable.read(spark, layoutDir, days, partCol = "day")
+      days: Option[Set[String]] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (graft.core.ManifestTable.resolve(fs, p).isDefined)
+      graft.core.ManifestFileIndex.relation(spark, layoutDir, "day", days)
+    else
+      graft.core.ManifestTable.read(spark, layoutDir, days, partCol = "day")
+  }
 
   /** The shared partition-rewrite engine behind [[compactDays]] and
     * [[eraseUsers]]: per named `day=` partition, read its live files,

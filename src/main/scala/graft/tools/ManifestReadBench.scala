@@ -82,6 +82,12 @@ object ManifestReadBench {
         () => fullScan(spark.read.parquet(plainDir)),
         () => fullScan(spark.read.parquet(plainDir)
           .filter(col("day").cast("string").isin(sel.toSeq.sorted: _*)))) ++
+      // the legacy union-leg read, priced for contrast (round 14: no
+      // longer the production path)
+      scenario("manifested_union",
+        () => fullScan(ManifestTable.read(spark, manifDir, None, partCol = "day")),
+        () => fullScan(ManifestTable.read(spark, manifDir, Some(sel), partCol = "day"))) ++
+      // the production path since round 14: ManifestFileIndex single scan
       scenario("manifested",
         () => fullScan(graft.operators.StorageOps.readDayLayout(spark, manifDir)),
         () => fullScan(graft.operators.StorageOps.readDayLayout(spark, manifDir, Some(sel)))) ++

@@ -118,12 +118,13 @@ class StorageLayoutSpec extends SparkSpec {
     // resolves (and scans) exactly that partition's files
     val oneDay = StorageOps.readDayLayout(spark, work, Some(Set("2024-01-10")))
     assert(oneDay.inputFiles.length == 1, oneDay.inputFiles.mkString(", "))
-    // plan shape: one scan leg per live GENERATION (adopted + this
-    // rewrite = 2), NOT one per partition — the union stays bounded
-    // by gc's history window however many partitions the table has
+    // plan shape (round 14): the manifest feeds ONE native FileScan
+    // through ManifestFileIndex regardless of generation count — the
+    // per-generation union legs (2 here: adopted + this rewrite) are
+    // gone along with their fixed driver cost
     val legs = scansOf(StorageOps.readDayLayout(spark, work)
       .queryExecution.executedPlan).size
-    assert(legs == 2, s"expected 2 generation scan legs, plan has $legs")
+    assert(legs == 1, s"expected ONE single-scan leg, plan has $legs")
   }
 
   test("q136 row-group skipping: sorted footers exclude the window, control cannot") {
