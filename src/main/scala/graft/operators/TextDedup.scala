@@ -227,27 +227,45 @@ object TextDedup {
 
   private val SnmWindow = 4
 
+  /** SNM sort-key length, in characters. The neighbor window orders on
+    * `substring(text, 1, SnmKeyLen)` (doc_id tiebreak), NOT the full
+    * text: the sort is the operator's only exchange, and carrying whole
+    * documents through it made spill bytes proportional to CORPUS size
+    * — the sf100 probe's ~100 GB external sort against 48 GB of host
+    * scratch (SCALING §16). A bounded key caps the exchange row at
+    * ~`SnmKeyLen` bytes regardless of document length; near-copies
+    * agree on their first 256 chars wherever they agree on the full
+    * text, so neighbor quality is unchanged for the dup shapes SNM can
+    * see at all (docs identical through 256 chars but diverging later
+    * tie-break by id instead of by the divergent tail — both orders
+    * put them inside each other's window).
+    */
+  private val SnmKeyLen = 256
+
   /** Sorted-neighborhood near-dedup (q97): the third classic blocking
     * family next to LSH banding and df-capped posting lists. Sort the
-    * corpus by content (block = first word, then lexicographic text
-    * order within the block), pair each document with its next
-    * [[SnmWindow]] neighbors in sort order, and exact-verify only those
-    * pairs. Near-copies sort adjacently, so the candidate set is
-    * O(n·W) by construction — no join explosion is even possible, and
-    * the sort is Spark's own range-partitioned exchange (scales as a
-    * sort, not a join). Window is partitioned by the block prefix, so
-    * no single-partition window anywhere. Misses dups whose first
-    * words differ (the classic SNM blind spot — that is what the
-    * multi-pass LSH family is for); the oracle replays the same sort
-    * and window exactly.
+    * corpus by content (block = first word, then a bounded
+    * [[SnmKeyLen]]-char sort key + doc_id within the block), pair each
+    * document with its next [[SnmWindow]] neighbors in sort order, and
+    * exact-verify only those pairs. Near-copies sort adjacently, so
+    * the candidate set is O(n·W) by construction — no join explosion
+    * is even possible, and the sort is Spark's own range-partitioned
+    * exchange (scales as a sort, not a join) over rows of BOUNDED
+    * width — spill bytes grow with row count, never with document
+    * length. Window is partitioned by the block prefix, so no
+    * single-partition window anywhere. Misses dups whose first words
+    * differ (the classic SNM blind spot — that is what the multi-pass
+    * LSH family is for); the oracle replays the same sort and window
+    * exactly.
     */
   def dedupSnm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text")
       .filter(size(words($"text")) >= 3)
-      .withColumn("blk", substring_index($"text", " ", 1))
-    val win = Window.partitionBy($"blk").orderBy($"text", $"doc_id")
+      .select($"doc_id", substring($"text", 1, SnmKeyLen).as("skey"),
+        substring_index($"text", " ", 1).as("blk"))
+    val win = Window.partitionBy($"blk").orderBy($"skey", $"doc_id")
     val nbrs = docs.select(
       ($"doc_id" +: (1 to SnmWindow).map(k => lead($"doc_id", k).over(win).as(s"n$k"))): _*)
     val cand = nbrs
@@ -266,11 +284,12 @@ object TextDedup {
     val ns = (1 to SnmWindow).map(k => s"n$k").mkString(", ")
     s"""WITH $jaccardPairsSql,
        |keyed AS (
-       |  SELECT doc_id, text, string_split(text, ' ')[1] AS blk
+       |  SELECT doc_id, substring(text, 1, $SnmKeyLen) AS skey,
+       |         string_split(text, ' ')[1] AS blk
        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
        |nbr AS (
        |  SELECT doc_id, $leads
-       |  FROM keyed WINDOW w AS (PARTITION BY blk ORDER BY text, doc_id)),
+       |  FROM keyed WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
        |flat AS (SELECT doc_id, unnest([$ns]) AS n FROM nbr),
        |cand AS (
        |  SELECT DISTINCT least(doc_id, n) AS a_id, greatest(doc_id, n) AS b_id
