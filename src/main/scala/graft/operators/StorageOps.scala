@@ -571,38 +571,86 @@ object StorageOps {
       spark: SparkSession, layoutDir: String, days: Seq[String],
       transform: DataFrame => DataFrame,
       filesPerPartition: Int = 1): Unit = {
-    import graft.core.{ManifestEntry, ManifestTable}
+    import graft.core.{ManifestEntry, ManifestStaleException, ManifestTable}
     if (days.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val manifest = ManifestTable.adoptIfPlain(fs, root, partCol = "day")
-    val byPart = manifest.entries.map(e => e.part -> e).toMap
-    val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
-    val updates: Map[String, Option[ManifestEntry]] = days.map { d =>
-      val entry = byPart.getOrElse(d, throw new IllegalArgumentException(
-        s"no partition day=$d under $layoutDir"))
-      val live = ManifestTable.entryPaths(root, entry).map(_.toString)
-      val outDir = s"$gen/day=$d"
-      val out = new org.apache.hadoop.fs.Path(root, outDir)
-      withMicrosTimestamps(spark) {
-        transform(spark.read.parquet(live: _*))
-          .repartition(filesPerPartition)
-          .write.mode("error").parquet(out.toString)
+    // Optimistic concurrency (round 14, same discipline as the
+    // connector upsert): the rewrite is derived from ONE committed
+    // snapshot and commits conditionally on it still being live. The
+    // unconditional commit this replaces could RESURRECT erased rows —
+    // a compaction that adopted its file list before an interleaved
+    // erasure committed would rewrite the victims back in and then
+    // overwrite the erasure's entry. Staleness now aborts the attempt
+    // (loser sweeps its own generation), re-resolves and re-derives
+    // from the interleaved state, so erase-then-compact converges to
+    // compacted-AND-erased in either completion order. Coarse
+    // validation (any advance = stale) keeps disjoint-day concurrent
+    // compactions safe too, at worst costing them a bounded re-derive.
+    var attempts = 0
+    while (attempts < MaxRewriteAttempts) {
+      attempts += 1
+      val manifest = ManifestTable.resolve(fs, root)
+        .getOrElse(ManifestTable.adoptIfPlain(fs, root, partCol = "day"))
+      val byPart = manifest.entries.map(e => e.part -> e).toMap
+      val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
+      try {
+        val updates: Map[String, Option[ManifestEntry]] = days.map { d =>
+          val entry = byPart.getOrElse(d, throw new IllegalArgumentException(
+            s"no partition day=$d under $layoutDir"))
+          val live = ManifestTable.entryPaths(root, entry).map(_.toString)
+          val outDir = s"$gen/day=$d"
+          val out = new org.apache.hadoop.fs.Path(root, outDir)
+          withMicrosTimestamps(spark) {
+            transform(spark.read.parquet(live: _*))
+              .repartition(filesPerPartition)
+              .write.mode("error").parquet(out.toString)
+          }
+          // drop the _SUCCESS marker so the committed dir holds data
+          // files only, like every other partition dir
+          fs.delete(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), false)
+          // an erased-to-empty partition leaves a schema-only parquet file
+          // (nonzero bytes, zero rows): detect with a limit-1 read — O(one
+          // footer), independent of partition size
+          val dataFiles = fs.listStatus(out).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          val hasRows = dataFiles.nonEmpty && !spark.read.parquet(out.toString).isEmpty
+          d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil)) else None)
+        }.toMap
+        beforeRewriteCommit()
+        ManifestTable.commit(fs, root, "day", updates,
+          expectedSeq = Some(manifest.seq))
+        ManifestTable.gc(fs, root)
+        return
+      } catch {
+        case _: ManifestStaleException =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, gen), true)
+        case e: Throwable =>
+          // a concurrent winner's gc can retire this attempt's base
+          // files mid-rewrite — retry iff the table really advanced,
+          // else the failure is genuine (same reasoning as the upsert)
+          val nowSeq = ManifestTable.resolve(fs, root).map(_.seq).getOrElse(0L)
+          if (nowSeq == manifest.seq) throw e
+          fs.delete(new org.apache.hadoop.fs.Path(root, gen), true)
       }
-      // drop the _SUCCESS marker so the committed dir holds data
-      // files only, like every other partition dir
-      fs.delete(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), false)
-      // an erased-to-empty partition leaves a schema-only parquet file
-      // (nonzero bytes, zero rows): detect with a limit-1 read — O(one
-      // footer), independent of partition size
-      val dataFiles = fs.listStatus(out).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      val hasRows = dataFiles.nonEmpty && !spark.read.parquet(out.toString).isEmpty
-      d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil)) else None)
-    }.toMap
-    ManifestTable.commit(fs, root, "day", updates)
-    ManifestTable.gc(fs, root)
+    }
+    throw new java.io.IOException(
+      s"partition rewrite at $layoutDir lost the optimistic-commit race " +
+        s"$MaxRewriteAttempts times — sustained concurrent-writer contention; " +
+        "nothing was lost, retry when it clears")
   }
+
+  /** Same bound and reasoning as `FileConnector.MaxUpsertAttempts`:
+    * each retry is caused by one other writer's successful commit.
+    */
+  private val MaxRewriteAttempts = 10
+
+  /** Test seam (round 14): runs between a partition rewrite's
+    * generation write and its conditional commit — the window an
+    * interleaved erasure/compaction makes the attempt stale.
+    * Production no-op.
+    */
+  @volatile private[graft] var beforeRewriteCommit: () => Unit = () => ()
 
   /** Targeted row erasure — the right-to-be-forgotten primitive every
     * training-data pipeline eventually needs. Parquet files are

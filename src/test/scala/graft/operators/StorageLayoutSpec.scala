@@ -127,6 +127,34 @@ class StorageLayoutSpec extends SparkSpec {
     assert(legs == 1, s"expected ONE single-scan leg, plan has $legs")
   }
 
+  test("round 14: an interleaved erasure cannot be resurrected by a concurrent compaction") {
+    val work = tmpDir("graft-erase-race") + "/t"
+    spark.range(0, 100).select(
+      (col("id") % 10).as("user_id"), col("id").as("event_id"),
+      lit("2024-01-01").cast("date").as("day"))
+      .repartition(4)
+      .write.partitionBy("day").parquet(work)
+    // the erasure of user 3 lands INSIDE the compaction's stale window:
+    // after the compaction wrote its generation (from pre-erase files),
+    // before its conditional commit. The pre-round-14 unconditional
+    // commit would rewrite the victims back in and overwrite the
+    // erasure's entry — the resurrection anomaly.
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    StorageOps.beforeRewriteCommit = () =>
+      if (fired.incrementAndGet() == 1) { StorageOps.eraseUsers(spark, work, Seq(3L)); () }
+    try StorageOps.compactDays(spark, work, Seq("2024-01-01"))
+    finally StorageOps.beforeRewriteCommit = () => ()
+    // compaction attempt 1 + the erasure's own rewrite + the retry
+    assert(fired.get() == 3, s"expected exactly one stale retry, hook fired ${fired.get()}")
+    val live = StorageOps.readDayLayout(spark, work)
+    assert(live.filter(col("user_id") === 3).count() == 0,
+      "erased rows RESURRECTED by the concurrent compaction — lost update")
+    assert(live.count() == 90, "compaction lost unrelated rows")
+    // and the surviving partition really is compacted
+    assert(StorageOps.readDayLayout(spark, work, Some(Set("2024-01-01")))
+      .inputFiles.length == 1, "retry abandoned the compaction goal")
+  }
+
   test("q136 row-group skipping: sorted footers exclude the window, control cannot") {
     val (sorted, control) = StorageOps.ensureSortedLineitem(spark, dir)
     def micros(iso: String): Long =
