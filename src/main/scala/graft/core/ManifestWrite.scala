@@ -1,0 +1,140 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write side of the manifested-table surface (round 14): every save
+  * mode lands as an immutable `g-*` generation plus ONE pointer commit
+  * — the same discipline [[FileConnector]] applies to its remote
+  * tables and [[graft.operators.StorageOps]] to its layouts, exposed
+  * for direct `df.write.format("graftmanifest")` use (see
+  * [[graft.sources.v2.GraftManifestDataSource]]).
+  *
+  *   - Overwrite: the new data (optionally `partitionBy(partCol)`)
+  *     lands in a fresh generation; one commit retires every previous
+  *     entry — resolved, or adopted in place from a plain layout so
+  *     pre-manifest files stay gc-able. Readers flip between complete
+  *     states. The commit is CONDITIONAL on the snapshot whose entries
+  *     it retires ([[ManifestTable.commit]] `expectedSeq`) and
+  *     re-derives its retire set on staleness — an interleaved
+  *     writer's entry is never half-carried into the overwritten
+  *     state. Only the pointer loop retries; the generation is written
+  *     once.
+  *   - Append (unpartitioned only): the fresh generation commits as an
+  *     ADDITIVE entry — no read-modify-write, no staleness to check
+  *     (the carry logic preserves interleaved entries). Append to a
+  *     PARTITIONED manifest table is refused by name: a partition maps
+  *     to one entry, so "append" there is a partition rewrite —
+  *     [[graft.operators.StorageOps.compactDays]]'s territory.
+  *   - ErrorIfExists / Ignore: existence = a resolvable manifest or a
+  *     non-empty directory, checked before any bytes move.
+  *
+  * Scale contract: identical to every other manifest writer — the
+  * commit is one small PUT regardless of data size; a crash leaves the
+  * previous state live plus an unreferenced generation the next gc
+  * sweeps.
+  */
+object ManifestWrite {
+
+  private val MaxAttempts = 10
+
+  def write(df: DataFrame, root: String, partCol: String, mode: SaveMode,
+      format: String = "parquet", options: Map[String, String] = Map.empty): Unit = {
+    val spark = df.sparkSession
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def exists: Boolean = ManifestTable.resolve(fs, rootPath).isDefined ||
+      (fs.exists(rootPath) && fs.listStatus(rootPath).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && !n.startsWith(ManifestTable.GenPrefix)
+      })
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graftmanifest: $root already holds a table (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append =>
+        require(partCol.isEmpty,
+          s"graftmanifest: append to a PARTITIONED manifest table is a partition " +
+            "rewrite, not an append — use StorageOps.compactDays/rewritePartitions " +
+            "for incremental maintenance, or mode Overwrite to replace the table")
+        val gen = writeGeneration(df, fs, rootPath, partCol, format, options)
+        resolveOrAdopt(fs, rootPath, partCol) // plain files stay visible + gc-able
+        // additive entry keyed by the generation name — unique per
+        // append, never colliding with the "" overwrite entry
+        ManifestTable.commit(fs, rootPath, partCol,
+          Map(gen -> Some(ManifestEntry(gen, gen, Nil))))
+        ()
+      case _ => // Overwrite, or first write under ErrorIfExists/Ignore
+        val gen = writeGeneration(df, fs, rootPath, partCol, format, options)
+        val entries = genEntries(fs, rootPath, gen, partCol)
+        var attempts = 0
+        while (attempts < MaxAttempts) {
+          attempts += 1
+          val base = resolveOrAdopt(fs, rootPath, partCol)
+          val retire = base.map(_.entries).getOrElse(Nil)
+            .map(e => e.part -> (None: Option[ManifestEntry])).toMap
+          try {
+            ManifestTable.commit(fs, rootPath, partCol,
+              retire ++ entries.map(e => e.part -> Some(e)).toMap,
+              expectedSeq = Some(base.map(_.seq).getOrElse(0L)))
+            ManifestTable.gc(fs, rootPath)
+            return
+          } catch {
+            case _: ManifestStaleException => // re-derive the retire set only
+          }
+        }
+        throw new java.io.IOException(
+          s"graftmanifest: overwrite at $root lost the optimistic-commit race " +
+            s"$MaxAttempts times — sustained concurrent-writer contention")
+    }
+  }
+
+  /** One immutable generation under `root`, written once. */
+  private def writeGeneration(df: DataFrame, fs: FileSystem, root: Path,
+      partCol: String, format: String, options: Map[String, String]): String = {
+    val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
+    val genPath = new Path(root, gen)
+    val w = df.write.format(format).options(options).mode(SaveMode.ErrorIfExists)
+    (if (partCol.isEmpty) w else w.partitionBy(partCol)).save(genPath.toString)
+    fs.delete(new Path(genPath, "_SUCCESS"), false)
+    gen
+  }
+
+  /** The generation's manifest entries: per-partition for a
+    * partitioned write (one `partCol=value` child each), one
+    * whole-directory entry otherwise.
+    */
+  private def genEntries(fs: FileSystem, root: Path, gen: String,
+      partCol: String): Seq[ManifestEntry] =
+    if (partCol.isEmpty) Seq(ManifestEntry("", gen, Nil))
+    else {
+      val parts = fs.listStatus(new Path(root, gen)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      require(parts.nonEmpty,
+        s"graftmanifest: partitioned write produced no $partCol= partitions " +
+          s"(empty input frame?) — an empty manifested table is not representable")
+      parts.map { s =>
+        val value = s.getPath.getName.substring(partCol.length + 1)
+        ManifestEntry(value, s"$gen/${s.getPath.getName}", Nil)
+      }
+    }
+
+  /** Current committed state, adopting a plain layout in place when one
+    * exists (so its files are retire-able/gc-able); None for a fresh or
+    * generation-debris-only target.
+    */
+  private def resolveOrAdopt(fs: FileSystem, root: Path, partCol: String): Option[Manifest] =
+    ManifestTable.resolve(fs, root).orElse {
+      val children = if (fs.exists(root)) fs.listStatus(root).toSeq else Nil
+      val visible = children.filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".") || n.startsWith(ManifestTable.GenPrefix)
+      }
+      val adoptable =
+        if (partCol.isEmpty) visible.exists(_.isFile) && !visible.exists(_.isDirectory)
+        else visible.nonEmpty && visible.forall(s =>
+          s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      if (adoptable) Some(ManifestTable.adoptIfPlain(fs, root, partCol)) else None
+    }
+}

@@ -1,10 +1,9 @@
 package graft.sources.v2
 
-import graft.core.ManifestFileIndex
-import org.apache.spark.sql.SQLContext
+import graft.core.{ManifestFileIndex, ManifestWrite}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 
 /** `spark.read.format("graftmanifest")` — manifested tables as a
   * first-class source, for users who address tables by path/SQL rather
@@ -36,9 +35,27 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * data-file format for tables written by [[graft.core.FileConnector]];
   * remaining options pass through to the file format.
   */
-class GraftManifestDataSource extends RelationProvider with DataSourceRegister {
+class GraftManifestDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graftmanifest"
+
+  /** `df.write.format("graftmanifest").mode(…).save(path)` — every mode
+    * lands as an immutable generation + one pointer commit
+    * ([[ManifestWrite]]): overwrite flips complete states with an
+    * optimistic retire set, append (unpartitioned) is a pure additive
+    * entry, and a crash at any step leaves the previous state live.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftmanifest: missing path"))
+    val partCol = parameters.getOrElse("partCol", "")
+    val format = parameters.getOrElse("format", "parquet")
+    val passThrough = parameters -- Seq("path", "partCol", "parts", "format")
+    ManifestWrite.write(data, path, partCol, mode, format, passThrough)
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
