@@ -207,22 +207,31 @@ object TextDedup {
   }
 
   /** Exact Jaccard on CANDIDATE pairs only (shared by the LSH and
-    * sorted-neighborhood paths): expand each pair's a-side shingles,
-    * then count matches against the b-side by (b_id, shingle) — both
-    * joins are keyed, so verify cost tracks candidate density (Σ|A|
-    * over pairs), never corpus².
+    * sorted-neighborhood paths). Verification joins the candidate list
+    * with ONE per-doc shingle-SET table and computes |A∩B| in-row
+    * (`array_intersect`, codegen'd) — round 14, replacing the
+    * expansion form (join each pair with the a-side posting rows, then
+    * match b-side rows on (doc, shingle)) whose intermediate
+    * materialized Σ|A| rows per pair INTO A SHUFFLE: ~6B rows /
+    * hundreds of GB at the sf100 probe, the actual disk-spill wall the
+    * round-13 record attributed to the SNM sort. The set form shuffles
+    * each doc's set once per pair membership (W times for SNM, band
+    * collisions for LSH) and the intersection never leaves the row —
+    * verify cost still tracks candidate density (Σ(|A|+|B|) over
+    * pairs), never corpus², and nothing pair-expanded is ever
+    * materialized or shuffled.
     */
   private[operators] def verifyJaccard(cand: DataFrame, index: DataFrame): DataFrame = {
-    val sizes = index.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ia = index.toDF("ia_id", "sa")
-    val ib = index.toDF("ib_id", "sb")
+    val sets = index.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sh"))
     cand
-      .join(ia, col("ia_id") === col("a_id"))
-      .join(ib, col("ib_id") === col("b_id") && col("sb") === col("sa"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
-      .join(sizes.toDF("a_id", "na"), "a_id")
-      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .join(sets.toDF("a_id", "sha"), "a_id")
+      .join(sets.toDF("b_id", "shb"), "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .filter(col("common") > 0) // the expansion form emitted no row for disjoint pairs
+      .withColumn("na", size(col("sha")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"), col("jaccard"))
   }
 
   private val SnmWindow = 4
