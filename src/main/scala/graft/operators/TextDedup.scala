@@ -751,23 +751,18 @@ object TextDedup {
     val cb = bands.filter(!isNew).toDF("corp_id", "band2", "bkey2")
     val cand = nb.join(cb, col("band") === col("band2") && col("bkey") === col("bkey2"))
       .select(col("new_id"), col("corp_id")).distinct().cache()
-    val sizes = index.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ia = index.toDF("ia_id", "sa")
-    val ib = index.toDF("ib_id", "sb")
-    val common = cand
-      .join(ia, col("ia_id") === col("new_id"))
-      .join(ib, col("ib_id") === col("corp_id") && col("sb") === col("sa"))
-      .groupBy(col("new_id"), col("corp_id")).agg(count(lit(1)).as("common"))
+    // exact verification through the SHARED set-intersection verify
+    // (round 14) — the inline pair-expansion this replaces carried the
+    // same Σ|A|-rows-per-pair shuffle wall the q97 sf100 probe exposed
+    // in verifyJaccard, and a shared definition cannot drift
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("new_id")).orderBy(col("jaccard").desc, col("corp_id").asc)
-    common
-      .join(sizes.toDF("new_id", "na"), "new_id")
-      .join(sizes.toDF("corp_id", "nb2"), "corp_id")
-      .withColumn("jaccard", col("common") / (col("na") + col("nb2") - col("common")))
+      .partitionBy(col("a_id")).orderBy(col("jaccard").desc, col("b_id").asc)
+    verifyJaccard(
+      cand.select(col("new_id").as("a_id"), col("corp_id").as("b_id")), index)
       .filter(col("jaccard") >= IncrVerifyThreshold)
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") === 1)
-      .select(col("new_id").as("doc_id"), col("corp_id").as("dup_of"),
+      .select(col("a_id").as("doc_id"), col("b_id").as("dup_of"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_id"))
   }
