@@ -54,6 +54,7 @@ final class ManifestFileIndex(
     val root: Path,
     partColName: String,
     selected: Option[Set[String]] = None,
+    asOfSeq: Option[Long] = None,
 ) extends FileIndex {
 
   private val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -67,8 +68,16 @@ final class ManifestFileIndex(
     !n.startsWith("_") && !n.startsWith(".")
 
   private def load(): (Manifest, Seq[(String, Seq[FileStatus])]) = {
-    val m = ManifestTable.resolve(fs, root).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest at $root"))
+    val m = asOfSeq match {
+      case Some(seq) => ManifestTable.resolveAt(fs, root, seq).getOrElse(
+        throw new IllegalArgumentException(
+          s"no retained version $seq at $root — retained: " +
+            s"[${ManifestTable.versions(fs, root).mkString(", ")}] " +
+            s"(history window is ManifestTable.KeepCommits=${ManifestTable.KeepCommits} " +
+            "commits; gc retires older versions)"))
+      case None => ManifestTable.resolve(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed manifest at $root"))
+    }
     require(m.partCol == partColName,
       s"manifest at $root partitions on '${m.partCol}', caller expected '$partColName'")
     val wanted = selected match {
@@ -187,8 +196,9 @@ object ManifestFileIndex {
     */
   def relation(spark: SparkSession, root: String, partCol: String,
       parts: Option[Set[String]] = None, format: String = "parquet",
-      options: Map[String, String] = Map.empty): DataFrame = {
-    val index = new ManifestFileIndex(spark, new Path(root), partCol, parts)
+      options: Map[String, String] = Map.empty,
+      asOfSeq: Option[Long] = None): DataFrame = {
+    val index = new ManifestFileIndex(spark, new Path(root), partCol, parts, asOfSeq)
     val effOptions = (format match {
       case "csv" => Map("header" -> "true", "inferSchema" -> "true")
       case _     => Map.empty[String, String]

@@ -197,6 +197,18 @@ object ManifestTable {
   def resolve(fs: FileSystem, root: Path): Option[Manifest] =
     listCommitSeqs(fs, root).iterator.flatMap(readCommit(fs, root, _)).nextOption()
 
+  /** A SPECIFIC committed version, if its commit file is still
+    * retained — time travel within the [[KeepCommits]] history window
+    * (round 14). None when the version never existed, was gc'd past
+    * the window, or its file is torn.
+    */
+  def resolveAt(fs: FileSystem, root: Path, seq: Long): Option[Manifest] =
+    readCommit(fs, root, seq)
+
+  /** The retained, valid version numbers at `root`, newest first. */
+  def versions(fs: FileSystem, root: Path): Seq[Long] =
+    listCommitSeqs(fs, root).filter(s => readCommit(fs, root, s).isDefined)
+
   /** Commit a new manifest state: current entries with `updates`
     * applied (a part mapping to None is dropped — the
     * erased-to-empty-partition case). Winner of the

@@ -13,6 +13,7 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   *   spark.read.format("graftmanifest")
   *     .option("partCol", "day")              // "" / absent = unpartitioned
   *     .option("parts", "2024-01-01,2024-01-02")  // optional resolve-time pruning
+  *     .option("versionAsOf", "7")            // optional time travel (retained window)
   *     .load("/data/events-layout")
   *
   *   // SQL access:
@@ -65,9 +66,13 @@ class GraftManifestDataSource extends RelationProvider
     val parts = parameters.get("parts")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val format = parameters.getOrElse("format", "parquet")
-    val passThrough = parameters -- Seq("path", "partCol", "parts", "format")
+    // time travel within the gc-retained history window (round 14):
+    // versionAsOf names a commit seq; retained versions are
+    // ManifestTable.versions — the error lists them on a miss
+    val asOf = parameters.get("versionAsOf").map(_.trim.toLong)
+    val passThrough = parameters -- Seq("path", "partCol", "parts", "format", "versionAsOf")
     val df = ManifestFileIndex.relation(
-      sqlContext.sparkSession, path, partCol, parts, format, passThrough)
+      sqlContext.sparkSession, path, partCol, parts, format, passThrough, asOf)
     // unwrap the relation the builder just planned — DataSource v1 will
     // re-wrap it in a fresh LogicalRelation with its own attribute ids
     df.queryExecution.analyzed.collectFirst {

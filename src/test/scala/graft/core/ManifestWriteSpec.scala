@@ -112,6 +112,29 @@ class ManifestWriteSpec extends SparkSpec {
     assert(plainDirs.isEmpty, s"adopted plain partitions never became gc-able: $plainDirs")
   }
 
+  test("versionAsOf time-travels within the retained window; a gc'd version fails naming the retained set") {
+    val root = freshRoot()
+    Seq((1, "v1")).toDF("id", "v").write.format("graftmanifest").save(root)
+    Seq((2, "v2")).toDF("id", "v")
+      .write.format("graftmanifest").mode(SaveMode.Overwrite).save(root)
+    val vs = ManifestTable.versions(fs, new Path(root))
+    assert(vs.size == 2, s"expected both versions retained (KeepCommits=2): $vs")
+    val (cur, prev) = (vs.head, vs.last)
+    assert(spark.read.format("graftmanifest").option("versionAsOf", prev.toString)
+      .load(root).as[(Int, String)].collect().toMap == Map(1 -> "v1"),
+      "time travel did not read the previous complete state")
+    assert(spark.read.format("graftmanifest").option("versionAsOf", cur.toString)
+      .load(root).as[(Int, String)].collect().toMap == Map(2 -> "v2"))
+    // retire the old version; reading it must fail LOUDLY with the window
+    ManifestTable.gc(fs, new Path(root), keepCommits = 1, orphanRetentionMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftmanifest").option("versionAsOf", prev.toString)
+        .load(root).collect()
+    }
+    assert(e.getMessage.contains("no retained version") &&
+      e.getMessage.contains(cur.toString), e.getMessage)
+  }
+
   test("a planted mid-copy crash during a graftmanifest overwrite leaves the previous state live") {
     val root = freshRoot()
     Seq((1, "keep")).toDF("id", "v").write.format("graftmanifest").save(root)
