@@ -69,9 +69,16 @@ final case class FileConnector(
     * Hadoop FileSystem API and the [[ManifestTable]] commit protocol;
     * plain local paths keep the java.nio fast path (rename IS atomic
     * on one local filesystem, and a manifest would be pure overhead).
+    * `option("commit" -> "manifest")` forces the manifest protocol on
+    * local/file: roots too — for NFS-like shared mounts where several
+    * writer PROCESSES share one directory (rename is atomic per host,
+    * but last-writer-wins swaps still lose interleaved upserts without
+    * the optimistic commit), and for fault harnesses that need the
+    * commit path exercised on a filesystem real executor JVMs share.
     */
   private val isRemote: Boolean =
-    root.contains("://") && !root.startsWith("file:")
+    (root.contains("://") && !root.startsWith("file:")) ||
+      options.get("commit").contains("manifest")
 
   def pathFor(index: String): String =
     if (isRemote) s"${root.stripSuffix("/")}/${index.replace("-", "/")}$ext"

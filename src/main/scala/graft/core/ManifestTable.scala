@@ -84,7 +84,7 @@ final class ManifestStaleException(msg: String) extends java.io.IOException(msg)
   *
   * | store primitive              | committer linearizability | reader safety |
   * |------------------------------|---------------------------|---------------|
-  * | atomic create+content (S3 conditional PUT: object visible only complete) | yes — create race IS the commit | yes |
+  * | atomic create+content (S3 conditional PUT; `file:` roots via the round-14 hard-link commit — raw local create(overwrite=false) is check-then-create and sits in the NON-atomic row without it) | yes — create race IS the commit | yes |
   * | atomic create, content at close (HDFS: name reserved at create, bytes land later) | yes — an open-but-unwritten newest commit is WAITED OUT (`invalidGraceMs` below) instead of claimed over | yes |
   * | non-atomic create (check-then-put, torn bytes visible) | NO — two committers can both "win" one seq; bring a lock service or conditional PUT | yes — the sha-256 payload guard rejects torn/partial pointers, readers fall back to the newest valid commit, never regress past data loss, never mix states (`TornCreateCommitSpec`) |
   *
@@ -316,11 +316,34 @@ object ManifestTable {
         val bytes = serialize(m)
         fs.mkdirs(new Path(root, CommitsDir))
         try {
-          val out = fs.create(commitPath(root, seq), false)
-          try out.write(bytes) finally out.close()
-          return m
+          if (fs.getScheme == "file") {
+            // POSIX atomic create-WITH-content (round 14): hard-link a
+            // fully-written temp into the commit name — link(2) fails
+            // if the target exists, so the race is decided atomically
+            // and the winner's bytes are complete the instant the name
+            // appears (the S3-conditional-PUT family). Hadoop's raw
+            // local create(overwrite=false) is CHECK-THEN-CREATE: two
+            // concurrent committers could both "win" one seq and the
+            // second truncated the first — a silent lost update the
+            // round-14 upsert kill soak caught live (iteration 143)
+            // the first time real concurrent writers ran on a file:
+            // root via the commit=manifest connector knob.
+            val target = java.nio.file.Paths.get(commitPath(root, seq).toUri.getPath)
+            val tmp = target.resolveSibling(
+              s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+            java.nio.file.Files.write(tmp, bytes)
+            try {
+              java.nio.file.Files.createLink(target, tmp)
+              return m
+            } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+          } else {
+            val out = fs.create(commitPath(root, seq), false)
+            try out.write(bytes) finally out.close()
+            return m
+          }
         } catch {
           case _: FileAlreadyExistsException => // raced; re-resolve and retry
+          case _: java.nio.file.FileAlreadyExistsException => // java.nio spelling of the same race
           case e: java.io.IOException if e.getMessage != null &&
               e.getMessage.contains("exists") => // HDFS surfaces the race as plain IOE
         }
@@ -577,6 +600,15 @@ object ManifestTable {
     // strays below the newest kept seq)
     val minKeep = kept.map(_.seq).min
     seqs.filter(_ < minKeep).foreach(s => fs.delete(commitPath(root, s), false))
+    // a committer that crashed between writing its .tmp-* link staging
+    // file and the finally-delete leaks one small file in _commits
+    // (local atomic-link path only) — sweep aged ones
+    val cdir = new Path(root, CommitsDir)
+    if (fs.exists(cdir))
+      fs.listStatus(cdir)
+        .filter(s => s.getPath.getName.startsWith(".tmp-") &&
+          now - s.getModificationTime >= orphanRetentionMs)
+        .foreach(s => fs.delete(s.getPath, false): Unit)
     reclaimed
   }
 }

@@ -184,20 +184,28 @@ object KillSoak {
     // staging tree. The fixture lives on the TEST classpath; launch
     // with `sbt "Test/runMain graft.tools.KillSoak …"` to include it
     // (plain runMain records the phase as absent).
-    @volatile var stageIterations = 0
-    @volatile var stageGreen = 0
-    val stagePhase = SoakPhase.load("graft.tools.StageSoakPhase")
-    val stager = stagePhase.map { phase =>
-      val t = new Thread(() => {
-        val (it, green) = phase.run(spark, () => !soaking)
-        stageIterations = it; stageGreen = green
-      }, "soak-stager")
-      t.setDaemon(true)
-      t.start()
-      t
+    // Pluggable concurrent phases, each on its own thread (round 14:
+    // generalized from the single staging phase so the optimistic-
+    // upsert soak rides the same harness). Class name → phase name for
+    // the absent case; a loaded phase reports its own name.
+    val phaseClasses = Seq(
+      "graft.tools.StageSoakPhase" -> "stage",
+      "graft.tools.UpsertSoakPhase" -> "upsert")
+    val phaseResults =
+      new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+    val runningPhases = phaseClasses.flatMap { case (cn, nm) =>
+      val loaded = SoakPhase.load(cn)
+      if (loaded.isEmpty)
+        println(s"[soak] $nm phase ABSENT (launch via Test/runMain to include it)")
+      loaded.map { phase =>
+        val t = new Thread(() => {
+          phaseResults.put(phase.name, phase.run(spark, () => !soaking)); ()
+        }, s"soak-${phase.name}")
+        t.setDaemon(true)
+        t.start()
+        (phase, t)
+      }
     }
-    if (stagePhase.isEmpty)
-      println("[soak] staging phase ABSENT (launch via Test/runMain to include it)")
 
     // ---- the catalog, one attempt per query, kills landing throughout
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
@@ -215,11 +223,17 @@ object KillSoak {
     }
     soaking = false
     streamer.join(120000)
-    stager.foreach(_.join(180000))
-    // phase-specific counter split (e.g. the publish leg), read only
-    // after the phase thread has exited
-    val stageDetail: Map[String, Int] =
-      stagePhase.map(_.detail).getOrElse(Map.empty)
+    runningPhases.foreach(_._2.join(240000))
+    // per-phase counters + detail splits (e.g. the publish leg), read
+    // only after the phase threads have exited
+    val phaseSummary: Seq[(String, Option[(Int, Int, Map[String, Int])])] =
+      phaseClasses.map { case (_, nm) =>
+        val loaded = runningPhases.find(_._1.name == nm).map(_._1)
+        nm -> loaded.map { ph =>
+          val (it, green) = Option(phaseResults.get(nm)).getOrElse((0, 0))
+          (it, green, ph.detail)
+        }
+      }
 
     // oracle SQL dump so scripts/check.py can value-verify the outputs
     def q(s: String): String = "\"" + s.flatMap {
@@ -242,33 +256,43 @@ object KillSoak {
       s""""kills":$kills,"queries_attempted":${names.size},"queries_green":$green,""" +
       s""""queries_failed":${failed.map(q).mkString("[", ",", "]")},""" +
       s""""stream_iterations":$streamIterations,"stream_green":$streamGreen,""" +
-      s""""stage_phase":${q(if (stagePhase.isDefined) "present" else "absent")},""" +
-      s""""stage_iterations":$stageIterations,"stage_green":$stageGreen,""" +
-      stageDetail.toSeq.sorted.map { case (k, v) => s""""stage_$k":$v,""" }.mkString +
+      phaseSummary.map {
+        case (nm, None) => s""""${nm}_phase":${q("absent")},"""
+        case (nm, Some((it, green, detail))) =>
+          s""""${nm}_phase":${q("present")},""" +
+            s""""${nm}_iterations":$it,"${nm}_green":$green,""" +
+            detail.toSeq.sorted.map { case (k, v) => s""""${nm}_$k":$v,""" }.mkString
+      }.mkString +
       f""""wall_sec":$wallSec%.1f,"out":${q(outDir)}}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/killsoak.json"), json + "\n")
     spark.stop()
-    val stageOk = stagePhase.isEmpty ||
-      (stageIterations > 0 && stageGreen == stageIterations)
-    // every detail pair `<k>_iterations`/`<k>_green` gates like the
-    // primary pair: present, nonzero, and fully green
-    val detailOk = stagePhase.isEmpty || stageDetail.keys
-      .filter(_.endsWith("_iterations")).forall { k =>
-        val it = stageDetail(k)
-        it > 0 && stageDetail.getOrElse(k.stripSuffix("_iterations") + "_green", -1) == it
-      }
+    // every phase gates like the primary pair: absent, or present with
+    // nonzero fully-green iterations, and every `<k>_iterations` detail
+    // counter matched by an equal `<k>_green` twin
+    val phasesOk = phaseSummary.forall {
+      case (_, None) => true
+      case (_, Some((it, green, detail))) =>
+        it > 0 && green == it && detail.keys
+          .filter(_.endsWith("_iterations")).forall { k =>
+            val dit = detail(k)
+            dit > 0 && detail.getOrElse(k.stripSuffix("_iterations") + "_green", -1) == dit
+          }
+    }
     val ok = failed.isEmpty && kills > 0 &&
-      streamIterations > 0 && streamGreen == streamIterations && stageOk && detailOk
+      streamIterations > 0 && streamGreen == streamIterations && phasesOk
     if (!ok) {
       if (kills == 0) System.err.println("[soak] ZERO kills landed — soak proved nothing")
       if (streamGreen != streamIterations)
         System.err.println(s"[soak] stream: $streamGreen/$streamIterations green")
-      if (!stageOk)
-        System.err.println(s"[soak] stage: $stageGreen/$stageIterations green")
-      if (!detailOk)
-        System.err.println(s"[soak] stage detail not green: $stageDetail")
+      phaseSummary.foreach {
+        case (nm, Some((it, green, detail))) if green != it || it == 0 ||
+            detail.exists { case (k, v) => k.endsWith("_iterations") &&
+              detail.getOrElse(k.stripSuffix("_iterations") + "_green", -1) != v } =>
+          System.err.println(s"[soak] $nm: $green/$it green (detail: $detail)")
+        case _ => ()
+      }
       sys.exit(1)
     }
   }

@@ -107,6 +107,64 @@ class OptimisticUpsertSpec extends SparkSpec {
     assert(got == want, s"concurrent upserts lost rows: missing ${want.keySet -- got.keySet}")
   }
 
+  test("commit=manifest forces the optimistic manifest protocol on a LOCAL root (NFS-share shape)") {
+    val root = tmpDir("graft-local-manifest")
+    val c = FileConnector("loc", root, "parquet", Map("commit" -> "manifest"))
+    c.write(Seq((1, "old"), (2, "keep")).toDF("id", "v"), "t", WriteMode.Overwrite)
+    val lfs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestTable.resolve(lfs, new Path(c.pathFor("t"))).isDefined,
+      "local root with commit=manifest fell through to the rename-swap path")
+    // interleaved upserts both land, exactly like the remote case
+    val hookFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    FileConnector.beforeUpsertCommit = () =>
+      if (hookFired.incrementAndGet() == 1) {
+        c.write(Seq((2, "B")).toDF("id", "v"), "t", WriteMode.Replace(Seq("id")))
+      }
+    try c.write(Seq((1, "A")).toDF("id", "v"), "t", WriteMode.Replace(Seq("id")))
+    finally FileConnector.beforeUpsertCommit = () => ()
+    assert(hookFired.get() == 3)
+    assert(c.read(spark, "t").as[(Int, String)].collect().toMap ==
+      Map(1 -> "A", 2 -> "B"))
+    assert(c.listIndexes(spark) == Seq("t"),
+      s"catalog walk leaked manifest internals: ${c.listIndexes(spark)}")
+  }
+
+  test("LOCAL-fs commits are atomic create-with-content: a concurrent hammer loses no update") {
+    // Hadoop's raw local create(overwrite=false) is check-then-create —
+    // two committers could both "win" one seq and the second TRUNCATED
+    // the first (the round-14 upsert kill soak caught it live). The
+    // hard-link commit makes the race a real atomic create: hammer it.
+    val root = new Path(tmpDir("graft-local-commit-race"))
+    val lfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val threads = 6; val perThread = 10
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to threads).foreach { t =>
+      pool.execute { () =>
+        try {
+          barrier.await()
+          (1 to perThread).foreach { i =>
+            ManifestTable.commit(lfs, root, "",
+              Map(s"t$t-$i" -> Some(ManifestEntry(s"t$t-$i", s"d-t$t-$i", Nil))))
+          }
+        } catch { case e: Throwable => failures.add(e); () }
+      }
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"committer failed: ${Option(failures.peek())}")
+    val m = ManifestTable.resolve(lfs, root).get
+    val want = (1 to threads).flatMap(t => (1 to perThread).map(i => s"t$t-$i")).toSet
+    assert(m.entries.map(_.part).toSet == want,
+      s"lost updates: missing ${want -- m.entries.map(_.part).toSet}")
+    assert(m.seq == (threads * perThread).toLong, s"log not linear: newest seq ${m.seq}")
+    // no .tmp-* staging debris under _commits after clean completion
+    val tmps = lfs.listStatus(new Path(root, ManifestTable.CommitsDir))
+      .map(_.getPath.getName).filter(_.startsWith(".tmp-"))
+    assert(tmps.isEmpty, s"leaked staging files: ${tmps.toSeq}")
+  }
+
   test("sustained contention fails LOUDLY at the bound — contention error, no data loss") {
     val c = freshStore("oc4")
     c.write(Seq((1, "a")).toDF("id", "v"), "t", WriteMode.Overwrite)
