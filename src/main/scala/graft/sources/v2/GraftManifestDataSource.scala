@@ -3,7 +3,9 @@ package graft.sources.v2
 import graft.core.{ManifestFileIndex, ManifestWrite}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graftmanifest")` — manifested tables as a
   * first-class source, for users who address tables by path/SQL rather
@@ -37,7 +39,40 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   * remaining options pass through to the file format.
   */
 class GraftManifestDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+
+  private def streamParams(parameters: Map[String, String]): (String, String, Map[String, String]) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftmanifest: missing path"))
+    require(parameters.getOrElse("partCol", "").isEmpty,
+      "graftmanifest streaming reads APPEND-ONLY tables; partitioned manifest " +
+        "tables are maintained by partition REWRITE and cannot stream — " +
+        "read them in batch")
+    (path, parameters.getOrElse("format", "parquet"),
+      parameters -- Seq("path", "partCol", "parts", "format", "versionAsOf"))
+  }
+
+  /** `spark.readStream.format("graftmanifest").load(path)` — each
+    * micro-batch is the entries newly committed since the last offset
+    * ([[GraftManifestSource]]; append-only contract, offsets = commit
+    * seqs).
+    */
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val (path, format, passThrough) = streamParams(parameters)
+    val inferred = schema.getOrElse(
+      ManifestFileIndex.relation(sqlContext.sparkSession, path, "", None,
+        format, passThrough).schema)
+    (shortName(), inferred)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (path, format, passThrough) = streamParams(parameters)
+    val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    new GraftManifestSource(sqlContext.sparkSession, path, format, passThrough, resolved)
+  }
 
   override def shortName(): String = "graftmanifest"
 

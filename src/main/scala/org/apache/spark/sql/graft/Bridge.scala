@@ -30,6 +30,18 @@ object Bridge {
     */
   def serializableConf(conf: org.apache.hadoop.conf.Configuration): SerializableHadoopConf =
     new SerializableHadoopConf(new org.apache.spark.util.SerializableConfiguration(conf))
+
+  /** Re-tag a batch plan's rows as a STREAMING DataFrame (private[sql]
+    * upstream) — what `Source.getBatch` must return; the exact call
+    * Spark's own FileStreamSource makes.
+    */
+  def asStreamingFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution.toRdd, schema, isStreaming = true)
 }
 
 final class SerializableHadoopConf(
