@@ -3,8 +3,9 @@ package graft.sources.v2
 import graft.core.{ManifestFileIndex, ManifestWrite}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graftmanifest")` — manifested tables as a
@@ -39,7 +40,26 @@ import org.apache.spark.sql.types.StructType
   * remaining options pass through to the file format.
   */
 class GraftManifestDataSource extends RelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  /** `df.writeStream.format("graftmanifest")` — one generation + one
+    * pointer commit per micro-batch, exactly-once via the batch id in
+    * the generation name ([[GraftManifestSink]]). Append and Complete
+    * output modes; partitioned sinks are refused (a partition maps to
+    * one manifest entry — partitioned maintenance is batch territory).
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val (path, format, passThrough) = streamParams(parameters)
+    require(partitionColumns.isEmpty,
+      "graftmanifest sink: partitionBy is not supported — a partition maps to one " +
+        "manifest entry; write unpartitioned and maintain partitions in batch")
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graftmanifest sink: unsupported output mode $outputMode (Append|Complete)")
+    new GraftManifestSink(sqlContext.sparkSession, path, format, passThrough,
+      complete = outputMode == OutputMode.Complete())
+  }
 
   private def streamParams(parameters: Map[String, String]): (String, String, Map[String, String]) = {
     val path = parameters.getOrElse("path",

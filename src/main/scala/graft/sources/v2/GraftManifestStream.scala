@@ -97,3 +97,66 @@ final class GraftManifestSource(
 
   override def toString: String = s"GraftManifestSource[$path]"
 }
+
+/** Manifested tables as a streaming SINK (round 14): each micro-batch
+  * lands as one immutable generation + one pointer commit, and the
+  * batch id is carried IN the generation name (`g-b<batchId>-…`) — so
+  * a replayed batch (post-crash restart re-offers the last epoch) is
+  * detected from the manifest itself and skipped, giving exactly-once
+  * output with no side ledger. Append mode commits an additive entry;
+  * Complete mode retires the previous state under the optimistic
+  * `expectedSeq` discipline (data written once, only the pointer
+  * retries). The table is readable mid-stream by every batch/SQL
+  * reader and IS a valid upstream for [[GraftManifestSource]] in
+  * Append mode — commit-log-chained pipelines end to end.
+  */
+final class GraftManifestSink(
+    spark: SparkSession,
+    path: String,
+    format: String,
+    options: Map[String, String],
+    complete: Boolean,
+) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val rootPath = new Path(path)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val marker = s"${ManifestTable.GenPrefix}b$batchId-"
+    val replayed = ManifestTable.resolve(fs, rootPath)
+      .exists(_.entries.exists(_.dir.startsWith(marker)))
+    if (replayed) return // the epoch already committed before the crash
+    val batch = org.apache.spark.sql.graft.Bridge.asBatchFrame(spark, data)
+    val gen = marker + java.util.UUID.randomUUID().toString.take(8)
+    batch.write.format(format).options(options)
+      .mode("error").save(new Path(rootPath, gen).toString)
+    fs.delete(new Path(new Path(rootPath, gen), "_SUCCESS"), false)
+    if (!complete) {
+      ManifestTable.commit(fs, rootPath, "",
+        Map(gen -> Some(ManifestEntry(gen, gen, Nil))))
+      ()
+    } else {
+      // retire-all pointer flip, optimistic: data written once above
+      var attempts = 0
+      while (attempts < 10) {
+        attempts += 1
+        val base = ManifestTable.resolve(fs, rootPath)
+        val retire = base.map(_.entries).getOrElse(Nil)
+          .map(e => e.part -> (None: Option[ManifestEntry])).toMap
+        try {
+          ManifestTable.commit(fs, rootPath, "",
+            retire + (gen -> Some(ManifestEntry(gen, gen, Nil))),
+            expectedSeq = Some(base.map(_.seq).getOrElse(0L)))
+          ManifestTable.gc(fs, rootPath)
+          return
+        } catch { case _: graft.core.ManifestStaleException => }
+      }
+      throw new java.io.IOException(
+        s"graftmanifest sink at $path: complete-mode commit lost the optimistic " +
+          "race 10 times — sustained concurrent-writer contention")
+    }
+  }
+
+  override def toString: String = s"GraftManifestSink[$path]"
+}

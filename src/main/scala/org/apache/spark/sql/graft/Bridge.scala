@@ -42,6 +42,18 @@ object Bridge {
       .internalCreateDataFrame(
         df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
           .queryExecution.toRdd, schema, isStreaming = true)
+
+  /** The inverse: re-plan a streaming micro-batch's rows as a BATCH
+    * frame a `Sink.addBatch` can hand to ordinary writers — what
+    * Delta's sink does with the incoming Dataset.
+    */
+  def asBatchFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(classic.queryExecution.toRdd, classic.schema,
+        isStreaming = false)
+  }
 }
 
 final class SerializableHadoopConf(

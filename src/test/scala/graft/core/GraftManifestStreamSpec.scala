@@ -1,10 +1,10 @@
 package graft.core
 
 import graft.SparkSpec
-import graft.sources.v2.GraftManifestSource
+import graft.sources.v2.{GraftManifestSink, GraftManifestSource}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, MemoryStream}
 
 /** Manifested tables as a streaming source (round 14): the commit log
   * is the changelog — each micro-batch is exactly the entries newly
@@ -53,6 +53,55 @@ class GraftManifestStreamSpec extends SparkSpec {
       assert(msg.contains("RETIRED") || msg.contains("APPEND-ONLY"),
         s"wrong failure for a mid-stream overwrite: $e")
     } finally q.stop()
+  }
+
+  test("sink: one generation + commit per micro-batch; a replayed batch id is skipped (exactly-once)") {
+    val root = tmpDir("gm-sink") + "/t"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("id", "v").writeStream.format("graftmanifest")
+      .option("path", root)
+      .option("checkpointLocation", tmpDir("gm-sink-ckpt"))
+      .outputMode("append").start()
+    try {
+      mem.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      mem.addData((3, "c")); q.processAllAvailable()
+    } finally q.stop()
+    def table = spark.read.format("graftmanifest").load(root)
+      .as[(Int, String)].collect().toMap
+    assert(table == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = ManifestTable.resolve(fs, new Path(root)).get.entries
+    assert(entries.size == 2 && entries.forall(_.dir.matches("g-b\\d+-.*")),
+      s"expected one batch-id-named generation per micro-batch: $entries")
+    // a post-crash epoch replay re-offers an already-committed batch id
+    // — the sink must detect it FROM THE MANIFEST and write nothing
+    val sink = new GraftManifestSink(spark, root, "parquet", Map.empty, complete = false)
+    sink.addBatch(0, Seq((99, "replay")).toDF("id", "v"))
+    assert(table == Map(1 -> "a", 2 -> "b", 3 -> "c"),
+      "a replayed batch id wrote a second copy — exactly-once broken")
+    // and a genuinely new batch id lands
+    sink.addBatch(7, Seq((4, "d")).toDF("id", "v"))
+    assert(table == Map(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+  }
+
+  test("sink complete mode: each batch REPLACES state via the optimistic pointer flip") {
+    val root = tmpDir("gm-sink-complete") + "/t"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("v").groupBy("v").count()
+      .writeStream.format("graftmanifest")
+      .option("path", root)
+      .option("checkpointLocation", tmpDir("gm-sinkc-ckpt"))
+      .outputMode("complete").start()
+    try {
+      mem.addData("x", "y", "x"); q.processAllAvailable()
+      mem.addData("y"); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.format("graftmanifest").load(root)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 2L, "y" -> 2L),
+      s"complete mode did not replace state: $got")
   }
 
   test("a start offset gc'd past the history window fails naming the retained set and the knob") {
