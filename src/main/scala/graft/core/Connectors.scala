@@ -87,13 +87,9 @@ final case class FileConnector(
   private def hfs(spark: SparkSession): FileSystem =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def configure(r: DataFrameReader): DataFrameReader = {
-    val withDefaults = format match {
-      case "csv" => r.option("header", "true").option("inferSchema", "true")
-      case _     => r
-    }
-    options.foldLeft(withDefaults) { case (rr, (k, v)) => rr.option(k, v) }
-  }
+  private def configure(r: DataFrameReader): DataFrameReader =
+    (FormatDefaults.read(format) ++ options)
+      .foldLeft(r) { case (rr, (k, v)) => rr.option(k, v) }
 
   def read(spark: SparkSession, index: String): DataFrame = {
     val target = pathFor(index)
@@ -129,13 +125,9 @@ final case class FileConnector(
     configure(spark.read).format(format).load(target)
   }
 
-  private def configureW[T](w: DataFrameWriter[T]): DataFrameWriter[T] = {
-    val withDefaults = format match {
-      case "csv" => w.option("header", "true")
-      case _     => w
-    }
-    options.foldLeft(withDefaults) { case (ww, (k, v)) => ww.option(k, v) }
-  }
+  private def configureW[T](w: DataFrameWriter[T]): DataFrameWriter[T] =
+    (FormatDefaults.write(format) ++ options)
+      .foldLeft(w) { case (ww, (k, v)) => ww.option(k, v) }
 
   def write(df: DataFrame, index: String, mode: WriteMode): Unit = {
     val target = pathFor(index)
@@ -319,6 +311,7 @@ final case class FileConnector(
           ManifestTable.commit(fs, table, partCol = "",
             retire + ("" -> Some(ManifestEntry("", gen, Nil))),
             expectedSeq = Some(base.seq))
+          FileConnector.afterUpsertCommit()
           ManifestTable.gc(fs, table)
           return
         } catch {
@@ -326,14 +319,31 @@ final case class FileConnector(
             // our generation was never committed — orphan debris; sweep
             // it eagerly rather than waiting for gc's retention window
             if (gen != null) fs.delete(new HPath(table, gen), true)
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
+            // Commit success is TERMINAL: if the live manifest references
+            // our generation, the commit landed and the failure came
+            // AFTER it (a transient gc IOException, a test seam) — the
+            // table already holds the merged state, so report success.
+            // Treating this as "concurrent advance" would delete the
+            // very generation the live pointer names (our own commit
+            // advanced nowSeq past base.seq!) and permanently brick the
+            // table — a transient post-commit error becoming silent data
+            // loss. gc debris is the next sweep's job by contract.
+            val now = ManifestTable.resolve(fs, table)
+            val committedByUs = gen != null && now.exists(_.entries.exists(en =>
+              en.dir == gen || en.dir.startsWith(gen + "/")))
+            if (committedByUs) return
             // a concurrent WINNER's gc can retire our base's files while
             // our merge scan is still reading them (the in-flight-reader
             // grace caveat) — that surfaces as a job failure, not a
             // commit-guard trip. Same staleness, detected later: retry
             // iff the table really did advance past our base, else the
-            // failure is genuine and must propagate.
-            val nowSeq = ManifestTable.resolve(fs, table).map(_.seq).getOrElse(0L)
+            // failure is genuine and must propagate. Fatal errors (OOM,
+            // InterruptedException) skip this handler entirely — they
+            // propagate without deleting anything (never a brick; at
+            // worst an uncommitted generation the next gc sweeps) and
+            // are never retried into fresh Spark jobs.
+            val nowSeq = now.map(_.seq).getOrElse(0L)
             if (nowSeq == base.seq) throw e
             if (gen != null) fs.delete(new HPath(table, gen), true)
         }
@@ -460,6 +470,13 @@ object FileConnector {
     * commit makes the attempt stale. Production no-op.
     */
   @volatile private[graft] var beforeUpsertCommit: () => Unit = () => ()
+
+  /** Test seam: runs between an upsert's SUCCESSFUL conditional commit
+    * and its gc — the window where a post-commit failure must read as
+    * success, never as a retriable staleness (deleting the committed
+    * generation there bricks the table). Production no-op.
+    */
+  @volatile private[graft] var afterUpsertCommit: () => Unit = () => ()
 }
 
 /** In-memory connector (`ListD`, `d22d/utils/db/__init__.py:1469-1498`):

@@ -199,10 +199,7 @@ object ManifestFileIndex {
       options: Map[String, String] = Map.empty,
       asOfSeq: Option[Long] = None): DataFrame = {
     val index = new ManifestFileIndex(spark, new Path(root), partCol, parts, asOfSeq)
-    val effOptions = (format match {
-      case "csv" => Map("header" -> "true", "inferSchema" -> "true")
-      case _     => Map.empty[String, String]
-    }) ++ options
+    val effOptions = FormatDefaults.read(format) ++ options
     // Data schema from the FIRST generation group's footers, with the
     // same drift guard the legacy read applies: ONE tail group is
     // spot-checked (two footer probes total, never O(groups)) and a

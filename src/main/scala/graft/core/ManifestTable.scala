@@ -333,9 +333,33 @@ object ManifestTable {
               s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
             java.nio.file.Files.write(tmp, bytes)
             try {
-              java.nio.file.Files.createLink(target, tmp)
+              try {
+                java.nio.file.Files.createLink(target, tmp)
+              } catch {
+                // Filesystems without hard links (FAT/exFAT, some SMB
+                // mounts — plausible exactly where commit=manifest is
+                // pointed at a shared local mount) surface
+                // UnsupportedOperationException; EPERM link denials come
+                // as FileSystemException. Fall back to Hadoop's
+                // create(overwrite=false): check-then-create, so
+                // committer linearizability degrades to the non-atomic
+                // row of the store-family table (reader safety keeps the
+                // sha-256 guard either way) — a working commit beats a
+                // hard failure on a store that cannot do better.
+                case e @ (_: UnsupportedOperationException |
+                          _: java.nio.file.FileSystemException)
+                    if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+                  val out = fs.create(commitPath(root, seq), false)
+                  try out.write(bytes) finally out.close()
+              }
               return m
-            } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+            } finally {
+              // best-effort: a failed temp delete must not fail (or
+              // worse, un-succeed) a landed commit — gc sweeps aged
+              // .tmp-* strays by contract
+              try { java.nio.file.Files.deleteIfExists(tmp); () }
+              catch { case _: java.io.IOException => }
+            }
           } else {
             val out = fs.create(commitPath(root, seq), false)
             try out.write(bytes) finally out.close()

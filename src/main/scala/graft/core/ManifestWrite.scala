@@ -95,7 +95,8 @@ object ManifestWrite {
       partCol: String, format: String, options: Map[String, String]): String = {
     val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
     val genPath = new Path(root, gen)
-    val w = df.write.format(format).options(options).mode(SaveMode.ErrorIfExists)
+    val w = df.write.format(format).options(FormatDefaults.write(format) ++ options)
+      .mode(SaveMode.ErrorIfExists)
     (if (partCol.isEmpty) w else w.partitionBy(partCol)).save(genPath.toString)
     fs.delete(new Path(genPath, "_SUCCESS"), false)
     gen

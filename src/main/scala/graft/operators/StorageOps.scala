@@ -620,16 +620,28 @@ object StorageOps {
         beforeRewriteCommit()
         ManifestTable.commit(fs, root, "day", updates,
           expectedSeq = Some(manifest.seq))
+        afterRewriteCommit()
         ManifestTable.gc(fs, root)
         return
       } catch {
         case _: ManifestStaleException =>
           fs.delete(new org.apache.hadoop.fs.Path(root, gen), true)
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
+          // Commit success is TERMINAL: if the live manifest references
+          // this attempt's generation, the commit landed and the failure
+          // came AFTER it (a transient gc IOException) — deleting the
+          // generation then would brick the table, because our OWN
+          // commit is what advanced nowSeq past the base (the same
+          // data-loss shape the connector upsert guards against).
+          val now = ManifestTable.resolve(fs, root)
+          val committedByUs = now.exists(_.entries.exists(en =>
+            en.dir == gen || en.dir.startsWith(gen + "/")))
+          if (committedByUs) return
           // a concurrent winner's gc can retire this attempt's base
           // files mid-rewrite — retry iff the table really advanced,
-          // else the failure is genuine (same reasoning as the upsert)
-          val nowSeq = ManifestTable.resolve(fs, root).map(_.seq).getOrElse(0L)
+          // else the failure is genuine (same reasoning as the upsert).
+          // Fatal errors skip this handler: propagate, delete nothing.
+          val nowSeq = now.map(_.seq).getOrElse(0L)
           if (nowSeq == manifest.seq) throw e
           fs.delete(new org.apache.hadoop.fs.Path(root, gen), true)
       }
@@ -651,6 +663,13 @@ object StorageOps {
     * Production no-op.
     */
   @volatile private[graft] var beforeRewriteCommit: () => Unit = () => ()
+
+  /** Test seam (round 15): runs between a rewrite's SUCCESSFUL
+    * conditional commit and its gc — a failure here must read as
+    * success (the pointer already flipped), never as a retriable
+    * staleness. Production no-op.
+    */
+  @volatile private[graft] var afterRewriteCommit: () => Unit = () => ()
 
   /** Targeted row erasure — the right-to-be-forgotten primitive every
     * training-data pipeline eventually needs. Parquet files are

@@ -87,7 +87,8 @@ final class GraftManifestSource(
     val paths = added.flatMap(e => ManifestTable.entryPaths(rootPath, e)).map(_.toString)
     val batch =
       if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.format(format).schema(schema).options(options).load(paths: _*)
+      else spark.read.format(format).schema(schema)
+        .options(graft.core.FormatDefaults.read(format) ++ options).load(paths: _*)
     // the engine asserts isStreaming on what getBatch returns — re-tag
     // the batch rows the way FileStreamSource does
     org.apache.spark.sql.graft.Bridge.asStreamingFrame(spark, batch, schema)
@@ -129,7 +130,8 @@ final class GraftManifestSink(
     if (replayed) return // the epoch already committed before the crash
     val batch = org.apache.spark.sql.graft.Bridge.asBatchFrame(spark, data)
     val gen = marker + java.util.UUID.randomUUID().toString.take(8)
-    batch.write.format(format).options(options)
+    batch.write.format(format)
+      .options(graft.core.FormatDefaults.write(format) ++ options)
       .mode("error").save(new Path(rootPath, gen).toString)
     fs.delete(new Path(new Path(rootPath, gen), "_SUCCESS"), false)
     if (!complete) {
