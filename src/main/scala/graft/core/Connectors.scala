@@ -187,7 +187,8 @@ final case class FileConnector(
       val gen = writeGeneration(df, fs, table)
       ManifestTable.commit(fs, table, partCol = "",
         retire.map(e => e.part -> (None: Option[ManifestEntry])).toMap +
-          ("" -> Some(ManifestEntry("", gen, Nil))))
+          ("" -> Some(ManifestEntry("", gen, Nil,
+            ManifestTable.fileStats(fs, new HPath(table, gen))))))
       ManifestTable.gc(fs, table)
       ()
     }
@@ -197,7 +198,8 @@ final case class FileConnector(
           case Some(_) =>
             val gen = writeGeneration(df, fs, table)
             ManifestTable.commit(fs, table, partCol = "",
-              Map(gen -> Some(ManifestEntry(gen, gen, Nil))))
+              Map(gen -> Some(ManifestEntry(gen, gen, Nil,
+                ManifestTable.fileStats(fs, new HPath(table, gen))))))
             ()
           case None if foreignSubdirs =>
             configureW(df.write).format(format).mode(SaveMode.Append).save(table.toString)
@@ -309,7 +311,8 @@ final case class FileConnector(
           FileConnector.beforeUpsertCommit()
           val retire = base.entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap
           ManifestTable.commit(fs, table, partCol = "",
-            retire + ("" -> Some(ManifestEntry("", gen, Nil))),
+            retire + ("" -> Some(ManifestEntry("", gen, Nil,
+              ManifestTable.fileStats(fs, new HPath(table, gen))))),
             expectedSeq = Some(base.seq))
           FileConnector.afterUpsertCommit()
           ManifestTable.gc(fs, table)

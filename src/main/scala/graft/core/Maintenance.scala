@@ -106,7 +106,8 @@ object Maintenance {
       .write.mode("error").parquet(genPath.toString)
     fs.delete(new Path(genPath, "_SUCCESS"), false)
     ManifestTable.commit(fs, p, partCol = "",
-      Map("" -> Some(ManifestEntry("", gen, Nil))))
+      Map("" -> Some(ManifestEntry("", gen, Nil,
+        ManifestTable.fileStats(fs, genPath)))))
     ManifestTable.gc(fs, p)
     val after = fs.listStatus(genPath).count(_.isFile)
     (liveFiles.size, after)

@@ -4,13 +4,33 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** One data file's recorded status — (name relative to its entry's
+  * dir, byte length) — captured by the WRITER at commit time, when the
+  * file set is already in hand. Generations are immutable, so the
+  * record can never go stale: the manifest IS the listing (the Iceberg
+  * discipline), and a stats-bearing table resolves to a scannable file
+  * set with ZERO filesystem listing calls (round-15 verdict task 1 —
+  * `ManifestFileIndex.load` was O(live files) serial driver RPCs,
+  * minutes on a million-file table on real S3).
+  */
+final case class FileStat(name: String, len: Long)
+
 /** One committed state of a manifested table: the set of live data
   * directories/files, keyed by partition value (`part` is "" for an
   * unpartitioned table). `dir` is relative to the table root; an entry
   * with explicit `files` references exactly those files inside `dir`
   * (the in-place-adoption case), otherwise the whole directory.
+  * `stats` (round 15) records each data file's (name, length) at
+  * commit time — when present, readers trust it as THE listing and
+  * touch the filesystem zero times; when absent (pre-upgrade
+  * manifests) readers fall back to listing. `covers` (round 15) names
+  * the part keys a FOLD generation subsumed — how the streaming
+  * source distinguishes a fold (same rows, repacked; skip) from a
+  * genuine rewrite (fail loudly); bounded by the fold arity, never
+  * transitive.
   */
-final case class ManifestEntry(part: String, dir: String, files: Seq[String])
+final case class ManifestEntry(part: String, dir: String, files: Seq[String],
+    stats: Seq[FileStat] = Nil, covers: Seq[String] = Nil)
 
 final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry])
 
@@ -123,8 +143,14 @@ object ManifestTable {
 
   /** Serialized form: line 1 `sha256:<hex of the remaining bytes>`,
     * line 2 `graft-manifest\t1\t<seq>\t<partCol>`, then one
-    * `<part>\t<dir>\t<comma-joined files>` line per entry. Tokens are
-    * charset-restricted at write time so the format needs no escaping.
+    * `<part>\t<dir>\t<comma-joined files>\t<comma-joined name#len
+    * stats>\t<comma-joined covers>` line per entry. Tokens are
+    * charset-restricted at write time so the format needs no escaping
+    * ('#' and ',' are outside the token charset, so the stats field is
+    * unambiguous). Readers accept the pre-round-15 3-field entry lines
+    * too — retained old commit files (time travel, streaming offsets)
+    * keep parsing; their entries just carry no stats and fall back to
+    * listing.
     */
   private[core] def serialize(m: Manifest): Array[Byte] = {
     val body = new StringBuilder
@@ -135,7 +161,9 @@ object ManifestTable {
       // dir may contain '/' between path-safe segments
       e.dir.split('/').foreach(token)
       body.append(e.dir).append('\t')
-      body.append(e.files.map(token).mkString(",")).append('\n')
+      body.append(e.files.map(token).mkString(",")).append('\t')
+      body.append(e.stats.map(s => s"${token(s.name)}#${s.len}").mkString(",")).append('\t')
+      body.append(e.covers.map(token).mkString(",")).append('\n')
     }
     val payload = body.toString.getBytes(StandardCharsets.UTF_8)
     (s"sha256:${sha256(payload)}\n").getBytes(StandardCharsets.UTF_8) ++ payload
@@ -159,8 +187,18 @@ object ManifestTable {
     val seq = head(2).toLongOption.getOrElse(return None)
     val entries = lines.tail.map { ln =>
       val f = ln.split("\t", -1)
-      if (f.length != 3) return None
-      ManifestEntry(f(0), f(1), if (f(2).isEmpty) Nil else f(2).split(',').toSeq)
+      if (f.length != 3 && f.length != 5) return None
+      val stats =
+        if (f.length < 5 || f(3).isEmpty) Nil
+        else f(3).split(',').toSeq.map { t =>
+          val i = t.lastIndexOf('#')
+          if (i <= 0) return None
+          FileStat(t.substring(0, i),
+            t.substring(i + 1).toLongOption.getOrElse(return None))
+        }
+      val covers = if (f.length < 5 || f(4).isEmpty) Nil else f(4).split(',').toSeq
+      ManifestEntry(f(0), f(1),
+        if (f(2).isEmpty) Nil else f(2).split(',').toSeq, stats, covers)
     }
     Some(Manifest(seq, head(3), entries))
   }
@@ -402,7 +440,10 @@ object ManifestTable {
             require(parts.nonEmpty, s"manifest adopt: no $partCol= partitions at $root")
             parts.map { s =>
               val value = s.getPath.getName.substring(partCol.length + 1)
-              value -> Some(ManifestEntry(value, s.getPath.getName, Nil))
+              // one listing per partition, once, at convert time — every
+              // read after this resolves with zero filesystem calls
+              value -> Some(ManifestEntry(value, s.getPath.getName, Nil,
+                fileStats(fs, s.getPath)))
             }.toMap
           } else {
             // g-* dirs under an UNmanifested root are crash debris by
@@ -415,13 +456,26 @@ object ManifestTable {
               s"manifest adopt: $root has subdirectories " +
                 s"(${subDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
                 "unpartitioned adoption needs a flat file layout")
-            val files = children.filter(_.isFile).map(_.getPath.getName)
-            require(files.nonEmpty, s"manifest adopt: no data files at $root")
-            Map("" -> Some(ManifestEntry("", "", files.sorted)))
+            val adopted = children.filter(_.isFile).sortBy(_.getPath.getName)
+            require(adopted.nonEmpty, s"manifest adopt: no data files at $root")
+            Map("" -> Some(ManifestEntry("", "", adopted.map(_.getPath.getName),
+              adopted.map(s => FileStat(s.getPath.getName, s.getLen)))))
           }
         commit(fs, root, partCol, updates)
     }
   }
+
+  /** The immediate data files of `dir` as commit-time stats — what a
+    * WRITER records into its entry so readers never list. One listing,
+    * paid by the party that just wrote the files (and usually has them
+    * in hand anyway).
+    */
+  def fileStats(fs: FileSystem, dir: Path): Seq[FileStat] =
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map(s => FileStat(s.getPath.getName, s.getLen))
 
   /** Absolute paths an entry's data lives at. */
   def entryPaths(root: Path, e: ManifestEntry): Seq[Path] = {

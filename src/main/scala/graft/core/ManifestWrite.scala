@@ -63,7 +63,8 @@ object ManifestWrite {
         // additive entry keyed by the generation name — unique per
         // append, never colliding with the "" overwrite entry
         ManifestTable.commit(fs, rootPath, partCol,
-          Map(gen -> Some(ManifestEntry(gen, gen, Nil))))
+          Map(gen -> Some(ManifestEntry(gen, gen, Nil,
+            ManifestTable.fileStats(fs, new Path(rootPath, gen))))))
         ()
       case _ => // Overwrite, or first write under ErrorIfExists/Ignore
         val gen = writeGeneration(df, fs, rootPath, partCol, format, options)
@@ -108,7 +109,9 @@ object ManifestWrite {
     */
   private def genEntries(fs: FileSystem, root: Path, gen: String,
       partCol: String): Seq[ManifestEntry] =
-    if (partCol.isEmpty) Seq(ManifestEntry("", gen, Nil))
+    if (partCol.isEmpty)
+      Seq(ManifestEntry("", gen, Nil,
+        ManifestTable.fileStats(fs, new Path(root, gen))))
     else {
       val parts = fs.listStatus(new Path(root, gen)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
@@ -117,7 +120,10 @@ object ManifestWrite {
           s"(empty input frame?) — an empty manifested table is not representable")
       parts.map { s =>
         val value = s.getPath.getName.substring(partCol.length + 1)
-        ManifestEntry(value, s"$gen/${s.getPath.getName}", Nil)
+        // the writer just produced these files; recording (name, len)
+        // now is what lets every future read skip listing entirely
+        ManifestEntry(value, s"$gen/${s.getPath.getName}", Nil,
+          ManifestTable.fileStats(fs, s.getPath))
       }
     }
 

@@ -615,7 +615,11 @@ object StorageOps {
           val dataFiles = fs.listStatus(out).filter(s => s.isFile &&
             !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
           val hasRows = dataFiles.nonEmpty && !spark.read.parquet(out.toString).isEmpty
-          d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil)) else None)
+          // the statuses are already in hand from the empty-check above —
+          // record them so readers resolve with zero listing calls
+          val stats = dataFiles.toSeq.sortBy(_.getPath.getName)
+            .map(s => graft.core.FileStat(s.getPath.getName, s.getLen))
+          d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil, stats)) else None)
         }.toMap
         beforeRewriteCommit()
         ManifestTable.commit(fs, root, "day", updates,

@@ -134,9 +134,10 @@ final class GraftManifestSink(
       .options(graft.core.FormatDefaults.write(format) ++ options)
       .mode("error").save(new Path(rootPath, gen).toString)
     fs.delete(new Path(new Path(rootPath, gen), "_SUCCESS"), false)
+    val genStats = ManifestTable.fileStats(fs, new Path(rootPath, gen))
     if (!complete) {
       ManifestTable.commit(fs, rootPath, "",
-        Map(gen -> Some(ManifestEntry(gen, gen, Nil))))
+        Map(gen -> Some(ManifestEntry(gen, gen, Nil, genStats))))
       ()
     } else {
       // retire-all pointer flip, optimistic: data written once above
@@ -148,7 +149,7 @@ final class GraftManifestSink(
           .map(e => e.part -> (None: Option[ManifestEntry])).toMap
         try {
           ManifestTable.commit(fs, rootPath, "",
-            retire + (gen -> Some(ManifestEntry(gen, gen, Nil))),
+            retire + (gen -> Some(ManifestEntry(gen, gen, Nil, genStats))),
             expectedSeq = Some(base.map(_.seq).getOrElse(0L)))
           ManifestTable.gc(fs, rootPath)
           return

@@ -101,6 +101,17 @@ object ManifestReadBench {
       ManifestTable.resolve(fs, new Path(manifDir))
       (System.nanoTime() - t0) / 1e6
     }
+    // full index construction (round 15): resolve + the scan's whole
+    // FileStatus set. Stats-bearing manifests synthesize it with zero
+    // filesystem listing calls, so the 36-generation table and the
+    // 1-generation twin must cost the SAME — the row that proves
+    // resolve cost is flat in file/generation count.
+    def indexMs(dir: String): Double = (1 to 20).map { _ =>
+      val t0 = System.nanoTime()
+      val idx = new graft.core.ManifestFileIndex(spark, new Path(dir), "day")
+      require(idx.sizeInBytes > 0)
+      (System.nanoTime() - t0) / 1e6
+    }.min
     val rows = spark.read.parquet(plainDir).count()
     val json = (Seq(
       "tool" -> "\"manifest-read-bench\"",
@@ -109,7 +120,9 @@ object ManifestReadBench {
       "rows" -> rows.toString,
       "legs_manifested" -> legs(manifDir).toString,
       "iters" -> iters.toString,
-      "resolve_ms_min" -> f"${rt.min}%.3f") ++
+      "resolve_ms_min" -> f"${rt.min}%.3f",
+      "index_build_ms_manifested" -> f"${indexMs(manifDir)}%.3f",
+      "index_build_ms_consolidated" -> f"${indexMs(consDir)}%.3f") ++
       results.map { case (k, v) => k -> f"$v%.3f" })
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(json)

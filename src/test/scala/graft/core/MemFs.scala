@@ -52,10 +52,19 @@ object MemFsStore {
     * which survives (reader safety via the sha-256 payload guard).
     */
   @volatile var nonAtomicCreate: Boolean = false
+  /** Metadata-RPC counters (round 15): every `listStatus` /
+    * `getFileStatus` increments — how `ManifestStatsSpec` proves a
+    * stats-bearing manifest resolves with ZERO per-file listing calls
+    * (each of these is a real round-trip on S3/HDFS).
+    */
+  val listStatusCalls = new java.util.concurrent.atomic.AtomicLong()
+  val getFileStatusCalls = new java.util.concurrent.atomic.AtomicLong()
+  def resetCounters(): Unit = { listStatusCalls.set(0); getFileStatusCalls.set(0) }
   def disarmCrash(): Unit = { renameCopyCrashAfter.set(-1); renameCopyCrashed = false }
   def clear(): Unit = {
     entries.clear(); supportSetTimes = true
     renameAsCopy = renameAsCopyDefault; nonAtomicCreate = false; disarmCrash()
+    resetCounters()
   }
 
   private[core] def parentOf(key: String): String = {
@@ -123,6 +132,7 @@ class MemFs extends FileSystem {
       128L * 1024 * 1024, e.mtime, new Path(fsUri.toString + k))
 
   override def getFileStatus(f: Path): FileStatus = {
+    getFileStatusCalls.incrementAndGet()
     val k = key(f)
     if (k == "/") return new FileStatus(0L, true, 1, 0L, 0L, new Path(fsUri.toString + "/"))
     val e = entries.get(k)
@@ -131,6 +141,7 @@ class MemFs extends FileSystem {
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
+    listStatusCalls.incrementAndGet()
     val k = key(f)
     val e = if (k == "/") Entry(Array.empty, isDir = true, 0L) else entries.get(k)
     if (e == null) throw new FileNotFoundException(s"memfs: $k")
