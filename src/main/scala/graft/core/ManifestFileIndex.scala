@@ -223,6 +223,34 @@ final class ManifestFileIndex(
 
 object ManifestFileIndex {
 
+  /** Additive union of per-generation schemas (round-15 verdict task 5;
+    * the `mergeSchema=true` contract): fields keyed by name, first-seen
+    * order, everything nullable (a column absent from older files reads
+    * as null — the reconciliation parquet/json readers already do by
+    * name). A same-name TYPE conflict stays a loud error — silently
+    * coercing (or worse, reading int bytes as long) is the failure mode
+    * the default drift guard exists to prevent, and opting into
+    * additive evolution must not opt into that.
+    */
+  private[graft] def mergeSchemas(root: String,
+      groups: Seq[(String, StructType)]): StructType = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (StructField, String)]
+    groups.foreach { case (g, st) =>
+      st.fields.foreach { f =>
+        out.get(f.name) match {
+          case None => out(f.name) = (f.copy(nullable = true), g)
+          case Some((prev, g0)) =>
+            require(prev.dataType == f.dataType,
+              s"manifest read at $root (mergeSchema): column '${f.name}' is " +
+                s"${prev.dataType.simpleString} in generation '$g0' but " +
+                s"${f.dataType.simpleString} in '$g' — additive evolution merges " +
+                "NEW columns only; a type conflict needs a rewrite (Overwrite)")
+        }
+      }
+    }
+    StructType(out.values.map(_._1).toSeq)
+  }
+
   private def fileFormatFor(format: String): FileFormat = format match {
     case "parquet" => new ParquetFileFormat
     case "csv"     => new CSVFileFormat
@@ -241,33 +269,51 @@ object ManifestFileIndex {
   def relation(spark: SparkSession, root: String, partCol: String,
       parts: Option[Set[String]] = None, format: String = "parquet",
       options: Map[String, String] = Map.empty,
-      asOfSeq: Option[Long] = None): DataFrame = {
+      asOfSeq: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val index = new ManifestFileIndex(spark, new Path(root), partCol, parts, asOfSeq)
     val effOptions = FormatDefaults.read(format) ++ options
-    // Data schema from the FIRST generation group's footers, with the
-    // same drift guard the legacy read applies: ONE tail group is
-    // spot-checked (two footer probes total, never O(groups)) and a
-    // drifted column-name set fails loudly instead of silently
-    // narrowing — cross-generation schema evolution is not a supported
-    // operation on a manifested table.
     val samples = index.sampleFilePerGroup
     def inferOn(path: Path): StructType =
       spark.read.options(effOptions).format(format).load(path.toString).schema
-    val first = inferOn(samples.head._2)
-    if (samples.size > 1) {
-      val probe = inferOn(samples.last._2)
-      val drift = (probe.fieldNames.toSet diff first.fieldNames.toSet) ++
-        (first.fieldNames.toSet diff probe.fieldNames.toSet)
-      require(drift.isEmpty,
-        s"manifest read at $root: generation '${samples.last._1}' schema drifted from " +
-          s"'${samples.head._1}' on columns ${drift.toSeq.sorted.mkString(", ")} — " +
-          "cross-generation schema evolution is not supported on a manifested " +
-          "table; rewrite it (Overwrite) to evolve its schema")
+    val dataSchema: StructType = if (mergeSchema) {
+      // Opt-in additive evolution (round 15): the single most common
+      // table change is Append with a new nullable column, and the
+      // default guard forced a full rewrite for it. With
+      // mergeSchema=true the data schema is the UNION of every
+      // generation group's fields (one footer probe per group — O(live
+      // generations, gc-bounded), paid only by callers who opted in);
+      // files missing a column read it as null via the by-name
+      // reconciliation parquet and json already do. csv is refused:
+      // it is POSITIONAL, so a file missing a middle column would
+      // silently shift every later value into the wrong column.
+      require(format != "csv",
+        s"manifest read at $root: mergeSchema is not supported for csv — " +
+          "csv files are positional; a missing column would misalign rows")
+      mergeSchemas(root, samples.map { case (g, p) => g -> inferOn(p) })
+    } else {
+      // Data schema from the FIRST generation group's footers, with the
+      // same drift guard the legacy read applies: ONE tail group is
+      // spot-checked (two footer probes total, never O(groups)) and a
+      // drifted column-name set fails loudly instead of silently
+      // narrowing — cross-generation evolution needs mergeSchema=true
+      // (additive) or a rewrite.
+      val first = inferOn(samples.head._2)
+      if (samples.size > 1) {
+        val probe = inferOn(samples.last._2)
+        val drift = (probe.fieldNames.toSet diff first.fieldNames.toSet) ++
+          (first.fieldNames.toSet diff probe.fieldNames.toSet)
+        require(drift.isEmpty,
+          s"manifest read at $root: generation '${samples.last._1}' schema drifted from " +
+            s"'${samples.head._1}' on columns ${drift.toSeq.sorted.mkString(", ")} — " +
+            "pass mergeSchema=true for additive column evolution, or rewrite " +
+            "(Overwrite) for anything else")
+      }
+      first
     }
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
-      dataSchema = first,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = fileFormatFor(format),
       options = effOptions)(spark)

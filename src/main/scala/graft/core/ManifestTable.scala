@@ -494,9 +494,19 @@ object ManifestTable {
     * (which Catalyst turns into ordinary partition pruning on the
     * inferred column), so callers get the same rows either way
     * instead of silently receiving every partition.
+    *
+    * `mergeSchema = true` (round 15) opts into ADDITIVE cross-generation
+    * schema evolution: the result schema is the union of every live
+    * generation's fields (new columns read as null in generations
+    * written before them), type conflicts still fail loudly. Costs one
+    * schema inference per generation group — opt-in for exactly the
+    * callers who appended a new nullable column and don't want a full
+    * rewrite. Same semantics as the single-scan path's flag
+    * ([[ManifestFileIndex.relation]]), parity spec-proven.
     */
   def read(spark: SparkSession, root: String,
-      parts: Option[Set[String]] = None, partCol: String = ""): DataFrame = {
+      parts: Option[Set[String]] = None, partCol: String = "",
+      mergeSchema: Boolean = false): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val m = resolve(fs, rootPath).getOrElse {
@@ -518,7 +528,32 @@ object ManifestTable {
     require(wanted.nonEmpty, s"manifested table at $root has no matching partitions")
     if (m.partCol.isEmpty) {
       val paths = wanted.flatMap(e => entryPaths(rootPath, e)).map(_.toString)
-      spark.read.parquet(paths: _*)
+      // unpartitioned + mergeSchema: parquet's own per-file footer merge
+      // is exactly the additive union wanted here
+      val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+      r.parquet(paths: _*)
+    } else if (mergeSchema) {
+      // additive evolution: one inference per generation group, union of
+      // fields (type conflicts loud), every group read with the merged
+      // schema — by-name parquet reconciliation nulls the absent columns
+      val groups = wanted.groupBy(e => e.dir.stripSuffix(
+        s"${m.partCol}=${e.part}").stripSuffix("/")).toSeq.sortBy(_._1)
+      def readGroup(gen: String, entries: Seq[ManifestEntry],
+          schema: Option[org.apache.spark.sql.types.StructType]) = {
+        val base = if (gen.isEmpty) rootPath else new Path(rootPath, gen)
+        val leaves = entries.flatMap(e => entryPaths(rootPath, e)).map(_.toString)
+        val r = spark.read.option("basePath", base.toString)
+        schema.fold(r)(r.schema).parquet(leaves: _*)
+      }
+      val inferred = groups.map { case (g, es) => g -> readGroup(g, es, None).schema }
+      val mergedRaw = ManifestFileIndex.mergeSchemas(root, inferred)
+      // partition column last, matching the single-scan path's
+      // dataSchema-then-partitionSchema column order
+      val merged = org.apache.spark.sql.types.StructType(
+        mergedRaw.fields.filterNot(_.name == m.partCol) ++
+          mergedRaw.fields.filter(_.name == m.partCol))
+      groups.map { case (g, es) => readGroup(g, es, Some(merged)) }
+        .reduce(_ union _)
     } else {
       val groups = wanted.groupBy(e => e.dir.stripSuffix(
         s"${m.partCol}=${e.part}").stripSuffix("/"))
@@ -576,8 +611,8 @@ object ManifestTable {
                 require(drift.isEmpty,
                   s"manifest read at $root: generation '$gen' schema drifted from " +
                     s"'${ordered.head._1}' on columns ${drift.toSeq.sorted.mkString(", ")} — " +
-                    "cross-generation schema evolution is not supported on a manifested " +
-                    "table; rewrite it (Overwrite) to evolve its schema")
+                    "pass mergeSchema=true for additive column evolution, or rewrite " +
+                    "(Overwrite) for anything else")
                 probe.select(first.columns.map(org.apache.spark.sql.functions.col): _*)
               } else
                 // full schema incl. the partition column: its VALUES

@@ -69,7 +69,7 @@ class GraftManifestDataSource extends RelationProvider
         "tables are maintained by partition REWRITE and cannot stream — " +
         "read them in batch")
     (path, parameters.getOrElse("format", "parquet"),
-      parameters -- Seq("path", "partCol", "parts", "format", "versionAsOf"))
+      parameters -- Seq("path", "partCol", "parts", "format", "versionAsOf", "mergeSchema"))
   }
 
   /** `spark.readStream.format("graftmanifest").load(path)` — each
@@ -80,9 +80,14 @@ class GraftManifestDataSource extends RelationProvider
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val (path, format, passThrough) = streamParams(parameters)
+    // mergeSchema here widens the STARTING schema to the union of the
+    // live generations; the stream then reads every batch with that
+    // fixed schema (absent columns null by-name), the standard
+    // streaming stance — columns added after start need a restart
+    val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
     val inferred = schema.getOrElse(
       ManifestFileIndex.relation(sqlContext.sparkSession, path, "", None,
-        format, passThrough).schema)
+        format, passThrough, mergeSchema = mergeSchema).schema)
     (shortName(), inferred)
   }
 
@@ -108,9 +113,18 @@ class GraftManifestDataSource extends RelationProvider
       throw new IllegalArgumentException("graftmanifest: missing path"))
     val partCol = parameters.getOrElse("partCol", "")
     val format = parameters.getOrElse("format", "parquet")
-    val passThrough = parameters -- Seq("path", "partCol", "parts", "format")
+    val passThrough = parameters -- Seq("path", "partCol", "parts", "format", "mergeSchema")
     ManifestWrite.write(data, path, partCol, mode, format, passThrough)
-    createRelation(sqlContext, parameters)
+    // SaveIntoDataSourceCommand discards the returned relation — a
+    // schema-only stub avoids re-probing footers after every write
+    // (and avoids tripping the read path's drift guard when THIS
+    // append is the legitimate schema evolution a future
+    // mergeSchema=true read will merge)
+    val sqlCtx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = sqlCtx
+      override def schema: StructType = data.schema
+    }
   }
 
   override def createRelation(
@@ -125,9 +139,13 @@ class GraftManifestDataSource extends RelationProvider
     // versionAsOf names a commit seq; retained versions are
     // ManifestTable.versions — the error lists them on a miss
     val asOf = parameters.get("versionAsOf").map(_.trim.toLong)
-    val passThrough = parameters -- Seq("path", "partCol", "parts", "format", "versionAsOf")
+    // additive cross-generation evolution, opt-in (round 15) — same
+    // option name users know from spark.sql.parquet.mergeSchema
+    val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
+    val passThrough = parameters --
+      Seq("path", "partCol", "parts", "format", "versionAsOf", "mergeSchema")
     val df = ManifestFileIndex.relation(
-      sqlContext.sparkSession, path, partCol, parts, format, passThrough, asOf)
+      sqlContext.sparkSession, path, partCol, parts, format, passThrough, asOf, mergeSchema)
     // unwrap the relation the builder just planned — DataSource v1 will
     // re-wrap it in a fresh LogicalRelation with its own attribute ids
     df.queryExecution.analyzed.collectFirst {
