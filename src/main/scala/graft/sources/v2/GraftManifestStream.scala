@@ -3,6 +3,7 @@ package graft.sources.v2
 import graft.core.{ManifestEntry, ManifestTable}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.StructType
@@ -32,9 +33,28 @@ import org.apache.spark.sql.types.StructType
   *     retires old pointers. A gc'd start offset fails naming the
   *     retained versions and the knob, never guessing.
   *
-  * Scale contract: getOffset is one `_commits` listing + one small
-  * read; a batch reads exactly the newly committed generations'
-  * bytes. State is the offset alone — Spark's checkpoint carries it.
+  * Rate control (round-15 verdict task 2): without it a restart
+  * against a weekend backlog replayed the WHOLE delta as one giant
+  * batch — correct but the memory/latency shape no file-source user
+  * expects. The source implements [[SupportsAdmissionControl]] — the
+  * exact seam Spark's own FileStreamSource uses on the v1 `Source`
+  * API — so the engine asks `latestOffset(start, ReadLimit)` instead
+  * of `getOffset`, and the answer honors:
+  *   - `maxCommitsPerTrigger`: at most N commits advance per batch;
+  *   - `maxBytesPerTrigger`: commits accumulate until their NEW
+  *     entries' recorded stats bytes reach the cap (at least one
+  *     commit always, so the stream keeps progressing; pre-stats
+  *     entries count 0 — the knob needs stats-bearing commits);
+  * and [[SupportsTriggerAvailableNow]]: `Trigger.AvailableNow` pins
+  * the drain target to the seq at start, then drains it in
+  * rate-limited batches and stops — the multi-batch backlog catch-up
+  * `Trigger.Once` could never express.
+  *
+  * Scale contract: latestOffset is one `_commits` listing + one small
+  * read (plus, only when a rate cap is set, one read per retained
+  * commit in the window); a batch reads exactly the newly committed
+  * generations' bytes. State is the offset alone — Spark's checkpoint
+  * carries it.
   */
 final class GraftManifestSource(
     spark: SparkSession,
@@ -42,15 +62,110 @@ final class GraftManifestSource(
     format: String,
     options: Map[String, String],
     override val schema: StructType,
-) extends Source {
+) extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val rootPath = new Path(path)
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sessionState.newHadoopConf())
 
+  private val maxCommitsPerTrigger: Option[Int] =
+    options.get("maxCommitsPerTrigger").map(_.trim.toInt)
+  private val maxBytesPerTrigger: Option[Long] =
+    options.get("maxBytesPerTrigger").map(_.trim.toLong)
+  require(maxCommitsPerTrigger.forall(_ > 0) && maxBytesPerTrigger.forall(_ > 0),
+    s"graftmanifest stream at $path: rate-control triggers must be positive " +
+      s"(maxCommitsPerTrigger=$maxCommitsPerTrigger, maxBytesPerTrigger=$maxBytesPerTrigger)")
+
+  /** Options forwarded to the per-batch file read — the rate-control
+    * knobs are OURS, not the file format's.
+    */
+  private val readOptions: Map[String, String] =
+    options -- Seq("maxCommitsPerTrigger", "maxBytesPerTrigger")
+
   private def seqOf(o: LegacyOffset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong
+  }
+
+  private def seqOfV2(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  /** Trigger.AvailableNow drain target: the newest committed seq at
+    * prepare time. Commits landing after it belong to the next run.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = ManifestTable.resolve(fs, rootPath).map(_.seq)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxCommitsPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    ManifestTable.resolve(fs, rootPath).map(m => LongOffset(m.seq)).orNull
+
+  /** The engine's admission-control ask (v1 Source seam: `start` is the
+    * stored previous offset, or null before the first batch). Returns
+    * the next batch's END offset — the newest committed seq, clamped by
+    * the AvailableNow cap and the per-trigger rate caps. Returning
+    * `start` unchanged means "no new batch".
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val startSeq = Option(start).map(seqOfV2).getOrElse(0L)
+    val latest = ManifestTable.resolve(fs, rootPath).map(_.seq).getOrElse(return start)
+    val target = math.min(latest, availableNowCap.getOrElse(Long.MaxValue))
+    if (target <= startSeq) return start
+    if (maxCommitsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      return LongOffset(target)
+    // Walk the retained VALID commits in (startSeq, target] oldest
+    // first, taking them under the caps — always at least one, so a
+    // cap smaller than one commit's bytes still progresses (the file
+    // source's "at least one file" stance). Only commits that
+    // VALIDATE are offset candidates: a torn husk never carried data
+    // (the next commit's carry logic did), so skipping it skips
+    // nothing. O(retained window) small reads, only when a cap is set.
+    val versions = ManifestTable.versions(fs, rootPath)
+      .filter(s => s > startSeq && s <= target).sorted
+    if (versions.isEmpty) return start
+    // parts already visible at the start offset: their entries are not
+    // NEW bytes. A gc'd start offset is not failed HERE — getBatch
+    // reports that contract break with its precise named error.
+    var seenParts: Set[String] =
+      (if (startSeq == 0) None else ManifestTable.resolveAt(fs, rootPath, startSeq))
+        .map(_.entries.map(_.part).toSet).getOrElse(Set.empty)
+    var end = -1L
+    var taken = 0
+    var bytes = 0L
+    val it = versions.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val v = it.next()
+      val m = ManifestTable.resolveAt(fs, rootPath, v).getOrElse {
+        stop = true // raced a gc between versions() and here: stop at what we have
+        null
+      }
+      if (m != null) {
+        val newEntries = m.entries.filterNot(e => seenParts.contains(e.part))
+        val newBytes = newEntries.flatMap(_.stats).map(_.len).sum
+        if (end >= 0 && maxBytesPerTrigger.exists(bytes + newBytes > _)) stop = true
+        else {
+          end = v; taken += 1; bytes += newBytes
+          seenParts ++= m.entries.map(_.part)
+          if (maxCommitsPerTrigger.exists(taken >= _) ||
+            maxBytesPerTrigger.exists(bytes >= _)) stop = true
+        }
+      }
+    }
+    if (end < 0) start else LongOffset(end)
   }
 
   private def manifestAt(seq: Long) =
@@ -88,7 +203,7 @@ final class GraftManifestSource(
     val batch =
       if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.format(format).schema(schema)
-        .options(graft.core.FormatDefaults.read(format) ++ options).load(paths: _*)
+        .options(graft.core.FormatDefaults.read(format) ++ readOptions).load(paths: _*)
     // the engine asserts isStreaming on what getBatch returns — re-tag
     // the batch rows the way FileStreamSource does
     org.apache.spark.sql.graft.Bridge.asStreamingFrame(spark, batch, schema)
