@@ -27,7 +27,12 @@ import org.apache.spark.sql.types.StructType
   *     fails the stream loudly — silently re-reading rewritten data
   *     would double-count and silently skipping it would drop rows;
   *     the user picks a semantics by restarting from scratch, exactly
-  *     Delta's streaming-source stance without ignoreChanges.
+  *     Delta's streaming-source stance without ignoreChanges. The one
+  *     retirement that does NOT break the contract (round 15) is a
+  *     sink FOLD of parts this stream already read: the fold entry's
+  *     `covers` proves it is the same rows repacked, so the diff skips
+  *     it; a fold subsuming parts the stream never saw fails loudly
+  *     ("fold horizon", mirroring the gc-window contract).
   *   - the gc history window must cover stream lag: diffing seq A→B
   *     needs commit A's file, and `ManifestTable.gc(keepCommits)`
   *     retires old pointers. A gc'd start offset fails naming the
@@ -187,18 +192,44 @@ final class GraftManifestSource(
     }
     // append-only = every start entry survives IDENTICALLY (an
     // overwrite/upsert reuses the "" part key with a NEW dir, so a
-    // name-set diff alone would miss it — compare whole entries)
+    // name-set diff alone would miss it — compare whole entries)...
+    // EXCEPT a FOLD (round 15): the sink repacks old micro-batch
+    // generations into one compacted generation whose entry NAMES the
+    // part keys it subsumed (`covers`). A retirement fully explained by
+    // a fold of already-streamed parts is the same rows repacked — skip
+    // both the retirement and the fold entry. A fold that subsumes
+    // parts this stream NEVER saw individually cannot be separated back
+    // out — the stream lagged past the fold horizon; fail loudly with
+    // the knobs, the same stance as the gc history-window contract.
     val endByPart = endM.entries.map(e => e.part -> e).toMap
-    val retired = startEntries.collect {
-      case (p, e) if !endByPart.get(p).contains(e) => p
+    if (start.isDefined) {
+      val retired = startEntries.collect {
+        case (p, e) if !endByPart.get(p).contains(e) => p
+      }.toSet
+      val newFolds = endM.entries.filter(e =>
+        e.covers.nonEmpty && !startEntries.contains(e.part))
+      val horizonBreaks = newFolds.filterNot(_.covers.forall(startEntries.contains))
+      if (horizonBreaks.nonEmpty)
+        throw new IllegalStateException(
+          s"graftmanifest stream at $path: commits ${start.map(seqOf)}..${seqOf(end)} " +
+            s"FOLDED generations this stream never read individually " +
+            s"(${horizonBreaks.map(_.part).sorted.take(3).mkString(", ")}) — the stream " +
+            "lagged past the fold horizon; raise the sink's foldBatches/recency margin " +
+            "to cover worst-case lag, read with maxCommitsPerTrigger to step commit by " +
+            "commit, or restart the stream")
+      val coveredRetired = newFolds.flatMap(_.covers).toSet
+      val genuinelyRetired = retired -- coveredRetired
+      if (genuinelyRetired.nonEmpty)
+        throw new IllegalStateException(
+          s"graftmanifest stream at $path: commits ${start.map(seqOf)}..${seqOf(end)} " +
+            s"RETIRED or rewrote entries [${genuinelyRetired.toSeq.sorted.take(5).mkString(", ")}] — " +
+            "this source streams APPEND-ONLY tables; an overwrite/upsert/compaction " +
+            "rewrote data mid-stream, restart the stream against the new state")
     }
-    if (retired.nonEmpty)
-      throw new IllegalStateException(
-        s"graftmanifest stream at $path: commits ${start.map(seqOf)}..${seqOf(end)} " +
-          s"RETIRED or rewrote entries [${retired.toSeq.sorted.take(5).mkString(", ")}] — " +
-          "this source streams APPEND-ONLY tables; an overwrite/upsert/compaction " +
-          "rewrote data mid-stream, restart the stream against the new state")
-    val added: Seq[ManifestEntry] = endM.entries.filterNot(e => startEntries.contains(e.part))
+    val added: Seq[ManifestEntry] = endM.entries
+      .filterNot(e => startEntries.contains(e.part))
+      // folds of already-streamed parts are repacked old rows, not data
+      .filterNot(e => start.isDefined && e.covers.nonEmpty)
     val paths = added.flatMap(e => ManifestTable.entryPaths(rootPath, e)).map(_.toString)
     val batch =
       if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -225,6 +256,32 @@ final class GraftManifestSource(
   * retries). The table is readable mid-stream by every batch/SQL
   * reader and IS a valid upstream for [[GraftManifestSource]] in
   * Append mode — commit-log-chained pipelines end to end.
+  *
+  * == Bounded metadata under continuous ingest (round-15 task 3) ==
+  *
+  * One generation per micro-batch grows manifest entries, small files
+  * and commit pointers linearly with batch count forever. Two
+  * mechanisms bound it, both on by default in Append mode:
+  *
+  *   - '''Tiered folding''' (`foldBatches`, default 16; 0 disables;
+  *     min 2): when a tier holds `foldBatches` fold-able generations
+  *     (tier 0 = `g-b*` micro-batches, tier t = `g-f<t>-*` folds),
+  *     the OLDEST `foldBatches` of that tier are rewritten into ONE
+  *     tier-(t+1) generation and retired in one optimistic commit
+  *     whose new entry `covers` the subsumed part keys (how a
+  *     concurrent [[GraftManifestSource]] distinguishes the repack
+  *     from a contract-breaking rewrite). LSM discipline: each row is
+  *     rewritten once per tier, so write amplification is
+  *     O(log_K batches) and live generation count stays
+  *     ≤ K·tiers + margin — bounded for any run length. Tier 0 keeps
+  *     a 2-batch recency margin un-folded so the replay check always
+  *     sees recent batch markers (covers carry them one fold deep;
+  *     epoch replays only ever re-offer the last epoch).
+  *   - '''Periodic gc''' (`gcEveryBatches`, default 16; 0 disables;
+  *     `gcKeepCommits`, default 32): retires old commit pointers and
+  *     the folded generations' bytes. `gcKeepCommits` bounds how far
+  *     a downstream streaming reader may LAG (the gc-window contract)
+  *     — size it to worst-case consumer downtime ÷ trigger interval.
   */
 final class GraftManifestSink(
     spark: SparkSession,
@@ -238,21 +295,55 @@ final class GraftManifestSink(
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sessionState.newHadoopConf())
 
+  private val foldBatches: Int =
+    options.get("foldBatches").map(_.trim.toInt).getOrElse(16)
+  private val gcEveryBatches: Int =
+    options.get("gcEveryBatches").map(_.trim.toInt).getOrElse(16)
+  private val gcKeepCommits: Int =
+    options.get("gcKeepCommits").map(_.trim.toInt).getOrElse(32)
+  require(foldBatches == 0 || foldBatches >= 2,
+    s"graftmanifest sink at $path: foldBatches must be 0 (disabled) or >= 2, got $foldBatches")
+  require(gcEveryBatches >= 0 && gcKeepCommits >= 2,
+    s"graftmanifest sink at $path: gcEveryBatches >= 0, gcKeepCommits >= 2 " +
+      s"(got $gcEveryBatches / $gcKeepCommits)")
+
+  /** Options forwarded to the per-generation file write — the
+    * fold/gc knobs are the sink's, not the file format's.
+    */
+  private val writeOptions: Map[String, String] =
+    options -- Seq("foldBatches", "gcEveryBatches", "gcKeepCommits")
+
+  /** Tier 0 entries newer than this never fold — the epoch-replay
+    * check reads batch markers from entry dirs and (one fold deep)
+    * covers, and restarts only ever re-offer the last epoch.
+    */
+  private val FoldRecencyMargin = 2
+
+  /** Fold output sizing: stats bytes per output file. */
+  private val FoldTargetFileBytes = 128L * 1024 * 1024
+
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val marker = s"${ManifestTable.GenPrefix}b$batchId-"
     val replayed = ManifestTable.resolve(fs, rootPath)
-      .exists(_.entries.exists(_.dir.startsWith(marker)))
+      .exists(_.entries.exists(e =>
+        e.dir.startsWith(marker) || e.covers.exists(_.startsWith(marker))))
     if (replayed) return // the epoch already committed before the crash
     val batch = org.apache.spark.sql.graft.Bridge.asBatchFrame(spark, data)
     val gen = marker + java.util.UUID.randomUUID().toString.take(8)
     batch.write.format(format)
-      .options(graft.core.FormatDefaults.write(format) ++ options)
+      .options(graft.core.FormatDefaults.write(format) ++ writeOptions)
       .mode("error").save(new Path(rootPath, gen).toString)
     fs.delete(new Path(new Path(rootPath, gen), "_SUCCESS"), false)
     val genStats = ManifestTable.fileStats(fs, new Path(rootPath, gen))
     if (!complete) {
       ManifestTable.commit(fs, rootPath, "",
         Map(gen -> Some(ManifestEntry(gen, gen, Nil, genStats))))
+      if (foldBatches >= 2) maybeFold()
+      if (gcEveryBatches > 0 && batchId % gcEveryBatches == 0)
+        // best-effort by contract: a gc failure leaves debris for the
+        // next sweep, never fails (or un-succeeds) the committed batch
+        try { ManifestTable.gc(fs, rootPath, keepCommits = gcKeepCommits); () }
+        catch { case scala.util.control.NonFatal(_) => () }
       ()
     } else {
       // retire-all pointer flip, optimistic: data written once above
@@ -273,6 +364,88 @@ final class GraftManifestSink(
       throw new java.io.IOException(
         s"graftmanifest sink at $path: complete-mode commit lost the optimistic " +
           "race 10 times — sustained concurrent-writer contention")
+    }
+  }
+
+  /** (tier, loBatch, hiBatch) of a fold-able entry: tier 0 = a
+    * micro-batch generation `g-b<id>-…`, tier t = a fold generation
+    * `g-f<t>-<lo>-<hi>-…`. Entries written by other paths (batch
+    * appends, adopted files) are not the sink's to fold — None.
+    */
+  private def foldKey(e: ManifestEntry): Option[(Int, Long, Long)] = {
+    val b = s"${ManifestTable.GenPrefix}b(\\d+)-.*".r
+    val f = s"${ManifestTable.GenPrefix}f(\\d+)-(\\d+)-(\\d+)-.*".r
+    e.dir match {
+      case b(id) => Some((0, id.toLong, id.toLong))
+      case f(t, lo, hi) => Some((t.toInt, lo.toLong, hi.toLong))
+      case _ => None
+    }
+  }
+
+  /** Tiered compaction after an append commit: while any tier holds
+    * `foldBatches` foldable entries (tier 0 additionally keeps its
+    * [[FoldRecencyMargin]] newest un-folded), rewrite that tier's
+    * OLDEST `foldBatches` into one next-tier generation and swap the
+    * entries in one optimistic commit (the fold's `covers` names the
+    * subsumed part keys for concurrent streaming readers). The loop
+    * cascades — a tier-1 fold can push tier 1 itself over the
+    * threshold — and every rewrite moves each row up exactly one tier,
+    * the LSM bound: O(log_K batches) write amplification, generation
+    * count ≤ K per live tier. Failures follow the upsert discipline:
+    * stale → sweep own generation, re-derive, retry (bounded); a
+    * POST-commit failure with the live manifest referencing our
+    * generation is success.
+    */
+  private def maybeFold(): Unit = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val base = ManifestTable.resolve(fs, rootPath).getOrElse(return)
+      val foldable = base.entries.flatMap(e => foldKey(e).map { case (t, lo, hi) =>
+        (t, lo, hi, e)
+      })
+      val byTier = foldable.groupBy(_._1)
+      val tier = byTier.keys.toSeq.sorted.find(t =>
+        byTier(t).size >= foldBatches + (if (t == 0) FoldRecencyMargin else 0))
+        .getOrElse(return)
+      val victims = byTier(tier).sortBy(v => (v._2, v._3)).take(foldBatches)
+      val lo = victims.map(_._2).min
+      val hi = victims.map(_._3).max
+      val entries = victims.map(_._4)
+      val paths = entries.flatMap(e => ManifestTable.entryPaths(rootPath, e)).map(_.toString)
+      val totalBytes = entries.flatMap(_.stats).map(_.len).sum
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / FoldTargetFileBytes).toInt)
+      val gen = s"${ManifestTable.GenPrefix}f${tier + 1}-$lo-$hi-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val genPath = new Path(rootPath, gen)
+      try {
+        spark.read.format(format)
+          .options(graft.core.FormatDefaults.read(format) ++ writeOptions)
+          .load(paths: _*)
+          .coalesce(nFiles)
+          .write.format(format)
+          .options(graft.core.FormatDefaults.write(format) ++ writeOptions)
+          .mode("error").save(genPath.toString)
+        fs.delete(new Path(genPath, "_SUCCESS"), false)
+        val stats = ManifestTable.fileStats(fs, genPath)
+        ManifestTable.commit(fs, rootPath, "",
+          entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap +
+            (gen -> Some(ManifestEntry(gen, gen, Nil, stats, entries.map(_.part)))),
+          expectedSeq = Some(base.seq))
+        // cascade: this fold may have pushed the next tier over
+      } catch {
+        case _: graft.core.ManifestStaleException =>
+          fs.delete(genPath, true) // never committed; re-derive and retry
+        case scala.util.control.NonFatal(e) =>
+          val now = ManifestTable.resolve(fs, rootPath)
+          val committedByUs = now.exists(_.entries.exists(en =>
+            en.dir == gen || en.dir.startsWith(gen + "/")))
+          if (!committedByUs) {
+            val nowSeq = now.map(_.seq).getOrElse(0L)
+            if (nowSeq == base.seq) throw e
+            fs.delete(genPath, true)
+          }
+      }
     }
   }
 

@@ -190,7 +190,8 @@ object KillSoak {
     // the absent case; a loaded phase reports its own name.
     val phaseClasses = Seq(
       "graft.tools.StageSoakPhase" -> "stage",
-      "graft.tools.UpsertSoakPhase" -> "upsert")
+      "graft.tools.UpsertSoakPhase" -> "upsert",
+      "graft.tools.StreamSinkSoakPhase" -> "streamsink")
     val phaseResults =
       new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
     val runningPhases = phaseClasses.flatMap { case (cn, nm) =>
