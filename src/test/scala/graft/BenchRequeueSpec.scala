@@ -2,36 +2,60 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The requeue defense's record parser (round 14): Bench compares each
-  * query's first-pass min against the previous CANONICAL record and
-  * re-queues >2x excursions for a late second set — so the parser must
-  * read the exact full-vector format Bench itself persists, and fail
-  * CLOSED (empty map → defense disabled, run proceeds) on anything
-  * else.
+/** The requeue defense's record parser (round 14) and its probe
+  * normalization (round 15): Bench compares each query's first-pass min
+  * against the previous CANONICAL record — HOST-SPEED-CORRECTED by the
+  * ratio of the record's probe median to the run's — and re-queues >2x
+  * excursions for a late second set. The parser must read the exact
+  * full-vector format Bench itself persists and fail CLOSED (empty map /
+  * scale 1.0 → defense runs un-normalized) on anything else.
   */
 class BenchRequeueSpec extends AnyFunSuite {
 
+  private val line =
+    """{"metric":"total","value":40.29,"unit":"sec","queries":{"q01_scan_project":[0.1612,0.1100,0.1099],""" +
+      """"q02_agg_groupby":[0.3395,0.1996,0.1752],"q99_broken":-1,"q23_dedup_embedding":[1.52,0.91,0.80,0.84]},""" +
+      """"probe":{"n":117,"min":0.041,"med":0.064,"max":0.188},"sf":"x"}"""
+
   test("parses per-query mins from the canonical full-vector format") {
-    val line =
-      """{"metric":"total","value":40.29,"unit":"sec","queries":{"q01_scan_project":[0.1612,0.1100,0.1099],""" +
-        """"q02_agg_groupby":[0.3395,0.1996,0.1752],"q99_broken":-1,"q23_dedup_embedding":[1.52,0.91,0.80,0.84]},"sf":"x"}"""
-    val f = java.io.File.createTempFile("bench-requeue", ".json")
-    try {
-      java.nio.file.Files.writeString(f.toPath, line)
-      // previousCanonicalMins resolves under /root/repo — parse via a
-      // relative trick is not worth it; test the regex through a copy
-      val rel = s"../../${f.getAbsolutePath.stripPrefix("/")}"
-      val mins = Bench.previousCanonicalMins(rel)
-      assert(mins("q01_scan_project") === 0.1099)
-      assert(mins("q02_agg_groupby") === 0.1752)
-      assert(mins("q23_dedup_embedding") === 0.80)
-      // a failed query (-1, no vector) must yield NO record — it can
-      // never gate a requeue into masking a real fix
-      assert(!mins.contains("q99_broken"))
-    } finally { f.delete(); () }
+    val mins = Bench.parseCanonicalMins(line)
+    assert(mins("q01_scan_project") === 0.1099)
+    assert(mins("q02_agg_groupby") === 0.1752)
+    assert(mins("q23_dedup_embedding") === 0.80)
+    // a failed query (-1, no vector) must yield NO record — it can
+    // never gate a requeue into masking a real fix
+    assert(!mins.contains("q99_broken"))
+  }
+
+  test("parses the record's probe median; fails closed when absent") {
+    assert(Bench.parseProbeMedian(line).contains(0.064))
+    assert(Bench.parseProbeMedian("""{"queries":{}}""").isEmpty)
+    assert(Bench.parseProbeMedian("").isEmpty)
   }
 
   test("missing record disables the defense instead of failing the run") {
-    assert(Bench.previousCanonicalMins("no-such-record-ever.json").isEmpty)
+    assert(Bench.parseCanonicalMins("").isEmpty)
+  }
+
+  test("probe normalization: a slower host shrinks times before the 2x compare (the r14 drift)") {
+    // r14's actual shape: record probe med 0.064, run probe med 0.072 —
+    // the box was ~12% slower, every raw time ~12% inflated
+    val scale = Bench.probeScale(Some(0.064), 0.072)
+    assert(math.abs(scale - 0.8889) < 0.001)
+    // a +60% raw drift on an untouched query: NOT contention once
+    // normalized (0.16 * 0.889 = 0.142 < 2 * 0.1) — and also not
+    // requeued raw (under 2x); the normalization just records it
+    assert(!Bench.requeueNeeded(0.16, 0.1, scale))
+    // a genuine contention hit (4x raw) still fires through the scale
+    assert(Bench.requeueNeeded(0.40, 0.1, scale))
+    // a FASTER host must not mask a real regression: raw 0.19 on a
+    // 0.1 record reads under 2x, but the host runs 1.3x quicker —
+    // corrected to 0.247, the trigger fires
+    val fast = Bench.probeScale(Some(0.064), 0.049)
+    assert(fast > 1.25 && Bench.requeueNeeded(0.19, 0.1, fast))
+    // sub-50ms records stay exempt (dispatch jitter, not stalls)
+    assert(!Bench.requeueNeeded(1.0, 0.04, 1.0))
+    // no record probe → scale 1.0, raw behavior unchanged
+    assert(Bench.probeScale(None, 0.072) === 1.0)
   }
 }
