@@ -203,6 +203,43 @@ object ManifestTable {
     Some(Manifest(seq, head(3), entries))
   }
 
+  /** Create-race losses across all commits this JVM made — the cheap
+    * (pointer-only) contention layer, priced by
+    * [[graft.tools.ContentionBench]] (SCALING §18).
+    */
+  private[graft] val raceRetries = new java.util.concurrent.atomic.LongAdder
+
+  /** A/B seam for [[graft.tools.ContentionBench]]: false prices the
+    * pre-round-15 immediate-re-claim behavior. Production always true.
+    */
+  @volatile private[graft] var raceBackoffEnabled = true
+
+  /** Jittered backoff before re-claiming after a lost create race
+    * (round-15 verdict task 6). The first two losses re-claim
+    * immediately — the 2-3-writer common case pays nothing — then the
+    * wait grows 40/80/160 ms capped at 200, jittered per (seed,
+    * attempt) so a fleet of losers doesn't re-collide in lockstep on
+    * the next seq: without jitter, N committers that all lost seq k
+    * all list-and-claim k+1 at the same instant, and one round of
+    * contention replays itself across the fleet — measured
+    * (`ContentionBench`, SCALING §18): without backoff 8 sustained
+    * committers x 20 commits each CONTEND OUT past the 50-attempt
+    * claim bound on a local store; with it, 16 converge in ~128 total
+    * losses (~1 loss per 2.5 commits). On real S3, where every attempt
+    * is a LIST + conditional PUT round-trip, the loss count is the
+    * dominant cost.
+    */
+  private[graft] def raceBackoffMs(attempt: Int, seed: Long): Long =
+    if (attempt <= 2) 0L
+    else {
+      val cap = math.min(200L, 10L << math.min(attempt, 6))
+      // cheap deterministic jitter: splitmix-style hash of (seed, attempt)
+      var z = seed ^ (attempt * 0x9e3779b97f4a7c15L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & Long.MaxValue) % cap
+    }
+
   private def commitPath(root: Path, seq: Long): Path =
     new Path(new Path(root, CommitsDir), f"$seq%020d")
 
@@ -404,10 +441,22 @@ object ManifestTable {
             return m
           }
         } catch {
-          case _: FileAlreadyExistsException => // raced; re-resolve and retry
-          case _: java.nio.file.FileAlreadyExistsException => // java.nio spelling of the same race
+          // raced (three spellings: hadoop, java.nio, HDFS plain IOE);
+          // re-resolve and retry after the jittered backoff so a losing
+          // fleet doesn't re-collide in lockstep on the next seq
+          case e @ (_: FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
+            raceRetries.increment()
+            val ms = if (raceBackoffEnabled)
+              raceBackoffMs(attempts, Thread.currentThread().getId) else 0L
+            if (ms > 0) Thread.sleep(ms)
+            val _ = e
           case e: java.io.IOException if e.getMessage != null &&
-              e.getMessage.contains("exists") => // HDFS surfaces the race as plain IOE
+              e.getMessage.contains("exists") =>
+            raceRetries.increment()
+            val ms = if (raceBackoffEnabled)
+              raceBackoffMs(attempts, Thread.currentThread().getId) else 0L
+            if (ms > 0) Thread.sleep(ms)
         }
       }
     }

@@ -1,0 +1,147 @@
+package graft.tools
+
+import graft.core.{FileConnector, ManifestEntry, ManifestTable, WriteMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Round-15 verdict task 6: PRICE the optimistic-commit contention
+  * curve. The upsert kill soak proves concurrent writers CONVERGE;
+  * this tool measures what convergence COSTS as writer count grows, at
+  * the two contention layers:
+  *
+  *   - '''pointer''' — N threads each land M additive
+  *     `ManifestTable.commit`s on ONE table (no data jobs): the
+  *     create-race layer. Reports commits/sec and total race losses;
+  *     this is where the round-15 jittered backoff acts (losers used
+  *     to re-collide in lockstep on the next seq).
+  *   - '''upsert''' — N writers each run M full `Replace` upserts on
+  *     ONE table through [[FileConnector]] (`commit=manifest`): the
+  *     expensive layer, where each stale retry re-reads, re-merges and
+  *     rewrites the table (cost quadratic in contenders by design —
+  *     the retry bound is K-1). Reports upserts/sec and the per-writer
+  *     stale-retry histogram, telling users where the single-table
+  *     write ceiling is.
+  *
+  * Usage: runMain graft.tools.ContentionBench [writers,writers,…]
+  * (default 2,4,8,16). One JSON line per (layer, writers) pair; quoted
+  * in SCALING.md §18. Single-host numbers: real S3 adds per-PUT
+  * latency to every attempt, which stretches the race window — the
+  * CURVE SHAPE (linear pointer throughput, quadratic upsert cost) is
+  * the portable result, not the absolute rates.
+  */
+object ContentionBench {
+  def main(args: Array[String]): Unit = {
+    val writerCounts = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(2, 4, 8, 16))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def runThreads(n: Int)(body: Int => Unit): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t0 = System.nanoTime()
+      (0 until n).foreach { w =>
+        pool.execute { () =>
+          try { barrier.await(); body(w) }
+          catch { case t: Throwable => failures.add(t); () }
+        }
+      }
+      pool.shutdown()
+      require(pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS),
+        "writers wedged past 600 s")
+      if (!failures.isEmpty) throw failures.peek()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- pointer layer: additive commits, no data jobs. A/B: the
+    // round-15 jittered backoff vs the pre-round-15 immediate re-claim.
+    val pointerCommitsPerWriter = 20
+    Seq(true, false).foreach { backoff =>
+      ManifestTable.raceBackoffEnabled = backoff
+      writerCounts.foreach { n =>
+        val root = new Path(java.nio.file.Files.createTempDirectory("contention-ptr").toString)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        ManifestTable.raceRetries.reset()
+        // without backoff, enough SUSTAINED committers blow the
+        // 50-attempt claim bound — that failure IS the A/B's data
+        // point, not a bench crash (measured: 8 writers x 20 commits
+        // contend out on this host; with backoff, 16 converge)
+        val outcome = try Right(runThreads(n) { w =>
+          (1 to pointerCommitsPerWriter).foreach { i =>
+            ManifestTable.commit(fs, root, "",
+              Map(s"w$w-$i" -> Some(ManifestEntry(s"w$w-$i", s"d-w$w-$i", Nil))))
+          }
+        }) catch {
+          case e: IllegalArgumentException if e.getMessage.contains("contended out") =>
+            Left(e.getMessage)
+        }
+        val total = n * pointerCommitsPerWriter
+        outcome match {
+          case Right(wall) =>
+            val m = ManifestTable.resolve(fs, root).get
+            require(m.seq == total.toLong && m.entries.size == total,
+              s"pointer layer lost updates: seq ${m.seq}, entries ${m.entries.size}, want $total")
+            println(f"""{"tool":"contention-bench","layer":"pointer","writers":$n,""" +
+              f""""backoff":$backoff,"commits":$total,"wall_sec":$wall%.2f,""" +
+              f""""commits_per_sec":${total / wall}%.1f,""" +
+              f""""race_losses":${ManifestTable.raceRetries.sum()}}""")
+          case Left(_) =>
+            println(f"""{"tool":"contention-bench","layer":"pointer","writers":$n,""" +
+              f""""backoff":$backoff,"commits":$total,"contended_out":true,""" +
+              f""""race_losses":${ManifestTable.raceRetries.sum()}}""")
+        }
+      }
+    }
+    ManifestTable.raceBackoffEnabled = true
+
+    // ---- upsert layer: full merge-rewrite writers on one table
+    val upsertsPerWriter = 3
+    writerCounts.foreach { n =>
+      val rootDir = java.nio.file.Files.createTempDirectory("contention-up").toString
+      val c = FileConnector("cb", rootDir, "parquet", Map("commit" -> "manifest"))
+      c.write(Seq((0, "base")).toDF("id", "v"), "t", WriteMode.Overwrite)
+      val retriesByWriter = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+      val ceilingHits = new java.util.concurrent.atomic.AtomicInteger(0)
+      FileConnector.onUpsertRetry = () => {
+        retriesByWriter.merge(Thread.currentThread().getId, 1, (a, b) => a + b); ()
+      }
+      // The 10-attempt optimistic bound is a per-WRITE bound: under
+      // SUSTAINED contention (every other writer committing repeatedly,
+      // not once) a write can legitimately exceed it and fail loudly —
+      // "nothing was lost, retry when it clears" is the designed
+      // behavior, and app-level retry is what a real batch loop does.
+      // The bench counts those ceiling hits: they ARE the single-table
+      // write ceiling this tool exists to locate.
+      val wall = try runThreads(n) { w =>
+        (1 to upsertsPerWriter).foreach { i =>
+          def attempt(left: Int): Unit =
+            try c.write(Seq((w * 1000 + i, s"w$w-i$i")).toDF("id", "v"),
+              "t", WriteMode.Replace(Seq("id")))
+            catch {
+              case e: java.io.IOException
+                  if e.getMessage.contains("optimistic-commit race") && left > 0 =>
+                ceilingHits.incrementAndGet()
+                attempt(left - 1)
+            }
+          attempt(5)
+        }
+      } finally FileConnector.onUpsertRetry = () => ()
+      val total = n * upsertsPerWriter
+      val got = c.read(spark, "t").count()
+      require(got == total + 1, s"upsert layer lost rows: $got of ${total + 1}")
+      import scala.jdk.CollectionConverters._
+      val hist = retriesByWriter.values.asScala.map(_.toInt).toSeq.sorted
+      println(f"""{"tool":"contention-bench","layer":"upsert","writers":$n,""" +
+        f""""upserts":$total,"wall_sec":$wall%.2f,"upserts_per_sec":${total / wall}%.2f,""" +
+        f""""stale_retries_total":${hist.sum},"ceiling_hits":${ceilingHits.get()},""" +
+        s""""retries_per_writer":${hist.mkString("[", ",", "]")}}""")
+    }
+    spark.stop()
+  }
+}
