@@ -64,15 +64,17 @@ final class ManifestFileIndex(
 
   private val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** (manifest, per-partition file statuses) — resolved once; immutable
-    * generations make the statuses stable for this index's lifetime.
+  /** (manifest, per-partition file statuses, per-path column
+    * envelopes) — resolved once; immutable generations make all three
+    * stable for this index's lifetime. The envelope map holds only
+    * files whose entry recorded stats worth consulting.
     */
-  @volatile private var state: (Manifest, Seq[(String, Seq[FileStatus])]) = load()
+  @volatile private var state: (Manifest, Seq[(String, Seq[FileStatus])], Map[Path, FileStat]) = load()
 
   private def dataFile(n: String): Boolean =
     !n.startsWith("_") && !n.startsWith(".")
 
-  private def load(): (Manifest, Seq[(String, Seq[FileStatus])]) = {
+  private def load(): (Manifest, Seq[(String, Seq[FileStatus])], Map[Path, FileStat]) = {
     val m = asOfSeq match {
       case Some(seq) => ManifestTable.resolveAt(fs, root, seq).getOrElse(
         throw new IllegalArgumentException(
@@ -129,15 +131,22 @@ final class ManifestFileIndex(
         }
       }
     }
+    val envelopes = Map.newBuilder[Path, FileStat]
     val perPart = wanted.zipWithIndex.map { case (e, i) =>
       val statuses = listed.getOrElse(i, {
         val dir = if (e.dir.isEmpty) root else new Path(root, e.dir)
-        e.stats.map(st => new FileStatus(st.len, false, 1, 128L * 1024 * 1024, 0L,
-          fs.makeQualified(new Path(dir, st.name))))
+        e.stats.map { st =>
+          val p = fs.makeQualified(new Path(dir, st.name))
+          // column envelopes ride the same manifest record — files
+          // whose recorded min/max cannot satisfy the pushed filters
+          // are dropped in listFiles (ManifestSkipping), zero RPCs
+          if (st.rowCount >= 0 || st.cols.nonEmpty) envelopes += (p -> st)
+          new FileStatus(st.len, false, 1, 128L * 1024 * 1024, 0L, p)
+        }
       })
       e.part -> statuses
     }
-    (m, perPart)
+    (m, perPart, envelopes.result())
   }
 
   /** Partition-column type, inferred over ALL partition values with the
@@ -171,12 +180,26 @@ final class ManifestFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (_, perPart) = state
+    val (_, perPart, envelopes) = state
+    // manifest-level data skipping (round 15): a file whose recorded
+    // column envelopes PROVE the pushed data filters unsatisfiable
+    // never enters the scan — decided from the already-read manifest,
+    // zero filesystem calls, on top of (and before) the row-group
+    // skipping parquet does from the same footer stats at read time.
+    // ManifestSkipping is conservative by contract: any unprovable
+    // condition keeps the file, so results never change (parity
+    // spec-proven), only file counts do.
+    def skimmed(sts: Seq[FileStatus]): Seq[FileStatus] =
+      if (dataFilters.isEmpty || envelopes.isEmpty) sts
+      else sts.filter { st =>
+        envelopes.get(st.getPath).forall(e =>
+          ManifestSkipping.mayMatch(dataFilters, e.rowCount, e.cols))
+      }
     if (partColName.isEmpty)
-      Seq(PartitionDirectory(InternalRow.empty, perPart.flatMap(_._2).toArray))
+      Seq(PartitionDirectory(InternalRow.empty, skimmed(perPart.flatMap(_._2)).toArray))
     else {
       val dirs = perPart.map { case (part, sts) =>
-        PartitionDirectory(InternalRow(toInternal(part)), sts.toArray)
+        PartitionDirectory(InternalRow(toInternal(part)), skimmed(sts).toArray)
       }
       if (partitionFilters.isEmpty) dirs
       else {
@@ -207,7 +230,7 @@ final class ManifestFileIndex(
     * footers.
     */
   private[core] def sampleFilePerGroup: Seq[(String, Path)] = {
-    val (m, perPart) = state
+    val (m, perPart, _) = state
     val groupOf: ManifestEntry => String = e =>
       if (e.dir.startsWith(ManifestTable.GenPrefix)) e.dir.takeWhile(_ != '/') else ""
     val entryByPart = m.entries.map(e => e.part -> e).toMap

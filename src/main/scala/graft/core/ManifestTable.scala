@@ -13,7 +13,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ManifestFileIndex.load` was O(live files) serial driver RPCs,
   * minutes on a million-file table on real S3).
   */
-final case class FileStat(name: String, len: Long)
+final case class FileStat(name: String, len: Long,
+    rowCount: Long = -1L, cols: Seq[ColStat] = Nil)
+
+/** One column's conservative value envelope inside one data file —
+  * min/max in [[ParquetStats]]' canonical string encoding for `tag`
+  * (i/f/s/d/t/b), plus the null count (-1 = unknown). String bounds
+  * may be truncated (min is a prefix ≤ the true min; max has its last
+  * code point incremented, > the true max) so the envelope stays a
+  * few tens of bytes however long the values are. Collected from the
+  * parquet footer by the WRITER at commit time; consulted by
+  * [[ManifestFileIndex.listFiles]] via [[ManifestSkipping]] to drop
+  * files whose envelope cannot satisfy the pushed filters — the
+  * Iceberg/Delta file-stats tier, answered from the already-read
+  * commit file with zero extra round-trips (round 15).
+  */
+final case class ColStat(col: String, tag: Char,
+    min: Option[String], max: Option[String], nullCount: Long)
 
 /** One committed state of a manifested table: the set of live data
   * directories/files, keyed by partition value (`part` is "" for an
@@ -124,6 +140,11 @@ object ManifestTable {
   val CommitsDir = "_commits"
   private val Header = "graft-manifest"
   private val TokenRe = "[A-Za-z0-9_=.:@+-]*".r
+  /** Serialized-manifest budget above which column envelopes are shed
+    * (commit files must stay far below the reader's 16 MB cap).
+    */
+  private val StatsStripBytes = 8 << 20
+
   /** History window: generations referenced by this many most-recent
     * valid commits survive gc (in-flight readers hold resolved paths,
     * not locks — the window is their grace period, the same caveat
@@ -143,14 +164,19 @@ object ManifestTable {
 
   /** Serialized form: line 1 `sha256:<hex of the remaining bytes>`,
     * line 2 `graft-manifest\t1\t<seq>\t<partCol>`, then one
-    * `<part>\t<dir>\t<comma-joined files>\t<comma-joined name#len
-    * stats>\t<comma-joined covers>` line per entry. Tokens are
-    * charset-restricted at write time so the format needs no escaping
-    * ('#' and ',' are outside the token charset, so the stats field is
-    * unambiguous). Readers accept the pre-round-15 3-field entry lines
-    * too — retained old commit files (time travel, streaming offsets)
-    * keep parsing; their entries just carry no stats and fall back to
-    * listing.
+    * `<part>\t<dir>\t<comma-joined files>\t<comma-joined
+    * name#len[#statsblob] stats>\t<comma-joined covers>` line per
+    * entry. Tokens are charset-restricted at write time so the format
+    * needs no escaping ('#' and ',' are outside the token charset, so
+    * the stats field is unambiguous). The optional third `#` segment
+    * (round 15) is an unpadded base64url blob carrying the file's row
+    * count and per-column [[ColStat]] envelopes — base64url's alphabet
+    * is inside the token charset and free of '#'/',', so pre-round-15
+    * READERS of the 5-field line would fail loudly, but pre-round-15
+    * COMMIT FILES (3- and 5-field stats-less lines) keep parsing here;
+    * their entries carry no envelopes and readers fall back to "may
+    * match". A malformed blob inside a sha-valid payload degrades to
+    * stats-less (never fails the manifest): envelopes are advisory.
     */
   private[core] def serialize(m: Manifest): Array[Byte] = {
     val body = new StringBuilder
@@ -162,12 +188,61 @@ object ManifestTable {
       e.dir.split('/').foreach(token)
       body.append(e.dir).append('\t')
       body.append(e.files.map(token).mkString(",")).append('\t')
-      body.append(e.stats.map(s => s"${token(s.name)}#${s.len}").mkString(",")).append('\t')
+      body.append(e.stats.map { s =>
+        val base = s"${token(s.name)}#${s.len}"
+        if (s.rowCount < 0 && s.cols.isEmpty) base
+        else s"$base#${encodeStatsBlob(s.rowCount, s.cols)}"
+      }.mkString(",")).append('\t')
       body.append(e.covers.map(token).mkString(",")).append('\n')
     }
     val payload = body.toString.getBytes(StandardCharsets.UTF_8)
     (s"sha256:${sha256(payload)}\n").getBytes(StandardCharsets.UTF_8) ++ payload
   }
+
+  private def b64e(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Blob text (then base64url'd whole): `rc:<rowCount>` followed by
+    * `|<b64 colname>;<tag>;<min>;<max>;<nullCount>` per column, where
+    * min/max are `*` when absent, base64url'd for string columns
+    * (values may hold any character), raw canonical encoding otherwise.
+    */
+  private def encodeStatsBlob(rowCount: Long, cols: Seq[ColStat]): String = {
+    def fld(tag: Char, v: Option[String]): String =
+      v.fold("*")(x => if (tag == 's') b64e(x) else x)
+    val sb = new StringBuilder("rc:").append(rowCount)
+    cols.foreach { c =>
+      sb.append('|').append(b64e(c.col)).append(';').append(c.tag).append(';')
+        .append(fld(c.tag, c.min)).append(';').append(fld(c.tag, c.max))
+        .append(';').append(c.nullCount)
+    }
+    b64e(sb.toString)
+  }
+
+  /** Graceful inverse of [[encodeStatsBlob]]: any malformation reads
+    * as "no envelopes" — skipping is advisory, a manifest must never
+    * become unreadable over it.
+    */
+  private def decodeStatsBlob(blob: String): (Long, Seq[ColStat]) =
+    try {
+      val text = b64d(blob)
+      val parts = text.split('|')
+      require(parts.head.startsWith("rc:"))
+      val rc = parts.head.substring(3).toLong
+      def fld(tag: Char, v: String): Option[String] =
+        if (v == "*") None else Some(if (tag == 's') b64d(v) else v)
+      val cols = parts.tail.toSeq.map { p =>
+        val f = p.split(';')
+        require(f.length == 5 && f(1).length == 1)
+        val tag = f(1).charAt(0)
+        ColStat(b64d(f(0)), tag, fld(tag, f(2)), fld(tag, f(3)), f(4).toLong)
+      }
+      (rc, cols)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, Nil) }
 
   /** Strict parse; returns None for ANY malformed/torn content — the
     * reader's fallback to the previous commit depends on a torn write
@@ -191,10 +266,14 @@ object ManifestTable {
       val stats =
         if (f.length < 5 || f(3).isEmpty) Nil
         else f(3).split(',').toSeq.map { t =>
-          val i = t.lastIndexOf('#')
-          if (i <= 0) return None
-          FileStat(t.substring(0, i),
-            t.substring(i + 1).toLongOption.getOrElse(return None))
+          t.split('#') match {
+            case Array(name, len) if name.nonEmpty =>
+              FileStat(name, len.toLongOption.getOrElse(return None))
+            case Array(name, len, blob) if name.nonEmpty =>
+              val (rc, cols) = decodeStatsBlob(blob)
+              FileStat(name, len.toLongOption.getOrElse(return None), rc, cols)
+            case _ => return None
+          }
         }
       val covers = if (f.length < 5 || f(4).isEmpty) Nil else f(4).split(',').toSeq
       ManifestEntry(f(0), f(1),
@@ -387,8 +466,19 @@ object ManifestTable {
           .filterNot(e => updates.contains(e.part))
         val merged = carried ++ updates.toSeq.sortBy(_._1).flatMap(_._2)
         val seq = seqs.headOption.getOrElse(0L) + 1
-        val m = Manifest(seq, partCol, merged)
-        val bytes = serialize(m)
+        var m = Manifest(seq, partCol, merged)
+        var bytes = serialize(m)
+        if (bytes.length > StatsStripBytes) {
+          // Column envelopes are advisory; the (name, len) listing is
+          // load-bearing. A manifest pushed past the budget by
+          // envelopes sheds them ALL (deterministically) rather than
+          // ever approaching the 16 MB reader cap that would make the
+          // table unreadable — the pre-existing exposure of (name, len)
+          // alone at extreme file counts is unchanged.
+          m = m.copy(entries = m.entries.map(e =>
+            e.copy(stats = e.stats.map(s => FileStat(s.name, s.len)))))
+          bytes = serialize(m)
+        }
         fs.mkdirs(new Path(root, CommitsDir))
         try {
           if (fs.getScheme == "file") {
@@ -508,7 +598,7 @@ object ManifestTable {
             val adopted = children.filter(_.isFile).sortBy(_.getPath.getName)
             require(adopted.nonEmpty, s"manifest adopt: no data files at $root")
             Map("" -> Some(ManifestEntry("", "", adopted.map(_.getPath.getName),
-              adopted.map(s => FileStat(s.getPath.getName, s.getLen)))))
+              fileStats(fs, adopted))))
           }
         commit(fs, root, partCol, updates)
     }
@@ -517,14 +607,47 @@ object ManifestTable {
   /** The immediate data files of `dir` as commit-time stats — what a
     * WRITER records into its entry so readers never list. One listing,
     * paid by the party that just wrote the files (and usually has them
-    * in hand anyway).
+    * in hand anyway). Parquet files additionally get per-column
+    * min/max envelopes from their footers ([[ParquetStats]]) — one
+    * footer read each, writer-side, page-cache-warm — so readers can
+    * SKIP files against pushed filters with zero extra round-trips.
     */
   def fileStats(fs: FileSystem, dir: Path): Seq[FileStat] =
-    fs.listStatus(dir).toSeq
+    fileStats(fs, fs.listStatus(dir).toSeq)
+
+  /** Same, from statuses the caller already holds (saves the listing —
+    * the partition-rewrite engine and adopt both have them in hand).
+    * Column-stat collection is skipped past [[ParquetStats.MaxFilesForColStats]]
+    * files (a directory that fragmented should be compacted, not
+    * indexed) and parallelized (8-way) below it — footer reads are
+    * independent I/O, and serial per-file round-trips at commit time
+    * is the same scale mistake the round-14 read path made.
+    */
+  def fileStats(fs: FileSystem, statuses: Seq[org.apache.hadoop.fs.FileStatus]): Seq[FileStat] = {
+    val data = statuses
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-      .map(s => FileStat(s.getPath.getName, s.getLen))
+    def withCols(s: org.apache.hadoop.fs.FileStatus): FileStat =
+      ParquetStats.collect(fs, s) match {
+        case Some((rc, cols)) => FileStat(s.getPath.getName, s.getLen, rc, cols)
+        case None             => FileStat(s.getPath.getName, s.getLen)
+      }
+    if (data.size > ParquetStats.MaxFilesForColStats)
+      data.map(s => FileStat(s.getPath.getName, s.getLen))
+    else if (data.size <= 1) data.map(withCols)
+    else {
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, data.size))
+      try pool.invokeAll(data.map[java.util.concurrent.Callable[FileStat]](
+          s => () => withCols(s)).asJava)
+        .asScala.toSeq.map(f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      finally pool.shutdown()
+    }
+  }
 
   /** Absolute paths an entry's data lives at. */
   def entryPaths(root: Path, e: ManifestEntry): Seq[Path] = {

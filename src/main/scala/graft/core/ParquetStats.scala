@@ -1,0 +1,260 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem}
+import scala.util.control.NonFatal
+
+/** Per-file column min/max/null-count collection from parquet footers —
+  * the WRITER-side half of manifest-level data skipping (round-15
+  * verdict task 1 stretch; the Iceberg/Delta file-stats discipline,
+  * cf. reference row-streaming scans in `d22d/utils/db/fileutils.py`
+  * which re-read every file per query because nothing records bounds).
+  *
+  * Collected once, by the party that just wrote the files (one footer
+  * read each — the footer is the file's last few KB and the writer's
+  * page cache is still warm), persisted into the manifest entry's
+  * [[FileStat]], and consulted by [[ManifestFileIndex.listFiles]] to
+  * drop files whose recorded [min,max] envelope cannot satisfy the
+  * query's pushed data filters — BEFORE the scan, at file granularity,
+  * on top of the row-group skipping parquet already does from the same
+  * footers at read time. At 100 TB the difference is which tier pays:
+  * row-group skipping still opens every file (an S3 GET per footer);
+  * manifest-level skipping answers from the already-read commit file
+  * with zero round-trips.
+  *
+  * Conservatism contract: every derived bound is a valid ENVELOPE of
+  * the true values (string bounds may be truncated — the stored min is
+  * ≤ the true min, the stored max ≥ the true max), and any condition
+  * this module cannot prove yields "no stats" for that column, which
+  * readers treat as "may match". Skipping can therefore never change
+  * results, only file counts — parity is spec-proven
+  * (`ManifestSkippingSpec`).
+  */
+object ParquetStats {
+
+  /** Stats are recorded for at most this many leading top-level
+    * columns (file-schema order — key/time columns lead in every
+    * layout this engine writes). Bounds manifest growth: each stat is
+    * tens of bytes and the whole manifest must stay one small read
+    * (commit files are capped at 16 MB by the reader).
+    */
+  val MaxCols = 12
+
+  /** String bounds longer than this are truncated: min to a plain
+    * prefix (still a valid lower bound byte-wise), max to a prefix
+    * with its last code point incremented (a strict upper bound) —
+    * Iceberg's `truncateStringMax`. Untruncatable maxes (all code
+    * points at U+10FFFF) are dropped.
+    */
+  val MaxStringLen = 24
+
+  /** Directories with more data files than this skip column stats
+    * (keeping the zero-RPC (name, len) listing): the manifest must
+    * stay small enough that resolve() is one cheap read, and a
+    * directory this fragmented should be compacted, not indexed.
+    */
+  val MaxFilesForColStats = 2048
+
+  /** Footer stats for one just-written parquet file: (rowCount, per-
+    * column stats for the first [[MaxCols]] eligible top-level
+    * columns). None when the footer is unreadable or the file is not
+    * parquet — the caller records a stats-less [[FileStat]] and
+    * readers fall back to "may match".
+    */
+  def collect(fs: FileSystem, status: FileStatus): Option[(Long, Seq[ColStat])] = {
+    if (!status.getPath.getName.endsWith(".parquet")) return None
+    try {
+      import scala.jdk.CollectionConverters._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(status, fs.getConf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        // leading top-level PRIMITIVE fields, schema order; nested
+        // groups are skipped (their leaves are not top-level columns)
+        val eligible = schema.getFields.asScala.iterator
+          .filter(_.isPrimitive).map(_.getName).take(MaxCols).toVector
+        val blocks = footer.getBlocks.asScala.toVector
+        val rowCount = blocks.map(_.getRowCount).sum
+        val cols = eligible.flatMap { name =>
+          aggregateColumn(name, blocks)
+        }
+        Some((rowCount, cols))
+      } finally reader.close()
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Merge one column's chunk statistics across all row groups into a
+    * single conservative envelope; None when any chunk makes the
+    * envelope unprovable (missing stats, unsupported type, NaN).
+    */
+  private def aggregateColumn(
+      name: String,
+      blocks: Vector[org.apache.parquet.hadoop.metadata.BlockMetaData])
+      : Option[ColStat] = {
+    import scala.jdk.CollectionConverters._
+    var tag: Char = 0
+    var minS: Option[String] = None
+    var maxS: Option[String] = None
+    var nulls = 0L
+    var nullsKnown = true
+    var sawValues = false
+    blocks.foreach { b =>
+      val cc = b.getColumns.asScala
+        .find(c => c.getPath.size == 1 && c.getPath.toDotString == name)
+        .getOrElse(return None)
+      val t = tagOf(cc.getPrimitiveType).getOrElse(return None)
+      if (tag == 0) tag = t else if (tag != t) return None
+      val st: org.apache.parquet.column.statistics.Statistics[_] = cc.getStatistics
+      if (st == null) return None
+      if (st.isNumNullsSet) nulls += st.getNumNulls else nullsKnown = false
+      if (st.hasNonNullValue) {
+        sawValues = true
+        val (mn, mx) = boundsOf(t, st).getOrElse(return None)
+        minS = Some(minS.fold(mn)(cur => if (cmp(t, mn, cur) < 0) mn else cur))
+        maxS = Some(maxS.fold(mx)(cur => if (cmp(t, mx, cur) > 0) mx else cur))
+      } else if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount)) {
+        // no min/max and not provably all-null: the chunk's contents
+        // are unknowable — the whole column's envelope is void
+        return None
+      }
+    }
+    if (tag == 0) None
+    else {
+      val (mn, mx) =
+        if (tag == 's' && sawValues)
+          (minS.map(truncateMin), maxS.flatMap(truncateMax))
+        else (minS, maxS)
+      Some(ColStat(name, tag, mn, mx, if (nullsKnown) nulls else -1L))
+    }
+  }
+
+  /** Type tag: i = integral (Long domain), f = floating (Double),
+    * s = UTF-8 string (byte-wise order), d = date (epoch days),
+    * t = timestamp (UTC-adjusted micros), b = boolean. None = a type
+    * whose comparison semantics we will not vouch for (decimal,
+    * INT96, unsigned ints, non-UTC timestamps, fixed binary).
+    */
+  private def tagOf(pt: org.apache.parquet.schema.PrimitiveType): Option[Char] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case BOOLEAN => Some('b')
+      case FLOAT | DOUBLE => if (ann == null) Some('f') else None
+      case INT32 => ann match {
+        case null => Some('i')
+        case _: DateLogicalTypeAnnotation => Some('d')
+        case a: IntLogicalTypeAnnotation if a.isSigned => Some('i')
+        case _ => None
+      }
+      case INT64 => ann match {
+        case null => Some('i')
+        case a: IntLogicalTypeAnnotation if a.isSigned => Some('i')
+        // MICROS only: Spark's TimestampType domain — any other unit
+        // would need a normalization this envelope will not risk
+        case a: TimestampLogicalTypeAnnotation
+            if a.isAdjustedToUTC && a.getUnit == TimeUnit.MICROS => Some('t')
+        case _ => None
+      }
+      case BINARY => ann match {
+        case _: StringLogicalTypeAnnotation => Some('s')
+        case _ => None
+      }
+      case _ => None // INT96, FIXED_LEN_BYTE_ARRAY: no trustworthy order
+    }
+  }
+
+  /** One chunk's (min, max) in the tag's canonical string encoding.
+    * None on NaN bounds (floats) — parquet writers' NaN handling is
+    * not an order anyone should skip on.
+    */
+  private def boundsOf(tag: Char,
+      st: org.apache.parquet.column.statistics.Statistics[_])
+      : Option[(String, String)] = tag match {
+    case 'i' =>
+      Some((st.genericGetMin.asInstanceOf[Number].longValue().toString,
+        st.genericGetMax.asInstanceOf[Number].longValue().toString))
+    case 'd' =>
+      Some((st.genericGetMin.asInstanceOf[Number].intValue().toString,
+        st.genericGetMax.asInstanceOf[Number].intValue().toString))
+    case 't' => // MICROS by tagOf's gate — already TimestampType's domain
+      Some((st.genericGetMin.asInstanceOf[Number].longValue().toString,
+        st.genericGetMax.asInstanceOf[Number].longValue().toString))
+    case 'f' =>
+      val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+      val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+      if (mn.isNaN || mx.isNaN) None else Some((mn.toString, mx.toString))
+    case 'b' =>
+      Some((st.genericGetMin.toString, st.genericGetMax.toString))
+    case 's' =>
+      val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+      val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+      Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+    case _ => None
+  }
+
+  /** Compare two canonical-encoded values of the same tag. */
+  private[core] def cmp(tag: Char, a: String, b: String): Int = tag match {
+    case 'i' | 't' => java.lang.Long.compare(a.toLong, b.toLong)
+    case 'd' => Integer.compare(a.toInt, b.toInt)
+    case 'f' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case 'b' => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case _ => cmpUtf8(a, b)
+  }
+
+  /** Unsigned byte-wise UTF-8 comparison — the order parquet records
+    * string min/max in, and the order Spark's UTF8String sorts by.
+    */
+  private[core] def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Lower bound under truncation: any code-point prefix of a string
+    * is ≤ the string in byte-wise order.
+    */
+  private[core] def truncateMin(s: String): String =
+    if (s.length <= MaxStringLen) s else prefixCp(s, MaxStringLen)
+
+  /** Upper bound under truncation: prefix with its last code point
+    * incremented (skipping the surrogate gap) is > every string that
+    * shares the untruncated prefix. None when no code point can be
+    * incremented — the bound is dropped, readers keep the file.
+    */
+  private[core] def truncateMax(s: String): Option[String] =
+    if (s.length <= MaxStringLen) Some(s)
+    else {
+      val p = prefixCp(s, MaxStringLen)
+      var i = p.length
+      val sb = new java.lang.StringBuilder(p)
+      while (i > 0) {
+        val cp = sb.codePointBefore(i)
+        val start = i - Character.charCount(cp)
+        val next =
+          if (cp + 1 == 0xD800) 0xE000 // skip the surrogate range
+          else if (cp + 1 > 0x10FFFF) -1
+          else cp + 1
+        if (next > 0) {
+          sb.delete(start, sb.length())
+          sb.appendCodePoint(next)
+          return Some(sb.toString)
+        }
+        i = start // this code point is maxed out; carry left
+      }
+      None
+    }
+
+  /** First `n` chars of `s`, never splitting a surrogate pair. */
+  private def prefixCp(s: String, n: Int): String =
+    if (Character.isHighSurrogate(s.charAt(n - 1))) s.substring(0, n - 1)
+    else s.substring(0, n)
+}

@@ -284,6 +284,7 @@ object StorageOps {
     ensureZorderLineitem(spark, dir)
     ensureErasedLayout(spark, dir)
     ensureBloomLineitem(spark, dir)
+    ensureManifestedEvents(spark, dir)
     SketchOps.ensureBaseRollup(spark, dir)
   }
 
@@ -616,9 +617,9 @@ object StorageOps {
             !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
           val hasRows = dataFiles.nonEmpty && !spark.read.parquet(out.toString).isEmpty
           // the statuses are already in hand from the empty-check above —
-          // record them so readers resolve with zero listing calls
-          val stats = dataFiles.toSeq.sortBy(_.getPath.getName)
-            .map(s => graft.core.FileStat(s.getPath.getName, s.getLen))
+          // record them (plus footer column envelopes) so readers
+          // resolve with zero listing calls and skip non-matching files
+          val stats = ManifestTable.fileStats(fs, dataFiles.toSeq)
           d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil, stats)) else None)
         }.toMap
         beforeRewriteCommit()
@@ -1004,6 +1005,73 @@ object StorageOps {
     n
   }
 
+  /** Path of the MANIFESTED day-partitioned events copy for `dir` —
+    * written through the graftmanifest Overwrite path
+    * ([[graft.core.ManifestWrite]]), whose commit records each file's
+    * (name, len) AND per-column min/max envelopes from its parquet
+    * footers. One file per day partition (`repartition(day)`), so
+    * every file's `ts` envelope spans exactly its day — the layout
+    * that makes manifest-level skipping legible. Session-shared like
+    * every layout; INT64-micros timestamps so footers carry usable
+    * stats.
+    */
+  def ensureManifestedEvents(spark: SparkSession, dir: String): String =
+    synchronized {
+      val path = s"${layoutBase(spark, dir)}/events_manifested"
+      val key = s"manifested:$path"
+      val (fs, p) = hfsPath(spark, path)
+      if (!layoutsBuilt.contains(key) ||
+        graft.core.ManifestTable.resolve(fs, p).isEmpty) {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("day", to_date(col("ts")))
+        withMicrosTimestamps(spark) {
+          graft.core.ManifestWrite.write(ev.repartition(col("day")), path,
+            "day", org.apache.spark.sql.SaveMode.Overwrite)
+        }
+        layoutsBuilt += key
+      }
+      path
+    }
+
+  /** q149: a 3-day event rollup whose predicate is on `ts` — NOT the
+    * partition column — answered from the manifested layout. Static
+    * partition pruning cannot fire (no `day` predicate exists), yet
+    * 27 of 30 files never enter the scan: the manifest's per-file
+    * `ts` min/max envelopes (recorded from parquet footers at COMMIT
+    * time) prove them unsatisfiable inside
+    * [[graft.core.ManifestFileIndex.listFiles]], with zero filesystem
+    * calls — the already-read commit file IS the index. This is the
+    * fourth skipping granularity in the catalog, and the only one
+    * that skips whole FILES without a partition predicate: q134/q138
+    * prune on the partition VALUE, q136/q140's zone maps and q143's
+    * blooms still open every file to read its footer. At 100 TB on
+    * S3 that footer GET per file is the listing tier's whole cost —
+    * Iceberg/Delta record stats in the manifest for exactly this
+    * reason. Value parity against the unskipped read plus the
+    * file-count proof live in `ManifestSkippingSpec`.
+    */
+  def manifestSkipRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val layout = ensureManifestedEvents(spark, dir)
+    graft.core.ManifestFileIndex.relation(spark, layout, "day")
+      .filter($"ts" >= lit("2024-01-10").cast("timestamp") &&
+        $"ts" < lit("2024-01-13").cast("timestamp"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  private def oracleManifestSkip: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_bucketed_join" -> (bucketedJoin _),
     "q134_partition_prune" -> (partitionPrunedRollup _),
@@ -1014,6 +1082,7 @@ object StorageOps {
     "q140_zorder_skipping" -> (zorderScanWindow _),
     "q142_erase_audit" -> (eraseAudit _),
     "q143_bloom_point_lookup" -> (bloomPointLookup _),
+    "q149_manifest_skipping" -> (manifestSkipRollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1026,5 +1095,6 @@ object StorageOps {
     "q140_zorder_skipping" -> oracleZorderScan,
     "q142_erase_audit" -> oracleEraseAudit,
     "q143_bloom_point_lookup" -> oracleBloomLookup,
+    "q149_manifest_skipping" -> oracleManifestSkip,
   )
 }

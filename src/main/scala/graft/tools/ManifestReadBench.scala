@@ -112,6 +112,27 @@ object ManifestReadBench {
       require(idx.sizeInBytes > 0)
       (System.nanoTime() - t0) / 1e6
     }.min
+    // data-skipping evaluator overhead (round 15): listFiles now runs
+    // ManifestSkipping.mayMatch per file against the pushed data
+    // filters. Price the WORST case — every file evaluated, none
+    // skippable (this fixture's per-file ts envelopes all span the
+    // whole month, since partitioning is by event_id) — at max
+    // fragmentation, vs the same listFiles with no data filter.
+    val skipMs = {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types._
+      val idx = new graft.core.ManifestFileIndex(spark, new Path(manifDir), "day")
+      val ts = AttributeReference("ts", TimestampType)()
+      val lo = Literal(1704844800000000L, TimestampType) // 2024-01-10 UTC µs
+      val hi = Literal(1705449600000000L, TimestampType) // 2024-01-17 UTC µs
+      val filters = Seq(GreaterThanOrEqual(ts, lo), LessThan(ts, hi))
+      def timeList(fs: Seq[Expression]): Double = (1 to 20).map { _ =>
+        val t0 = System.nanoTime()
+        require(idx.listFiles(Nil, fs).nonEmpty)
+        (System.nanoTime() - t0) / 1e6
+      }.min
+      (timeList(Nil), timeList(filters))
+    }
     val rows = spark.read.parquet(plainDir).count()
     val json = (Seq(
       "tool" -> "\"manifest-read-bench\"",
@@ -122,7 +143,9 @@ object ManifestReadBench {
       "iters" -> iters.toString,
       "resolve_ms_min" -> f"${rt.min}%.3f",
       "index_build_ms_manifested" -> f"${indexMs(manifDir)}%.3f",
-      "index_build_ms_consolidated" -> f"${indexMs(consDir)}%.3f") ++
+      "index_build_ms_consolidated" -> f"${indexMs(consDir)}%.3f",
+      "listfiles_ms_unfiltered" -> f"${skipMs._1}%.3f",
+      "listfiles_ms_skip_eval" -> f"${skipMs._2}%.3f") ++
       results.map { case (k, v) => k -> f"$v%.3f" })
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(json)
