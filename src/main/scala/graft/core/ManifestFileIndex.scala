@@ -57,7 +57,7 @@ import org.apache.spark.unsafe.types.UTF8String
 final class ManifestFileIndex(
     spark: SparkSession,
     val root: Path,
-    partColName: String,
+    private[graft] val partColName: String,
     selected: Option[Set[String]] = None,
     asOfSeq: Option[Long] = None,
 ) extends FileIndex {
@@ -170,6 +170,26 @@ final class ManifestFileIndex(
     case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
     case _           => UTF8String.fromString(v)
   }
+
+  /** The resolved entries this index serves (post partition
+    * selection) — what the metadata-aggregate fast path
+    * ([[graft.plans.ManifestMetadataAggRule]]) answers from. Derived
+    * from the SAME resolved manifest the scan reads, so a metadata
+    * answer can never drift from what the scan would return.
+    */
+  private[graft] def selectedEntries: Seq[ManifestEntry] = {
+    val m = state._1
+    selected match {
+      case Some(sel) => m.entries.filter(e => sel.contains(e.part))
+      case None      => m.entries
+    }
+  }
+
+  /** Partition value → internal catalyst value, exposed for the
+    * metadata-aggregate path (partition-column min/max from entry
+    * keys).
+    */
+  private[graft] def partValueInternal(v: String): Any = toInternal(v)
 
   override def rootPaths: Seq[Path] = Seq(root)
 

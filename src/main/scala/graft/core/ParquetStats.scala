@@ -195,7 +195,7 @@ object ParquetStats {
   }
 
   /** Compare two canonical-encoded values of the same tag. */
-  private[core] def cmp(tag: Char, a: String, b: String): Int = tag match {
+  private[graft] def cmp(tag: Char, a: String, b: String): Int = tag match {
     case 'i' | 't' => java.lang.Long.compare(a.toLong, b.toLong)
     case 'd' => Integer.compare(a.toInt, b.toInt)
     case 'f' => java.lang.Double.compare(a.toDouble, b.toDouble)
@@ -206,7 +206,7 @@ object ParquetStats {
   /** Unsigned byte-wise UTF-8 comparison — the order parquet records
     * string min/max in, and the order Spark's UTF8String sorts by.
     */
-  private[core] def cmpUtf8(a: String, b: String): Int = {
+  private[graft] def cmpUtf8(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => LevenshteinPrefilterRule)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.ManifestMetadataAggRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -1072,6 +1072,39 @@ object StorageOps {
       |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q150: the table-inspection aggregate — row count, non-null count,
+    * and the date/time range of the manifested events layout —
+    * answered ENTIRELY from the manifest's recorded stats: the
+    * optimizer rule [[graft.plans.ManifestMetadataAggRule]] collapses
+    * the filterless global aggregate to a [[LocalRelation]] (zero
+    * tasks, zero file opens; plan-shape spec-asserted). At 100 TB this
+    * is "how big is this table and what period does it cover" in one
+    * commit-file read instead of a scan stage that opens a million
+    * files — the Iceberg/Delta metadata-query discipline. The value
+    * oracle recomputes all six aggregates from the raw table; the
+    * rule's bail paths (filters, strings, floats, distinct,
+    * stats-less generations) fall through to the ordinary scan,
+    * parity-proven in `ManifestMetadataAggSpec`.
+    */
+  def manifestMetadataStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.ManifestMetadataAgg.ensure(spark)
+    val layout = ensureManifestedEvents(spark, dir)
+    graft.core.ManifestFileIndex.relation(spark, layout, "day")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"user_id").as("n_user_rows"),
+        min($"day").as("min_day"), max($"day").as("max_day"),
+        min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+  }
+
+  private def oracleManifestMetadata: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  count(user_id)::BIGINT AS n_user_rows,
+      |  min(CAST(ts AS DATE)) AS min_day, max(CAST(ts AS DATE)) AS max_day,
+      |  min(make_timestamp(epoch_ns(ts) // 1000)) AS min_ts,
+      |  max(make_timestamp(epoch_ns(ts) // 1000)) AS max_ts
+      |FROM events""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_bucketed_join" -> (bucketedJoin _),
     "q134_partition_prune" -> (partitionPrunedRollup _),
@@ -1083,6 +1116,7 @@ object StorageOps {
     "q142_erase_audit" -> (eraseAudit _),
     "q143_bloom_point_lookup" -> (bloomPointLookup _),
     "q149_manifest_skipping" -> (manifestSkipRollup _),
+    "q150_metadata_stats" -> (manifestMetadataStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1096,5 +1130,6 @@ object StorageOps {
     "q142_erase_audit" -> oracleEraseAudit,
     "q143_bloom_point_lookup" -> oracleBloomLookup,
     "q149_manifest_skipping" -> oracleManifestSkip,
+    "q150_metadata_stats" -> oracleManifestMetadata,
   )
 }

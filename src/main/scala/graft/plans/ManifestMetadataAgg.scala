@@ -1,0 +1,180 @@
+package graft.plans
+
+import graft.core.{ColStat, ManifestEntry, ManifestFileIndex, ParquetStats}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+/** Metadata-only aggregates over manifested tables (round 15): a
+  * filterless global `count(*)` / `count(col)` / `min(col)` /
+  * `max(col)` whose child is a manifest-backed scan is answered from
+  * the manifest's recorded per-file stats ([[graft.core.FileStat]] row
+  * counts, [[ColStat]] envelopes, partition keys) — the plan collapses
+  * to a [[LocalRelation]]: zero tasks, zero file opens. This is the
+  * Iceberg/Delta "metadata query" discipline; on a 100 TB table the
+  * same `count(*)` otherwise launches a scan stage that opens every
+  * file (one S3 GET per footer just to read row counts the commit
+  * file already holds).
+  *
+  * Strictly answerable-or-bail — the rule rewrites ONLY when the
+  * manifest can give the EXACT answer Spark's execution would:
+  *   - grouping must be empty, no Filter anywhere below the aggregate
+  *     (only attribute-passing Projects), no DISTINCT, no FILTER
+  *     clause;
+  *   - every selected entry stats-bearing, every file with a row
+  *     count;
+  *   - `count(col)` needs every file's null count for `col`;
+  *   - `min/max(col)` on data columns only for exactly-recorded
+  *     domains (integral, date, micros-timestamp, boolean) — string
+  *     envelopes are TRUNCATED and float envelopes NaN-blind, so both
+  *     bail; files provably all-null (or empty) contribute nothing;
+  *     zero contributing rows yields SQL's null;
+  *   - `min/max(partCol)` answers from entry keys (exact, any type
+  *     incl. strings), counting only entries with live rows.
+  * Anything else falls through to the ordinary scan untouched —
+  * `ManifestMetadataAggSpec` proves both directions value-identical.
+  *
+  * Registered via [[graft.functions.GraftExtensions]] or per-session
+  * with [[ManifestMetadataAgg.ensure]].
+  */
+object ManifestMetadataAggRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      indexOf(child).flatMap(answer(agg, aggExprs, _)).getOrElse(agg)
+  }
+
+  /** The manifest index under attribute-only projections; None the
+    * moment anything else (a Filter, an expression Project, a join…)
+    * sits in between — those change the row set and void the answer.
+    */
+  private def indexOf(plan: LogicalPlan): Option[ManifestFileIndex] = plan match {
+    case Project(projs, c) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+      indexOf(c)
+    case lr: LogicalRelation => lr.relation match {
+      case fsr: HadoopFsRelation => fsr.location match {
+        case idx: ManifestFileIndex => Some(idx)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def answer(agg: Aggregate, aggExprs: Seq[NamedExpression],
+      idx: ManifestFileIndex): Option[LogicalPlan] = {
+    val entries = idx.selectedEntries
+    if (entries.isEmpty || entries.exists(_.stats.isEmpty)) return None
+    val files = entries.flatMap(_.stats)
+    if (files.exists(_.rowCount < 0)) return None
+    val totalRows = files.map(_.rowCount).sum
+    val isPartCol: String => Boolean = n =>
+      idx.partColName.nonEmpty && n.equalsIgnoreCase(idx.partColName)
+
+    def colStats(name: String): Option[Seq[(Long, ColStat)]] = {
+      val per = files.map { f =>
+        f.cols.find(_.col.equalsIgnoreCase(name)).map(c => f.rowCount -> c)
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
+    }
+
+    def nonNullCount(a: AttributeReference): Option[Long] =
+      if (isPartCol(a.name)) Some(totalRows) // partition values are never null
+      else colStats(a.name).flatMap { cs =>
+        if (cs.exists(_._2.nullCount < 0)) None
+        else Some(cs.map { case (rc, c) => rc - c.nullCount }.sum)
+      }
+
+    /** Exactly-recorded domains only: the envelope IS the true
+      * min/max. Strings are truncated (inexact), floats NaN-blind
+      * (Spark orders NaN greatest; parquet stats exclude it) — both
+      * bail.
+      */
+    def exactTagFor(dt: DataType): Option[Char] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some('i')
+      case DateType => Some('d')
+      case TimestampType => Some('t')
+      case BooleanType => Some('b')
+      case _ => None
+    }
+
+    def decode(tag: Char, dt: DataType, v: String): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt
+      case LongType | TimestampType => v.toLong
+      case BooleanType => v.toBoolean
+      case _ => throw new IllegalStateException(s"unreachable: $tag/$dt")
+    }
+
+    /** min (asc=true) or max over the recorded envelopes; Some(null)
+      * is SQL's answer for zero contributing rows.
+      */
+    def extremum(a: AttributeReference, asc: Boolean): Option[Any] =
+      if (isPartCol(a.name)) {
+        // entry keys are exact partition values; only entries with
+        // live rows contribute (a schema-only empty file holds none)
+        val live = entries.filter(_.stats.map(_.rowCount).sum > 0).map(_.part)
+        if (live.isEmpty) Some(null)
+        else {
+          val ord: Ordering[String] = idx.partType match {
+            case StringType =>
+              Ordering.fromLessThan((a, b) => ParquetStats.cmpUtf8(a, b) < 0)
+            case _ => Ordering.by((s: String) =>
+              idx.partType match {
+                case IntegerType => s.toInt.toLong
+                case LongType => s.toLong
+                case _ => java.time.LocalDate.parse(s).toEpochDay
+              })
+          }
+          Some(idx.partValueInternal(if (asc) live.min(ord) else live.max(ord)))
+        }
+      } else exactTagFor(a.dataType).flatMap { tag =>
+        colStats(a.name).flatMap { cs =>
+          val contributing = cs.filter { case (rc, c) =>
+            rc > 0 && !(c.nullCount == rc) // skip empty and provably-all-null
+          }
+          if (contributing.exists { case (_, c) =>
+            c.tag != tag || c.min.isEmpty || c.max.isEmpty }) None
+          else if (contributing.isEmpty) Some(null)
+          else {
+            val bounds = contributing.map { case (_, c) =>
+              if (asc) c.min.get else c.max.get }
+            val best = bounds.reduce((x, y) =>
+              if (ParquetStats.cmp(tag, x, y) < 0 == asc) x else y)
+            Some(decode(tag, a.dataType, best))
+          }
+        }
+      }
+
+    val values = aggExprs.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) if l.value != null => totalRows
+          case Count(Seq(a: AttributeReference)) =>
+            nonNullCount(a).getOrElse(return None)
+          case Min(a: AttributeReference) => extremum(a, asc = true).getOrElse(return None)
+          case Max(a: AttributeReference) => extremum(a, asc = false).getOrElse(return None)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+  }
+}
+
+/** Session registration for the metadata-aggregate rule (same live
+  * hook discipline as [[TopKWindowRewriteRule]]).
+  */
+object ManifestMetadataAgg {
+  def ensure(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(ManifestMetadataAggRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ManifestMetadataAggRule
+}

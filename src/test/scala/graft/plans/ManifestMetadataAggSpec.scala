@@ -1,0 +1,154 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.{ManifestEntry, ManifestFileIndex, ManifestTable, ManifestWrite}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** Round 15: metadata-only aggregates over manifested tables.
+  * [[ManifestMetadataAggRule]] collapses a filterless global
+  * count/min/max whose child is a manifest-backed scan into a
+  * LocalRelation answered from the manifest's recorded stats — zero
+  * tasks, zero file opens. The property held everywhere: the rule
+  * either gives EXACTLY the answer the scan would (plan-shape asserted
+  * both ways) or falls through untouched; answers are compared against
+  * the legacy union read computing the same aggregates by scanning.
+  */
+class ManifestMetadataAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withMicros[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** 10-day partitioned manifested layout with an id, a float, a
+    * string, a micros timestamp, and a half-null string column.
+    */
+  private lazy val layout: String = {
+    ManifestMetadataAgg.ensure(spark)
+    val dir = tmpDir("meta-agg") + "/events"
+    val base = to_date(lit("2024-03-01"))
+    val day = date_add(base, (col("id") % 10).cast("int"))
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      (col("id") % 17).cast("double").as("value"),
+      concat(lit("doc-"), format_string("%04d", col("id"))).as("text"),
+      to_timestamp(concat(day.cast("string"), lit(" 06:00:00"))).as("ts"),
+      when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(lit("x")).as("sparse"),
+      lit(null).cast("long").as("void"),
+      day.as("day"))
+    withMicros {
+      ManifestWrite.write(df.repartition(col("day")), dir, "day", SaveMode.Overwrite)
+    }
+    dir
+  }
+
+  private def rel: DataFrame = ManifestFileIndex.relation(spark, layout, "day")
+  private def legacy: DataFrame = ManifestTable.read(spark, layout, partCol = "day")
+
+  private def answeredFromMetadata(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    p.collect { case l: LocalRelation => l }.nonEmpty &&
+      p.collect { case r: LogicalRelation => r }.isEmpty
+  }
+
+  test("filterless count/min/max collapse to a LocalRelation with the scan's exact values") {
+    val metaDf = rel.agg(
+      count(lit(1)).as("n"), count($"sparse").as("n_sparse"),
+      min($"id").as("min_id"), max($"id").as("max_id"),
+      min($"ts").as("min_ts"), max($"ts").as("max_ts"),
+      min($"day").as("min_day"), max($"day").as("max_day"),
+      count($"void").as("n_void"), min($"void").as("min_void"))
+    assert(answeredFromMetadata(metaDf),
+      s"rule did not fire:\n${metaDf.queryExecution.optimizedPlan}")
+    val scanDf = legacy.agg(
+      count(lit(1)).as("n"), count($"sparse").as("n_sparse"),
+      min($"id").as("min_id"), max($"id").as("max_id"),
+      min($"ts").as("min_ts"), max($"ts").as("max_ts"),
+      min($"day").as("min_day"), max($"day").as("max_day"),
+      count($"void").as("n_void"), min($"void").as("min_void"))
+    assert(!answeredFromMetadata(scanDf))
+    assert(metaDf.collect().toSeq.map(_.toString) ==
+      scanDf.collect().toSeq.map(_.toString))
+    // spot values: the all-null column counts 0 and mins to SQL null
+    val row = metaDf.head()
+    assert(row.getAs[Long]("n") == 1000L)
+    assert(row.getAs[Long]("n_sparse") == 750L)
+    assert(row.getAs[Long]("n_void") == 0L)
+    assert(row.isNullAt(row.fieldIndex("min_void")))
+  }
+
+  test("partition-selected reads answer from the SELECTED entries only") {
+    val sel = Some(Set("2024-03-02", "2024-03-05"))
+    val metaDf = ManifestFileIndex.relation(spark, layout, "day", sel)
+      .agg(count(lit(1)).as("n"), min($"day").as("lo"), max($"day").as("hi"))
+    assert(answeredFromMetadata(metaDf))
+    val row = metaDf.head()
+    assert(row.getAs[Long]("n") == 200L)
+    assert(row.getAs[java.sql.Date]("lo").toString == "2024-03-02")
+    assert(row.getAs[java.sql.Date]("hi").toString == "2024-03-05")
+  }
+
+  test("bail paths fall through to the scan, values still exact") {
+    def sameAnswer(meta: DataFrame, scan: DataFrame): Unit =
+      assert(meta.collect().toSeq.map(_.toString) ==
+        scan.collect().toSeq.map(_.toString))
+    // a filter voids the metadata answer
+    val filtered = rel.filter($"id" < 100L).agg(count(lit(1)).as("n"))
+    assert(!answeredFromMetadata(filtered))
+    sameAnswer(filtered, legacy.filter($"id" < 100L).agg(count(lit(1)).as("n")))
+    // string min/max: envelopes are truncated — must scan
+    val strAgg = rel.agg(min($"text").as("lo"), max($"text").as("hi"))
+    assert(!answeredFromMetadata(strAgg))
+    sameAnswer(strAgg, legacy.agg(min($"text").as("lo"), max($"text").as("hi")))
+    // float min/max: NaN-blind envelopes — must scan
+    val fAgg = rel.agg(min($"value").as("lo"), max($"value").as("hi"))
+    assert(!answeredFromMetadata(fAgg))
+    sameAnswer(fAgg, legacy.agg(min($"value").as("lo"), max($"value").as("hi")))
+    // DISTINCT is not a metadata fact
+    val dAgg = rel.agg(countDistinct($"id").as("n"))
+    assert(!answeredFromMetadata(dAgg))
+    sameAnswer(dAgg, legacy.agg(countDistinct($"id").as("n")))
+    // grouping is not answerable
+    val gAgg = rel.groupBy($"day").agg(count(lit(1)).as("n")).orderBy($"day")
+    assert(!answeredFromMetadata(gAgg))
+    sameAnswer(gAgg, legacy.groupBy($"day").agg(count(lit(1)).as("n")).orderBy($"day"))
+  }
+
+  test("a stats-less (pre-upgrade) generation disables the shortcut; counts still exact") {
+    val dir = tmpDir("meta-agg-legacy") + "/t"
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.range(0, 40).selectExpr("id").coalesce(1)
+      .write.parquet(new Path(root, "g-old").toString)
+    fs.delete(new Path(new Path(root, "g-old"), "_SUCCESS"), false)
+    ManifestTable.commit(fs, root, "",
+      Map("g-old" -> Some(ManifestEntry("g-old", "g-old", Nil)))) // no stats
+    ManifestWrite.write(spark.range(100, 150).selectExpr("id").coalesce(1),
+      dir, "", SaveMode.Append)
+    ManifestMetadataAgg.ensure(spark)
+    val df = ManifestFileIndex.relation(spark, dir, "").agg(count(lit(1)).as("n"))
+    assert(!answeredFromMetadata(df), "stats-less entries must disable the shortcut")
+    assert(df.head().getAs[Long]("n") == 90L)
+  }
+
+  test("q150 runs green and is answered from metadata") {
+    val df = graft.operators.StorageOps.manifestMetadataStats(spark, "/root/testdata/sf0.001")
+    assert(answeredFromMetadata(df),
+      s"q150 should be a metadata answer:\n${df.queryExecution.optimizedPlan}")
+    val row = df.head()
+    assert(row.getAs[Long]("n_rows") > 0)
+    assert(!row.isNullAt(row.fieldIndex("min_ts")))
+  }
+}
