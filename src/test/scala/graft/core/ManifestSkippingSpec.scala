@@ -335,6 +335,32 @@ class ManifestSkippingSpec extends SparkSpec {
     assert(n == total - 1, s"exactly the stats-bearing file should skip: read $n of $total")
   }
 
+  test("mergeSchema + skipping: filters on a later-added column never skip files that predate it") {
+    val dir = tmpDir("skip-evolve") + "/t"
+    // generation 1: (id, v) — no `added` column, but HAS envelopes
+    ManifestWrite.write(spark.range(0, 50)
+      .selectExpr("id", "cast(id as double) v").coalesce(1),
+      dir, "", SaveMode.Append)
+    // generation 2: (id, v, added)
+    ManifestWrite.write(spark.range(100, 150)
+      .selectExpr("id", "cast(id as double) v", "id % 5 as added").coalesce(1),
+      dir, "", SaveMode.Append)
+    val rel = ManifestFileIndex.relation(spark, dir, "", mergeSchema = true)
+    // `added IS NULL` matches every pre-evolution row: the old file has
+    // envelopes but NONE for `added` — it must be kept, not skipped
+    val nulls = rel.filter(col("added").isNull).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(nulls == (0L until 50L), s"pre-evolution rows lost: $nulls")
+    // an equality on `added` can still SKIP the new file when out of
+    // range, while the old file (no envelope for the column) is kept
+    val n = filesRead(rel.filter(col("added") === 99L))
+    assert(n == 1, s"expected only the pre-evolution file kept, read $n")
+    assert(rel.filter(col("added") === 99L).count() == 0)
+    // value parity for an in-range equality
+    assert(rel.filter(col("added") === 3L).select("id").as[Long].collect().sorted.toSeq ==
+      (100L until 150L).filter(_ % 5 == 3))
+  }
+
   test("q149 runs green end-to-end and skips: the catalog query's own file-count proof") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.operators.StorageOps.manifestSkipRollup(spark, dir)
