@@ -116,19 +116,7 @@ final class ManifestFileIndex(
               fs.listStatus(p).toSeq.filter(s => s.isFile && dataFile(s.getPath.getName))
             else Seq(st)
           }
-        if (need.size == 1) Map(need.head._2 -> listEntry(need.head._1))
-        else {
-          import scala.jdk.CollectionConverters._
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(8, need.size))
-          try pool.invokeAll(need.map[java.util.concurrent.Callable[(Int, Seq[FileStatus])]] {
-            case (e, i) => () => i -> listEntry(e)
-          }.asJava).asScala.map(f =>
-            try f.get()
-            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
-            .toMap
-          finally pool.shutdown()
-        }
+        ManifestTable.parMap(need) { case (e, i) => i -> listEntry(e) }.toMap
       }
     }
     val envelopes = Map.newBuilder[Path, FileStat]
@@ -208,7 +196,9 @@ final class ManifestFileIndex(
     // skipping parquet does from the same footer stats at read time.
     // ManifestSkipping is conservative by contract: any unprovable
     // condition keeps the file, so results never change (parity
-    // spec-proven), only file counts do.
+    // spec-proven), only file counts do. Evaluated AFTER partition
+    // pruning below, so its driver cost scales with the files the
+    // query actually selects, not the table's total file count.
     def skimmed(sts: Seq[FileStatus]): Seq[FileStatus] =
       if (dataFilters.isEmpty || envelopes.isEmpty) sts
       else sts.filter { st =>
@@ -218,21 +208,22 @@ final class ManifestFileIndex(
     if (partColName.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty, skimmed(perPart.flatMap(_._2)).toArray))
     else {
-      val dirs = perPart.map { case (part, sts) =>
-        PartitionDirectory(InternalRow(toInternal(part)), skimmed(sts).toArray)
-      }
-      if (partitionFilters.isEmpty) dirs
-      else {
-        // bind the pruned predicate to the single-column partition row —
-        // the same evaluation PartitioningAwareFileIndex does, minus the
-        // multi-column generality this layout never has
-        val bound = partitionFilters.reduce(And).transform {
-          case a: AttributeReference if a.name.equalsIgnoreCase(partColName) =>
-            BoundReference(0, partType, nullable = false)
+      val selectedParts =
+        if (partitionFilters.isEmpty) perPart
+        else {
+          // bind the pruned predicate to the single-column partition
+          // row — the same evaluation PartitioningAwareFileIndex does,
+          // minus the multi-column generality this layout never has
+          val bound = partitionFilters.reduce(And).transform {
+            case a: AttributeReference if a.name.equalsIgnoreCase(partColName) =>
+              BoundReference(0, partType, nullable = false)
+          }
+          val pred = Predicate.createInterpreted(bound)
+          pred.initialize(0)
+          perPart.filter { case (part, _) => pred.eval(InternalRow(toInternal(part))) }
         }
-        val pred = Predicate.createInterpreted(bound)
-        pred.initialize(0)
-        dirs.filter(d => pred.eval(d.values))
+      selectedParts.map { case (part, sts) =>
+        PartitionDirectory(InternalRow(toInternal(part)), skimmed(sts).toArray)
       }
     }
   }

@@ -34,14 +34,21 @@ object ManifestSkipping {
   def mayMatch(filters: Seq[Expression], rowCount: Long,
       cols: Seq[ColStat]): Boolean = {
     if (cols.isEmpty && rowCount < 0) return true
-    val byName = cols.map(c => c.col.toLowerCase(java.util.Locale.ROOT) -> c).toMap
-    filters.forall(f => may(f, byName, rowCount))
+    filters.forall(f => may(f, cols, rowCount))
   }
 
-  private def statOf(byName: Map[String, ColStat], a: Attribute): Option[ColStat] =
-    byName.get(a.name.toLowerCase(java.util.Locale.ROOT))
+  /** EXACT name match: the filter attribute carries the relation
+    * schema's casing, which came from the same parquet footers the
+    * envelope names did — so exact equality is both sufficient and
+    * the only safe choice (case-folding could conflate columns that
+    * differ only in case under spark.sql.caseSensitive=true, turning
+    * a skip into silent row loss). Linear scan: envelopes cap at
+    * [[ParquetStats.MaxCols]] entries, no per-file map allocation.
+    */
+  private def statOf(cols: Seq[ColStat], a: Attribute): Option[ColStat] =
+    cols.find(_.col == a.name)
 
-  private def may(e: Expression, s: Map[String, ColStat], rc: Long): Boolean =
+  private def may(e: Expression, s: Seq[ColStat], rc: Long): Boolean =
     e match {
       case And(l, r) => may(l, s, rc) && may(r, s, rc)
       case Or(l, r)  => may(l, s, rc) || may(r, s, rc)
@@ -83,13 +90,13 @@ object ManifestSkipping {
     }
 
   /** Can the file hold a NULL in `a`? */
-  private def nullMay(s: Map[String, ColStat], rc: Long, a: Attribute): Boolean = {
+  private def nullMay(s: Seq[ColStat], rc: Long, a: Attribute): Boolean = {
     val _ = rc
     statOf(s, a).forall(c => c.nullCount != 0L)
   }
 
   /** Can the file hold a non-null value of `a` equal to `v`? */
-  private def eqMay(s: Map[String, ColStat], rc: Long, a: Attribute,
+  private def eqMay(s: Seq[ColStat], rc: Long, a: Attribute,
       v: Any, dt: DataType): Boolean = {
     if (v == null) return false // `a = NULL` is never satisfied
     statOf(s, a) match {
@@ -109,7 +116,7 @@ object ManifestSkipping {
   /** Can the file hold a value of `a` that is >('G')/<('L') `v`
     * (strictly, or or-equal)?
     */
-  private def cmpMay(s: Map[String, ColStat], rc: Long, a: Attribute,
+  private def cmpMay(s: Seq[ColStat], rc: Long, a: Attribute,
       v: Any, dt: DataType, dir: Char, strict: Boolean): Boolean = {
     if (v == null) return false
     statOf(s, a) match {

@@ -171,12 +171,16 @@ object ManifestTable {
     * the stats field is unambiguous). The optional third `#` segment
     * (round 15) is an unpadded base64url blob carrying the file's row
     * count and per-column [[ColStat]] envelopes — base64url's alphabet
-    * is inside the token charset and free of '#'/',', so pre-round-15
-    * READERS of the 5-field line would fail loudly, but pre-round-15
-    * COMMIT FILES (3- and 5-field stats-less lines) keep parsing here;
-    * their entries carry no envelopes and readers fall back to "may
-    * match". A malformed blob inside a sha-valid payload degrades to
-    * stats-less (never fails the manifest): envelopes are advisory.
+    * is inside the token charset and free of '#'/','. Compatibility is
+    * one-directional by design: pre-round-15 COMMIT FILES (3- and
+    * 5-field stats-less lines) keep parsing here, their entries just
+    * carry no envelopes; a pre-round-15 READER, though, rejects a
+    * stats-bearing commit as unparseable and falls back to the newest
+    * commit it CAN parse — a silent stale read, not a loud error — so
+    * old binaries must not read tables new writers commit to (moot in
+    * a single-codebase deployment; stated so nobody relies on the
+    * opposite). A malformed blob inside a sha-valid payload degrades
+    * to stats-less (never fails the manifest): envelopes are advisory.
     */
   private[core] def serialize(m: Manifest): Array[Byte] = {
     val body = new StringBuilder
@@ -317,6 +321,27 @@ object ManifestTable {
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       ((z ^ (z >>> 31)) & Long.MaxValue) % cap
+    }
+
+  /** Bounded-width parallel map for independent driver-side I/O
+    * (footer reads, per-generation listings, leg builds). One shared
+    * definition so pool sizing, failure unwrapping (the CAUSE
+    * propagates, not the pool's ExecutionException wrapper), and
+    * shutdown discipline can't drift between call sites. Serial for
+    * 0/1 elements — no pool churn on the common case.
+    */
+  private[graft] def parMap[A, B](xs: Seq[A], width: Int = 8)(f: A => B): Seq[B] =
+    if (xs.size <= 1) xs.map(f)
+    else {
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(width, xs.size))
+      try pool.invokeAll(xs.map[java.util.concurrent.Callable[B]](
+          x => () => f(x)).asJava)
+        .asScala.toSeq.map(fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      finally pool.shutdown()
     }
 
   private def commitPath(root: Path, seq: Long): Path =
@@ -635,18 +660,7 @@ object ManifestTable {
       }
     if (data.size > ParquetStats.MaxFilesForColStats)
       data.map(s => FileStat(s.getPath.getName, s.getLen))
-    else if (data.size <= 1) data.map(withCols)
-    else {
-      import scala.jdk.CollectionConverters._
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, data.size))
-      try pool.invokeAll(data.map[java.util.concurrent.Callable[FileStat]](
-          s => () => withCols(s)).asJava)
-        .asScala.toSeq.map(f =>
-          try f.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
-      finally pool.shutdown()
-    }
+    else parMap(data)(withCols)
   }
 
   /** Absolute paths an entry's data lives at. */
@@ -767,37 +781,24 @@ object ManifestTable {
       // the residual fixed cost — the listings are independent I/O and
       // the DataFrame builds are thread-safe
       val tail = ordered.tail.toVector
-      val frames = first +: {
-        if (tail.isEmpty) Vector.empty
-        else {
-          import scala.jdk.CollectionConverters._
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(8, tail.size))
-          try pool.invokeAll(tail.zipWithIndex.map[java.util.concurrent.Callable[DataFrame]] {
-            case ((gen, entries), i) => () =>
-              if (i == tail.size - 1) {
-                // the spot-check leg: inferred from its own footers
-                val probe = readGroup(gen, entries, None)
-                val drift = (probe.columns.toSet diff first.columns.toSet) ++
-                  (first.columns.toSet diff probe.columns.toSet)
-                require(drift.isEmpty,
-                  s"manifest read at $root: generation '$gen' schema drifted from " +
-                    s"'${ordered.head._1}' on columns ${drift.toSeq.sorted.mkString(", ")} — " +
-                    "pass mergeSchema=true for additive column evolution, or rewrite " +
-                    "(Overwrite) for anything else")
-                probe.select(first.columns.map(org.apache.spark.sql.functions.col): _*)
-              } else
-                // full schema incl. the partition column: its VALUES
-                // still come from each leg's directory names
-                readGroup(gen, entries, Some(first.schema)).select(first.columns.map(
-                  org.apache.spark.sql.functions.col): _*)
-          }.asJava).asScala.toVector.map(f =>
-            try f.get()
-            catch { // surface the real failure (e.g. the drift check), not the pool wrapper
-              case e: java.util.concurrent.ExecutionException => throw e.getCause
-            })
-          finally pool.shutdown()
-        }
+      val frames = first +: parMap(tail.zipWithIndex) {
+        case ((gen, entries), i) =>
+          if (i == tail.size - 1) {
+            // the spot-check leg: inferred from its own footers
+            val probe = readGroup(gen, entries, None)
+            val drift = (probe.columns.toSet diff first.columns.toSet) ++
+              (first.columns.toSet diff probe.columns.toSet)
+            require(drift.isEmpty,
+              s"manifest read at $root: generation '$gen' schema drifted from " +
+                s"'${ordered.head._1}' on columns ${drift.toSeq.sorted.mkString(", ")} — " +
+                "pass mergeSchema=true for additive column evolution, or rewrite " +
+                "(Overwrite) for anything else")
+            probe.select(first.columns.map(org.apache.spark.sql.functions.col): _*)
+          } else
+            // full schema incl. the partition column: its VALUES
+            // still come from each leg's directory names
+            readGroup(gen, entries, Some(first.schema)).select(first.columns.map(
+              org.apache.spark.sql.functions.col): _*)
       }
       frames.reduce(_ union _)
     }

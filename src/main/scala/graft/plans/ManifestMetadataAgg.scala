@@ -73,12 +73,18 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
     val files = entries.flatMap(_.stats)
     if (files.exists(_.rowCount < 0)) return None
     val totalRows = files.map(_.rowCount).sum
+    // EXACT name matches throughout: the aggregate's attributes carry
+    // the relation schema's casing, which equals the manifest's
+    // partition-column name and the parquet field names the envelopes
+    // recorded — case-folding here could answer `x` from a distinct
+    // column `X` under spark.sql.caseSensitive=true (wrong values,
+    // zero tasks, no error)
     val isPartCol: String => Boolean = n =>
-      idx.partColName.nonEmpty && n.equalsIgnoreCase(idx.partColName)
+      idx.partColName.nonEmpty && n == idx.partColName
 
     def colStats(name: String): Option[Seq[(Long, ColStat)]] = {
       val per = files.map { f =>
-        f.cols.find(_.col.equalsIgnoreCase(name)).map(c => f.rowCount -> c)
+        f.cols.find(_.col == name).map(c => f.rowCount -> c)
       }
       if (per.exists(_.isEmpty)) None else Some(per.flatten)
     }

@@ -237,28 +237,41 @@ class ManifestChurnSpec extends SparkSpec {
     }.toDF("user_id", "amount", "day")
       .repartition(2).write.partitionBy("day").parquet(root)
 
+    // actions that must READ BYTES are what the gc window protects;
+    // count() is no longer one of them (ManifestMetadataAggRule
+    // answers it from the plan's own resolved snapshot, zero file
+    // opens — registered here so the outcome is suite-order-proof)
+    graft.plans.ManifestMetadataAgg.ensure(spark)
+    def scanSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum("amount")).head().getLong(0)
+
     // plan a reader against the CURRENT commit, execute once
     graft.operators.StorageOps.compactDays(spark, root, Seq(days.head))
     val stalePlan = graft.operators.StorageOps.readDayLayout(spark, root)
-    assert(stalePlan.count() == 40) // the plan's file list is now pinned
+    assert(scanSum(stalePlan) == 840L) // the plan's file list is now pinned
 
     // ONE rewrite + production gc: the stale plan still executes —
     // KeepCommits=2 keeps its generation alive (the grace window)
     graft.operators.StorageOps.compactDays(spark, root, Seq(days.head))
-    assert(stalePlan.count() == 40,
+    assert(scanSum(stalePlan) == 840L,
       "production grace window failed to protect a one-rewrite-old reader")
 
     // a SECOND rewrite plus gc forced below the window retires the
-    // stale plan's files — the reader now breaks. The same caveat
-    // Delta documents for VACUUM with retention shorter than the
-    // longest-running query; the mitigation is the window (readers
-    // never coordinate with gc on any snapshot table format).
+    // stale plan's files. A METADATA action still answers — exactly,
+    // from the stale plan's own snapshot — because it never touches
+    // the retired bytes…
     graft.operators.StorageOps.compactDays(spark, root, Seq(days.head))
     ManifestTable.gc(fs, new Path(root), keepCommits = 1, orphanRetentionMs = 0L)
+    assert(stalePlan.count() == 40,
+      "a metadata-answered count should survive below-window gc (snapshot-exact)")
+    // …while any byte-reading action breaks: the same caveat Delta
+    // documents for VACUUM with retention shorter than the
+    // longest-running query; the mitigation is the window (readers
+    // never coordinate with gc on any snapshot table format).
     val broke =
-      try { stalePlan.count(); false }
+      try { scanSum(stalePlan); false }
       catch { case _: Throwable => true }
-    assert(broke, "expected the below-window gc to break the stale plan " +
+    assert(broke, "expected the below-window gc to break the stale SCAN " +
       "(if this starts passing, the read path began re-resolving per action — " +
       "update the caveat doc)")
     // fresh resolves are untouched throughout

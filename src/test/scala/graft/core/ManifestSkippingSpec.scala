@@ -113,6 +113,16 @@ class ManifestSkippingSpec extends SparkSpec {
     assert(may(StartsWith(s, slit("b")), sCols))
     assert(may(StartsWith(s, slit("mmm")), sCols)) // min ≤ "mmm" ≤ max
     assert(!may(StartsWith(s, slit("n")), sCols))  // max "mmm" < "n"
+    // columns differing only in case are DISTINCT (caseSensitive=true
+    // schemas): `x`'s envelope must answer for `x`, never `X`'s —
+    // conflating them could skip a file that holds matching rows
+    val caseCols = Seq(
+      ColStat("x", 'i', Some("1"), Some("10"), 0L),
+      ColStat("X", 'i', Some("100"), Some("200"), 0L))
+    assert(may(EqualTo(attr("x", LongType), clit(5L, LongType)), caseCols))
+    assert(!may(EqualTo(attr("x", LongType), clit(50L, LongType)), caseCols))
+    assert(may(EqualTo(attr("X", LongType), clit(150L, LongType)), caseCols))
+    assert(!may(EqualTo(attr("X", LongType), clit(5L, LongType)), caseCols))
   }
 
   test("serialize/deserialize round-trips column envelopes exactly; malformed blob degrades, never fails") {
