@@ -804,6 +804,49 @@ object ManifestTable {
     }
   }
 
+  /** The table's retained commit history as a DataFrame — the
+    * DESCRIBE-HISTORY surface (round 15): one row per retained, valid
+    * version, newest first. Everything comes from the commit files
+    * alone (no data listing): `n_files` / `bytes` / `row_count` are
+    * summed from recorded [[FileStat]]s and NULL when any entry of
+    * that version predates stats recording (unknown, never guessed).
+    * The window is [[KeepCommits]]-bounded, so this is a handful of
+    * small reads at any table size; `versionAsOf` accepts any listed
+    * `version`.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val seqs = versions(fs, rootPath)
+    val rows = seqs.zipWithIndex.flatMap { case (s, i) =>
+      resolveAt(fs, rootPath, s).map { m =>
+        val statsComplete = m.entries.forall(_.stats.nonEmpty)
+        val files = if (statsComplete) m.entries.map(_.stats.size.toLong).sum else -1L
+        val bytes = if (statsComplete) m.entries.flatMap(_.stats).map(_.len).sum else -1L
+        val rcs = m.entries.flatMap(_.stats).map(_.rowCount)
+        val rowCount =
+          if (statsComplete && rcs.forall(_ >= 0)) rcs.sum else -1L
+        Row(s, i == 0, m.partCol, m.entries.size,
+          if (files >= 0) files else null,
+          if (bytes >= 0) bytes else null,
+          if (rowCount >= 0) rowCount else null)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("part_col", StringType, nullable = false),
+      StructField("n_entries", IntegerType, nullable = false),
+      StructField("n_files", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = true),
+      StructField("row_count", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** Prefix of every generation directory this engine writes. */
   val GenPrefix = "g-"
 

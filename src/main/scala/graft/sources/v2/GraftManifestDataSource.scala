@@ -131,6 +131,20 @@ class GraftManifestDataSource extends RelationProvider
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graftmanifest: missing path"))
+    // `history=true` (round 15): the retained commit log as a tiny
+    // DataFrame (version / is_current / sizes / row counts, newest
+    // first) — the DESCRIBE-HISTORY surface; versionAsOf accepts any
+    // listed version
+    if (parameters.get("history").exists(_.trim.toBoolean)) {
+      val df = graft.core.ManifestTable.history(sqlContext.sparkSession, path)
+      val sqlCtx = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sqlCtx
+        override def schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.rdd
+      }
+    }
     val partCol = parameters.getOrElse("partCol", "")
     val parts = parameters.get("parts")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
