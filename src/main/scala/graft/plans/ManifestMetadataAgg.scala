@@ -46,29 +46,66 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
-      indexOf(child).flatMap(answer(agg, aggExprs, _)).getOrElse(agg)
+      indexOf(child).flatMap { case (idx, partFilters) =>
+        answer(agg, aggExprs, idx, partFilters)
+      }.getOrElse(agg)
   }
 
-  /** The manifest index under attribute-only projections; None the
-    * moment anything else (a Filter, an expression Project, a join…)
-    * sits in between — those change the row set and void the answer.
+  /** The manifest index under attribute-only projections and
+    * PARTITION-ONLY filters (returned for exact evaluation against
+    * entry keys — `count(*) WHERE day BETWEEN …` is still a metadata
+    * fact: a partition predicate selects whole entries, never splits
+    * one). None the moment anything else (a data-column or
+    * non-deterministic filter, an expression Project, a join…) sits
+    * in between — those change the row set in ways entry keys can't
+    * express.
     */
-  private def indexOf(plan: LogicalPlan): Option[ManifestFileIndex] = plan match {
-    case Project(projs, c) if projs.forall(_.isInstanceOf[AttributeReference]) =>
-      indexOf(c)
-    case lr: LogicalRelation => lr.relation match {
-      case fsr: HadoopFsRelation => fsr.location match {
-        case idx: ManifestFileIndex => Some(idx)
+  private def indexOf(plan: LogicalPlan): Option[(ManifestFileIndex, Seq[Expression])] =
+    plan match {
+      case Project(projs, c) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+        indexOf(c)
+      case Filter(cond, c) if cond.deterministic =>
+        indexOf(c).filter { case (idx, _) =>
+          idx.partColName.nonEmpty &&
+            cond.references.nonEmpty &&
+            cond.references.forall(_.name == idx.partColName)
+        }.map { case (idx, fs) => (idx, fs :+ cond) }
+      case lr: LogicalRelation => lr.relation match {
+        case fsr: HadoopFsRelation => fsr.location match {
+          case idx: ManifestFileIndex => Some((idx, Nil))
+          case _ => None
+        }
         case _ => None
       }
       case _ => None
     }
-    case _ => None
-  }
 
   private def answer(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      idx: ManifestFileIndex): Option[LogicalPlan] = {
-    val entries = idx.selectedEntries
+      idx: ManifestFileIndex, partFilters: Seq[Expression]): Option[LogicalPlan] = {
+    // partition-only filters select whole entries — evaluated with
+    // catalyst's own interpreted predicate against each entry key, the
+    // SAME evaluation the scan's partition pruning would apply, so the
+    // metadata answer matches the scan's row set exactly. Filter
+    // semantics: a null predicate result drops the row; partition
+    // values are never null, so binding non-nullable is faithful.
+    val entries = {
+      val all = idx.selectedEntries
+      if (partFilters.isEmpty) all
+      else {
+        val bound = partFilters.reduce(org.apache.spark.sql.catalyst.expressions.And)
+          .transform {
+            case a: AttributeReference if a.name == idx.partColName =>
+              BoundReference(0, idx.partType, nullable = false)
+          }
+        // anything non-literal/non-bound left over (a subquery, an
+        // outer reference) is not evaluable here — bail
+        if (bound.references.nonEmpty) return None
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        all.filter(e => pred.eval(
+          org.apache.spark.sql.catalyst.InternalRow(idx.partValueInternal(e.part))))
+      }
+    }
     if (entries.isEmpty || entries.exists(_.stats.isEmpty)) return None
     val files = entries.flatMap(_.stats)
     if (files.exists(_.rowCount < 0)) return None

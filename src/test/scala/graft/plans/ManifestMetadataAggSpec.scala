@@ -100,6 +100,39 @@ class ManifestMetadataAggSpec extends SparkSpec {
     assert(row.getAs[java.sql.Date]("hi").toString == "2024-03-05")
   }
 
+  test("PARTITION-only filters stay metadata-answerable: whole entries selected exactly") {
+    // a day range with no data-column reference: count/min/max answer
+    // from the filtered entry set, matching the scan's rows exactly
+    val f = $"day" >= to_date(lit("2024-03-03")) && $"day" < to_date(lit("2024-03-06"))
+    val metaDf = rel.filter(f).agg(
+      count(lit(1)).as("n"), min($"id").as("lo"), max($"day").as("hi"))
+    assert(answeredFromMetadata(metaDf),
+      s"partition-only filter should stay metadata:\n${metaDf.queryExecution.optimizedPlan}")
+    val scanDf = legacy.filter(f).agg(
+      count(lit(1)).as("n"), min($"id").as("lo"), max($"day").as("hi"))
+    assert(metaDf.collect().toSeq.map(_.toString) ==
+      scanDf.collect().toSeq.map(_.toString))
+    assert(metaDf.head().getAs[Long]("n") == 300L)
+    // an IN over partition values, ditto
+    val g = $"day".isin(java.sql.Date.valueOf("2024-03-02"), java.sql.Date.valueOf("2024-03-09"))
+    val inDf = rel.filter(g).agg(count(lit(1)).as("n"))
+    assert(answeredFromMetadata(inDf))
+    assert(inDf.head().getAs[Long]("n") == 200L)
+    // a filter MIXING partition and data columns must scan
+    val mixed = rel.filter($"day" >= to_date(lit("2024-03-03")) && $"id" > 10L)
+      .agg(count(lit(1)).as("n"))
+    assert(!answeredFromMetadata(mixed))
+    assert(mixed.collect().toSeq.map(_.toString) ==
+      legacy.filter($"day" >= to_date(lit("2024-03-03")) && $"id" > 10L)
+        .agg(count(lit(1)).as("n")).collect().toSeq.map(_.toString))
+    // a non-deterministic filter must scan (threshold 0.5: the
+    // optimizer folds `rand >= 0.0` to TRUE, which — correctly —
+    // leaves a partition-only filter and a metadata answer)
+    val rnd = rel.filter(rand(7) >= 0.5 && $"day" >= to_date(lit("2024-03-03")))
+      .agg(count(lit(1)).as("n"))
+    assert(!answeredFromMetadata(rnd))
+  }
+
   test("bail paths fall through to the scan, values still exact") {
     def sameAnswer(meta: DataFrame, scan: DataFrame): Unit =
       assert(meta.collect().toSeq.map(_.toString) ==
