@@ -133,6 +133,18 @@ object ManifestReadBench {
       }.min
       (timeList(Nil), timeList(filters))
     }
+    // metadata-aggregate pricing (round 15): count(*) answered from
+    // the manifest (ManifestMetadataAggRule → LocalRelation, zero
+    // tasks) vs the same count through the legacy scanning read.
+    graft.plans.ManifestMetadataAgg.ensure(spark)
+    def timeMs(f: () => Unit, n: Int = 10): Double = (1 to n).map { _ =>
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e6
+    }.min
+    val countMeta = timeMs(() =>
+      { graft.operators.StorageOps.readDayLayout(spark, manifDir).count(); () })
+    val countScan = timeMs(() =>
+      { ManifestTable.read(spark, manifDir, None, partCol = "day").count(); () })
+
     val rows = spark.read.parquet(plainDir).count()
     val json = (Seq(
       "tool" -> "\"manifest-read-bench\"",
@@ -145,7 +157,9 @@ object ManifestReadBench {
       "index_build_ms_manifested" -> f"${indexMs(manifDir)}%.3f",
       "index_build_ms_consolidated" -> f"${indexMs(consDir)}%.3f",
       "listfiles_ms_unfiltered" -> f"${skipMs._1}%.3f",
-      "listfiles_ms_skip_eval" -> f"${skipMs._2}%.3f") ++
+      "listfiles_ms_skip_eval" -> f"${skipMs._2}%.3f",
+      "count_metadata_ms" -> f"$countMeta%.3f",
+      "count_scan_ms" -> f"$countScan%.3f") ++
       results.map { case (k, v) => k -> f"$v%.3f" })
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(json)
