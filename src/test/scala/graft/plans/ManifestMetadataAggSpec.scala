@@ -176,6 +176,42 @@ class ManifestMetadataAggSpec extends SparkSpec {
     assert(df.head().getAs[Long]("n") == 90L)
   }
 
+  test("equivalence fuzz: rule answer == scan answer on 12 random tables (nulls, skew, empty-ish days)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    val rowGen = for {
+      dayOff <- Gen.chooseNum(0, 3)
+      id <- Gen.option(Gen.chooseNum(-1000L, 1000L))
+    } yield (dayOff, id)
+    (1 to 12).foreach { i =>
+      val seed = Seed(31000L + i)
+      val rows = Gen.resize(40, Gen.nonEmptyListOf(rowGen)).apply(params, seed).get
+      val dir = tmpDir(s"meta-fuzz-$i") + "/t"
+      val df = rows.zipWithIndex.map { case ((d, id), j) =>
+        (j.toLong, id, java.sql.Date.valueOf(java.time.LocalDate.parse("2024-06-01").plusDays(d)))
+      }.toDF("pk", "id", "day")
+      ManifestWrite.write(df.repartition(col("day")), dir, "day", SaveMode.Overwrite)
+      def aggs(base: DataFrame) = base.agg(
+        count(lit(1)).as("n"), count($"id").as("n_id"),
+        min($"id").as("lo"), max($"id").as("hi"),
+        min($"day").as("d_lo"), max($"day").as("d_hi"))
+      val metaDf = aggs(ManifestFileIndex.relation(spark, dir, "day"))
+      assert(answeredFromMetadata(metaDf), s"case $i: rule did not fire")
+      val scanDf = aggs(ManifestTable.read(spark, dir, partCol = "day"))
+      assert(metaDf.collect().toSeq.map(_.toString) ==
+        scanDf.collect().toSeq.map(_.toString), s"case $i: metadata drifted from scan")
+      // a random partition-range filter, still metadata-answered
+      val cut = java.sql.Date.valueOf(java.time.LocalDate.parse("2024-06-01")
+        .plusDays(Gen.chooseNum(0, 3).apply(params, seed.next).get))
+      // the selection may be empty — both sides must agree either way
+      val fMeta = aggs(ManifestFileIndex.relation(spark, dir, "day").filter($"day" >= cut))
+      val fScan = aggs(ManifestTable.read(spark, dir, partCol = "day").filter($"day" >= cut))
+      assert(fMeta.collect().toSeq.map(_.toString) ==
+        fScan.collect().toSeq.map(_.toString), s"case $i: filtered metadata drifted")
+    }
+  }
+
   test("q150 runs green and is answered from metadata") {
     val df = graft.operators.StorageOps.manifestMetadataStats(spark, "/root/testdata/sf0.001")
     assert(answeredFromMetadata(df),
