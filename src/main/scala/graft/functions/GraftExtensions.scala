@@ -88,10 +88,20 @@ object GraftExtensions {
   )
 
   /** Register into an already-running session (extensions only apply at
-    * session construction; this covers notebooks/REPLs).
+    * session construction; this covers notebooks/REPLs). Installs the
+    * full surface the construction-time path injects: the SQL
+    * functions AND the optimizer rules/strategy (top-k rewrite,
+    * manifest metadata aggregates) — round 15 aligned the two paths so
+    * a live session is not silently missing the plan rewrites.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    graft.plans.TopKWindowRewriteRule.install(spark)
+    graft.plans.ManifestMetadataAgg.ensure(spark)
+    if (!spark.experimental.extraOptimizations.contains(LevenshteinPrefilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinPrefilterRule
+  }
 }
