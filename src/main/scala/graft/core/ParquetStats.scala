@@ -184,8 +184,16 @@ object ParquetStats {
       Some((st.genericGetMin.asInstanceOf[Number].longValue().toString,
         st.genericGetMax.asInstanceOf[Number].longValue().toString))
     case 'f' =>
-      val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
-      val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+      // signed zeros: Spark's comparisons treat -0.0 == 0.0 but
+      // Double.compare orders -0.0 < 0.0, so a [+0.0, +0.0] envelope
+      // would falsely exclude a -0.0 literal. Widen per the
+      // parquet-format recommendation (Iceberg/Delta do the same):
+      // a zero min becomes -0.0, a zero max becomes +0.0 — the
+      // envelope then covers both representations.
+      val mn0 = st.genericGetMin.asInstanceOf[Number].doubleValue()
+      val mx0 = st.genericGetMax.asInstanceOf[Number].doubleValue()
+      val mn = if (mn0 == 0.0d) -0.0d else mn0
+      val mx = if (mx0 == 0.0d) 0.0d else mx0
       if (mn.isNaN || mx.isNaN) None else Some((mn.toString, mx.toString))
     case 'b' =>
       Some((st.genericGetMin.toString, st.genericGetMax.toString))
@@ -196,14 +204,21 @@ object ParquetStats {
     case _ => None
   }
 
-  /** Compare two canonical-encoded values of the same tag. */
+  /** Compare two canonical-encoded values of the same tag. Floats
+    * canonicalize signed zero first (-0.0 ≡ 0.0, matching Spark's
+    * comparison operators, NOT Double.compare's total order) so that
+    * envelopes written before the collection-time widening — or by any
+    * other writer — still read conservatively.
+    */
   private[graft] def cmp(tag: Char, a: String, b: String): Int = tag match {
     case 'i' | 't' => java.lang.Long.compare(a.toLong, b.toLong)
     case 'd' => Integer.compare(a.toInt, b.toInt)
-    case 'f' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case 'f' => java.lang.Double.compare(zeroCanon(a.toDouble), zeroCanon(b.toDouble))
     case 'b' => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
     case _ => cmpUtf8(a, b)
   }
+
+  private def zeroCanon(d: Double): Double = if (d == 0.0d) 0.0d else d
 
   /** Unsigned byte-wise UTF-8 comparison — the order parquet records
     * string min/max in, and the order Spark's UTF8String sorts by.

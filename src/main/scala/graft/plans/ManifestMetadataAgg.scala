@@ -68,7 +68,14 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
         indexOf(c).filter { case (idx, _) =>
           idx.partColName.nonEmpty &&
             cond.references.nonEmpty &&
-            cond.references.forall(_.name == idx.partColName)
+            cond.references.forall(_.name == idx.partColName) &&
+            // subqueries (IN (SELECT …), scalar subqueries) reference
+            // only the partition column at THIS level but carry a whole
+            // child plan that interpreted Predicate cannot evaluate —
+            // and this rule runs before RewriteSubquery, so the
+            // Unevaluable would throw mid-optimization. Bail to the
+            // ordinary scan, which plans the subquery normally.
+            !cond.exists(_.isInstanceOf[PlanExpression[_]])
         }.map { case (idx, fs) => (idx, fs :+ cond) }
       case lr: LogicalRelation => lr.relation match {
         case fsr: HadoopFsRelation => fsr.location match {
@@ -100,10 +107,18 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
         // anything non-literal/non-bound left over (a subquery, an
         // outer reference) is not evaluable here — bail
         if (bound.references.nonEmpty) return None
-        val pred = Predicate.createInterpreted(bound)
-        pred.initialize(0)
-        all.filter(e => pred.eval(
-          org.apache.spark.sql.catalyst.InternalRow(idx.partValueInternal(e.part))))
+        // belt-and-braces: any predicate shape interpreted evaluation
+        // rejects (an Unevaluable that slipped past the structural
+        // guards) falls through to the scan instead of failing the
+        // whole optimization batch
+        try {
+          val pred = Predicate.createInterpreted(bound)
+          pred.initialize(0)
+          all.filter(e => pred.eval(
+            org.apache.spark.sql.catalyst.InternalRow(idx.partValueInternal(e.part))))
+        } catch {
+          case scala.util.control.NonFatal(_) => return None
+        }
       }
     }
     if (entries.isEmpty || entries.exists(_.stats.isEmpty)) return None

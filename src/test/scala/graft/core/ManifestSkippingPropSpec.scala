@@ -190,6 +190,111 @@ class ManifestSkippingPropSpec extends SparkSpec {
     }
   }
 
+  // ---- float columns: signed zeros, extremes, and random envelopes ----
+
+  private val fAttr = AttributeReference("f", DoubleType, nullable = true)()
+
+  private val dblGen: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-5.0, 5.0),
+    Gen.oneOf(0.0d, -0.0d, 1.0d, -1.0d, 0.5d, -0.5d,
+      Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue))
+
+  /** Writer-faithful float envelope: per-value min/max with the
+    * collection-time signed-zero widening ParquetStats.boundsOf
+    * applies (zero min → -0.0, zero max → +0.0).
+    */
+  private def floatStatsOf(rows: List[Option[Double]], widen: Boolean): (Long, Seq[ColStat]) = {
+    val vs = rows.flatten
+    val mn0 = vs.minOption
+    val mx0 = vs.maxOption
+    val mn = if (widen) mn0.map(d => if (d == 0.0d) -0.0d else d) else mn0
+    val mx = if (widen) mx0.map(d => if (d == 0.0d) 0.0d else d) else mx0
+    (rows.size.toLong, Seq(ColStat("f", 'f',
+      mn.map(_.toString), mx.map(_.toString), rows.count(_.isEmpty).toLong)))
+  }
+
+  private def litD(v: Double) = Literal(v, DoubleType)
+
+  private def floatExprGen(rows: List[Option[Double]]): Gen[Expression] = {
+    val pool: Seq[Double] = (rows.flatten ++
+      Seq(0.0d, -0.0d, 1.0d, -1.0d, 6.0d, -6.0d, Double.NaN)).distinct
+    val lit = Gen.oneOf(pool).map(litD)
+    Gen.oneOf(
+      lit.map(l => EqualTo(fAttr, l)),
+      lit.map(l => EqualTo(l, fAttr)),
+      lit.map(l => EqualNullSafe(fAttr, l)),
+      lit.map(l => GreaterThan(fAttr, l)),
+      lit.map(l => GreaterThanOrEqual(fAttr, l)),
+      lit.map(l => LessThan(fAttr, l)),
+      lit.map(l => LessThanOrEqual(fAttr, l)),
+      Gen.listOfN(3, lit).map(ls => In(fAttr, ls)),
+      Gen.const(IsNull(fAttr)), Gen.const(IsNotNull(fAttr)),
+    )
+  }
+
+  private def floatSatisfies(e: Expression, row: Option[Double]): Boolean = {
+    val bound = e.transform {
+      case a: AttributeReference if a.name == "f" =>
+        BoundReference(0, DoubleType, nullable = true)
+    }
+    val pred = Predicate.createInterpreted(bound)
+    pred.initialize(0)
+    pred.eval(InternalRow(row.map(Double.box).orNull))
+  }
+
+  test("float conservatism incl. signed zeros — 400 cases, widened AND legacy (unwidened) envelopes") {
+    val params = Gen.Parameters.default
+    var skips = 0
+    (1 to 400).foreach { i =>
+      val seed = Seed(13000L + i)
+      val rows = Gen.resize(10, Gen.listOf(Gen.option(dblGen))).apply(params, seed).get
+      // i odd: writer-widened envelope (post-fix collection); i even:
+      // legacy envelope exactly as a pre-fix manifest recorded it —
+      // cmp's zero canonicalization must keep BOTH conservative
+      val (rc, cols) = floatStatsOf(rows, widen = i % 2 == 1)
+      val filters = Gen.resize(3, Gen.nonEmptyListOf(floatExprGen(rows)))
+        .apply(params, seed.next).get.take(3)
+      val may = ManifestSkipping.mayMatch(filters, rc, cols)
+      if (!may) {
+        skips += 1
+        val survivors = rows.filter(r => filters.forall(f => floatSatisfies(f, r)))
+        assert(survivors.isEmpty,
+          s"case $i: FALSE SKIP — filters=${filters.mkString(" AND ")} " +
+            s"stats=($rc, $cols) surviving rows=$survivors")
+      }
+    }
+    assert(skips > 40, s"only $skips/400 cases skipped — generator too timid to test the property")
+  }
+
+  test("signed-zero regressions: +0.0-only file must NOT be skipped for -0.0 predicates (both envelope vintages)") {
+    // the exact ADVICE scenario: all values +0.0
+    for (widen <- Seq(true, false)) {
+      val (rc, cols) = floatStatsOf(List(Some(0.0d), Some(0.0d)), widen)
+      for (f <- Seq[Expression](
+        EqualTo(fAttr, litD(-0.0d)),
+        LessThanOrEqual(fAttr, litD(-0.0d)),
+        GreaterThanOrEqual(fAttr, litD(-0.0d)),
+        EqualNullSafe(fAttr, litD(-0.0d)))) {
+        assert(ManifestSkipping.mayMatch(Seq(f), rc, cols),
+          s"widen=$widen filter=$f falsely skipped a +0.0 file for a -0.0 literal")
+      }
+      // and symmetrically: -0.0-only file vs +0.0 literals
+      val (rc2, cols2) = floatStatsOf(List(Some(-0.0d)), widen)
+      for (f <- Seq[Expression](
+        EqualTo(fAttr, litD(0.0d)),
+        LessThanOrEqual(fAttr, litD(0.0d)),
+        GreaterThanOrEqual(fAttr, litD(0.0d)))) {
+        assert(ManifestSkipping.mayMatch(Seq(f), rc2, cols2),
+          s"widen=$widen filter=$f falsely skipped a -0.0 file for a +0.0 literal")
+      }
+    }
+    // sanity: skipping still fires where it should
+    val (rc3, cols3) = floatStatsOf(List(Some(1.0d), Some(2.0d)), widen = true)
+    assert(!ManifestSkipping.mayMatch(Seq(EqualTo(fAttr, litD(5.0d))), rc3, cols3))
+    assert(!ManifestSkipping.mayMatch(Seq(LessThan(fAttr, litD(0.0d))), rc3, cols3))
+  }
+
   test("monotonicity: losing envelope information never turns a keep into a skip — 400 cases") {
     val params = Gen.Parameters.default
     var flips = 0

@@ -159,6 +159,32 @@ class ManifestMetadataAggSpec extends SparkSpec {
     sameAnswer(gAgg, legacy.groupBy($"day").agg(count(lit(1)).as("n")).orderBy($"day"))
   }
 
+  test("partition-only filter carrying a subquery falls through to the scan — and executes (round-16 ADVICE-high)") {
+    // `WHERE day IN (SELECT …)` references only the partition column
+    // and is deterministic, so the structural checks alone would admit
+    // it — but the ListQuery is Unevaluable for the interpreted
+    // Predicate and this rule runs BEFORE RewriteSubquery. The rule
+    // must bail to the scan; pre-fix this crashed during optimization.
+    rel.createOrReplaceTempView("meta_agg_subq")
+    val inSubq = spark.sql(
+      """SELECT count(*) AS n FROM meta_agg_subq
+        |WHERE day IN (SELECT DISTINCT day FROM meta_agg_subq WHERE day >= DATE'2024-03-05')""".stripMargin)
+    assert(!answeredFromMetadata(inSubq),
+      s"IN-subquery filter must scan:\n${inSubq.queryExecution.optimizedPlan}")
+    assert(inSubq.head().getAs[Long]("n") == 600L)
+    // scalar subquery, same class
+    val scalarSubq = spark.sql(
+      """SELECT count(*) AS n FROM meta_agg_subq
+        |WHERE day = (SELECT max(day) FROM meta_agg_subq)""".stripMargin)
+    assert(!answeredFromMetadata(scalarSubq))
+    assert(scalarSubq.head().getAs[Long]("n") == 100L)
+    // and a plain partition predicate through SQL still collapses
+    val plain = spark.sql(
+      "SELECT count(*) AS n FROM meta_agg_subq WHERE day >= DATE'2024-03-05'")
+    assert(answeredFromMetadata(plain))
+    assert(plain.head().getAs[Long]("n") == 600L)
+  }
+
   test("a stats-less (pre-upgrade) generation disables the shortcut; counts still exact") {
     val dir = tmpDir("meta-agg-legacy") + "/t"
     val root = new Path(dir)
