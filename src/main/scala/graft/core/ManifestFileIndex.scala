@@ -103,7 +103,7 @@ final class ManifestFileIndex(
     // `_metadata.file_modification_time` column of a stats-read file
     // reports epoch — the same trade Delta's log-backed listing makes).
     val listed = {
-      val need = wanted.zipWithIndex.filter(_._1.stats.isEmpty)
+      val need = wanted.zipWithIndex.filter(_._1.allStats.isEmpty)
       if (need.isEmpty) Map.empty[Int, Seq[FileStatus]]
       else {
         // pre-upgrade manifests fall back to listing — CONCURRENTLY,
@@ -123,14 +123,17 @@ final class ManifestFileIndex(
     val perPart = wanted.zipWithIndex.map { case (e, i) =>
       val statuses = listed.getOrElse(i, {
         val dir = if (e.dir.isEmpty) root else new Path(root, e.dir)
-        e.stats.map { st =>
-          val p = fs.makeQualified(new Path(dir, st.name))
+        def synth(st: FileStat, base: Path): FileStatus = {
+          val p = fs.makeQualified(new Path(base, st.name))
           // column envelopes ride the same manifest record — files
           // whose recorded min/max cannot satisfy the pushed filters
           // are dropped in listFiles (ManifestSkipping), zero RPCs
           if (st.rowCount >= 0 || st.cols.nonEmpty) envelopes += (p -> st)
           new FileStatus(st.len, false, 1, 128L * 1024 * 1024, 0L, p)
         }
+        // carried files (round 16, row-level MERGE) are root-relative
+        // references into OTHER generations — same zero-RPC synthesis
+        e.stats.map(synth(_, dir)) ++ e.carry.map(synth(_, root))
       })
       e.part -> statuses
     }

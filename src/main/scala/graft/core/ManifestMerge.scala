@@ -1,0 +1,390 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal}
+import org.apache.spark.sql.functions._
+
+/** What a merge did — returned so callers (and specs, and
+  * `ManifestReadBench`) can see file-level selectivity: at 100 TB the
+  * whole point is `touchedFiles` tracking the source's KEY range, not
+  * the table's file count.
+  */
+final case class MergeResult(
+    totalFiles: Int, candidateFiles: Int, touchedFiles: Int,
+    carriedFiles: Int, rewrittenParts: Seq[String], attempts: Int)
+
+/** Row-level MERGE INTO a manifested table, pruned by the per-file
+  * column envelopes the manifest records (round-16 verdict task 1 —
+  * the Delta MERGE discipline, and the finer-grained form of the
+  * reference's key-granular upsert surface: `ON DUPLICATE KEY UPDATE`
+  * `d22d/model/mysqlmodel.py:285-302` and chunked UPDATE
+  * `mysqlmodel.py:167-194`, which address ROWS, not partitions).
+  *
+  * Where [[graft.operators.StorageOps]]' partition rewrite engine and
+  * the connector upsert rewrite whole partitions, this rewrites only
+  * the FILES that provably may hold matched keys:
+  *
+  *   1. '''Prune''' (driver, zero I/O): the source's per-key min/max
+  *      (one small agg job) is turned into range predicates and run
+  *      through [[ManifestSkipping.mayMatch]] against every live
+  *      file's recorded envelope — files whose key envelope cannot
+  *      intersect the source's key range are out before anything is
+  *      read. Stats-less files stay candidates (conservatism).
+  *   2. '''Find touched''' (one scan of the candidates): candidates
+  *      are joined to the source's distinct keys; files with at least
+  *      one REAL match are the touched set (Delta's findTouchedFiles
+  *      job — envelope overlap alone would rewrite near-missed files).
+  *   3. '''Rewrite''' (one job over the touched files only): matched
+  *      rows are updated/deleted, unmatched rows kept; not-matched
+  *      source rows are inserted into their own partitions. Output
+  *      lands in a fresh generation; every UNtouched file of a touched
+  *      partition is carried BY REFERENCE into the new entry
+  *      ([[ManifestEntry.carry]]) — byte-identical, never read, never
+  *      copied. Untouched partitions are not even in the commit.
+  *
+  * Concurrency: same optimistic discipline as the partition-rewrite
+  * engine — derived from one committed snapshot, committed with
+  * `expectedSeq`, staleness re-derives from the interleaved state,
+  * commit success is terminal (a post-commit transient must never
+  * delete the generation the live manifest references).
+  *
+  * Update expressions must not touch key or partition columns (a row
+  * may not change identity or location in a file-local rewrite — the
+  * same restriction Delta enforces on partition columns in practice).
+  * With matched actions, duplicate source keys fail loudly by default
+  * (a target row matching two source rows is nondeterministic — the
+  * ANSI MERGE cardinality error).
+  */
+final case class ManifestMerge(
+    layoutDir: String,
+    keys: Seq[String],
+    partCol: String = "day",
+    updateExprs: Map[String, (DataFrame, DataFrame) => Column] = Map.empty,
+    deleteMatched: Boolean = false,
+    insertNotMatched: Boolean = false,
+    validateSourceKeys: Boolean = true,
+) {
+  require(keys.nonEmpty, "MERGE needs key columns")
+
+  /** Matched rows: each listed column replaced by expr(source, target);
+    * unlisted columns keep the target value.
+    */
+  def whenMatchedUpdate(exprs: Map[String, (DataFrame, DataFrame) => Column]): ManifestMerge = {
+    require(!exprs.keys.exists(c => keys.contains(c) || c == partCol),
+      s"MERGE update may not assign key/partition columns (${keys.mkString(",")}, $partCol)")
+    copy(updateExprs = exprs, deleteMatched = false)
+  }
+
+  /** Matched rows are removed. */
+  def whenMatchedDelete(): ManifestMerge = copy(deleteMatched = true, updateExprs = Map.empty)
+
+  /** Unmatched source rows are inserted (into their own partitions). */
+  def whenNotMatchedInsert(): ManifestMerge = copy(insertNotMatched = true)
+
+  private val MaxAttempts = 10
+
+  def run(source: DataFrame): MergeResult = {
+    val spark = source.sparkSession
+    require(updateExprs.nonEmpty || deleteMatched || insertNotMatched,
+      "MERGE with no WHEN clause is a no-op — add an update/delete/insert action")
+    require(keys.forall(source.columns.contains), s"source lacks key cols $keys")
+
+    // ---- source key summary: one small agg job, reused across retries
+    val keyRange: Option[Map[String, (Any, Any)]] = {
+      val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+      val row = source.agg(aggs.head, aggs.tail: _*).head()
+      if (keys.exists(k => row.isNullAt(row.fieldIndex(s"__mn_$k")))) None // empty source (or all-null keys)
+      else Some(keys.map(k => k ->
+        (row.getAs[Any](s"__mn_$k"), row.getAs[Any](s"__mx_$k"))).toMap)
+    }
+    if (validateSourceKeys && (updateExprs.nonEmpty || deleteMatched) && keyRange.isDefined) {
+      val dup = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE source has duplicate keys (e.g. ${dup.head.mkString(",")}) — a target row " +
+          "matching multiple source rows is nondeterministic (ANSI MERGE cardinality violation); " +
+          "de-duplicate the source or pass validateSourceKeys=false to accept arbitrary winners")
+    }
+    val rangeFilters: Seq[Expression] = keyRange.fold(Seq.empty[Expression]) { kr =>
+      keys.map { k =>
+        val dt = source.schema(k).dataType
+        val a = AttributeReference(k, dt, nullable = true)()
+        org.apache.spark.sql.catalyst.expressions.And(
+          GreaterThanOrEqual(a, Literal.create(kr(k)._1, dt)),
+          LessThanOrEqual(a, Literal.create(kr(k)._2, dt)))
+      }
+    }
+
+    val root = new Path(layoutDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    var attempts = 0
+    while (attempts < MaxAttempts) {
+      attempts += 1
+      val manifest = ManifestTable.resolve(fs, root)
+        .getOrElse(ManifestTable.adoptIfPlain(fs, root, partCol))
+      val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
+      try {
+        return attempt(spark, fs, root, manifest, gen, source, rangeFilters,
+          keyRange.isDefined, attempts)
+      } catch {
+        case _: ManifestStaleException =>
+          fs.delete(new Path(root, gen), true)
+        case scala.util.control.NonFatal(e) =>
+          // commit success is TERMINAL (round-15 discipline): attempt()
+          // swallows everything after its successful commit, so a
+          // NonFatal here is pre-commit. A concurrent winner's gc can
+          // retire this attempt's base files mid-derivation — retry iff
+          // the table really advanced; else the failure is genuine
+          // (propagate WITHOUT deleting the generation: commit() may
+          // conceivably have landed before throwing, and gc sweeps aged
+          // orphans anyway)
+          val nowSeq = ManifestTable.resolve(fs, root).map(_.seq).getOrElse(0L)
+          if (nowSeq == manifest.seq) throw e
+          val committedByUs = ManifestTable.resolve(fs, root).exists(_.entries.exists(en =>
+            en.dir == gen || en.dir.startsWith(gen + "/")))
+          if (committedByUs) throw e
+          fs.delete(new Path(root, gen), true)
+      }
+    }
+    throw new java.io.IOException(
+      s"MERGE at $layoutDir lost the optimistic-commit race $MaxAttempts times — " +
+        "sustained concurrent-writer contention; nothing was lost, retry when it clears")
+  }
+
+  import ManifestMerge.FileRef
+
+  private def attempt(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, manifest: Manifest, gen: String, source: DataFrame,
+      rangeFilters: Seq[Expression], sourceNonEmpty: Boolean,
+      attempts: Int): MergeResult = {
+    require(manifest.partCol == partCol,
+      s"manifest at $root partitions on '${manifest.partCol}', caller expected '$partCol'")
+
+    // ---- the live file inventory, root-relative (metadata only)
+    val refs: Seq[FileRef] = manifest.entries.flatMap { e =>
+      val own: Seq[FileRef] =
+        if (e.allStats.nonEmpty || e.files.nonEmpty) {
+          val dirPrefix = if (e.dir.isEmpty) "" else e.dir + "/"
+          e.stats.map(st => FileRef(e.part, dirPrefix + st.name, Some(st), st.len)) ++
+            e.carry.map(st => FileRef(e.part, st.name, Some(st), st.len)) ++
+            (if (e.stats.isEmpty && e.carry.isEmpty)
+              e.files.map(f => FileRef(e.part, dirPrefix + f, None,
+                fs.getFileStatus(new Path(root, dirPrefix + f)).getLen))
+            else Nil)
+        } else {
+          // pre-stats entry referencing a whole dir: one listing
+          val dir = if (e.dir.isEmpty) root else new Path(root, e.dir)
+          fs.listStatus(dir).toSeq
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .map(s => FileRef(e.part,
+              (if (e.dir.isEmpty) "" else e.dir + "/") + s.getPath.getName,
+              None, s.getLen))
+        }
+      own
+    }
+
+    // ---- phase 1: envelope pruning, zero I/O
+    val candidates =
+      if (!sourceNonEmpty) Nil
+      else refs.filter(r => r.stat.forall(st =>
+        ManifestSkipping.mayMatch(rangeFilters, st.rowCount, st.cols)))
+
+    // ---- phase 2: exact touched set — one scan of the candidates,
+    // projected to (keys, file) BEFORE the union (metadata columns
+    // resolve only directly above a file source, not through a union)
+    val srcKeysDf = source.select(keys.map(col): _*).dropDuplicates(keys)
+    val candKeysDf: Option[DataFrame] =
+      if (candidates.isEmpty) None
+      else Some(readRefs(spark, root, candidates,
+        project = Some(keys.map(col) :+ col("_metadata.file_path").as("__file"))))
+    val touchedPaths: Set[String] = candKeysDf match {
+      case None => Set.empty
+      case Some(df) =>
+        df.join(srcKeysDf, keys.toSeq)
+          .select("__file").distinct().collect().map(r => pathKey(r.getString(0))).toSet
+    }
+    val touched = candidates.filter(r =>
+      touchedPaths.contains(pathKey(fs.makeQualified(new Path(root, r.rootRel)).toString)))
+    val touchedByPart = touched.groupBy(_.part)
+
+    // ---- phase 3: one rewrite job over touched files (+ inserts)
+    // Data-file schema from ONE live file's footer (merge needs the
+    // uniform live schema this engine's writers maintain); the insert
+    // branch null-fills target columns the source lacks with the
+    // probe's exact types, so every union below is schema-exact.
+    val probeSchema: org.apache.spark.sql.types.StructType = {
+      val probe = refs.headOption.getOrElse(
+        throw new IllegalArgumentException(s"manifested table at $root has no files"))
+      spark.read.parquet(new Path(root, probe.rootRel).toString).schema
+    }
+    val tgtCols: Seq[String] =
+      if (partCol.nonEmpty) probeSchema.fieldNames.toSeq :+ partCol
+      else probeSchema.fieldNames.toSeq
+    val rewritten: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val tgtRows = readRefs(spark, root, touched)
+        val keep = tgtRows.join(srcKeysDf, keys.toSeq, "left_anti")
+        val out =
+          if (deleteMatched) keep
+          else {
+            val joined = tgtRows.alias("t").join(source.alias("s"), keys.toSeq, "inner")
+            val cols = tgtRows.columns.toSeq.map { c =>
+              updateExprs.get(c) match {
+                case Some(f) => f(source, tgtRows).as(c)
+                case None    => col(s"t.$c").as(c)
+              }
+            }
+            keep.unionByName(joined.select(cols: _*))
+          }
+        Some(out.select(tgtCols.map(col): _*))
+      }
+    val inserts: Option[DataFrame] =
+      if (!insertNotMatched) None
+      else {
+        if (partCol.nonEmpty)
+          require(source.columns.contains(partCol),
+            s"MERGE insert into a $partCol-partitioned table needs '$partCol' in the source")
+        // any target row matching a source key lives in a candidate
+        // file (envelope conservatism), so anti-joining the candidate
+        // rows IS anti-joining the whole target
+        val unmatched = candKeysDf.fold(source)(ck =>
+          source.join(ck.select(keys.map(col): _*).dropDuplicates(keys), keys.toSeq, "left_anti"))
+        val filled = tgtCols.map { c =>
+          if (unmatched.columns.contains(c)) col(c)
+          else lit(null).cast(probeSchema(c).dataType).as(c)
+        }
+        Some(unmatched.select(filled: _*))
+      }
+    val outDf: Option[DataFrame] = (rewritten, inserts) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    if (outDf.isEmpty)
+      return MergeResult(refs.size, candidates.size, 0, 0, Nil, attempts)
+
+    val genPath = new Path(root, gen)
+    outDf.foreach { df =>
+      withMicros(spark) {
+        if (partCol.nonEmpty)
+          df.repartition(col(partCol))
+            .write.mode("error").partitionBy(partCol).parquet(genPath.toString)
+        else
+          df.repartition(1).write.mode("error").parquet(genPath.toString)
+      }
+      fs.delete(new Path(genPath, "_SUCCESS"), false)
+    }
+
+    // ---- assemble the commit: new files + carried untouched files
+    val touchedSet = touched.map(_.rootRel).toSet
+    val writtenParts: Map[String, Seq[FileStat]] =
+      if (outDf.isEmpty) Map.empty
+      else if (partCol.isEmpty)
+        Map("" -> ManifestTable.fileStats(fs, genPath))
+      else if (!fs.exists(genPath)) Map.empty // all rows merged away
+      else fs.listStatus(genPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+        .map(s => s.getPath.getName.substring(partCol.length + 1) ->
+          ManifestTable.fileStats(fs, s.getPath)).toMap
+
+    val byPart = manifest.entries.map(e => e.part -> e).toMap
+    val affected = (touchedByPart.keySet ++ writtenParts.keySet).toSeq.sorted
+    val updates: Map[String, Option[ManifestEntry]] = affected.map { p =>
+      val newStats = writtenParts.getOrElse(p, Nil)
+      val carried = byPart.get(p).map { e =>
+        val dirPrefix = if (e.dir.isEmpty) "" else e.dir + "/"
+        val ownKept = e.stats.filterNot(st => touchedSet.contains(dirPrefix + st.name))
+          .map(st => st.copy(name = dirPrefix + st.name)) ++
+          e.carry.filterNot(st => touchedSet.contains(st.name))
+        // a pre-stats entry's kept files need (name, len) synthesized
+        val listedKept =
+          if (e.allStats.isEmpty)
+            refs.filter(r => r.part == p && !touchedSet.contains(r.rootRel))
+              .map(r => FileStat(r.rootRel, r.len))
+          else Nil
+        ownKept ++ listedKept
+      }.getOrElse(Nil)
+      val entryDir = if (partCol.isEmpty) gen else s"$gen/$partCol=$p"
+      p -> (
+        if (newStats.isEmpty && carried.isEmpty) None
+        else Some(ManifestEntry(p, entryDir, Nil, newStats, Nil, carried)))
+    }.toMap
+
+    if (updates.isEmpty) // nothing matched, nothing to insert
+      return MergeResult(refs.size, candidates.size, 0, 0, Nil, attempts)
+
+    ManifestMerge.beforeMergeCommit()
+    ManifestTable.commit(fs, root, partCol, updates, expectedSeq = Some(manifest.seq))
+    // commit success is TERMINAL: anything after the pointer flip is
+    // best-effort — a transient gc failure must never fail (or worse,
+    // retry and double-apply) a merge that already landed
+    try { ManifestMerge.afterMergeCommit(); ManifestTable.gc(fs, root); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+    MergeResult(refs.size, candidates.size, touched.size,
+      updates.values.flatten.map(_.carry.size).sum, affected, attempts)
+  }
+
+  /** Read a set of referenced files as a DataFrame that INCLUDES the
+    * partition column: files are grouped by their enclosing generation
+    * base so Spark's partition inference sees uniform `partCol=` depth
+    * per group (mixed depths under one basePath are rejected), then
+    * unioned. Unpartitioned tables read flat.
+    */
+  private def readRefs(spark: SparkSession, root: Path, refs: Seq[FileRef],
+      project: Option[Seq[Column]] = None): DataFrame = {
+    def proj(df: DataFrame): DataFrame = project.fold(df)(cs => df.select(cs: _*))
+    if (partCol.isEmpty) {
+      proj(spark.read.parquet(refs.map(r => new Path(root, r.rootRel).toString): _*))
+    } else {
+      val groups = refs.groupBy { r =>
+        val comps = r.rootRel.split('/')
+        require(comps.length >= 2 && comps(comps.length - 2).startsWith(partCol + "="),
+          s"file ${r.rootRel} is not under a $partCol= partition directory")
+        comps.dropRight(2).mkString("/")
+      }
+      groups.toSeq.sortBy(_._1).map { case (base, rs) =>
+        val basePath = if (base.isEmpty) root else new Path(root, base)
+        proj(spark.read.option("basePath", basePath.toString)
+          .parquet(rs.map(r => new Path(root, r.rootRel).toString): _*))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Canonical comparison key for a file path: the scheme-less path
+    * component (`file:/a/b` and `file:///a/b` spell the same file;
+    * `_metadata.file_path` and `makeQualified` may disagree on the
+    * spelling but never on the component).
+    */
+  private def pathKey(s: String): String = new Path(s).toUri.getPath
+
+  private def withMicros[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+}
+
+/** Test seams (same discipline as the partition-rewrite engine's):
+  * between derivation and commit — the staleness window; and between a
+  * SUCCESSFUL commit and gc — a failure there must read as success.
+  * Production no-ops.
+  */
+object ManifestMerge {
+  @volatile private[graft] var beforeMergeCommit: () => Unit = () => ()
+  @volatile private[graft] var afterMergeCommit: () => Unit = () => ()
+
+  /** One file the live manifest references: its owning entry's part,
+    * its root-relative path (the carry encoding), and its recorded
+    * stats when the manifest has them.
+    */
+  private[core] final case class FileRef(part: String, rootRel: String,
+      stat: Option[FileStat], len: Long)
+}

@@ -46,7 +46,15 @@ final case class ColStat(col: String, tag: Char,
   * transitive.
   */
 final case class ManifestEntry(part: String, dir: String, files: Seq[String],
-    stats: Seq[FileStat] = Nil, covers: Seq[String] = Nil)
+    stats: Seq[FileStat] = Nil, covers: Seq[String] = Nil,
+    carry: Seq[FileStat] = Nil) {
+  /** Every data file this entry references — its own dir's files plus
+    * carried files from other generations. The read paths, gc, history
+    * and the metadata-aggregate rule all consume THIS, never `stats`
+    * alone, so a carried file can never be silently dropped.
+    */
+  def allStats: Seq[FileStat] = stats ++ carry
+}
 
 final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry])
 
@@ -165,24 +173,38 @@ object ManifestTable {
   /** Serialized form: line 1 `sha256:<hex of the remaining bytes>`,
     * line 2 `graft-manifest\t1\t<seq>\t<partCol>`, then one
     * `<part>\t<dir>\t<comma-joined files>\t<comma-joined
-    * name#len[#statsblob] stats>\t<comma-joined covers>` line per
-    * entry. Tokens are charset-restricted at write time so the format
-    * needs no escaping ('#' and ',' are outside the token charset, so
-    * the stats field is unambiguous). The optional third `#` segment
-    * (round 15) is an unpadded base64url blob carrying the file's row
-    * count and per-column [[ColStat]] envelopes — base64url's alphabet
-    * is inside the token charset and free of '#'/','. Compatibility is
-    * one-directional by design: pre-round-15 COMMIT FILES (3- and
-    * 5-field stats-less lines) keep parsing here, their entries just
-    * carry no envelopes; a pre-round-15 READER, though, rejects a
-    * stats-bearing commit as unparseable and falls back to the newest
-    * commit it CAN parse — a silent stale read, not a loud error — so
-    * old binaries must not read tables new writers commit to (moot in
-    * a single-codebase deployment; stated so nobody relies on the
-    * opposite). A malformed blob inside a sha-valid payload degrades
-    * to stats-less (never fails the manifest): envelopes are advisory.
+    * name#len[#statsblob] stats>\t<comma-joined covers>[\t<comma-joined
+    * carried stats>]` line per entry. Tokens are charset-restricted at
+    * write time so the format needs no escaping ('#' and ',' are
+    * outside the token charset, so the stats field is unambiguous).
+    * The optional third `#` segment (round 15) is an unpadded
+    * base64url blob carrying the file's row count and per-column
+    * [[ColStat]] envelopes — base64url's alphabet is inside the token
+    * charset and free of '#'/','. The sixth field (round 16, emitted
+    * only when an entry carries files) holds carried [[FileStat]]s in
+    * the same `name#len[#blob]` encoding, names being ROOT-relative
+    * '/'-joined token paths into other generations — how a row-level
+    * MERGE references a partition's untouched files byte-identically.
+    * Compatibility is one-directional by design: pre-round-15 COMMIT
+    * FILES (3- and 5-field stats-less lines) keep parsing here, their
+    * entries just carry no envelopes; a pre-round-15 READER, though,
+    * rejects a stats-bearing commit as unparseable and falls back to
+    * the newest commit it CAN parse — a silent stale read, not a loud
+    * error — so old binaries must not read tables new writers commit
+    * to (moot in a single-codebase deployment; stated so nobody relies
+    * on the opposite). A malformed blob inside a sha-valid payload
+    * degrades to stats-less (never fails the manifest): envelopes are
+    * advisory.
     */
   private[core] def serialize(m: Manifest): Array[Byte] = {
+    def statToken(s: FileStat, rootRel: Boolean): String = {
+      // carried names are '/'-joined root-relative paths; own names flat
+      if (rootRel) s.name.split('/').foreach(token)
+      else { token(s.name); () }
+      val base = s"${s.name}#${s.len}"
+      if (s.rowCount < 0 && s.cols.isEmpty) base
+      else s"$base#${encodeStatsBlob(s.rowCount, s.cols)}"
+    }
     val body = new StringBuilder
     body.append(Header).append('\t').append(1).append('\t')
       .append(m.seq).append('\t').append(token(m.partCol)).append('\n')
@@ -192,12 +214,11 @@ object ManifestTable {
       e.dir.split('/').foreach(token)
       body.append(e.dir).append('\t')
       body.append(e.files.map(token).mkString(",")).append('\t')
-      body.append(e.stats.map { s =>
-        val base = s"${token(s.name)}#${s.len}"
-        if (s.rowCount < 0 && s.cols.isEmpty) base
-        else s"$base#${encodeStatsBlob(s.rowCount, s.cols)}"
-      }.mkString(",")).append('\t')
-      body.append(e.covers.map(token).mkString(",")).append('\n')
+      body.append(e.stats.map(statToken(_, rootRel = false)).mkString(",")).append('\t')
+      body.append(e.covers.map(token).mkString(","))
+      if (e.carry.nonEmpty)
+        body.append('\t').append(e.carry.map(statToken(_, rootRel = true)).mkString(","))
+      body.append('\n')
     }
     val payload = body.toString.getBytes(StandardCharsets.UTF_8)
     (s"sha256:${sha256(payload)}\n").getBytes(StandardCharsets.UTF_8) ++ payload
@@ -266,22 +287,27 @@ object ManifestTable {
     val seq = head(2).toLongOption.getOrElse(return None)
     val entries = lines.tail.map { ln =>
       val f = ln.split("\t", -1)
-      if (f.length != 3 && f.length != 5) return None
-      val stats =
-        if (f.length < 5 || f(3).isEmpty) Nil
-        else f(3).split(',').toSeq.map { t =>
-          t.split('#') match {
-            case Array(name, len) if name.nonEmpty =>
-              FileStat(name, len.toLongOption.getOrElse(return None))
-            case Array(name, len, blob) if name.nonEmpty =>
-              val (rc, cols) = decodeStatsBlob(blob)
-              FileStat(name, len.toLongOption.getOrElse(return None), rc, cols)
-            case _ => return None
+      if (f.length != 3 && f.length != 5 && f.length != 6) return None
+      def parseStats(field: String): Option[Seq[FileStat]] =
+        if (field.isEmpty) Some(Nil)
+        else {
+          val parsed = field.split(',').toSeq.map { t =>
+            t.split('#') match {
+              case Array(name, len) if name.nonEmpty =>
+                len.toLongOption.map(FileStat(name, _))
+              case Array(name, len, blob) if name.nonEmpty =>
+                val (rc, cols) = decodeStatsBlob(blob)
+                len.toLongOption.map(FileStat(name, _, rc, cols))
+              case _ => None
+            }
           }
+          if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)
         }
+      val stats = if (f.length < 5) Nil else parseStats(f(3)).getOrElse(return None)
       val covers = if (f.length < 5 || f(4).isEmpty) Nil else f(4).split(',').toSeq
+      val carry = if (f.length < 6) Nil else parseStats(f(5)).getOrElse(return None)
       ManifestEntry(f(0), f(1),
-        if (f(2).isEmpty) Nil else f(2).split(',').toSeq, stats, covers)
+        if (f(2).isEmpty) Nil else f(2).split(',').toSeq, stats, covers, carry)
     }
     Some(Manifest(seq, head(3), entries))
   }
@@ -663,11 +689,44 @@ object ManifestTable {
     else parMap(data)(withCols)
   }
 
-  /** Absolute paths an entry's data lives at. */
+  /** Absolute paths an entry's data lives at — its own dir (or
+    * explicit files) plus any carried files, which are root-relative
+    * by contract. An entry whose OWN file set is empty (a merge that
+    * rewrote every touched row away, leaving only carried files)
+    * contributes no dir path — the dir may not even exist.
+    */
   def entryPaths(root: Path, e: ManifestEntry): Seq[Path] = {
     val dir = if (e.dir.isEmpty) root else new Path(root, e.dir)
-    if (e.files.isEmpty) Seq(dir) else e.files.map(new Path(dir, _))
+    val own =
+      if (e.files.nonEmpty) e.files.map(new Path(dir, _))
+      else if (e.stats.nonEmpty || e.carry.isEmpty) Seq(dir)
+      else Nil
+    own ++ e.carry.map(c => new Path(root, c.name))
   }
+
+  /** Entries with carried files split into per-directory pseudo-entries
+    * so the generation-grouped read paths (one basePath per group) see
+    * uniform directories: the main entry keeps its own dir's files;
+    * each carried group becomes an entry rooted at ITS directory with
+    * dir-relative names. Identity for carry-less entries.
+    */
+  private[graft] def expandedEntries(entries: Seq[ManifestEntry]): Seq[ManifestEntry] =
+    entries.flatMap { e =>
+      if (e.carry.isEmpty) Seq(e)
+      else {
+        val main =
+          if (e.stats.nonEmpty || e.files.nonEmpty) Seq(e.copy(carry = Nil)) else Nil
+        val groups = e.carry.groupBy { c =>
+          val cut = c.name.lastIndexOf('/')
+          if (cut < 0) "" else c.name.substring(0, cut)
+        }
+        main ++ groups.toSeq.sortBy(_._1).map { case (dir, fs) =>
+          val cut = if (dir.isEmpty) 0 else dir.length + 1
+          ManifestEntry(e.part, dir, fs.map(_.name.drop(cut)),
+            fs.map(c => c.copy(name = c.name.drop(cut))))
+        }
+      }
+    }
 
   /** Read the manifested table at `root` as a DataFrame. Entries are
     * grouped by generation prefix; each group gets its own `basePath`
@@ -722,7 +781,7 @@ object ManifestTable {
       // additive evolution: one inference per generation group, union of
       // fields (type conflicts loud), every group read with the merged
       // schema — by-name parquet reconciliation nulls the absent columns
-      val groups = wanted.groupBy(e => e.dir.stripSuffix(
+      val groups = expandedEntries(wanted).groupBy(e => e.dir.stripSuffix(
         s"${m.partCol}=${e.part}").stripSuffix("/")).toSeq.sortBy(_._1)
       def readGroup(gen: String, entries: Seq[ManifestEntry],
           schema: Option[org.apache.spark.sql.types.StructType]) = {
@@ -741,7 +800,7 @@ object ManifestTable {
       groups.map { case (g, es) => readGroup(g, es, Some(merged)) }
         .reduce(_ union _)
     } else {
-      val groups = wanted.groupBy(e => e.dir.stripSuffix(
+      val groups = expandedEntries(wanted).groupBy(e => e.dir.stripSuffix(
         s"${m.partCol}=${e.part}").stripSuffix("/"))
       // One scan leg per generation group. The first leg infers the
       // schema; every further leg REUSES it — per-leg footer reads and
@@ -822,10 +881,10 @@ object ManifestTable {
     val seqs = versions(fs, rootPath)
     val rows = seqs.zipWithIndex.flatMap { case (s, i) =>
       resolveAt(fs, rootPath, s).map { m =>
-        val statsComplete = m.entries.forall(_.stats.nonEmpty)
-        val files = if (statsComplete) m.entries.map(_.stats.size.toLong).sum else -1L
-        val bytes = if (statsComplete) m.entries.flatMap(_.stats).map(_.len).sum else -1L
-        val rcs = m.entries.flatMap(_.stats).map(_.rowCount)
+        val statsComplete = m.entries.forall(_.allStats.nonEmpty)
+        val files = if (statsComplete) m.entries.map(_.allStats.size.toLong).sum else -1L
+        val bytes = if (statsComplete) m.entries.flatMap(_.allStats).map(_.len).sum else -1L
+        val rcs = m.entries.flatMap(_.allStats).map(_.rowCount)
         val rowCount =
           if (statsComplete && rcs.forall(_ >= 0)) rcs.sum else -1L
         Row(s, i == 0, m.partCol, m.entries.size,
@@ -876,11 +935,17 @@ object ManifestTable {
     if (manifests.isEmpty) return 0L
     val kept = manifests.take(keepCommits)
     val dropped = manifests.drop(keepCommits)
-    def topLevel(e: ManifestEntry): Option[String] =
-      e.dir.split('/').headOption.filter(_.nonEmpty)
-    val liveTop = kept.flatMap(_.entries).flatMap(topLevel).toSet
-    val liveRootFiles = kept.flatMap(_.entries)
-      .filter(e => e.dir.isEmpty && e.files.nonEmpty).flatMap(_.files).toSet
+    // carried files keep their ORIGINAL generation alive: an entry's
+    // references are its dir plus every carried path's top segment —
+    // missing the latter would gc a generation a merge still reads
+    def topLevels(e: ManifestEntry): Seq[String] =
+      (e.dir.split('/').headOption.filter(_.nonEmpty) ++
+        e.carry.map(_.name).filter(_.contains('/')).map(_.split('/').head)).toSeq
+    def rootFiles(e: ManifestEntry): Seq[String] =
+      (if (e.dir.isEmpty) e.files else Nil) ++
+        e.carry.map(_.name).filterNot(_.contains('/'))
+    val liveTop = kept.flatMap(_.entries).flatMap(topLevels).toSet
+    val liveRootFiles = kept.flatMap(_.entries).flatMap(rootFiles).toSet
     // dead = referenced by a dropped manifest only, plus aged g-*
     // orphans no valid commit ever referenced. Orphan AGE is the
     // newest FILE mtime under the generation (recursive max), never
@@ -892,7 +957,7 @@ object ManifestTable {
     // fileless candidate whose dir also reports 0 — impossible on real
     // S3A, where an empty prefix never lists at all — counts as YOUNG,
     // as a writer may be about to land its first object there.
-    val droppedTop = dropped.flatMap(_.entries).flatMap(topLevel).toSet
+    val droppedTop = dropped.flatMap(_.entries).flatMap(topLevels).toSet
     val now = System.currentTimeMillis()
     def newestFileMtime(p: Path): Option[Long] =
       try {
@@ -912,8 +977,7 @@ object ManifestTable {
       .map(_.getPath.getName).toSet -- droppedTop -- liveTop)
       .filter(n => orphanAge(n).exists(mt => now - mt >= orphanRetentionMs))
     val deadTop = (droppedTop ++ orphanTop) -- liveTop
-    val deadRootFiles = dropped.flatMap(_.entries)
-      .filter(e => e.dir.isEmpty && e.files.nonEmpty).flatMap(_.files).toSet -- liveRootFiles
+    val deadRootFiles = dropped.flatMap(_.entries).flatMap(rootFiles).toSet -- liveRootFiles
     var reclaimed = 0L
     def sizeOf(p: Path): Long =
       try fs.getContentSummary(p).getLength catch { case _: java.io.IOException => 0L }

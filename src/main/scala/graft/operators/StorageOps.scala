@@ -1105,6 +1105,96 @@ object StorageOps {
       |  max(make_timestamp(epoch_ns(ts) // 1000)) AS max_ts
       |FROM events""".stripMargin
 
+  /** The q151 merge constants — ONE definition feeding the build, the
+    * oracle and the spec. A contiguous event_id range models the real
+    * shape of a keyed backfill ("re-process events 100-299"), which is
+    * also the shape the per-file key envelopes can prune on.
+    */
+  private[operators] val MergeUpdateLo = 100L
+  private[operators] val MergeUpdateHi = 299L
+  private[operators] val MergeDeleteLo = 300L
+  private[operators] val MergeDeleteHi = 399L
+  private[operators] val MergeInsertShift = 10000000L
+
+  /** Path of the merged-copy layout for `dir`: a private manifested
+    * copy of the day-partitioned events, each day split into
+    * event_id-range files (so key envelopes are selective), then put
+    * through TWO row-level merges ([[graft.core.ManifestMerge]]):
+    * a keyed update+insert (value correction for ids 100-299 plus
+    * shifted-id echo rows) and a keyed delete (ids 300-399). Rebuilt
+    * from scratch if the `_MERGED` marker is missing — a crash between
+    * copy and merges must not leave a half-merged layout passing as
+    * done.
+    */
+  def ensureMergedLayout(spark: SparkSession, dir: String): String =
+    synchronized {
+      val path = s"${layoutBase(spark, dir)}/events_merged"
+      val key = s"merged:$path"
+      if (!layoutsBuilt.contains(key) || !markerExists(spark, path, "_MERGED")) {
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("day", to_date(col("ts")))
+        withMicrosTimestamps(spark) {
+          graft.core.ManifestWrite.write(
+            ev.repartitionByRange(8, col("event_id")), path,
+            "day", org.apache.spark.sql.SaveMode.Overwrite)
+        }
+        // merge 1: keyed UPDATE (matched) + INSERT (shifted ids miss)
+        val upd = ev.filter(col("event_id").between(MergeUpdateLo, MergeUpdateHi))
+          .withColumn("value", col("value") + lit(1000.0))
+        val ins = upd.withColumn("event_id", col("event_id") + lit(MergeInsertShift))
+        graft.core.ManifestMerge(path, Seq("event_id"))
+          .whenMatchedUpdate(Map("value" -> ((s, _) => s("value"))))
+          .whenNotMatchedInsert()
+          .run(upd.unionByName(ins))
+        // merge 2: keyed DELETE
+        graft.core.ManifestMerge(path, Seq("event_id"))
+          .whenMatchedDelete()
+          .run(ev.filter(col("event_id").between(MergeDeleteLo, MergeDeleteHi))
+            .select("event_id"))
+        touchMarker(spark, path, "_MERGED")
+        layoutsBuilt += key
+      }
+      path
+    }
+
+  /** q151: the per-day audit of the MERGED layout — the completion
+    * evidence a keyed backfill job emits. The value oracle recomputes
+    * the same update+insert+delete from the raw table in SQL, proving
+    * the file-granular merge (only envelope-overlapping files
+    * rewritten, untouched files carried by reference — spec-proven
+    * byte-identical in `ManifestMergeSpec`) changed exactly the
+    * addressed rows. This is S28/S29's key-granular upsert surface
+    * (`d22d/model/mysqlmodel.py:167-194, 285-302`) re-expressed on an
+    * immutable-file table: at 100 TB a 200-key correction rewrites the
+    * handful of files whose recorded envelopes contain those keys,
+    * not the table.
+    */
+  def mergeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    readDayLayout(spark, ensureMergedLayout(spark, dir))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"day")
+  }
+
+  private def oracleMergeAudit: String =
+    s"""WITH m AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id,
+       |    CASE WHEN event_id BETWEEN $MergeUpdateLo AND $MergeUpdateHi
+       |         THEN value + 1000 ELSE value END AS value
+       |  FROM events
+       |  WHERE event_id NOT BETWEEN $MergeDeleteLo AND $MergeDeleteHi
+       |  UNION ALL
+       |  SELECT CAST(ts AS DATE) AS day, user_id, value + 1000 AS value
+       |  FROM events WHERE event_id BETWEEN $MergeUpdateLo AND $MergeUpdateHi
+       |)
+       |SELECT day, count(*)::BIGINT AS n_rows,
+       |  count(DISTINCT user_id)::BIGINT AS n_users,
+       |  round(sum(value), 2) AS sum_value
+       |FROM m GROUP BY 1 ORDER BY day""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_bucketed_join" -> (bucketedJoin _),
     "q134_partition_prune" -> (partitionPrunedRollup _),
@@ -1117,6 +1207,7 @@ object StorageOps {
     "q143_bloom_point_lookup" -> (bloomPointLookup _),
     "q149_manifest_skipping" -> (manifestSkipRollup _),
     "q150_metadata_stats" -> (manifestMetadataStats _),
+    "q151_merge_audit" -> (mergeAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1131,5 +1222,6 @@ object StorageOps {
     "q143_bloom_point_lookup" -> oracleBloomLookup,
     "q149_manifest_skipping" -> oracleManifestSkip,
     "q150_metadata_stats" -> oracleManifestMetadata,
+    "q151_merge_audit" -> oracleMergeAudit,
   )
 }

@@ -121,8 +121,8 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
         }
       }
     }
-    if (entries.isEmpty || entries.exists(_.stats.isEmpty)) return None
-    val files = entries.flatMap(_.stats)
+    if (entries.isEmpty || entries.exists(_.allStats.isEmpty)) return None
+    val files = entries.flatMap(_.allStats)
     if (files.exists(_.rowCount < 0)) return None
     val totalRows = files.map(_.rowCount).sum
     // EXACT name matches throughout: the aggregate's attributes carry
@@ -177,7 +177,7 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
       if (isPartCol(a.name)) {
         // entry keys are exact partition values; only entries with
         // live rows contribute (a schema-only empty file holds none)
-        val live = entries.filter(_.stats.map(_.rowCount).sum > 0).map(_.part)
+        val live = entries.filter(_.allStats.map(_.rowCount).sum > 0).map(_.part)
         if (live.isEmpty) Some(null)
         else {
           val ord: Ordering[String] = idx.partType match {
