@@ -216,9 +216,16 @@ final class ManifestFileIndex(
         else {
           // bind the pruned predicate to the single-column partition
           // row — the same evaluation PartitioningAwareFileIndex does,
-          // minus the multi-column generality this layout never has
+          // minus the multi-column generality this layout never has.
+          // EXACT name match (round 16), unifying with the discipline
+          // the stats paths adopted (ManifestSkipping/MetadataAgg):
+          // Spark routes partitionFilters here by attribute identity
+          // against partitionSchema, whose field carries the manifest's
+          // exact casing — so exact equality is sufficient, and
+          // case-folding could conflate columns differing only in case
+          // under spark.sql.caseSensitive=true
           val bound = partitionFilters.reduce(And).transform {
-            case a: AttributeReference if a.name.equalsIgnoreCase(partColName) =>
+            case a: AttributeReference if a.name == partColName =>
               BoundReference(0, partType, nullable = false)
           }
           val pred = Predicate.createInterpreted(bound)

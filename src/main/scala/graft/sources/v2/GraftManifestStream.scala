@@ -357,7 +357,11 @@ final class GraftManifestSink(
           ManifestTable.commit(fs, rootPath, "",
             retire + (gen -> Some(ManifestEntry(gen, gen, Nil, genStats))),
             expectedSeq = Some(base.map(_.seq).getOrElse(0L)))
-          ManifestTable.gc(fs, rootPath)
+          // best-effort AFTER the successful pointer flip (round-16
+          // ADVICE): a transient gc failure must not fail a batch the
+          // commit already landed — same contract as the Append path
+          try { GraftManifestSink.afterCompleteCommit(); ManifestTable.gc(fs, rootPath); () }
+          catch { case scala.util.control.NonFatal(_) => () }
           return
         } catch { case _: graft.core.ManifestStaleException => }
       }
@@ -450,4 +454,14 @@ final class GraftManifestSink(
   }
 
   override def toString: String = s"GraftManifestSink[$path]"
+}
+
+/** Test seam (round 16): runs between the Complete-mode sink's
+  * SUCCESSFUL retire-all commit and its gc — a failure there must read
+  * as success (the pointer already flipped; the restart's marker check
+  * skips the replayed epoch either way, this just spares the restart).
+  * Production no-op.
+  */
+object GraftManifestSink {
+  @volatile private[graft] var afterCompleteCommit: () => Unit = () => ()
 }

@@ -73,6 +73,26 @@ class PostCommitFailureSpec extends SparkSpec {
     assert(live.count() == 90, "rewrite lost unrelated rows — layout bricked or torn")
   }
 
+  test("Complete-mode sink: a post-commit gc-window failure must not fail the landed batch (round 16)") {
+    import graft.sources.v2.{GraftManifestSink, GraftManifestSource}
+    val _ = classOf[GraftManifestSource] // package anchor
+    val root = tmpDir("graft-postcommit-sink") + "/t"
+    val sink = new GraftManifestSink(spark, root, "parquet", Map.empty, complete = true)
+    sink.addBatch(0, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    GraftManifestSink.afterCompleteCommit = () => {
+      fired.incrementAndGet()
+      throw new java.io.IOException("injected transient post-commit failure (gc shape)")
+    }
+    // must NOT throw: the retire-all pointer flip already landed
+    try sink.addBatch(1, Seq((9, "z")).toDF("id", "v"))
+    finally GraftManifestSink.afterCompleteCommit = () => ()
+    assert(fired.get() == 1, s"post-commit failure replayed into ${fired.get()} commits")
+    assert(spark.read.format("graftmanifest").load(root)
+      .as[(Int, String)].collect().toMap == Map(9 -> "z"),
+      "complete-mode batch lost or doubled after post-commit failure")
+  }
+
   test("a GENUINE pre-commit failure still propagates (no advance, nothing swallowed)") {
     val c = freshStore("pc2")
     c.write(Seq((1, "a")).toDF("id", "v"), "t", WriteMode.Overwrite)
