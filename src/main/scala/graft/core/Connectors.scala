@@ -183,12 +183,14 @@ final case class FileConnector(
       s.isDirectory && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith(".") &&
         !s.getPath.getName.startsWith(ManifestTable.GenPrefix))
+    def tableStatsCols: Seq[String] =
+      ManifestTable.resolve(fs, table).map(_.statsCols).getOrElse(Nil)
     def commitOverwrite(retire: Seq[ManifestEntry]): Unit = {
       val gen = writeGeneration(df, fs, table)
       ManifestTable.commit(fs, table, partCol = "",
         retire.map(e => e.part -> (None: Option[ManifestEntry])).toMap +
           ("" -> Some(ManifestEntry("", gen, Nil,
-            ManifestTable.fileStats(fs, new HPath(table, gen))))))
+            ManifestTable.fileStats(fs, new HPath(table, gen), tableStatsCols)))))
       ManifestTable.gc(fs, table)
       ()
     }
@@ -199,7 +201,7 @@ final case class FileConnector(
             val gen = writeGeneration(df, fs, table)
             ManifestTable.commit(fs, table, partCol = "",
               Map(gen -> Some(ManifestEntry(gen, gen, Nil,
-                ManifestTable.fileStats(fs, new HPath(table, gen))))))
+                ManifestTable.fileStats(fs, new HPath(table, gen), tableStatsCols)))))
             ()
           case None if foreignSubdirs =>
             configureW(df.write).format(format).mode(SaveMode.Append).save(table.toString)
@@ -312,7 +314,7 @@ final case class FileConnector(
           val retire = base.entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap
           ManifestTable.commit(fs, table, partCol = "",
             retire + ("" -> Some(ManifestEntry("", gen, Nil,
-              ManifestTable.fileStats(fs, new HPath(table, gen))))),
+              ManifestTable.fileStats(fs, new HPath(table, gen), base.statsCols)))),
             expectedSeq = Some(base.seq))
           FileConnector.afterUpsertCommit()
           ManifestTable.gc(fs, table)

@@ -107,7 +107,8 @@ object Maintenance {
     fs.delete(new Path(genPath, "_SUCCESS"), false)
     ManifestTable.commit(fs, p, partCol = "",
       Map("" -> Some(ManifestEntry("", gen, Nil,
-        ManifestTable.fileStats(fs, genPath)))))
+        ManifestTable.fileStats(fs, genPath,
+          ManifestTable.resolve(fs, p).map(_.statsCols).getOrElse(Nil))))))
     ManifestTable.gc(fs, p)
     val after = fs.listStatus(genPath).count(_.isFile)
     (liveFiles.size, after)

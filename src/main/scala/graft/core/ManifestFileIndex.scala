@@ -277,7 +277,8 @@ object ManifestFileIndex {
     * additive evolution must not opt into that.
     */
   private[graft] def mergeSchemas(root: String,
-      groups: Seq[(String, StructType)]): StructType = {
+      groups: Seq[(String, StructType)],
+      allowMissing: Boolean = false): StructType = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, (StructField, String)]
     groups.foreach { case (g, st) =>
       st.fields.foreach { f =>
@@ -290,6 +291,39 @@ object ManifestFileIndex {
                 s"${f.dataType.simpleString} in '$g' — additive evolution merges " +
                 "NEW columns only; a type conflict needs a rewrite (Overwrite)")
         }
+      }
+    }
+    // Rename contract (round-16 verdict task 7): additive evolution
+    // means the live generations' column sets form a CHAIN under
+    // inclusion (each write only ever adds columns). A RENAME reads
+    // structurally as drop+add — one generation has A-not-B, another
+    // B-not-A — which breaks the chain, so it fails loudly here by
+    // default instead of silently splitting one logical column into
+    // two half-null ones. mergeSchemaAllowMissing=true is the
+    // documented opt-out: read the union, missing columns null.
+    // A PURE drop is NOT detectable: generation names carry no order,
+    // so {.(id,v), (id,v,extra)} is indistinguishable from the add
+    // that additive evolution exists to support — it reads as the
+    // union (the dropped column stays, null in the dropping
+    // generation's rows), stated in README so nobody relies on drops
+    // disappearing.
+    if (!allowMissing && groups.size > 1) {
+      val bySize = groups.sortBy { case (g, st) => (st.fields.length, g) }
+      bySize.sliding(2).foreach {
+        case Seq((g0, s0), (g1, s1)) =>
+          val missing = s0.fieldNames.toSet diff s1.fieldNames.toSet
+          if (missing.nonEmpty) {
+            val added = s1.fieldNames.toSet diff s0.fieldNames.toSet
+            throw new IllegalArgumentException(
+              s"manifest read at $root (mergeSchema): generations '$g0' and '$g1' " +
+                s"do not form an additive chain — '$g1' lacks " +
+                s"${missing.toSeq.sorted.mkString(", ")} while adding " +
+                s"${added.toSeq.sorted.mkString(", ")}: a RENAME reads as drop+add, " +
+                "and additive evolution never removes columns. Rewrite (Overwrite) " +
+                "to rename, or pass mergeSchemaAllowMissing=true to read the union " +
+                "with missing columns as null")
+          }
+        case _ => ()
       }
     }
     StructType(out.values.map(_._1).toSeq)
@@ -313,7 +347,8 @@ object ManifestFileIndex {
   def relation(spark: SparkSession, root: String, partCol: String,
       parts: Option[Set[String]] = None, format: String = "parquet",
       options: Map[String, String] = Map.empty,
-      asOfSeq: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
+      asOfSeq: Option[Long] = None, mergeSchema: Boolean = false,
+      mergeSchemaAllowMissing: Boolean = false): DataFrame = {
     val index = new ManifestFileIndex(spark, new Path(root), partCol, parts, asOfSeq)
     val effOptions = FormatDefaults.read(format) ++ options
     val samples = index.sampleFilePerGroup
@@ -333,7 +368,8 @@ object ManifestFileIndex {
       require(format != "csv",
         s"manifest read at $root: mergeSchema is not supported for csv — " +
           "csv files are positional; a missing column would misalign rows")
-      mergeSchemas(root, samples.map { case (g, p) => g -> inferOn(p) })
+      mergeSchemas(root, samples.map { case (g, p) => g -> inferOn(p) },
+        mergeSchemaAllowMissing)
     } else {
       // Data schema from the FIRST generation group's footers, with the
       // same drift guard the legacy read applies: ONE tail group is

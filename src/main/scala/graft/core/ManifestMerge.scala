@@ -282,12 +282,12 @@ final case class ManifestMerge(
     val writtenParts: Map[String, Seq[FileStat]] =
       if (outDf.isEmpty) Map.empty
       else if (partCol.isEmpty)
-        Map("" -> ManifestTable.fileStats(fs, genPath))
+        Map("" -> ManifestTable.fileStats(fs, genPath, manifest.statsCols))
       else if (!fs.exists(genPath)) Map.empty // all rows merged away
       else fs.listStatus(genPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
         .map(s => s.getPath.getName.substring(partCol.length + 1) ->
-          ManifestTable.fileStats(fs, s.getPath)).toMap
+          ManifestTable.fileStats(fs, s.getPath, manifest.statsCols)).toMap
 
     val byPart = manifest.entries.map(e => e.part -> e).toMap
     val affected = (touchedByPart.keySet ++ writtenParts.keySet).toSeq.sorted

@@ -56,7 +56,8 @@ final case class ManifestEntry(part: String, dir: String, files: Seq[String],
   def allStats: Seq[FileStat] = stats ++ carry
 }
 
-final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry])
+final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry],
+    statsCols: Seq[String] = Nil)
 
 /** Liveness failure, named: `commit()` spent its whole young-gap wait
   * ceiling blocked behind open-but-unwritten newer commits (a stream of
@@ -207,7 +208,13 @@ object ManifestTable {
     }
     val body = new StringBuilder
     body.append(Header).append('\t').append(1).append('\t')
-      .append(m.seq).append('\t').append(token(m.partCol)).append('\n')
+      .append(m.seq).append('\t').append(token(m.partCol))
+    // optional 5th header field (round 16): the table's statsCols
+    // choice — which columns get envelope budget — persisted so every
+    // later writer (compaction, merge, sink) keeps the same coverage
+    if (m.statsCols.nonEmpty)
+      body.append('\t').append(m.statsCols.map(token).mkString(","))
+    body.append('\n')
     m.entries.sortBy(_.part).foreach { e =>
       body.append(token(e.part)).append('\t')
       // dir may contain '/' between path-safe segments
@@ -283,8 +290,11 @@ object ManifestTable {
     val lines = payload.split("\n", -1).toSeq.dropRight(1) // payload ends with \n
     if (lines.isEmpty) return None
     val head = lines.head.split("\t", -1)
-    if (head.length != 4 || head(0) != Header || head(1) != "1") return None
+    if ((head.length != 4 && head.length != 5) ||
+      head(0) != Header || head(1) != "1") return None
     val seq = head(2).toLongOption.getOrElse(return None)
+    val statsCols =
+      if (head.length < 5 || head(4).isEmpty) Nil else head(4).split(',').toSeq
     val entries = lines.tail.map { ln =>
       val f = ln.split("\t", -1)
       if (f.length != 3 && f.length != 5 && f.length != 6) return None
@@ -309,7 +319,7 @@ object ManifestTable {
       ManifestEntry(f(0), f(1),
         if (f(2).isEmpty) Nil else f(2).split(',').toSeq, stats, covers, carry)
     }
-    Some(Manifest(seq, head(3), entries))
+    Some(Manifest(seq, head(3), entries, statsCols))
   }
 
   /** Create-race losses across all commits this JVM made — the cheap
@@ -372,6 +382,15 @@ object ManifestTable {
 
   private def commitPath(root: Path, seq: Long): Path =
     new Path(new Path(root, CommitsDir), f"$seq%020d")
+
+  /** Raw commit seqs present under `_commits/`, newest first — one
+    * LISTING, zero reads. Unlike [[versions]] the result may include
+    * torn/in-flight husks; callers that can validate through their own
+    * cache (the streaming source) use this to avoid re-reading the
+    * whole window per call.
+    */
+  private[graft] def commitSeqs(fs: FileSystem, root: Path): Seq[Long] =
+    listCommitSeqs(fs, root)
 
   private def listCommitSeqs(fs: FileSystem, root: Path): Seq[Long] = {
     val dir = new Path(root, CommitsDir)
@@ -469,7 +488,8 @@ object ManifestTable {
   def commit(fs: FileSystem, root: Path, partCol: String,
       updates: Map[String, Option[ManifestEntry]],
       invalidGraceMs: Long = 30000L,
-      expectedSeq: Option[Long] = None): Manifest = {
+      expectedSeq: Option[Long] = None,
+      statsCols: Option[Seq[String]] = None): Manifest = {
     var attempts = 0
     val firstSeen = scala.collection.mutable.Map.empty[Long, Long]
     var gapWaitedMs = 0L
@@ -517,7 +537,10 @@ object ManifestTable {
           .filterNot(e => updates.contains(e.part))
         val merged = carried ++ updates.toSeq.sortBy(_._1).flatMap(_._2)
         val seq = seqs.headOption.getOrElse(0L) + 1
-        var m = Manifest(seq, partCol, merged)
+        // statsCols persists across commits: None carries the current
+        // table choice forward, Some sets (or clears, with Nil) it
+        val sc = statsCols.getOrElse(cur.map(_.statsCols).getOrElse(Nil))
+        var m = Manifest(seq, partCol, merged, sc)
         var bytes = serialize(m)
         if (bytes.length > StatsStripBytes) {
           // Column envelopes are advisory; the (name, len) listing is
@@ -666,6 +689,9 @@ object ManifestTable {
   def fileStats(fs: FileSystem, dir: Path): Seq[FileStat] =
     fileStats(fs, fs.listStatus(dir).toSeq)
 
+  def fileStats(fs: FileSystem, dir: Path, statsCols: Seq[String]): Seq[FileStat] =
+    fileStats(fs, fs.listStatus(dir).toSeq, statsCols)
+
   /** Same, from statuses the caller already holds (saves the listing —
     * the partition-rewrite engine and adopt both have them in hand).
     * Column-stat collection is skipped past [[ParquetStats.MaxFilesForColStats]]
@@ -674,13 +700,14 @@ object ManifestTable {
     * independent I/O, and serial per-file round-trips at commit time
     * is the same scale mistake the round-14 read path made.
     */
-  def fileStats(fs: FileSystem, statuses: Seq[org.apache.hadoop.fs.FileStatus]): Seq[FileStat] = {
+  def fileStats(fs: FileSystem, statuses: Seq[org.apache.hadoop.fs.FileStatus],
+      statsCols: Seq[String] = Nil): Seq[FileStat] = {
     val data = statuses
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
     def withCols(s: org.apache.hadoop.fs.FileStatus): FileStat =
-      ParquetStats.collect(fs, s) match {
+      ParquetStats.collect(fs, s, statsCols) match {
         case Some((rc, cols)) => FileStat(s.getPath.getName, s.getLen, rc, cols)
         case None             => FileStat(s.getPath.getName, s.getLen)
       }
@@ -751,7 +778,8 @@ object ManifestTable {
     */
   def read(spark: SparkSession, root: String,
       parts: Option[Set[String]] = None, partCol: String = "",
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      mergeSchemaAllowMissing: Boolean = false): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val m = resolve(fs, rootPath).getOrElse {
@@ -774,7 +802,20 @@ object ManifestTable {
     if (m.partCol.isEmpty) {
       val paths = wanted.flatMap(e => entryPaths(rootPath, e)).map(_.toString)
       // unpartitioned + mergeSchema: parquet's own per-file footer merge
-      // is exactly the additive union wanted here
+      // does the additive union; the rename/drop chain contract is
+      // enforced FIRST from one probe per generation group (round 16 —
+      // same discipline as the partitioned paths)
+      if (mergeSchema && !mergeSchemaAllowMissing) {
+        val groups = expandedEntries(wanted)
+          .groupBy(_.dir.split('/').headOption.getOrElse("")).toSeq.sortBy(_._1)
+        if (groups.size > 1) {
+          val probes = groups.map { case (g, es) =>
+            g -> spark.read.parquet(
+              entryPaths(rootPath, es.head).head.toString).schema
+          }
+          ManifestFileIndex.mergeSchemas(root, probes, allowMissing = false): Unit
+        }
+      }
       val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
       r.parquet(paths: _*)
     } else if (mergeSchema) {
@@ -791,7 +832,7 @@ object ManifestTable {
         schema.fold(r)(r.schema).parquet(leaves: _*)
       }
       val inferred = groups.map { case (g, es) => g -> readGroup(g, es, None).schema }
-      val mergedRaw = ManifestFileIndex.mergeSchemas(root, inferred)
+      val mergedRaw = ManifestFileIndex.mergeSchemas(root, inferred, mergeSchemaAllowMissing)
       // partition column last, matching the single-scan path's
       // dataSchema-then-partitionSchema column order
       val merged = org.apache.spark.sql.types.StructType(

@@ -43,6 +43,15 @@ object ManifestWrite {
     val spark = df.sparkSession
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // statsCols (round 16, Delta's statsCols analog): aim the envelope
+    // budget at NAMED columns instead of the first 12 — persisted in
+    // the manifest header so every later writer (compaction, merge,
+    // the streaming sink) keeps the same coverage. Omitted = carry the
+    // table's current choice; given = set it for this and future commits.
+    val statsColsOpt: Option[Seq[String]] =
+      options.get("statsCols").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def tableStatsCols: Seq[String] = statsColsOpt.getOrElse(
+      ManifestTable.resolve(fs, rootPath).map(_.statsCols).getOrElse(Nil))
     def exists: Boolean = ManifestTable.resolve(fs, rootPath).isDefined ||
       (fs.exists(rootPath) && fs.listStatus(rootPath).exists { s =>
         val n = s.getPath.getName
@@ -64,11 +73,12 @@ object ManifestWrite {
         // append, never colliding with the "" overwrite entry
         ManifestTable.commit(fs, rootPath, partCol,
           Map(gen -> Some(ManifestEntry(gen, gen, Nil,
-            ManifestTable.fileStats(fs, new Path(rootPath, gen))))))
+            ManifestTable.fileStats(fs, new Path(rootPath, gen), tableStatsCols)))),
+          statsCols = statsColsOpt)
         ()
       case _ => // Overwrite, or first write under ErrorIfExists/Ignore
         val gen = writeGeneration(df, fs, rootPath, partCol, format, options)
-        val entries = genEntries(fs, rootPath, gen, partCol)
+        val entries = genEntries(fs, rootPath, gen, partCol, tableStatsCols)
         var attempts = 0
         while (attempts < MaxAttempts) {
           attempts += 1
@@ -78,7 +88,8 @@ object ManifestWrite {
           try {
             ManifestTable.commit(fs, rootPath, partCol,
               retire ++ entries.map(e => e.part -> Some(e)).toMap,
-              expectedSeq = Some(base.map(_.seq).getOrElse(0L)))
+              expectedSeq = Some(base.map(_.seq).getOrElse(0L)),
+              statsCols = statsColsOpt)
             ManifestTable.gc(fs, rootPath)
             return
           } catch {
@@ -108,10 +119,10 @@ object ManifestWrite {
     * whole-directory entry otherwise.
     */
   private def genEntries(fs: FileSystem, root: Path, gen: String,
-      partCol: String): Seq[ManifestEntry] =
+      partCol: String, statsCols: Seq[String]): Seq[ManifestEntry] =
     if (partCol.isEmpty)
       Seq(ManifestEntry("", gen, Nil,
-        ManifestTable.fileStats(fs, new Path(root, gen))))
+        ManifestTable.fileStats(fs, new Path(root, gen), statsCols)))
     else {
       val parts = fs.listStatus(new Path(root, gen)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
@@ -123,7 +134,7 @@ object ManifestWrite {
         // the writer just produced these files; recording (name, len)
         // now is what lets every future read skip listing entirely
         ManifestEntry(value, s"$gen/${s.getPath.getName}", Nil,
-          ManifestTable.fileStats(fs, s.getPath))
+          ManifestTable.fileStats(fs, s.getPath, statsCols))
       }
     }
 

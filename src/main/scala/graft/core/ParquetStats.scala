@@ -58,11 +58,16 @@ object ParquetStats {
 
   /** Footer stats for one just-written parquet file: (rowCount, per-
     * column stats for the first [[MaxCols]] eligible top-level
-    * columns). None when the footer is unreadable or the file is not
-    * parquet — the caller records a stats-less [[FileStat]] and
-    * readers fall back to "may match".
+    * columns — or, when `statsCols` names columns, for exactly the
+    * NAMED top-level primitive columns, the Delta
+    * dataSkippingNumIndexedCols/statsCols analog: a wide table's
+    * filter column past position 12 gets no envelope silently unless
+    * the writer aims the budget at it). None when the footer is
+    * unreadable or the file is not parquet — the caller records a
+    * stats-less [[FileStat]] and readers fall back to "may match".
     */
-  def collect(fs: FileSystem, status: FileStatus): Option[(Long, Seq[ColStat])] = {
+  def collect(fs: FileSystem, status: FileStatus,
+      statsCols: Seq[String] = Nil): Option[(Long, Seq[ColStat])] = {
     if (!status.getPath.getName.endsWith(".parquet")) return None
     try {
       import scala.jdk.CollectionConverters._
@@ -73,9 +78,15 @@ object ParquetStats {
         val footer = reader.getFooter
         val schema = footer.getFileMetaData.getSchema
         // leading top-level PRIMITIVE fields, schema order; nested
-        // groups are skipped (their leaves are not top-level columns)
-        val eligible = schema.getFields.asScala.iterator
-          .filter(_.isPrimitive).map(_.getName).take(MaxCols).toVector
+        // groups are skipped (their leaves are not top-level columns).
+        // Named statsCols select exactly those fields (schema order,
+        // EXACT name match — same contract as the read side)
+        val eligible =
+          if (statsCols.nonEmpty)
+            schema.getFields.asScala.iterator.filter(_.isPrimitive)
+              .map(_.getName).filter(statsCols.contains).toVector
+          else schema.getFields.asScala.iterator
+            .filter(_.isPrimitive).map(_.getName).take(MaxCols).toVector
         val blocks = footer.getBlocks.asScala.toVector
         val rowCount = blocks.map(_.getRowCount).sum
         val cols = eligible.flatMap { name =>

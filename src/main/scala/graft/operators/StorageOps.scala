@@ -619,7 +619,7 @@ object StorageOps {
           // the statuses are already in hand from the empty-check above —
           // record them (plus footer column envelopes) so readers
           // resolve with zero listing calls and skip non-matching files
-          val stats = ManifestTable.fileStats(fs, dataFiles.toSeq)
+          val stats = ManifestTable.fileStats(fs, dataFiles.toSeq, manifest.statsCols)
           d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil, stats)) else None)
         }.toMap
         beforeRewriteCommit()
@@ -1195,6 +1195,37 @@ object StorageOps {
        |  round(sum(value), 2) AS sum_value
        |FROM m GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** q152: the per-partition profile of the manifested events layout —
+    * the "partitions" metadata table every Iceberg/Delta operator
+    * dashboard queries (`SELECT day, count(*), min(ts), max(ts) …
+    * GROUP BY day`) — answered with ZERO tasks: round 16 extended
+    * [[graft.plans.ManifestMetadataAggRule]] to grouping expressions
+    * that are exactly the partition column, so each output row comes
+    * from one entry's key + its recorded per-file row counts and `ts`
+    * envelopes. At 100 TB the same dashboard query otherwise scans
+    * every partition to count rows the commit file already holds.
+    * Value oracle recomputes from the raw table; plan shape asserted
+    * in `ManifestMetadataAggSpec`.
+    */
+  def partitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.ManifestMetadataAgg.ensure(spark)
+    val layout = ensureManifestedEvents(spark, dir)
+    graft.core.ManifestFileIndex.relation(spark, layout, "day")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"user_id").as("n_user_rows"),
+        min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+      .orderBy($"day")
+  }
+
+  private def oraclePartitionProfile: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows,
+      |  count(user_id)::BIGINT AS n_user_rows,
+      |  min(make_timestamp(epoch_ns(ts) // 1000)) AS min_ts,
+      |  max(make_timestamp(epoch_ns(ts) // 1000)) AS max_ts
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_bucketed_join" -> (bucketedJoin _),
     "q134_partition_prune" -> (partitionPrunedRollup _),
@@ -1208,6 +1239,7 @@ object StorageOps {
     "q149_manifest_skipping" -> (manifestSkipRollup _),
     "q150_metadata_stats" -> (manifestMetadataStats _),
     "q151_merge_audit" -> (mergeAudit _),
+    "q152_partition_profile" -> (partitionProfile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1223,5 +1255,6 @@ object StorageOps {
     "q149_manifest_skipping" -> oracleManifestSkip,
     "q150_metadata_stats" -> oracleManifestMetadata,
     "q151_merge_audit" -> oracleMergeAudit,
+    "q152_partition_profile" -> oraclePartitionProfile,
   )
 }

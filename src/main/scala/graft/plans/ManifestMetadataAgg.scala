@@ -23,8 +23,13 @@ import org.apache.spark.sql.types._
   *
   * Strictly answerable-or-bail — the rule rewrites ONLY when the
   * manifest can give the EXACT answer Spark's execution would:
-  *   - grouping must be empty, no Filter anywhere below the aggregate
-  *     (only attribute-passing Projects), no DISTINCT, no FILTER
+  *   - grouping must be empty OR exactly the partition column
+  *     (round 16: `count(*)/min/max … GROUP BY day` — the
+  *     Iceberg/Delta "partitions" metadata table — answers one row
+  *     per live entry from entry keys + recorded row counts; an
+  *     all-empty entry produces NO group, exactly like the scan);
+  *     no Filter anywhere below the aggregate except partition-only
+  *     ones (only attribute-passing Projects), no DISTINCT, no FILTER
   *     clause;
   *   - every selected entry stats-bearing, every file with a row
   *     count;
@@ -47,7 +52,17 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
       indexOf(child).flatMap { case (idx, partFilters) =>
-        answer(agg, aggExprs, idx, partFilters)
+        answer(agg, aggExprs, idx, partFilters, grouped = false)
+      }.getOrElse(agg)
+    // GROUP BY exactly the partition column (round-16 verdict task 2):
+    // one output row per selected entry with live rows — the
+    // Iceberg/Delta "partitions" metadata table, answered from entry
+    // keys + recorded per-file stats with zero tasks
+    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
+      indexOf(child).flatMap { case (idx, partFilters) =>
+        if (idx.partColName.nonEmpty && g.name == idx.partColName)
+          answer(agg, aggExprs, idx, partFilters, grouped = true)
+        else None
       }.getOrElse(agg)
   }
 
@@ -88,7 +103,8 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
     }
 
   private def answer(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      idx: ManifestFileIndex, partFilters: Seq[Expression]): Option[LogicalPlan] = {
+      idx: ManifestFileIndex, partFilters: Seq[Expression],
+      grouped: Boolean): Option[LogicalPlan] = {
     // partition-only filters select whole entries — evaluated with
     // catalyst's own interpreted predicate against each entry key, the
     // SAME evaluation the scan's partition pruning would apply, so the
@@ -122,9 +138,7 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
       }
     }
     if (entries.isEmpty || entries.exists(_.allStats.isEmpty)) return None
-    val files = entries.flatMap(_.allStats)
-    if (files.exists(_.rowCount < 0)) return None
-    val totalRows = files.map(_.rowCount).sum
+    if (entries.flatMap(_.allStats).exists(_.rowCount < 0)) return None
     // EXACT name matches throughout: the aggregate's attributes carry
     // the relation schema's casing, which equals the manifest's
     // partition-column name and the parquet field names the envelopes
@@ -133,20 +147,6 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
     // zero tasks, no error)
     val isPartCol: String => Boolean = n =>
       idx.partColName.nonEmpty && n == idx.partColName
-
-    def colStats(name: String): Option[Seq[(Long, ColStat)]] = {
-      val per = files.map { f =>
-        f.cols.find(_.col == name).map(c => f.rowCount -> c)
-      }
-      if (per.exists(_.isEmpty)) None else Some(per.flatten)
-    }
-
-    def nonNullCount(a: AttributeReference): Option[Long] =
-      if (isPartCol(a.name)) Some(totalRows) // partition values are never null
-      else colStats(a.name).flatMap { cs =>
-        if (cs.exists(_._2.nullCount < 0)) None
-        else Some(cs.map { case (rc, c) => rc - c.nullCount }.sum)
-      }
 
     /** Exactly-recorded domains only: the envelope IS the true
       * min/max. Strings are truncated (inexact), floats NaN-blind
@@ -170,60 +170,103 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
       case _ => throw new IllegalStateException(s"unreachable: $tag/$dt")
     }
 
-    /** min (asc=true) or max over the recorded envelopes; Some(null)
-      * is SQL's answer for zero contributing rows.
+    /** One output row's values over `groupEntries` — the whole selected
+      * set for a global aggregate, ONE entry for a GROUP BY partCol
+      * group (`groupPart` = its exact key). None the moment any
+      * expression is not exactly answerable.
       */
-    def extremum(a: AttributeReference, asc: Boolean): Option[Any] =
-      if (isPartCol(a.name)) {
-        // entry keys are exact partition values; only entries with
-        // live rows contribute (a schema-only empty file holds none)
-        val live = entries.filter(_.allStats.map(_.rowCount).sum > 0).map(_.part)
-        if (live.isEmpty) Some(null)
-        else {
-          val ord: Ordering[String] = idx.partType match {
-            case StringType =>
-              Ordering.fromLessThan((a, b) => ParquetStats.cmpUtf8(a, b) < 0)
-            case _ => Ordering.by((s: String) =>
-              idx.partType match {
-                case IntegerType => s.toInt.toLong
-                case LongType => s.toLong
-                case _ => java.time.LocalDate.parse(s).toEpochDay
-              })
-          }
-          Some(idx.partValueInternal(if (asc) live.min(ord) else live.max(ord)))
+    def rowFor(groupEntries: Seq[ManifestEntry],
+        groupPart: Option[String]): Option[Seq[Any]] = {
+      val files = groupEntries.flatMap(_.allStats)
+      val totalRows = files.map(_.rowCount).sum
+
+      def colStats(name: String): Option[Seq[(Long, ColStat)]] = {
+        val per = files.map { f =>
+          f.cols.find(_.col == name).map(c => f.rowCount -> c)
         }
-      } else exactTagFor(a.dataType).flatMap { tag =>
-        colStats(a.name).flatMap { cs =>
-          val contributing = cs.filter { case (rc, c) =>
-            rc > 0 && !(c.nullCount == rc) // skip empty and provably-all-null
-          }
-          if (contributing.exists { case (_, c) =>
-            c.tag != tag || c.min.isEmpty || c.max.isEmpty }) None
-          else if (contributing.isEmpty) Some(null)
-          else {
-            val bounds = contributing.map { case (_, c) =>
-              if (asc) c.min.get else c.max.get }
-            val best = bounds.reduce((x, y) =>
-              if (ParquetStats.cmp(tag, x, y) < 0 == asc) x else y)
-            Some(decode(tag, a.dataType, best))
-          }
-        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten)
       }
 
-    val values = aggExprs.map {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) if l.value != null => totalRows
-          case Count(Seq(a: AttributeReference)) =>
-            nonNullCount(a).getOrElse(return None)
-          case Min(a: AttributeReference) => extremum(a, asc = true).getOrElse(return None)
-          case Max(a: AttributeReference) => extremum(a, asc = false).getOrElse(return None)
-          case _ => return None
+      def nonNullCount(a: AttributeReference): Option[Long] =
+        if (isPartCol(a.name)) Some(totalRows) // partition values are never null
+        else colStats(a.name).flatMap { cs =>
+          if (cs.exists(_._2.nullCount < 0)) None
+          else Some(cs.map { case (rc, c) => rc - c.nullCount }.sum)
         }
-      case _ => return None
+
+      /** min (asc=true) or max over the recorded envelopes; Some(null)
+        * is SQL's answer for zero contributing rows.
+        */
+      def extremum(a: AttributeReference, asc: Boolean): Option[Any] =
+        if (isPartCol(a.name)) groupPart match {
+          case Some(p) => Some(idx.partValueInternal(p)) // within a group the key IS the extremum
+          case None =>
+            // entry keys are exact partition values; only entries with
+            // live rows contribute (a schema-only empty file holds none)
+            val live = groupEntries.filter(_.allStats.map(_.rowCount).sum > 0).map(_.part)
+            if (live.isEmpty) Some(null)
+            else {
+              val ord: Ordering[String] = idx.partType match {
+                case StringType =>
+                  Ordering.fromLessThan((a, b) => ParquetStats.cmpUtf8(a, b) < 0)
+                case _ => Ordering.by((s: String) =>
+                  idx.partType match {
+                    case IntegerType => s.toInt.toLong
+                    case LongType => s.toLong
+                    case _ => java.time.LocalDate.parse(s).toEpochDay
+                  })
+              }
+              Some(idx.partValueInternal(if (asc) live.min(ord) else live.max(ord)))
+            }
+        } else exactTagFor(a.dataType).flatMap { tag =>
+          colStats(a.name).flatMap { cs =>
+            val contributing = cs.filter { case (rc, c) =>
+              rc > 0 && !(c.nullCount == rc) // skip empty and provably-all-null
+            }
+            if (contributing.exists { case (_, c) =>
+              c.tag != tag || c.min.isEmpty || c.max.isEmpty }) None
+            else if (contributing.isEmpty) Some(null)
+            else {
+              val bounds = contributing.map { case (_, c) =>
+                if (asc) c.min.get else c.max.get }
+              val best = bounds.reduce((x, y) =>
+                if (ParquetStats.cmp(tag, x, y) < 0 == asc) x else y)
+              Some(decode(tag, a.dataType, best))
+            }
+          }
+        }
+
+      val values = aggExprs.map {
+        // the grouping column itself (bare or aliased) in the output
+        case a: AttributeReference if groupPart.isDefined && isPartCol(a.name) =>
+          idx.partValueInternal(groupPart.get)
+        case Alias(a: AttributeReference, _) if groupPart.isDefined && isPartCol(a.name) =>
+          idx.partValueInternal(groupPart.get)
+        case Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(l: Literal)) if l.value != null => totalRows
+            case Count(Seq(a: AttributeReference)) =>
+              nonNullCount(a).getOrElse(return None)
+            case Min(a: AttributeReference) => extremum(a, asc = true).getOrElse(return None)
+            case Max(a: AttributeReference) => extremum(a, asc = false).getOrElse(return None)
+            case _ => return None
+          }
+        case _ => return None
+      }
+      Some(values)
     }
-    Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+
+    if (!grouped)
+      rowFor(entries, None).map(vs =>
+        LocalRelation(agg.output, Seq(InternalRow.fromSeq(vs))))
+    else {
+      // one row per entry with live rows — an all-empty (schema-only)
+      // partition produces NO group, exactly like the scan
+      val live = entries.filter(_.allStats.map(_.rowCount).sum > 0)
+      val rows = live.map(e => rowFor(Seq(e), Some(e.part)).getOrElse(return None))
+      Some(LocalRelation(agg.output, rows.map(InternalRow.fromSeq)))
+    }
   }
 }
 

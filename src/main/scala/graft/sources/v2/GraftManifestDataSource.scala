@@ -69,7 +69,8 @@ class GraftManifestDataSource extends RelationProvider
         "tables are maintained by partition REWRITE and cannot stream — " +
         "read them in batch")
     (path, parameters.getOrElse("format", "parquet"),
-      parameters -- Seq("path", "partCol", "parts", "format", "versionAsOf", "mergeSchema"))
+      parameters -- Seq("path", "partCol", "parts", "format", "versionAsOf",
+        "mergeSchema", "mergeSchemaAllowMissing"))
   }
 
   /** `spark.readStream.format("graftmanifest").load(path)` — each
@@ -85,9 +86,11 @@ class GraftManifestDataSource extends RelationProvider
     // fixed schema (absent columns null by-name), the standard
     // streaming stance — columns added after start need a restart
     val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
+    val allowMissing = parameters.get("mergeSchemaAllowMissing").exists(_.trim.toBoolean)
     val inferred = schema.getOrElse(
       ManifestFileIndex.relation(sqlContext.sparkSession, path, "", None,
-        format, passThrough, mergeSchema = mergeSchema).schema)
+        format, passThrough, mergeSchema = mergeSchema,
+        mergeSchemaAllowMissing = allowMissing).schema)
     (shortName(), inferred)
   }
 
@@ -156,10 +159,15 @@ class GraftManifestDataSource extends RelationProvider
     // additive cross-generation evolution, opt-in (round 15) — same
     // option name users know from spark.sql.parquet.mergeSchema
     val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
+    // explicit opt-out of the rename/drop chain contract (round 16):
+    // read the union with missing columns as null
+    val allowMissing = parameters.get("mergeSchemaAllowMissing").exists(_.trim.toBoolean)
     val passThrough = parameters --
-      Seq("path", "partCol", "parts", "format", "versionAsOf", "mergeSchema")
+      Seq("path", "partCol", "parts", "format", "versionAsOf", "mergeSchema",
+        "mergeSchemaAllowMissing")
     val df = ManifestFileIndex.relation(
-      sqlContext.sparkSession, path, partCol, parts, format, passThrough, asOf, mergeSchema)
+      sqlContext.sparkSession, path, partCol, parts, format, passThrough, asOf,
+      mergeSchema, allowMissing)
     // unwrap the relation the builder just planned — DataSource v1 will
     // re-wrap it in a fresh LogicalRelation with its own attribute ids
     df.queryExecution.analyzed.collectFirst {

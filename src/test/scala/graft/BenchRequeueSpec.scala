@@ -58,4 +58,29 @@ class BenchRequeueSpec extends AnyFunSuite {
     // no record probe → scale 1.0, raw behavior unchanged
     assert(Bench.probeScale(None, 0.072) === 1.0)
   }
+  test("stall-bracket attribution: a parked probe indicts exactly the queries it brackets (round 16)") {
+    // 8 queries -> probes 0..8 (leading each + one closing); probe 4
+    // parked for 3 s: queries 3 and 4 are bracketed by it
+    val probes = Seq(0.05, 0.06, 0.05, 0.05, 3.0, 0.05, 0.06, 0.05, 0.05)
+    assert(Bench.stallAttributed(probes, 8) == Set(3, 4))
+    // clean series attributes nothing
+    assert(Bench.stallAttributed(Seq.fill(9)(0.05), 8) == Set.empty)
+    // a 5x-but-short probe (JIT jitter) attributes nothing
+    assert(Bench.stallAttributed(Seq(0.05, 0.3, 0.05, 0.05, 0.05), 4) == Set.empty)
+    // a stall on the CLOSING bracket indicts the last query
+    assert(Bench.stallAttributed(Seq(0.05, 0.05, 0.05, 2.0), 3) == Set(2))
+    // truncated probe series (shouldn't happen) fails closed: no attribution
+    assert(Bench.stallAttributed(Seq(0.05, 0.05), 8) == Set.empty)
+  }
+
+  test("retry bracket verdicts: clean rescues, stalled-again does not") {
+    // first-pass probes then retry probes: retry lead at index 9
+    val clean = Seq(0.05, 0.06, 0.05, 3.0, 0.05, 0.05, 0.05, 0.05, 0.05, 0.05, 0.06)
+    assert(Bench.bracketClean(clean, lead = 9))
+    val stalledRetry = clean.updated(10, 4.0)
+    assert(!Bench.bracketClean(stalledRetry, lead = 9))
+    // a lead with no closing probe is NOT clean (fails closed)
+    assert(!Bench.bracketClean(clean, lead = 10))
+  }
+
 }

@@ -89,6 +89,46 @@ class ManifestMergeSchemaSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("RENAME reads as drop+add and fails loudly under mergeSchema; opt-out reads the union (round 16)") {
+    val root = tmpDir("gm-rename") + "/t"
+    Seq((1L, "a")).toDF("id", "v")
+      .write.format("graftmanifest").save(root)
+    Seq((2L, "b")).toDF("id", "w") // v "renamed" to w
+      .write.format("graftmanifest").mode(SaveMode.Append).save(root)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftmanifest").option("mergeSchema", "true").load(root).collect()
+    }
+    assert(e.getMessage.contains("additive chain") && e.getMessage.contains("RENAME") &&
+      e.getMessage.contains("mergeSchemaAllowMissing"), e.getMessage)
+    // the explicit opt-out reads the union, missing columns null
+    val got = asMaps(spark.read.format("graftmanifest")
+      .option("mergeSchema", "true").option("mergeSchemaAllowMissing", "true")
+      .load(root).collect())
+    assert(got == Set(
+      Map("id" -> 1L, "v" -> "a", "w" -> null),
+      Map("id" -> 2L, "v" -> null, "w" -> "b")), got.toString)
+    // legacy union read enforces the same contract
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, root, mergeSchema = true).collect()
+    }
+    assert(e2.getMessage.contains("additive chain"))
+    assert(asMaps(ManifestTable.read(spark, root, mergeSchema = true,
+      mergeSchemaAllowMissing = true).collect()) == got)
+  }
+
+  test("a PURE drop is indistinguishable from an add (no generation order) — reads as the union, documented") {
+    val root = tmpDir("gm-drop") + "/t"
+    Seq((1L, "a", 10L)).toDF("id", "v", "extra")
+      .write.format("graftmanifest").save(root)
+    Seq((2L, "b")).toDF("id", "v") // "dropped" extra — structurally an add in reverse
+      .write.format("graftmanifest").mode(SaveMode.Append).save(root)
+    val got = asMaps(spark.read.format("graftmanifest")
+      .option("mergeSchema", "true").load(root).collect())
+    assert(got == Set(
+      Map("id" -> 1L, "v" -> "a", "extra" -> 10L),
+      Map("id" -> 2L, "v" -> "b", "extra" -> null)), got.toString)
+  }
+
   test("streaming source with mergeSchema starts from the union schema") {
     val root = evolvedTable()
     val q = spark.readStream.format("graftmanifest")

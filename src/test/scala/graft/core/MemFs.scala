@@ -59,7 +59,10 @@ object MemFsStore {
     */
   val listStatusCalls = new java.util.concurrent.atomic.AtomicLong()
   val getFileStatusCalls = new java.util.concurrent.atomic.AtomicLong()
-  def resetCounters(): Unit = { listStatusCalls.set(0); getFileStatusCalls.set(0) }
+  val openCalls = new java.util.concurrent.atomic.AtomicLong()
+  def resetCounters(): Unit = {
+    listStatusCalls.set(0); getFileStatusCalls.set(0); openCalls.set(0)
+  }
   def disarmCrash(): Unit = { renameCopyCrashAfter.set(-1); renameCopyCrashed = false }
   def clear(): Unit = {
     entries.clear(); supportSetTimes = true
@@ -228,6 +231,7 @@ class MemFs extends FileSystem {
     throw new UnsupportedOperationException("memfs: append unsupported")
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    MemFsStore.openCalls.incrementAndGet()
     val k = key(f)
     val e = entries.get(k)
     if (e == null) throw new FileNotFoundException(s"memfs: $k")

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.SparkSpec
-import graft.core.{ManifestEntry, ManifestFileIndex, ManifestTable, ManifestWrite}
+import graft.core.{ManifestEntry, ManifestFileIndex, ManifestMerge, ManifestTable, ManifestWrite}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
@@ -153,10 +153,62 @@ class ManifestMetadataAggSpec extends SparkSpec {
     val dAgg = rel.agg(countDistinct($"id").as("n"))
     assert(!answeredFromMetadata(dAgg))
     sameAnswer(dAgg, legacy.agg(countDistinct($"id").as("n")))
-    // grouping is not answerable
-    val gAgg = rel.groupBy($"day").agg(count(lit(1)).as("n")).orderBy($"day")
+    // grouping by a DATA column is not answerable
+    val gAgg = rel.groupBy($"sparse").agg(count(lit(1)).as("n")).orderBy($"sparse")
     assert(!answeredFromMetadata(gAgg))
-    sameAnswer(gAgg, legacy.groupBy($"day").agg(count(lit(1)).as("n")).orderBy($"day"))
+    sameAnswer(gAgg, legacy.groupBy($"sparse").agg(count(lit(1)).as("n")).orderBy($"sparse"))
+  }
+
+  test("GROUP BY the partition column answers one zero-task row per live entry (round 16)") {
+    def aggs(base: DataFrame): DataFrame = base.groupBy($"day").agg(
+      count(lit(1)).as("n"), count($"sparse").as("n_sparse"),
+      min($"id").as("lo"), max($"id").as("hi"),
+      min($"ts").as("ts_lo"), max($"ts").as("ts_hi"),
+      min($"day").as("d_lo"), max($"day").as("d_hi")).orderBy($"day")
+    val metaDf = aggs(rel)
+    assert(answeredFromMetadata(metaDf),
+      s"GROUP BY partCol should be a metadata answer:\n${metaDf.queryExecution.optimizedPlan}")
+    val scanDf = aggs(legacy)
+    assert(!answeredFromMetadata(scanDf))
+    assert(metaDf.collect().toSeq.map(_.toString) ==
+      scanDf.collect().toSeq.map(_.toString))
+    assert(metaDf.count() == 10)
+    // composed with a partition-only filter: grouped over the selection
+    val f = $"day" >= to_date(lit("2024-03-04"))
+    val fMeta = aggs(rel.filter(f))
+    assert(answeredFromMetadata(fMeta))
+    assert(fMeta.collect().toSeq.map(_.toString) ==
+      aggs(legacy.filter(f)).collect().toSeq.map(_.toString))
+    assert(fMeta.count() == 7)
+    // SQL spelling, aliased grouping column
+    rel.createOrReplaceTempView("meta_agg_grp")
+    val sqlDf = spark.sql(
+      "SELECT day AS d, count(*) AS n FROM meta_agg_grp GROUP BY day ORDER BY d")
+    assert(answeredFromMetadata(sqlDf))
+    assert(sqlDf.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      .forall(_._2 == 100L))
+    // grouping expressions that are NOT the bare column bail
+    val exprG = rel.groupBy(date_add($"day", 1)).agg(count(lit(1)).as("n"))
+    assert(!answeredFromMetadata(exprG))
+  }
+
+  test("GROUP BY partCol: an all-empty (schema-only) partition yields NO group, matching the scan") {
+    val dir = tmpDir("meta-agg-empty-grp") + "/t"
+    val df = spark.range(0, 40).select(col("id"),
+      when(col("id") < 20, lit("2024-07-01")).otherwise(lit("2024-07-02"))
+        .cast("date").as("day"))
+    ManifestWrite.write(df.repartition(col("day")), dir, "day", SaveMode.Overwrite)
+    // erase one partition's rows entirely via merge-delete: the entry
+    // may survive as schema-only or drop; either way the group vanishes
+    ManifestMerge(dir, Seq("id"))
+      .whenMatchedDelete()
+      .run(spark.range(20, 40).select(col("id")))
+    ManifestMetadataAgg.ensure(spark)
+    val g = ManifestFileIndex.relation(spark, dir, "day")
+      .groupBy($"day").agg(count(lit(1)).as("n")).orderBy($"day")
+    val rows = g.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 20L,
+      s"empty partition leaked a group: ${rows.mkString(", ")}")
   }
 
   test("partition-only filter carrying a subquery falls through to the scan — and executes (round-16 ADVICE-high)") {
@@ -235,7 +287,29 @@ class ManifestMetadataAggSpec extends SparkSpec {
       val fScan = aggs(ManifestTable.read(spark, dir, partCol = "day").filter($"day" >= cut))
       assert(fMeta.collect().toSeq.map(_.toString) ==
         fScan.collect().toSeq.map(_.toString), s"case $i: filtered metadata drifted")
+      // the grouped shape (round 16), unfiltered and filtered
+      def gAggs(base: DataFrame) = base.groupBy($"day").agg(
+        count(lit(1)).as("n"), count($"id").as("n_id"),
+        min($"id").as("lo"), max($"id").as("hi")).orderBy($"day")
+      val gMeta = gAggs(ManifestFileIndex.relation(spark, dir, "day"))
+      assert(answeredFromMetadata(gMeta), s"case $i: grouped rule did not fire")
+      assert(gMeta.collect().toSeq.map(_.toString) ==
+        gAggs(ManifestTable.read(spark, dir, partCol = "day")).collect().toSeq.map(_.toString),
+        s"case $i: grouped metadata drifted from scan")
+      val gfMeta = gAggs(ManifestFileIndex.relation(spark, dir, "day").filter($"day" >= cut))
+      assert(gfMeta.collect().toSeq.map(_.toString) ==
+        gAggs(ManifestTable.read(spark, dir, partCol = "day").filter($"day" >= cut))
+          .collect().toSeq.map(_.toString), s"case $i: filtered grouped metadata drifted")
     }
+  }
+
+  test("q152 runs green and is answered from metadata (zero-task grouped profile)") {
+    val df = graft.operators.StorageOps.partitionProfile(spark, "/root/testdata/sf0.001")
+    assert(answeredFromMetadata(df),
+      s"q152 should be a metadata answer:\n${df.queryExecution.optimizedPlan}")
+    val rows = df.collect()
+    assert(rows.length > 1)
+    assert(rows.forall(r => r.getAs[Long]("n_rows") > 0))
   }
 
   test("q150 runs green and is answered from metadata") {
