@@ -267,13 +267,19 @@ final case class ManifestMerge(
 
     val genPath = new Path(root, gen)
     outDf.foreach { df =>
-      withMicros(spark) {
-        if (partCol.nonEmpty)
-          df.repartition(col(partCol))
-            .write.mode("error").partitionBy(partCol).parquet(genPath.toString)
-        else
-          df.repartition(1).write.mode("error").parquet(genPath.toString)
-      }
+      // PRIVATE cloned session for the generation write: timestamps
+      // must land as TIMESTAMP_MICROS for ts envelopes, but flipping
+      // the SHARED session's conf races every concurrent writer — the
+      // merge soak phase caught an unrelated dump written mid-merge
+      // coming out UTC-annotated. The clone's conf is invisible outside.
+      val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+      ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val bound = org.apache.spark.sql.graft.Bridge.ofRows(ws, df.queryExecution.analyzed)
+      if (partCol.nonEmpty)
+        bound.repartition(col(partCol))
+          .write.mode("error").partitionBy(partCol).parquet(genPath.toString)
+      else
+        bound.repartition(1).write.mode("error").parquet(genPath.toString)
       fs.delete(new Path(genPath, "_SUCCESS"), false)
     }
 
@@ -358,17 +364,6 @@ final case class ManifestMerge(
     * spelling but never on the component).
     */
   private def pathKey(s: String): String = new Path(s).toUri.getPath
-
-  private def withMicros[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
 
 }
 

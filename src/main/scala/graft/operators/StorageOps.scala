@@ -197,16 +197,28 @@ object StorageOps {
     * timestamps, which only the INT96 default round-trips, so the
     * session default must stay untouched.
     */
-  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  /** Run `body` with parquet timestamps as TIMESTAMP_MICROS — on a
+    * PRIVATE cloned session (round 16): the old set/restore on the
+    * shared session's conf raced every concurrent writer in the JVM
+    * (the merge soak caught an unrelated query dump written mid-toggle
+    * coming out UTC-annotated — silent schema drift in someone else's
+    * output). The clone shares the SparkContext but owns its SQLConf;
+    * `body` receives the clone and must route its reads AND writes
+    * through it.
+    */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+    ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    body(ws)
   }
+
+  /** Rebind a frame's plan to `ws` so ITS write reads the clone's conf
+    * (a Dataset writes under the session it was created on, not the
+    * caller's).
+    */
+  private def onSession(ws: SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.Bridge.ofRows(ws, df.queryExecution.analyzed)
 
   /** Paths of (fragmented, compacted) day-partitioned copies of
     * `events` for `dir`, building on first use. The fragmented copy
@@ -228,13 +240,13 @@ object StorageOps {
         !markerExists(spark, comp, "_SUCCESS")) {
         val ev = Tables.load(spark, dir, "events")
           .withColumn("day", to_date(col("ts")))
-        withMicrosTimestamps(spark) {
+        withMicrosTimestamps(spark) { ws =>
           // round-robin fan-out: every ingest task holds rows of EVERY
           // day, so each day= dir collects one file per task — the
           // small-files shape a streaming sink produces.
-          ev.repartition(IngestFilesPerDay)
+          onSession(ws, ev).repartition(IngestFilesPerDay)
             .write.mode("overwrite").partitionBy("day").parquet(frag)
-          spark.read.parquet(frag)
+          ws.read.parquet(frag)
             .repartition(col("day"))
             .write.mode("overwrite").partitionBy("day").parquet(comp)
         }
@@ -262,11 +274,11 @@ object StorageOps {
       if (!layoutsBuilt.contains(key) ||
         !markerExists(spark, sorted, "_SUCCESS")) {
         val li = Tables.load(spark, dir, "lineitem")
-        withMicrosTimestamps(spark) {
-          li.repartitionByRange(32, col("l_shipdate"))
+        withMicrosTimestamps(spark) { ws =>
+          onSession(ws, li).repartitionByRange(32, col("l_shipdate"))
             .sortWithinPartitions("l_shipdate")
             .write.mode("overwrite").parquet(sorted)
-          li.repartition(32)
+          onSession(ws, li).repartition(32)
             .write.mode("overwrite").parquet(control)
         }
         layoutsBuilt += key
@@ -474,8 +486,8 @@ object StorageOps {
         val z = interleaveBits(
           quant(datediff(to_date($"l_shipdate"), epoch).cast("long"), dLo, dHi),
           quant($"l_suppkey", kLo, kHi))
-        withMicrosTimestamps(spark) {
-          li.withColumn("__z", z)
+        withMicrosTimestamps(spark) { ws =>
+          onSession(ws, li).withColumn("__z", z)
             .repartitionByRange(32, $"__z")
             .sortWithinPartitions("__z")
             .drop("__z")
@@ -602,8 +614,8 @@ object StorageOps {
           val live = ManifestTable.entryPaths(root, entry).map(_.toString)
           val outDir = s"$gen/day=$d"
           val out = new org.apache.hadoop.fs.Path(root, outDir)
-          withMicrosTimestamps(spark) {
-            transform(spark.read.parquet(live: _*))
+          withMicrosTimestamps(spark) { ws =>
+            onSession(ws, transform(spark.read.parquet(live: _*)))
               .repartition(filesPerPartition)
               .write.mode("error").parquet(out.toString)
           }
@@ -719,8 +731,8 @@ object StorageOps {
       // still present — the erase writes its OWN marker when done
       if (!layoutsBuilt.contains(key) || !markerExists(spark, path, "_ERASED")) {
         val (_, comp) = ensureEventLayouts(spark, dir)
-        withMicrosTimestamps(spark) {
-          spark.read.parquet(comp)
+        withMicrosTimestamps(spark) { ws =>
+          ws.read.parquet(comp)
             .repartition(col("day"))
             .write.mode("overwrite").partitionBy("day").parquet(path)
         }
@@ -757,8 +769,8 @@ object StorageOps {
       if (!layoutsBuilt.contains(key) ||
         !markerExists(spark, bloom, "_SUCCESS")) {
         val li = Tables.load(spark, dir, "lineitem")
-        withMicrosTimestamps(spark) {
-          li.repartition(32)
+        withMicrosTimestamps(spark) { ws =>
+          onSession(ws, li).repartition(32)
             .write.mode("overwrite")
             .option("parquet.bloom.filter.enabled#l_orderkey", "true")
             .option("parquet.bloom.filter.expected.ndv#l_orderkey", "100000")
@@ -1024,8 +1036,9 @@ object StorageOps {
         graft.core.ManifestTable.resolve(fs, p).isEmpty) {
         val ev = Tables.load(spark, dir, "events")
           .withColumn("day", to_date(col("ts")))
-        withMicrosTimestamps(spark) {
-          graft.core.ManifestWrite.write(ev.repartition(col("day")), path,
+        withMicrosTimestamps(spark) { ws =>
+          graft.core.ManifestWrite.write(
+            onSession(ws, ev).repartition(col("day")), path,
             "day", org.apache.spark.sql.SaveMode.Overwrite)
         }
         layoutsBuilt += key
@@ -1133,9 +1146,9 @@ object StorageOps {
       if (!layoutsBuilt.contains(key) || !markerExists(spark, path, "_MERGED")) {
         val ev = Tables.load(spark, dir, "events")
           .withColumn("day", to_date(col("ts")))
-        withMicrosTimestamps(spark) {
+        withMicrosTimestamps(spark) { ws =>
           graft.core.ManifestWrite.write(
-            ev.repartitionByRange(8, col("event_id")), path,
+            onSession(ws, ev).repartitionByRange(8, col("event_id")), path,
             "day", org.apache.spark.sql.SaveMode.Overwrite)
         }
         // merge 1: keyed UPDATE (matched) + INSERT (shifted ids miss)

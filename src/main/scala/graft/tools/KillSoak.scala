@@ -191,7 +191,8 @@ object KillSoak {
     val phaseClasses = Seq(
       "graft.tools.StageSoakPhase" -> "stage",
       "graft.tools.UpsertSoakPhase" -> "upsert",
-      "graft.tools.StreamSinkSoakPhase" -> "streamsink")
+      "graft.tools.StreamSinkSoakPhase" -> "streamsink",
+      "graft.tools.MergeSoakPhase" -> "merge")
     val phaseResults =
       new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
     val runningPhases = phaseClasses.flatMap { case (cn, nm) =>

@@ -145,6 +145,24 @@ object ManifestReadBench {
     val countScan = timeMs(() =>
       { ManifestTable.read(spark, manifDir, None, partCol = "day").count(); () })
 
+    // merge selectivity (round 16): touched-file count must track the
+    // SOURCE's key width, not the table's file count — the whole point
+    // of envelope-pruned MERGE at 100 TB. Fresh key-range-bucketed
+    // copy per width so earlier merges don't reshape the file set.
+    val mergeRows = Seq(10L, 100L, 1000L).map { width =>
+      val dir = java.nio.file.Files.createTempDirectory(s"mrb-merge-$width").toString + "/t"
+      val ev = graft.Tables.load(spark, sfDir, "events")
+        .withColumn("day", org.apache.spark.sql.functions.to_date(col("ts")))
+      graft.core.ManifestWrite.write(
+        ev.repartitionByRange(8, col("event_id")), dir, "day",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val res = graft.core.ManifestMerge(dir, Seq("event_id"))
+        .whenMatchedUpdate(Map("value" -> ((s, _) => s("nv"))))
+        .run(spark.range(0, width).select(
+          col("id").as("event_id"), org.apache.spark.sql.functions.lit(-1.0).as("nv")))
+      width -> res
+    }
+
     val rows = spark.read.parquet(plainDir).count()
     val json = (Seq(
       "tool" -> "\"manifest-read-bench\"",
@@ -160,6 +178,10 @@ object ManifestReadBench {
       "listfiles_ms_skip_eval" -> f"${skipMs._2}%.3f",
       "count_metadata_ms" -> f"$countMeta%.3f",
       "count_scan_ms" -> f"$countScan%.3f") ++
+      mergeRows.flatMap { case (w, r) => Seq(
+        s"merge_w${w}_total_files" -> r.totalFiles.toString,
+        s"merge_w${w}_candidates" -> r.candidateFiles.toString,
+        s"merge_w${w}_touched" -> r.touchedFiles.toString) } ++
       results.map { case (k, v) => k -> f"$v%.3f" })
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(json)

@@ -21,6 +21,16 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Clone a session: same SparkContext/shared state, PRIVATE SQLConf
+    * copy (private[sql] upstream). The sanctioned way to scope a conf
+    * change (e.g. parquet outputTimestampType for one generation
+    * write) without racing concurrent writers on the shared session —
+    * the round-16 merge soak caught exactly that race corrupting an
+    * unrelated writer's timestamp encoding.
+    */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Interpreted ordering for a data type (private[sql] upstream). */
   def interpretedOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
