@@ -1,0 +1,206 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** Row-level CHANGE DATA FEED over manifested tables (round 16) — the
+  * Delta CDF / Iceberg changelog discipline: `between(from, to)`
+  * answers "what rows changed in commits [from, to]" with change rows
+  * tagged `_change_type` (`insert` / `update_preimage` /
+  * `update_postimage` / `delete`, Delta's vocabulary) and
+  * `_commit_version`, so downstream consumers (incremental aggregates,
+  * replication, audit) process DELTAS instead of re-reading snapshots.
+  *
+  * Where changes come from, per commit — exactness over guessing:
+  *   - a commit carrying a CHANGE RECORD ([[Manifest.changes]], written
+  *     by [[ManifestMerge.withChangeFeed]]) is answered from the record
+  *     alone — exact pre/post images, O(changed rows);
+  *   - a PURELY ADDITIVE commit (the append/sink/initial-write path:
+  *     no live file removed) synthesizes `insert` rows by reading just
+  *     the ADDED files — the manifest diff names them with zero
+  *     filesystem calls on stats-bearing tables;
+  *   - a FOLD commit (the sink's tiered repack, entries whose `covers`
+  *     names the subsumed part keys) changes no rows — skipped, same
+  *     stance as [[graft.sources.v2.GraftManifestSource]];
+  *   - any OTHER rewrite (overwrite, partition rewrite, uncaptured
+  *     merge) fails LOUDLY naming the commit — silently synthesizing
+  *     delete+insert for a rewrite would misreport unchanged rows as
+  *     churn (the reason Delta's CDF is write-time capture, not log
+  *     archaeology).
+  *
+  * Retention contract: the feed is readable over the gc-retained
+  * commit window ([[ManifestTable.gc]] `keepCommits`) — change records
+  * retire with their commits, and a request past the window fails
+  * naming it, never serving a partial feed. Size `keepCommits` to the
+  * worst-case consumer lag, the same knob the streaming source
+  * documents.
+  *
+  * Scale contract (100 TB): cost is O(changed rows in the range) —
+  * change records and added files — plus one small commit-file read
+  * per version in the range; never a table scan, never a snapshot
+  * diff.
+  */
+object ManifestChanges {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Retained valid versions carrying an explicit change record,
+    * ascending — the merge commits a caller can feed straight to
+    * [[between]].
+    */
+  def versionsWithChanges(fs: FileSystem, root: Path): Seq[Long] =
+    ManifestTable.versions(fs, root).reverse
+      .filter(v => ManifestTable.resolveAt(fs, root, v).exists(_.changes.nonEmpty))
+
+  /** Changes introduced BY versions in [startVersion, endVersion], as
+    * table columns (incl. the partition column) + `_change_type` +
+    * `_commit_version`. Versions in the range that never validated
+    * (claimed-over husks) carried no data and are skipped; a range
+    * reaching past the retained window fails loudly.
+    */
+  def between(spark: SparkSession, root: String,
+      startVersion: Long, endVersion: Long,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(startVersion >= 1 && startVersion <= endVersion,
+      s"change feed range [$startVersion, $endVersion] is invalid (1-based, start <= end)")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val listed = ManifestTable.commitSeqs(fs, rootPath) // newest first, incl. husks
+    require(listed.nonEmpty, s"no manifested table at $root")
+    if (startVersion < listed.min && listed.min > 1)
+      throw new IllegalStateException(
+        s"change feed at $root: version $startVersion is no longer retained " +
+          s"(oldest retained commit file: ${listed.min}) — the request lagged past " +
+          "the gc history window; gc with keepCommits covering worst-case consumer lag")
+    val valid = listed.filter(s => s <= endVersion)
+      .flatMap(s => ManifestTable.resolveAt(fs, rootPath, s).map(s -> _))
+      .sortBy(_._1)
+    val inRange = valid.filter(_._1 >= startVersion)
+    val frames = inRange.flatMap { case (v, m) =>
+      val parent = valid.takeWhile(_._1 < v).lastOption.map(_._2)
+      // a change-record commit is answered from the record alone — only
+      // the DIFF path needs a parent. No parent, none gc'd (nothing is
+      // listed below v) = v is the table's first commit: initial
+      // snapshot. Parent gc'd out from under an uncaptured commit =
+      // fail, never misreport the whole snapshot as that commit's delta.
+      if (m.changes.isEmpty && parent.isEmpty && v != 1 && !listed.exists(_ < v))
+        throw new IllegalStateException(
+          s"change feed at $root: version $v carries no change record and its " +
+            "parent commit (needed to diff) is no longer retained — the request " +
+            "lagged past the gc history window; gc with keepCommits covering " +
+            "worst-case consumer lag")
+      forVersion(spark, fs, rootPath, m, parent, None, format, options)
+        .map(_.withColumn(CommitVersionCol, lit(v)))
+    }
+    if (frames.nonEmpty) frames.reduce(_ unionByName _)
+    else {
+      // empty feed with the right shape: table schema + the two tags
+      val base = ManifestTable.read(spark, root)
+      base.limit(0)
+        .withColumn(ChangeTypeCol, lit(null).cast("string"))
+        .withColumn(CommitVersionCol, lit(null).cast("long"))
+    }
+  }
+
+  /** One version's change rows (no `_commit_version` yet), or None when
+    * the commit changed no rows (fold / pointer-only). `parent` is the
+    * newest valid version below it — None means initial snapshot (all
+    * files are inserts). `pinnedSchema`, when given (the streaming
+    * reader), fixes the DATA schema the added files are read with.
+    * Throws on an uncaptured rewrite, naming the fix.
+    */
+  private[graft] def forVersion(spark: SparkSession, fs: FileSystem, root: Path,
+      m: Manifest, parent: Option[Manifest], pinnedSchema: Option[StructType],
+      format: String, options: Map[String, String]): Option[DataFrame] = {
+    if (m.changes.nonEmpty) {
+      // authoritative write-time record: exact, already tagged
+      val p = new Path(root, m.changes)
+      val r = spark.read.format(format)
+        .options(FormatDefaults.read(format) ++ options)
+      return Some(pinnedSchema.fold(r)(s => r.schema(withChangeType(s)))
+        .load(p.toString))
+    }
+    val childRefs = ManifestTable.liveFileRefs(fs, root, m)
+    val parentRefs = parent.map(ManifestTable.liveFileRefs(fs, root, _)).getOrElse(Nil)
+    val parentSet = parentRefs.map(_.rootRel).toSet
+    val childSet = childRefs.map(_.rootRel).toSet
+    val parentParts = parent.map(_.entries.map(_.part).toSet).getOrElse(Set.empty)
+    val newFolds = m.entries.filter(e => e.covers.nonEmpty && !parentParts.contains(e.part))
+    val coveredParts = newFolds.flatMap(_.covers).toSet
+    val foldParts = newFolds.map(_.part).toSet
+    val removed = parentRefs.filter(r => !childSet.contains(r.rootRel))
+    val unexplained = removed.filterNot(r => coveredParts.contains(r.part))
+    if (unexplained.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed at $root: commit ${m.seq} removed or rewrote files " +
+          s"(e.g. ${unexplained.take(3).map(_.rootRel).mkString(", ")}) without a " +
+          "change record — overwrites/partition rewrites are not change-captured; " +
+          "row-level changes need ManifestMerge.withChangeFeed (or restart the " +
+          "consumer from the new state)")
+    val added = childRefs.filter(r =>
+      !parentSet.contains(r.rootRel) && !foldParts.contains(r.part))
+    if (added.isEmpty) None
+    else Some(readRefs(spark, root, m.partCol, added, pinnedSchema, format, options)
+      .withColumn(ChangeTypeCol, lit("insert")))
+  }
+
+  private[graft] def withChangeType(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = true))
+
+  /** Read root-relative file refs WITH the partition column recovered:
+    * files group by their enclosing generation base so partition
+    * inference sees uniform `partCol=` depth per group (the same
+    * discipline as every manifest read path), then union. For a
+    * pinned-schema read the partition values still come from the
+    * directory names; Spark reconciles them into the declared column.
+    */
+  private def readRefs(spark: SparkSession, root: Path, partCol: String,
+      refs: Seq[FileRef], pinnedSchema: Option[StructType],
+      format: String, options: Map[String, String]): DataFrame = {
+    def reader = {
+      val r = spark.read.format(format).options(FormatDefaults.read(format) ++ options)
+      pinnedSchema.fold(r)(r.schema)
+    }
+    if (partCol.isEmpty)
+      reader.load(refs.map(r => new Path(root, r.rootRel).toString): _*)
+    else {
+      val groups = refs.groupBy { r =>
+        val comps = r.rootRel.split('/')
+        require(comps.length >= 2 && comps(comps.length - 2).startsWith(partCol + "="),
+          s"file ${r.rootRel} is not under a $partCol= partition directory")
+        comps.dropRight(2).mkString("/")
+      }
+      groups.toSeq.sortBy(_._1).map { case (base, rs) =>
+        val basePath = if (base.isEmpty) root else new Path(root, base)
+        reader.option("basePath", basePath.toString)
+          .load(rs.map(r => new Path(root, r.rootRel).toString): _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** CDC's defining invariant, used by the spec and available to
+    * callers as a consistency probe: applying `between(from+1, to)` to
+    * the snapshot at `from` must reproduce the snapshot at `to` —
+    * delete preimages and update preimages leave, inserts and update
+    * postimages arrive.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    // fold version by version: each version's changes apply atomically
+    val versions = changes.select(CommitVersionCol).distinct()
+      .collect().map(_.getLong(0)).sorted
+    versions.foldLeft(snapshot) { (snap, v) =>
+      val cv = changes.filter(col(CommitVersionCol) === v)
+      val gone = cv.filter(col(ChangeTypeCol).isin("delete", "update_preimage"))
+        .select(keys.map(col): _*).dropDuplicates(keys)
+      val arrived = cv.filter(col(ChangeTypeCol).isin("insert", "update_postimage"))
+        .drop(ChangeTypeCol, CommitVersionCol)
+      snap.join(gone, keys.toSeq, "left_anti").unionByName(arrived)
+    }
+  }
+}

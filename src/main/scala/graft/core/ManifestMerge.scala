@@ -64,6 +64,7 @@ final case class ManifestMerge(
     deleteMatched: Boolean = false,
     insertNotMatched: Boolean = false,
     validateSourceKeys: Boolean = true,
+    changeFeed: Boolean = false,
 ) {
   require(keys.nonEmpty, "MERGE needs key columns")
 
@@ -81,6 +82,24 @@ final case class ManifestMerge(
 
   /** Unmatched source rows are inserted (into their own partitions). */
   def whenNotMatchedInsert(): ManifestMerge = copy(insertNotMatched = true)
+
+  /** Capture this merge's row-level changes (round 16, the Delta
+    * change-data-feed discipline): alongside the rewrite, the exact
+    * changed rows — `update_preimage`/`update_postimage`/`delete`/
+    * `insert`, in Delta's vocabulary — land as a parquet record under
+    * `_changes/<gen>`, and the commit names it atomically
+    * ([[Manifest.changes]]). [[ManifestChanges]] then serves
+    * `table_changes(from, to)` and the streaming change feed EXACTLY
+    * across this commit instead of failing on the rewrite.
+    *
+    * Cost contract: one extra job bounded by the TOUCHED files + the
+    * source — the same pruned inputs the rewrite reads, never the
+    * table — and O(changed rows) of gc-swept storage. A crash between
+    * the record write and the commit leaves an unreferenced record the
+    * next gc ages out; the commit itself can never land without its
+    * record.
+    */
+  def withChangeFeed(enabled: Boolean = true): ManifestMerge = copy(changeFeed = enabled)
 
   private val MaxAttempts = 10
 
@@ -130,6 +149,7 @@ final case class ManifestMerge(
       } catch {
         case _: ManifestStaleException =>
           fs.delete(new Path(root, gen), true)
+          fs.delete(new Path(root, s"${ManifestTable.ChangesDir}/$gen"), true)
         case scala.util.control.NonFatal(e) =>
           // commit success is TERMINAL (round-15 discipline): attempt()
           // swallows everything after its successful commit, so a
@@ -145,14 +165,13 @@ final case class ManifestMerge(
             en.dir == gen || en.dir.startsWith(gen + "/")))
           if (committedByUs) throw e
           fs.delete(new Path(root, gen), true)
+          fs.delete(new Path(root, s"${ManifestTable.ChangesDir}/$gen"), true)
       }
     }
     throw new java.io.IOException(
       s"MERGE at $layoutDir lost the optimistic-commit race $MaxAttempts times — " +
         "sustained concurrent-writer contention; nothing was lost, retry when it clears")
   }
-
-  import ManifestMerge.FileRef
 
   private def attempt(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       root: Path, manifest: Manifest, gen: String, source: DataFrame,
@@ -162,28 +181,7 @@ final case class ManifestMerge(
       s"manifest at $root partitions on '${manifest.partCol}', caller expected '$partCol'")
 
     // ---- the live file inventory, root-relative (metadata only)
-    val refs: Seq[FileRef] = manifest.entries.flatMap { e =>
-      val own: Seq[FileRef] =
-        if (e.allStats.nonEmpty || e.files.nonEmpty) {
-          val dirPrefix = if (e.dir.isEmpty) "" else e.dir + "/"
-          e.stats.map(st => FileRef(e.part, dirPrefix + st.name, Some(st), st.len)) ++
-            e.carry.map(st => FileRef(e.part, st.name, Some(st), st.len)) ++
-            (if (e.stats.isEmpty && e.carry.isEmpty)
-              e.files.map(f => FileRef(e.part, dirPrefix + f, None,
-                fs.getFileStatus(new Path(root, dirPrefix + f)).getLen))
-            else Nil)
-        } else {
-          // pre-stats entry referencing a whole dir: one listing
-          val dir = if (e.dir.isEmpty) root else new Path(root, e.dir)
-          fs.listStatus(dir).toSeq
-            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-            .map(s => FileRef(e.part,
-              (if (e.dir.isEmpty) "" else e.dir + "/") + s.getPath.getName,
-              None, s.getLen))
-        }
-      own
-    }
+    val refs: Seq[FileRef] = ManifestTable.liveFileRefs(fs, root, manifest)
 
     // ---- phase 1: envelope pruning, zero I/O
     val candidates =
@@ -199,7 +197,11 @@ final case class ManifestMerge(
       if (candidates.isEmpty) None
       else Some(readRefs(spark, root, candidates,
         project = Some(keys.map(col) :+ col("_metadata.file_path").as("__file"))))
+    // an insert-ONLY merge touches no existing file (matched rows have
+    // no action) — skip the find-touched job and rewrite nothing
+    val needRewrite = updateExprs.nonEmpty || deleteMatched
     val touchedPaths: Set[String] = candKeysDf match {
+      case _ if !needRewrite => Set.empty
       case None => Set.empty
       case Some(df) =>
         df.join(srcKeysDf, keys.toSeq)
@@ -222,20 +224,34 @@ final case class ManifestMerge(
     val tgtCols: Seq[String] =
       if (partCol.nonEmpty) probeSchema.fieldNames.toSeq :+ partCol
       else probeSchema.fieldNames.toSeq
+    // change capture (round 16, CDF): the exact changed rows, built
+    // from the SAME pruned inputs the rewrite reads (touched files +
+    // source) — one extra bounded job, written under _changes/<gen>
+    // and named atomically by the commit below
+    var changeParts = Seq.empty[DataFrame] // each: tgtCols + _change_type
+    def tagged(df: DataFrame, kind: String): DataFrame =
+      df.select(tgtCols.map(col): _*).withColumn("_change_type", lit(kind))
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
         val tgtRows = readRefs(spark, root, touched)
         val keep = tgtRows.join(srcKeysDf, keys.toSeq, "left_anti")
+        def matched = tgtRows.join(srcKeysDf, keys.toSeq, "left_semi")
         val out =
-          if (deleteMatched) keep
-          else {
+          if (deleteMatched) {
+            if (changeFeed) changeParts :+= tagged(matched, "delete")
+            keep
+          } else {
             val joined = tgtRows.alias("t").join(source.alias("s"), keys.toSeq, "inner")
             val cols = tgtRows.columns.toSeq.map { c =>
               updateExprs.get(c) match {
                 case Some(f) => f(source, tgtRows).as(c)
                 case None    => col(s"t.$c").as(c)
               }
+            }
+            if (changeFeed) {
+              changeParts :+= tagged(matched, "update_preimage")
+              changeParts :+= tagged(joined.select(cols: _*), "update_postimage")
             }
             keep.unionByName(joined.select(cols: _*))
           }
@@ -258,6 +274,7 @@ final case class ManifestMerge(
         }
         Some(unmatched.select(filled: _*))
       }
+    if (changeFeed) inserts.foreach(i => changeParts :+= tagged(i, "insert"))
     val outDf: Option[DataFrame] = (rewritten, inserts) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b) => a.orElse(b)
@@ -282,6 +299,22 @@ final case class ManifestMerge(
         bound.repartition(1).write.mode("error").parquet(genPath.toString)
       fs.delete(new Path(genPath, "_SUCCESS"), false)
     }
+
+    // ---- change record BEFORE the commit that names it: the pointer
+    // flip atomically activates data AND change feed together; a crash
+    // in between leaves an unreferenced record gc ages out
+    val changesRel: Option[String] =
+      if (changeParts.isEmpty) None
+      else {
+        val rel = s"${ManifestTable.ChangesDir}/$gen"
+        val chg = changeParts.reduce(_ unionByName _)
+        val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+        ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        val bound = org.apache.spark.sql.graft.Bridge.ofRows(ws, chg.queryExecution.analyzed)
+        bound.write.mode("error").parquet(new Path(root, rel).toString)
+        fs.delete(new Path(new Path(root, rel), "_SUCCESS"), false)
+        Some(rel)
+      }
 
     // ---- assemble the commit: new files + carried untouched files
     val touchedSet = touched.map(_.rootRel).toSet
@@ -322,7 +355,8 @@ final case class ManifestMerge(
       return MergeResult(refs.size, candidates.size, 0, 0, Nil, attempts)
 
     ManifestMerge.beforeMergeCommit()
-    ManifestTable.commit(fs, root, partCol, updates, expectedSeq = Some(manifest.seq))
+    ManifestTable.commit(fs, root, partCol, updates, expectedSeq = Some(manifest.seq),
+      changes = changesRel)
     // commit success is TERMINAL: anything after the pointer flip is
     // best-effort — a transient gc failure must never fail (or worse,
     // retry and double-apply) a merge that already landed
@@ -376,10 +410,4 @@ object ManifestMerge {
   @volatile private[graft] var beforeMergeCommit: () => Unit = () => ()
   @volatile private[graft] var afterMergeCommit: () => Unit = () => ()
 
-  /** One file the live manifest references: its owning entry's part,
-    * its root-relative path (the carry encoding), and its recorded
-    * stats when the manifest has them.
-    */
-  private[core] final case class FileRef(part: String, rootRel: String,
-      stat: Option[FileStat], len: Long)
 }

@@ -56,8 +56,24 @@ final case class ManifestEntry(part: String, dir: String, files: Seq[String],
   def allStats: Seq[FileStat] = stats ++ carry
 }
 
+/** `changes` (round 16, per-commit, never carried forward): the
+  * root-relative directory holding THIS commit's row-level change
+  * record (`_changes/<gen>`, parquet: data columns + partCol +
+  * `_change_type`) — written by a change-capturing writer BEFORE its
+  * commit and named atomically by the pointer flip, the Delta
+  * change-data-feed discipline. Empty = no record; readers synthesize
+  * (appends, folds) or fail loudly (uncaptured rewrites) — see
+  * [[ManifestChanges]].
+  */
 final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry],
-    statsCols: Seq[String] = Nil)
+    statsCols: Seq[String] = Nil, changes: String = "")
+
+/** One data file a committed manifest references: its owning entry's
+  * part key, its ROOT-relative path (the carry encoding), its recorded
+  * stats when the manifest has them, and its byte length.
+  */
+final case class FileRef(part: String, rootRel: String,
+    stat: Option[FileStat], len: Long)
 
 /** Liveness failure, named: `commit()` spent its whole young-gap wait
   * ceiling blocked behind open-but-unwritten newer commits (a stream of
@@ -147,6 +163,11 @@ final class ManifestStaleException(msg: String) extends java.io.IOException(msg)
   */
 object ManifestTable {
   val CommitsDir = "_commits"
+  /** Root child holding per-commit row-level change records (round 16):
+    * underscore-prefixed so data readers and adoption never see it;
+    * swept by [[gc]] alongside the commit window it serves.
+    */
+  val ChangesDir = "_changes"
   private val Header = "graft-manifest"
   private val TokenRe = "[A-Za-z0-9_=.:@+-]*".r
   /** Serialized-manifest budget above which column envelopes are shed
@@ -211,9 +232,15 @@ object ManifestTable {
       .append(m.seq).append('\t').append(token(m.partCol))
     // optional 5th header field (round 16): the table's statsCols
     // choice — which columns get envelope budget — persisted so every
-    // later writer (compaction, merge, sink) keeps the same coverage
-    if (m.statsCols.nonEmpty)
+    // later writer (compaction, merge, sink) keeps the same coverage.
+    // Optional 6th (round 16, CDF): this commit's change-record dir —
+    // per-commit, so it is set fresh on each serialize, never carried.
+    if (m.statsCols.nonEmpty || m.changes.nonEmpty)
       body.append('\t').append(m.statsCols.map(token).mkString(","))
+    if (m.changes.nonEmpty) {
+      m.changes.split('/').foreach(token)
+      body.append('\t').append(m.changes)
+    }
     body.append('\n')
     m.entries.sortBy(_.part).foreach { e =>
       body.append(token(e.part)).append('\t')
@@ -290,11 +317,12 @@ object ManifestTable {
     val lines = payload.split("\n", -1).toSeq.dropRight(1) // payload ends with \n
     if (lines.isEmpty) return None
     val head = lines.head.split("\t", -1)
-    if ((head.length != 4 && head.length != 5) ||
+    if ((head.length < 4 || head.length > 6) ||
       head(0) != Header || head(1) != "1") return None
     val seq = head(2).toLongOption.getOrElse(return None)
     val statsCols =
       if (head.length < 5 || head(4).isEmpty) Nil else head(4).split(',').toSeq
+    val changes = if (head.length < 6) "" else head(5)
     val entries = lines.tail.map { ln =>
       val f = ln.split("\t", -1)
       if (f.length != 3 && f.length != 5 && f.length != 6) return None
@@ -319,7 +347,7 @@ object ManifestTable {
       ManifestEntry(f(0), f(1),
         if (f(2).isEmpty) Nil else f(2).split(',').toSeq, stats, covers, carry)
     }
-    Some(Manifest(seq, head(3), entries, statsCols))
+    Some(Manifest(seq, head(3), entries, statsCols, changes))
   }
 
   /** Create-race losses across all commits this JVM made — the cheap
@@ -489,7 +517,8 @@ object ManifestTable {
       updates: Map[String, Option[ManifestEntry]],
       invalidGraceMs: Long = 30000L,
       expectedSeq: Option[Long] = None,
-      statsCols: Option[Seq[String]] = None): Manifest = {
+      statsCols: Option[Seq[String]] = None,
+      changes: Option[String] = None): Manifest = {
     var attempts = 0
     val firstSeen = scala.collection.mutable.Map.empty[Long, Long]
     var gapWaitedMs = 0L
@@ -538,9 +567,10 @@ object ManifestTable {
         val merged = carried ++ updates.toSeq.sortBy(_._1).flatMap(_._2)
         val seq = seqs.headOption.getOrElse(0L) + 1
         // statsCols persists across commits: None carries the current
-        // table choice forward, Some sets (or clears, with Nil) it
+        // table choice forward, Some sets (or clears, with Nil) it.
+        // `changes` is per-commit by contract — never carried forward.
         val sc = statsCols.getOrElse(cur.map(_.statsCols).getOrElse(Nil))
-        var m = Manifest(seq, partCol, merged, sc)
+        var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""))
         var bytes = serialize(m)
         if (bytes.length > StatsStripBytes) {
           // Column envelopes are advisory; the (name, len) listing is
@@ -730,6 +760,35 @@ object ManifestTable {
       else Nil
     own ++ e.carry.map(c => new Path(root, c.name))
   }
+
+  /** Every data file `m` references, as root-relative [[FileRef]]s —
+    * the flat inventory the row-level merge prunes and the change-feed
+    * reader diffs. Stats-bearing and explicit-file entries resolve with
+    * ZERO filesystem calls (the manifest is the listing); a pre-stats
+    * whole-directory entry falls back to one listing.
+    */
+  private[graft] def liveFileRefs(fs: FileSystem, root: Path,
+      m: Manifest): Seq[FileRef] =
+    m.entries.flatMap { e =>
+      if (e.allStats.nonEmpty || e.files.nonEmpty) {
+        val dirPrefix = if (e.dir.isEmpty) "" else e.dir + "/"
+        e.stats.map(st => FileRef(e.part, dirPrefix + st.name, Some(st), st.len)) ++
+          e.carry.map(st => FileRef(e.part, st.name, Some(st), st.len)) ++
+          (if (e.stats.isEmpty && e.carry.isEmpty)
+            e.files.map(f => FileRef(e.part, dirPrefix + f, None,
+              fs.getFileStatus(new Path(root, dirPrefix + f)).getLen))
+          else Nil)
+      } else {
+        // pre-stats entry referencing a whole dir: one listing
+        val dir = if (e.dir.isEmpty) root else new Path(root, e.dir)
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(s => FileRef(e.part,
+            (if (e.dir.isEmpty) "" else e.dir + "/") + s.getPath.getName,
+            None, s.getLen))
+      }
+    }
 
   /** Entries with carried files split into per-directory pseudo-entries
     * so the generation-grouped read paths (one basePath per group) see
@@ -1028,6 +1087,28 @@ object ManifestTable {
       if (!name.startsWith("_") && !name.startsWith(".") && fs.exists(p)) {
         reclaimed += sizeOf(p)
         fs.delete(p, recursive)
+      }
+    }
+    // change records (round 16, CDF): records named by kept commits
+    // survive; records referenced only by dropped commits retire with
+    // them; never-committed strays (a crashed merge wrote its record
+    // but died before the pointer flip) age out under the same
+    // retention window as g-* orphans — a merge in flight right now
+    // has a young record that must not be swept from under its commit
+    val chgDir = new Path(root, ChangesDir)
+    if (fs.exists(chgDir)) {
+      val keptChg = kept.map(_.changes).filter(_.nonEmpty)
+        .map(c => new Path(c).getName).toSet
+      val droppedChg = dropped.map(_.changes).filter(_.nonEmpty)
+        .map(c => new Path(c).getName).toSet -- keptChg
+      fs.listStatus(chgDir).foreach { s =>
+        val n = s.getPath.getName
+        val dead = !keptChg.contains(n) && (droppedChg.contains(n) ||
+          orphanAge(s"$ChangesDir/$n").exists(mt => now - mt >= orphanRetentionMs))
+        if (dead) {
+          reclaimed += sizeOf(s.getPath)
+          fs.delete(s.getPath, true)
+        }
       }
     }
     // retire commit files older than the kept window (and any corrupt

@@ -1134,16 +1134,17 @@ object StorageOps {
     * event_id-range files (so key envelopes are selective), then put
     * through TWO row-level merges ([[graft.core.ManifestMerge]]):
     * a keyed update+insert (value correction for ids 100-299 plus
-    * shifted-id echo rows) and a keyed delete (ids 300-399). Rebuilt
-    * from scratch if the `_MERGED` marker is missing — a crash between
-    * copy and merges must not leave a half-merged layout passing as
-    * done.
+    * shifted-id echo rows) and a keyed delete (ids 300-399), both
+    * CHANGE-CAPTURED (`withChangeFeed`) so q153 can read the exact
+    * row-level feed back. Rebuilt from scratch if the `_MERGED_CDF`
+    * marker is missing — a crash between copy and merges (or a layout
+    * built before change capture existed) must not pass as done.
     */
   def ensureMergedLayout(spark: SparkSession, dir: String): String =
     synchronized {
       val path = s"${layoutBase(spark, dir)}/events_merged"
       val key = s"merged:$path"
-      if (!layoutsBuilt.contains(key) || !markerExists(spark, path, "_MERGED")) {
+      if (!layoutsBuilt.contains(key) || !markerExists(spark, path, "_MERGED_CDF")) {
         val ev = Tables.load(spark, dir, "events")
           .withColumn("day", to_date(col("ts")))
         withMicrosTimestamps(spark) { ws =>
@@ -1158,13 +1159,15 @@ object StorageOps {
         graft.core.ManifestMerge(path, Seq("event_id"))
           .whenMatchedUpdate(Map("value" -> ((s, _) => s("value"))))
           .whenNotMatchedInsert()
+          .withChangeFeed()
           .run(upd.unionByName(ins))
         // merge 2: keyed DELETE
         graft.core.ManifestMerge(path, Seq("event_id"))
           .whenMatchedDelete()
+          .withChangeFeed()
           .run(ev.filter(col("event_id").between(MergeDeleteLo, MergeDeleteHi))
             .select("event_id"))
-        touchMarker(spark, path, "_MERGED")
+        touchMarker(spark, path, "_MERGED_CDF")
         layoutsBuilt += key
       }
       path
@@ -1239,6 +1242,107 @@ object StorageOps {
       |  max(make_timestamp(epoch_ns(ts) // 1000)) AS max_ts
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** q153: the row-level CHANGE DATA FEED of the merged layout — what
+    * an incremental downstream (replication, feature refresh, audit)
+    * consumes instead of re-reading snapshots. The two q151 merges are
+    * change-captured ([[graft.core.ManifestMerge.withChangeFeed]]):
+    * each commit's exact `update_preimage`/`update_postimage`/`insert`/
+    * `delete` rows land under `_changes/` and the commit names them
+    * atomically; this query reads the feed back through the public
+    * `readChangeFeed` option ([[graft.core.ManifestChanges]]) and
+    * profiles it per change type and day. The value oracle recomputes
+    * every change row from the raw table and the merge spec in SQL —
+    * proving the captured feed is the exact delta, not an
+    * approximation. At 100 TB the feed costs O(changed rows), never a
+    * snapshot diff; an uncaptured rewrite fails the feed loudly rather
+    * than misreporting churn.
+    */
+  def changeFeedAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureMergedLayout(spark, dir)
+    val (fs, rootPath) = hfsPath(spark, path)
+    val vs = graft.core.ManifestChanges.versionsWithChanges(fs, rootPath)
+    require(vs.nonEmpty, s"merged layout at $path carries no change records")
+    spark.read.format("graftmanifest")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", vs.min.toString)
+      .option("endingVersion", vs.max.toString)
+      .load(path)
+      .groupBy($"_change_type", $"day")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"_change_type", $"day")
+  }
+
+  private def oracleChangeFeedAudit: String =
+    s"""WITH chg AS (
+       |  SELECT 'update_preimage' AS _change_type, CAST(ts AS DATE) AS day, value
+       |  FROM events WHERE event_id BETWEEN $MergeUpdateLo AND $MergeUpdateHi
+       |  UNION ALL
+       |  SELECT 'update_postimage', CAST(ts AS DATE), value + 1000
+       |  FROM events WHERE event_id BETWEEN $MergeUpdateLo AND $MergeUpdateHi
+       |  UNION ALL
+       |  SELECT 'insert', CAST(ts AS DATE), value + 1000
+       |  FROM events WHERE event_id BETWEEN $MergeUpdateLo AND $MergeUpdateHi
+       |  UNION ALL
+       |  SELECT 'delete', CAST(ts AS DATE), value
+       |  FROM events WHERE event_id BETWEEN $MergeDeleteLo AND $MergeDeleteHi
+       |)
+       |SELECT _change_type, day, count(*)::BIGINT AS n_rows,
+       |  round(sum(value), 2) AS sum_value
+       |FROM chg GROUP BY 1, 2 ORDER BY _change_type, day""".stripMargin
+
+  /** q154: INCREMENTAL aggregate maintenance from the change feed —
+    * the flagship CDF consumer. The per-day rollup starts from the
+    * PRE-merge snapshot's aggregate and applies only the feed's
+    * deltas: inserts and update postimages count +1, deletes and
+    * update preimages count −1 (self-maintainable aggregates, the
+    * materialized-view delta discipline). The oracle recomputes the
+    * POST-merge rollup from scratch — incremental == full proves the
+    * feed is a complete, exact delta. At 100 TB this is the point of
+    * CDF: refreshing a downstream aggregate costs O(changed rows),
+    * not a table scan. Integer measures only (count, sum of bigint) —
+    * exact under signed cancellation, no float-order wobble.
+    */
+  def incrementalAggMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureMergedLayout(spark, dir)
+    val (fs, rootPath) = hfsPath(spark, path)
+    val vs = graft.core.ManifestChanges.versionsWithChanges(fs, rootPath)
+    require(vs.nonEmpty, s"merged layout at $path carries no change records")
+    // the pre-merge snapshot's aggregate (= the raw table's: the layout
+    // is a verbatim manifested copy before its merges)
+    val base = Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("b_n"), sum($"user_id").as("b_uid"))
+    val feed = graft.core.ManifestChanges.between(spark, path, vs.min, vs.max)
+    val delta = feed
+      .withColumn("sgn",
+        when($"_change_type".isin("insert", "update_postimage"), lit(1L))
+          .otherwise(lit(-1L)))
+      .groupBy($"day")
+      .agg(sum($"sgn").as("d_n"), sum($"user_id" * $"sgn").as("d_uid"))
+    base.join(delta, Seq("day"), "full_outer")
+      .select($"day",
+        (coalesce($"b_n", lit(0L)) + coalesce($"d_n", lit(0L))).as("n_rows"),
+        (coalesce($"b_uid", lit(0L)) + coalesce($"d_uid", lit(0L))).as("sum_uid"))
+      .filter($"n_rows" > 0)
+      .orderBy($"day")
+  }
+
+  private def oracleIncrementalAgg: String =
+    s"""WITH m AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+       |  WHERE event_id NOT BETWEEN $MergeDeleteLo AND $MergeDeleteHi
+       |  UNION ALL
+       |  SELECT CAST(ts AS DATE) AS day, user_id
+       |  FROM events WHERE event_id BETWEEN $MergeUpdateLo AND $MergeUpdateHi
+       |)
+       |SELECT day, count(*)::BIGINT AS n_rows,
+       |  coalesce(sum(user_id), 0)::BIGINT AS sum_uid
+       |FROM m GROUP BY 1 ORDER BY day""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_bucketed_join" -> (bucketedJoin _),
     "q134_partition_prune" -> (partitionPrunedRollup _),
@@ -1253,6 +1357,8 @@ object StorageOps {
     "q150_metadata_stats" -> (manifestMetadataStats _),
     "q151_merge_audit" -> (mergeAudit _),
     "q152_partition_profile" -> (partitionProfile _),
+    "q153_change_feed" -> (changeFeedAudit _),
+    "q154_incremental_agg" -> (incrementalAggMaintenance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1269,5 +1375,7 @@ object StorageOps {
     "q150_metadata_stats" -> oracleManifestMetadata,
     "q151_merge_audit" -> oracleMergeAudit,
     "q152_partition_profile" -> oraclePartitionProfile,
+    "q153_change_feed" -> oracleChangeFeedAudit,
+    "q154_incremental_agg" -> oracleIncrementalAgg,
   )
 }

@@ -70,7 +70,7 @@ class GraftManifestDataSource extends RelationProvider
         "read them in batch")
     (path, parameters.getOrElse("format", "parquet"),
       parameters -- Seq("path", "partCol", "parts", "format", "versionAsOf",
-        "mergeSchema", "mergeSchemaAllowMissing"))
+        "mergeSchema", "mergeSchemaAllowMissing", "readChangeFeed"))
   }
 
   /** `spark.readStream.format("graftmanifest").load(path)` — each
@@ -91,7 +91,15 @@ class GraftManifestDataSource extends RelationProvider
       ManifestFileIndex.relation(sqlContext.sparkSession, path, "", None,
         format, passThrough, mergeSchema = mergeSchema,
         mergeSchemaAllowMissing = allowMissing).schema)
-    (shortName(), inferred)
+    // change-feed mode (round 16): the stream's rows are change rows —
+    // data columns + Delta-vocabulary _change_type + _commit_version
+    val cdf = parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+    val resolved = if (!cdf) inferred else StructType(
+      graft.core.ManifestChanges.withChangeType(inferred).fields :+
+        org.apache.spark.sql.types.StructField(
+          graft.core.ManifestChanges.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    (shortName(), resolved)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -99,7 +107,8 @@ class GraftManifestDataSource extends RelationProvider
       parameters: Map[String, String]): Source = {
     val (path, format, passThrough) = streamParams(parameters)
     val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new GraftManifestSource(sqlContext.sparkSession, path, format, passThrough, resolved)
+    new GraftManifestSource(sqlContext.sparkSession, path, format, passThrough, resolved,
+      cdf = parameters.get("readChangeFeed").exists(_.trim.toBoolean))
   }
 
   override def shortName(): String = "graftmanifest"
@@ -140,6 +149,31 @@ class GraftManifestDataSource extends RelationProvider
     // listed version
     if (parameters.get("history").exists(_.trim.toBoolean)) {
       val df = graft.core.ManifestTable.history(sqlContext.sparkSession, path)
+      val sqlCtx = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sqlCtx
+        override def schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.rdd
+      }
+    }
+    // `readChangeFeed=true` (round 16): the table's row-level change
+    // feed over [startingVersion, endingVersion] (defaults: the whole
+    // retained window) — data columns + _change_type + _commit_version,
+    // the Delta table_changes surface ([[graft.core.ManifestChanges]])
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean)) {
+      val spark = sqlContext.sparkSession
+      val rootPath = new org.apache.hadoop.fs.Path(path)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val fmt = parameters.getOrElse("format", "parquet")
+      val pass = parameters -- Seq("path", "partCol", "parts", "format",
+        "readChangeFeed", "startingVersion", "endingVersion")
+      val start = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(1L)
+      val end = parameters.get("endingVersion").map(_.trim.toLong).getOrElse(
+        graft.core.ManifestTable.resolve(fs, rootPath).map(_.seq).getOrElse(
+          throw new IllegalArgumentException(
+            s"graftmanifest readChangeFeed: no manifested table at $path")))
+      val df = graft.core.ManifestChanges.between(spark, path, start, end, fmt, pass)
       val sqlCtx = sqlContext
       return new BaseRelation with org.apache.spark.sql.sources.TableScan {
         override def sqlContext: SQLContext = sqlCtx

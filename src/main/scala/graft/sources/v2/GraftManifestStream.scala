@@ -70,7 +70,14 @@ final class GraftManifestSource(
     format: String,
     options: Map[String, String],
     override val schema: StructType,
+    cdf: Boolean = false,
 ) extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  /** CDF mode: `schema` carries the two tag columns; the files
+    * themselves are read with the data schema.
+    */
+  private val dataSchema: StructType =
+    if (cdf) StructType(schema.fields.dropRight(2)) else schema
 
   private val rootPath = new Path(path)
   private def fs: FileSystem =
@@ -88,7 +95,7 @@ final class GraftManifestSource(
     * knobs are OURS, not the file format's.
     */
   private val readOptions: Map[String, String] =
-    options -- Seq("maxCommitsPerTrigger", "maxBytesPerTrigger")
+    options -- Seq("maxCommitsPerTrigger", "maxBytesPerTrigger", "readChangeFeed")
 
   private def seqOf(o: LegacyOffset): Long = o match {
     case l: LongOffset => l.offset
@@ -224,6 +231,7 @@ final class GraftManifestSource(
     ManifestTable.resolve(fs, rootPath).map(m => LongOffset(m.seq))
 
   override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
+    if (cdf) return getChangeBatch(start, end)
     val endM = manifestAt(seqOf(end))
     val startEntries: Map[String, ManifestEntry] = start match {
       case None => Map.empty
@@ -258,12 +266,22 @@ final class GraftManifestSource(
             "commit, or restart the stream")
       val coveredRetired = newFolds.flatMap(_.covers).toSet
       val genuinelyRetired = retired -- coveredRetired
-      if (genuinelyRetired.nonEmpty)
+      if (genuinelyRetired.nonEmpty) {
+        // if the rewrite was change-captured (a merge with CDF), the
+        // fix is a mode switch, not a restart — say so
+        val captured = ManifestTable.commitSeqs(fs, rootPath)
+          .filter(s => start.forall(o => s > seqOf(o)) && s <= seqOf(end))
+          .exists(s => cachedResolveAt(s).exists(_.changes.nonEmpty))
+        val hint = if (captured)
+          "the rewrite IS change-captured — read it with " +
+            "option(\"readChangeFeed\", \"true\") to consume row-level changes; or "
+        else ""
         throw new IllegalStateException(
           s"graftmanifest stream at $path: commits ${start.map(seqOf)}..${seqOf(end)} " +
             s"RETIRED or rewrote entries [${genuinelyRetired.toSeq.sorted.take(5).mkString(", ")}] — " +
-            "this source streams APPEND-ONLY tables; an overwrite/upsert/compaction " +
-            "rewrote data mid-stream, restart the stream against the new state")
+            s"this source streams APPEND-ONLY tables; ${hint}restart the stream " +
+            "against the new state")
+      }
     }
     val added: Seq[ManifestEntry] = endM.entries
       .filterNot(e => startEntries.contains(e.part))
@@ -276,6 +294,39 @@ final class GraftManifestSource(
         .options(graft.core.FormatDefaults.read(format) ++ readOptions).load(paths: _*)
     // the engine asserts isStreaming on what getBatch returns — re-tag
     // the batch rows the way FileStreamSource does
+    org.apache.spark.sql.graft.Bridge.asStreamingFrame(spark, batch, schema)
+  }
+
+  /** CDF-mode micro-batch (round 16): the union of each new version's
+    * change rows — exact records for captured merges, synthesized
+    * inserts for appends, nothing for folds, loud failure for
+    * uncaptured rewrites ([[graft.core.ManifestChanges.forVersion]]).
+    * Versions chain parent-to-child inside the batch, so a multi-commit
+    * batch attributes every row to its `_commit_version`. This is how a
+    * continuous pipeline survives a MERGE-maintained upstream: the
+    * plain stream must fail on the rewrite, the change stream consumes
+    * it.
+    */
+  private def getChangeBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val startSeq = start.map(seqOf).getOrElse(0L)
+    val endSeq = seqOf(end)
+    val vs = ManifestTable.commitSeqs(fs, rootPath)
+      .filter(s => s > startSeq && s <= endSeq).sorted
+      .flatMap(s => cachedResolveAt(s).map(s -> _))
+    var parent: Option[graft.core.Manifest] =
+      if (startSeq == 0) None else Some(manifestAt(startSeq))
+    val frames = vs.flatMap { case (v, m) =>
+      val f = graft.core.ManifestChanges
+        .forVersion(spark, fs, rootPath, m, parent, Some(dataSchema), format, readOptions)
+        .map(_.withColumn(graft.core.ManifestChanges.CommitVersionCol, lit(v)))
+      parent = Some(m)
+      f
+    }
+    val batch =
+      if (frames.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else frames.reduce(_ unionByName _)
+        .select(schema.fieldNames.map(col).toSeq: _*)
     org.apache.spark.sql.graft.Bridge.asStreamingFrame(spark, batch, schema)
   }
 

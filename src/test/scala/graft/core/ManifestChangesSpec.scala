@@ -1,0 +1,294 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Change data feed over manifested tables (round 16): write-time
+  * capture for merges, synthesized inserts for appends, silence for
+  * folds, loud failure for uncaptured rewrites — and the CDC
+  * invariant: old snapshot + feed = new snapshot, exactly.
+  */
+class ManifestChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs = new Path(tmp).getFileSystem(spark.sessionState.newHadoopConf())
+  private lazy val tmp = tmpDir("manifest-changes")
+  private var n = 0
+  private def freshRoot(): String = { n += 1; s"$tmp/t$n" }
+
+  /** Same 600-row / 5-day / disjoint-id-range shape as
+    * ManifestMergeSpec — envelopes selective, every day populated.
+    */
+  private def buildLayout(root: String): Unit = {
+    val df = spark.range(0, 600).select(
+      col("id"),
+      (col("id") * 10).as("v"),
+      date_add(lit("2024-05-01").cast("date"), (col("id") % 5).cast("int")).as("day"))
+    ManifestWrite.write(df.repartitionByRange(6, col("id")), root, "day", SaveMode.Overwrite)
+  }
+
+  private def feed(root: String, from: Long, to: Long): DataFrame =
+    ManifestChanges.between(spark, root, from, to)
+
+  private def asSet(df: DataFrame): Set[String] = df.collect().map(_.toString).toSet
+
+  test("manifest serialization round-trips the per-commit change pointer; next commit drops it") {
+    val root = new Path(freshRoot())
+    fs.mkdirs(root)
+    val e = ManifestEntry("", "g-x", Nil, Seq(FileStat("f.parquet", 10L)))
+    val m1 = ManifestTable.commit(fs, root, "", Map("" -> Some(e)),
+      changes = Some("_changes/g-x"))
+    assert(m1.changes == "_changes/g-x")
+    assert(ManifestTable.resolve(fs, root).get.changes == "_changes/g-x")
+    // direct serialize/deserialize round trip
+    val rt = ManifestTable.deserialize(ManifestTable.serialize(m1))
+    assert(rt.contains(m1))
+    // per-commit by contract: the NEXT commit must not inherit it
+    val e2 = ManifestEntry("a2", "g-y", Nil, Seq(FileStat("f2.parquet", 11L)))
+    val m2 = ManifestTable.commit(fs, root, "", Map("a2" -> Some(e2)))
+    assert(m2.changes.isEmpty)
+    assert(ManifestTable.resolveAt(fs, root, m1.seq).get.changes == "_changes/g-x")
+  }
+
+  test("initial write and appends synthesize exact insert rows, attributed to their commit") {
+    val root = freshRoot()
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .write.format("graftmanifest").save(root)
+    Seq((4, "d"), (5, "e")).toDF("id", "v")
+      .write.format("graftmanifest").mode(SaveMode.Append).save(root)
+    Seq((6, "f")).toDF("id", "v")
+      .write.format("graftmanifest").mode(SaveMode.Append).save(root)
+    val all = feed(root, 1, 3)
+    assert(all.columns.toSeq ==
+      Seq("id", "v", "_change_type", "_commit_version"))
+    val rows = all.as[(Int, String, String, Long)].collect().toSet
+    assert(rows == Set(
+      (1, "a", "insert", 1L), (2, "b", "insert", 1L), (3, "c", "insert", 1L),
+      (4, "d", "insert", 2L), (5, "e", "insert", 2L),
+      (6, "f", "insert", 3L)))
+    // a sub-range excludes the initial snapshot
+    val tail = feed(root, 2, 3).as[(Int, String, String, Long)].collect().toSet
+    assert(tail == Set((4, "d", "insert", 2L), (5, "e", "insert", 2L),
+      (6, "f", "insert", 3L)))
+    // the public option surface reads the same feed
+    val viaOption = spark.read.format("graftmanifest")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "3")
+      .load(root)
+    assert(asSet(viaOption) == asSet(feed(root, 2, 3)))
+  }
+
+  test("captured update merge emits exact pre/post images; delete and insert merges their rows") {
+    val root = freshRoot()
+    buildLayout(root)
+    // v2: update ids 100-119 (v := v + 7)
+    ManifestMerge(root, Seq("id"))
+      .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+      .withChangeFeed()
+      .run(spark.range(100, 120).select(col("id"), (col("id") + 7).as("nv")))
+    val v2 = ManifestTable.resolve(fs, new Path(root)).get.seq
+    val upd = feed(root, v2, v2)
+      .select($"_change_type", $"id", $"v").as[(String, Long, Long)].collect().toSet
+    val expectedUpd =
+      (100L until 120L).map(i => ("update_preimage", i, i * 10)).toSet ++
+        (100L until 120L).map(i => ("update_postimage", i, i + 7)).toSet
+    assert(upd == expectedUpd)
+    // v3: delete ids 10-19
+    ManifestMerge(root, Seq("id"))
+      .whenMatchedDelete()
+      .withChangeFeed()
+      .run(spark.range(10, 20).toDF("id"))
+    val v3 = ManifestTable.resolve(fs, new Path(root)).get.seq
+    val del = feed(root, v3, v3)
+      .select($"_change_type", $"id", $"v").as[(String, Long, Long)].collect().toSet
+    assert(del == (10L until 20L).map(i => ("delete", i, i * 10)).toSet)
+    // v4: insert-only merge — new ids, NO existing file rewritten
+    val ins = spark.range(9000, 9005).select(
+      col("id"), (col("id") * 10).as("v"),
+      lit("2024-05-01").cast("date").as("day"))
+    val res = ManifestMerge(root, Seq("id"))
+      .whenNotMatchedInsert()
+      .withChangeFeed()
+      .run(ins)
+    assert(res.touchedFiles == 0,
+      s"insert-only merge must rewrite nothing, touched ${res.touchedFiles}")
+    val v4 = ManifestTable.resolve(fs, new Path(root)).get.seq
+    val insRows = feed(root, v4, v4)
+      .select($"_change_type", $"id").as[(String, Long)].collect().toSet
+    assert(insRows == (9000L until 9005L).map(i => ("insert", i)).toSet)
+    // day is recovered on every change row (partition column in the
+    // feed); v3..v4 are the versions still retained after v4's gc
+    assert(feed(root, v3, v4).filter($"day".isNull).isEmpty)
+  }
+
+  test("CDC invariant: old snapshot + feed = new snapshot, across a merge chain") {
+    val root = freshRoot()
+    buildLayout(root)
+    val before = ManifestTable.read(spark, root, partCol = "day")
+      .collect().toSeq // materialize: gc retires v1 during the chain
+    val beforeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(before),
+      ManifestTable.read(spark, root, partCol = "day").schema)
+    val v1 = ManifestTable.resolve(fs, new Path(root)).get.seq
+    // two captured merges (each merge gc's with keepCommits=2, so a
+    // longer chain would retire the commits the feed needs): an
+    // update+insert, then a delete
+    ManifestMerge(root, Seq("id"))
+      .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+      .whenNotMatchedInsert()
+      .withChangeFeed()
+      .run(spark.range(200, 260).select(col("id"), lit(-1L).as("nv"),
+        lit(-1L).as("v"), lit("2024-05-03").cast("date").as("day"))
+        .unionByName(spark.range(7000, 7020).select(col("id"),
+          lit(-1L).as("nv"), (col("id") + 1).as("v"),
+          lit("2024-05-03").cast("date").as("day"))))
+    ManifestMerge(root, Seq("id"))
+      .whenMatchedDelete()
+      .withChangeFeed()
+      .run(spark.range(50, 80).toDF("id"))
+    val latest = ManifestTable.resolve(fs, new Path(root)).get.seq
+    val applied = ManifestChanges.applyChanges(
+      beforeDf, feed(root, v1 + 1, latest), Seq("id"))
+    assert(asSet(applied) == asSet(ManifestTable.read(spark, root, partCol = "day")))
+  }
+
+  test("an uncaptured rewrite fails the feed loudly, naming the fix") {
+    val root = freshRoot()
+    buildLayout(root)
+    ManifestMerge(root, Seq("id")) // NO withChangeFeed
+      .whenMatchedDelete()
+      .run(spark.range(0, 5).toDF("id"))
+    val v = ManifestTable.resolve(fs, new Path(root)).get.seq
+    val e = intercept[IllegalStateException] { feed(root, v, v).collect() }
+    assert(e.getMessage.contains("change record") &&
+      e.getMessage.contains("withChangeFeed"), e.getMessage)
+  }
+
+  test("fold commits contribute no change rows") {
+    val root = freshRoot()
+    val rootPath = new Path(root)
+    Seq((1, "a")).toDF("id", "v").write.format("graftmanifest").save(root)
+    Seq((2, "b")).toDF("id", "v")
+      .write.format("graftmanifest").mode(SaveMode.Append).save(root)
+    val base = ManifestTable.resolve(fs, rootPath).get
+    // hand-rolled fold, the sink's shape: one repacked generation whose
+    // entry covers the subsumed part keys
+    val gen = "g-fold1"
+    ManifestTable.read(spark, root).coalesce(1)
+      .write.parquet(new Path(rootPath, gen).toString)
+    fs.delete(new Path(new Path(rootPath, gen), "_SUCCESS"), false)
+    val stats = ManifestTable.fileStats(fs, new Path(rootPath, gen))
+    ManifestTable.commit(fs, rootPath, "",
+      base.entries.map(e => e.part -> (None: Option[ManifestEntry])).toMap +
+        (gen -> Some(ManifestEntry(gen, gen, Nil, stats, base.entries.map(_.part)))))
+    val foldV = ManifestTable.resolve(fs, rootPath).get.seq
+    assert(feed(root, foldV, foldV).isEmpty,
+      "a fold repacks rows — it must contribute zero change rows")
+    // and the full feed still carries exactly the two real inserts
+    val all = feed(root, 1, foldV).select($"_change_type", $"id")
+      .as[(String, Int)].collect().toSet
+    assert(all == Set(("insert", 1), ("insert", 2)))
+  }
+
+  test("gc retires change records with their commits; never-committed strays age out") {
+    val root = freshRoot()
+    val rootPath = new Path(root)
+    buildLayout(root)
+    def mergeOnce(lo: Long): Unit =
+      ManifestMerge(root, Seq("id"))
+        .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+        .withChangeFeed()
+        .run(spark.range(lo, lo + 5).select(col("id"), lit(0L).as("nv")))
+    mergeOnce(100); mergeOnce(200); mergeOnce(300)
+    // merge gc keeps KeepCommits=2: only the two newest records survive
+    val kept = ManifestTable.versions(fs, rootPath)
+      .flatMap(v => ManifestTable.resolveAt(fs, rootPath, v))
+      .map(_.changes).filter(_.nonEmpty)
+      .map(c => new Path(c).getName).toSet
+    val onDisk = fs.listStatus(new Path(rootPath, ManifestTable.ChangesDir))
+      .map(_.getPath.getName).toSet
+    assert(kept.size == 2 && onDisk == kept,
+      s"records on disk $onDisk != records referenced by retained commits $kept")
+    // a crashed merge's record: referenced by nothing — young survives,
+    // aged is swept
+    val stray = new Path(rootPath, s"${ManifestTable.ChangesDir}/g-stray")
+    fs.mkdirs(stray)
+    val f = new Path(stray, "part-0.parquet")
+    val out = fs.create(f); out.write(Array[Byte](1, 2, 3)); out.close()
+    ManifestTable.gc(fs, rootPath) // default retention: young stray stays
+    assert(fs.exists(stray))
+    fs.setTimes(f, System.currentTimeMillis() - 10 * 3600 * 1000L, -1)
+    ManifestTable.gc(fs, rootPath)
+    assert(!fs.exists(stray), "aged unreferenced change record must be swept")
+  }
+
+  test("a feed request past the retained window fails naming it") {
+    val root = freshRoot()
+    buildLayout(root)
+    (0 until 3).foreach { i =>
+      ManifestMerge(root, Seq("id"))
+        .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+        .withChangeFeed()
+        .run(spark.range(i * 10, i * 10 + 3).select(col("id"), lit(9L).as("nv")))
+    }
+    val retainedMin = ManifestTable.versions(fs, new Path(root)).min
+    val e = intercept[IllegalStateException] {
+      feed(root, retainedMin - 1, retainedMin).collect()
+    }
+    assert(e.getMessage.contains("no longer retained"), e.getMessage)
+    // the retained range itself still reads (records are authoritative,
+    // no parent diff needed)
+    assert(feed(root, retainedMin, retainedMin).count() > 0)
+  }
+
+  test("change-feed stream: appends arrive as inserts, a captured merge as exact change rows") {
+    val root = tmpDir("gm-cdf-stream") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graftmanifest").save(root)
+    val q = spark.readStream.format("graftmanifest")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName("gmcdf").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def seen = spark.table("gmcdf")
+        .select($"id", $"v", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(seen == Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+      Seq((3L, "c")).toDF("id", "v")
+        .write.format("graftmanifest").mode(SaveMode.Append).save(root)
+      q.processAllAvailable()
+      assert(seen.contains((3L, "c", "insert", 2L)))
+      // a captured merge mid-stream: consumed as change rows, not a failure
+      ManifestMerge(root, Seq("id"), partCol = "")
+        .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+        .withChangeFeed()
+        .run(Seq((1L, "A")).toDF("id", "nv"))
+      q.processAllAvailable()
+      assert(seen.contains((1L, "a", "update_preimage", 3L)) &&
+        seen.contains((1L, "A", "update_postimage", 3L)),
+        s"missing merge change rows in $seen")
+      assert(seen.size == 5, s"unexpected extra rows: $seen")
+    } finally q.stop()
+  }
+
+  test("plain stream failing on a captured merge names the readChangeFeed fix") {
+    val root = tmpDir("gm-cdf-hint") + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.format("graftmanifest").save(root)
+    val q = spark.readStream.format("graftmanifest").load(root)
+      .writeStream.format("memory").queryName("gmcdf_hint").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ManifestMerge(root, Seq("id"), partCol = "")
+        .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+        .withChangeFeed()
+        .run(Seq((1L, "A")).toDF("id", "nv"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("readChangeFeed"),
+        s"expected the mode-switch hint in the failure: $e")
+    } finally q.stop()
+  }
+}

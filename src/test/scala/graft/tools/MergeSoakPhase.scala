@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.core.{ManifestFileIndex, ManifestMerge, ManifestWrite, ManifestTable}
+import graft.core.{ManifestChanges, ManifestFileIndex, ManifestMerge, ManifestWrite, ManifestTable}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * 5-key delete merge followed by a not-matched insert merge that
   * restores the keys — the row count must be back to base at the
   * iteration's green check.
+  *
+  * All merges are CHANGE-CAPTURED (round 16): after each update the
+  * newest commit's feed ([[ManifestChanges.between]]) must be the
+  * exact delta — 20 `update_postimage` rows at this iteration's value
+  * — and after each delete+insert round the insert commit's feed must
+  * be the 5 restored rows. A kill mid-capture must never land a
+  * commit whose feed disagrees with its data.
   */
 final class MergeSoakPhase extends SoakPhase {
 
@@ -63,23 +70,39 @@ final class MergeSoakPhase extends SoakPhase {
       it += 1
       val v = it.toLong
       try {
+        // the newest commit's captured feed, filtered to one change type
+        def feedAt(kind: String): Set[(Long, Long)] = {
+          val latest = ManifestTable.resolve(fs, new Path(root)).get.seq
+          ManifestChanges.between(spark, root, latest, latest)
+            .filter(col("_change_type") === kind)
+            .select("id", "v").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
         def updateOnce(): Unit = {
           ManifestMerge(root, Seq("id"))
             .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+            .withChangeFeed()
             .run(spark.range(WinLo, WinHi).select(col("id"), lit(v).as("nv")))
           ()
         }
         // a kill can abort the merge past task retries — the update is
         // idempotent by key+value, one serial re-run converges
         try updateOnce() catch { case _: Throwable => updateOnce() }
+        // CDF green: the commit's feed IS the delta (kill-retried read)
+        val wantPost = (WinLo until WinHi).map(i => (i, v)).toSet
+        def postOk(): Boolean = feedAt("update_postimage") == wantPost
+        val cdfUpdateOk = try postOk() catch { case _: Throwable => postOk() }
+        var cdfInsertOk = true
         if (it % 3 == 0) {
           def deleteOnce(): Unit = {
             ManifestMerge(root, Seq("id")).whenMatchedDelete()
+              .withChangeFeed()
               .run(spark.range(DelLo, DelHi).select(col("id")))
             ()
           }
           def insertOnce(): Unit = {
             ManifestMerge(root, Seq("id")).whenNotMatchedInsert()
+              .withChangeFeed()
               .run(spark.range(DelLo, DelHi).select(
                 col("id"), lit(v).as("v"),
                 date_add(lit("2024-09-01").cast("date"), (col("id") % 3).cast("int")).as("day")))
@@ -87,16 +110,21 @@ final class MergeSoakPhase extends SoakPhase {
           }
           try deleteOnce() catch { case _: Throwable => deleteOnce() }
           try insertOnce() catch { case _: Throwable => insertOnce() }
+          val wantIns = (DelLo until DelHi).map(i => (i, v)).toSet
+          def insOk(): Boolean = feedAt("insert") == wantIns
+          cdfInsertOk = try insOk() catch { case _: Throwable => insOk() }
         }
-        // green check: committed window value, full row count, reader clean
+        // green check: committed window value, full row count, reader
+        // clean, and the captured feed exact
         val df = ManifestFileIndex.relation(spark, root, "day")
         val winVals = df.filter(col("id") >= WinLo && col("id") < WinHi)
           .select("v").collect().map(_.getLong(0)).toSet
         val n = df.count()
         if (readerTorn != null) {
           println(s"[soak] merge iteration $it READER TORN: $readerTorn")
-        } else if (winVals == Set(v) && n == Rows) green += 1
-        else println(s"[soak] merge iteration $it DIVERGED: window=$winVals count=$n (want $v/$Rows)")
+        } else if (winVals == Set(v) && n == Rows && cdfUpdateOk && cdfInsertOk) green += 1
+        else println(s"[soak] merge iteration $it DIVERGED: window=$winVals count=$n " +
+          s"cdfUpdate=$cdfUpdateOk cdfInsert=$cdfInsertOk (want $v/$Rows)")
       } catch { case e: Throwable =>
         println(s"[soak] merge iteration $it failed outright: ${e.getMessage}")
       }
