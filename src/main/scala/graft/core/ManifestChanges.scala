@@ -147,6 +147,22 @@ object ManifestChanges {
       .withColumn(ChangeTypeCol, lit("insert")))
   }
 
+  /** The FULL state at `m` as `insert` rows — the streaming reader's
+    * initial load when history before `m` was gc'd (`startSeq = 0`,
+    * no retained parent): at that point `m`'s own record/diff is the
+    * last commit's DELTA, not the table, and emitting it alone would
+    * silently drop every earlier row. Every live file — own, carried,
+    * fold — reads as the snapshot. None for an empty table.
+    */
+  private[graft] def snapshotAsInserts(spark: SparkSession, fs: FileSystem,
+      root: Path, m: Manifest, pinnedSchema: Option[StructType],
+      format: String, options: Map[String, String]): Option[DataFrame] = {
+    val refs = ManifestTable.liveFileRefs(fs, root, m)
+    if (refs.isEmpty) None
+    else Some(readRefs(spark, root, m.partCol, refs, pinnedSchema, format, options)
+      .withColumn(ChangeTypeCol, lit("insert")))
+  }
+
   private[graft] def withChangeType(dataSchema: StructType): StructType =
     StructType(dataSchema.fields :+
       org.apache.spark.sql.types.StructField(
@@ -181,6 +197,103 @@ object ManifestChanges {
           .load(rs.map(r => new Path(root, r.rootRel).toString): _*)
       }.reduce(_ unionByName _)
     }
+  }
+
+  /** Incremental REPLICATION: catch a replica table up to the source
+    * by applying the change feed — the loop CDF exists to close
+    * (multi-region replicas, downstream lakehouse sync). One call
+    * applies every source version after the replica's applied-version
+    * marker, each as keyed merges against the replica:
+    * deletes/update-preimages as a keyed delete, inserts/update-
+    * postimages as an upsert. Every apply is IDEMPOTENT (same keys,
+    * same values — a re-applied delete matches nothing, a re-applied
+    * upsert rewrites the same rows), so the marker
+    * (`_replication/applied-<v>`, a content-free name recorded after
+    * each version — a torn write can only mean "absent", never a
+    * wrong number) may lag a crash safely: the restart re-applies at
+    * most one version and converges to the same state.
+    *
+    * First call against an empty replica SEEDS it: the source's
+    * current snapshot is written through [[ManifestWrite]] and the
+    * marker set to that version — the feed takes over from there.
+    * A replica that lagged past the source's gc window fails loudly
+    * through [[between]]'s retention contract (re-seed, or gc the
+    * source with a larger keepCommits).
+    *
+    * Scale contract: per sync, cost is O(changed rows since the
+    * marker) + one snapshot write at seed time — never a source
+    * re-scan; the replica's merges are envelope-pruned like any
+    * other ([[ManifestMerge]]).
+    *
+    * @return (fromVersionExclusive, toVersionInclusive) applied; equal
+    *         values mean the replica was already current.
+    */
+  def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
+      keys: Seq[String], partCol: String = ""): (Long, Long) = {
+    require(keys.nonEmpty, "replication needs the table's key columns")
+    val srcPath = new Path(srcRoot)
+    val dstPath = new Path(dstRoot)
+    val conf = spark.sessionState.newHadoopConf()
+    val sfs = srcPath.getFileSystem(conf)
+    val dfs = dstPath.getFileSystem(conf)
+    val srcSeq = ManifestTable.resolve(sfs, srcPath).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $srcRoot")).seq
+    // applied-version ledger: the version lives in the file NAME
+    // (`_replication/applied-<v>`, content-free), so a torn write can
+    // only mean "name absent" — never a wrong number read back. The
+    // newest name wins; superseded names are swept opportunistically.
+    val markerDir = new Path(dstPath, "_replication")
+    def readMarker(): Option[Long] =
+      if (!dfs.exists(markerDir)) None
+      else dfs.listStatus(markerDir).toSeq
+        .flatMap(_.getPath.getName.stripPrefix("applied-").toLongOption)
+        .maxOption
+    def writeMarker(v: Long): Unit = {
+      dfs.mkdirs(markerDir)
+      try dfs.create(new Path(markerDir, s"applied-$v"), false).close()
+      catch { case _: java.io.IOException => () } // already recorded
+      dfs.listStatus(markerDir).toSeq
+        .flatMap(s => s.getPath.getName.stripPrefix("applied-").toLongOption
+          .map(s.getPath -> _))
+        .filter(_._2 < v)
+        .foreach { case (p, _) => dfs.delete(p, false); () }
+    }
+    val from = readMarker().getOrElse {
+      // seed: current snapshot + marker at its version
+      require(ManifestTable.resolve(dfs, dstPath).isEmpty,
+        s"replica at $dstRoot exists but carries no _replication/applied marker — " +
+          "refusing to guess its sync point; re-create the replica (or restore the marker)")
+      val snap = ManifestTable.read(spark, srcRoot)
+      val seedSeq = ManifestTable.resolve(sfs, srcPath).get.seq
+      ManifestWrite.write(snap, dstRoot, partCol, org.apache.spark.sql.SaveMode.Overwrite)
+      writeMarker(seedSeq)
+      seedSeq
+    }
+    if (srcSeq <= from) return (from, from)
+    val feed = between(spark, srcRoot, from + 1, srcSeq).cache()
+    try {
+      val versions = feed.select(CommitVersionCol).distinct()
+        .collect().map(_.getLong(0)).sorted
+      versions.foreach { v =>
+        val cv = feed.filter(col(CommitVersionCol) === v)
+        val gone = cv.filter(col(ChangeTypeCol) === "delete")
+          .select(keys.map(col): _*).dropDuplicates(keys)
+        if (!gone.isEmpty)
+          ManifestMerge(dstRoot, keys, partCol).whenMatchedDelete().run(gone): Unit
+        val arrived = cv.filter(col(ChangeTypeCol).isin("insert", "update_postimage"))
+          .drop(ChangeTypeCol, CommitVersionCol)
+        if (!arrived.isEmpty) {
+          val dataCols = arrived.columns.filterNot(c => keys.contains(c) || c == partCol)
+          ManifestMerge(dstRoot, keys, partCol)
+            .whenMatchedUpdate(dataCols.map(c =>
+              c -> ((s: DataFrame, _: DataFrame) => s(c))).toMap)
+            .whenNotMatchedInsert()
+            .run(arrived): Unit
+        }
+        writeMarker(v)
+      }
+      (from, versions.lastOption.getOrElse(from))
+    } finally { feed.unpersist(); () }
   }
 
   /** CDC's defining invariant, used by the spec and available to

@@ -65,7 +65,9 @@ final case class ManifestMerge(
     insertNotMatched: Boolean = false,
     validateSourceKeys: Boolean = true,
     changeFeed: Boolean = false,
+    keepCommits: Int = ManifestTable.KeepCommits,
 ) {
+  require(keepCommits >= 2, s"keepCommits must be >= 2, got $keepCommits")
   require(keys.nonEmpty, "MERGE needs key columns")
 
   /** Matched rows: each listed column replaced by expr(source, target);
@@ -100,6 +102,16 @@ final case class ManifestMerge(
     * record.
     */
   def withChangeFeed(enabled: Boolean = true): ManifestMerge = copy(changeFeed = enabled)
+
+  /** Post-commit gc retention for this writer (round 16): the change
+    * feed, time travel and lagging streams are all windowed by how
+    * many commits gc keeps, and the table's MUTATING writer is where
+    * that window is actually enforced — a merge that always gc'd at
+    * the 2-commit default silently destroyed the lag headroom the
+    * retention contract tells consumers to size. Set it to cover
+    * worst-case consumer lag (versions, not time).
+    */
+  def withKeepCommits(n: Int): ManifestMerge = copy(keepCommits = n)
 
   private val MaxAttempts = 10
 
@@ -360,8 +372,10 @@ final case class ManifestMerge(
     // commit success is TERMINAL: anything after the pointer flip is
     // best-effort — a transient gc failure must never fail (or worse,
     // retry and double-apply) a merge that already landed
-    try { ManifestMerge.afterMergeCommit(); ManifestTable.gc(fs, root); () }
-    catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      ManifestMerge.afterMergeCommit()
+      ManifestTable.gc(fs, root, keepCommits = keepCommits); ()
+    } catch { case scala.util.control.NonFatal(_) => () }
     MergeResult(refs.size, candidates.size, touched.size,
       updates.values.flatten.map(_.carry.size).sum, affected, attempts)
   }

@@ -317,8 +317,17 @@ final class GraftManifestSource(
     var parent: Option[graft.core.Manifest] =
       if (startSeq == 0) None else Some(manifestAt(startSeq))
     val frames = vs.flatMap { case (v, m) =>
-      val f = graft.core.ManifestChanges
-        .forVersion(spark, fs, rootPath, m, parent, Some(dataSchema), format, readOptions)
+      // initial load at a gc-truncated history: the first retained
+      // version's record/diff is that COMMIT's delta, not the table —
+      // emit the full state at v as inserts instead (a fresh table's
+      // v=1 diffs against empty and needs no special case, but a
+      // merge/fold can never be commit 1, so v != 1 here means
+      // earlier commits existed and were gc'd)
+      val f = (if (parent.isEmpty && startSeq == 0 && v != 1)
+        graft.core.ManifestChanges.snapshotAsInserts(
+          spark, fs, rootPath, m, Some(dataSchema), format, readOptions)
+      else graft.core.ManifestChanges
+        .forVersion(spark, fs, rootPath, m, parent, Some(dataSchema), format, readOptions))
         .map(_.withColumn(graft.core.ManifestChanges.CommitVersionCol, lit(v)))
       parent = Some(m)
       f

@@ -163,6 +163,40 @@ object ManifestReadBench {
       width -> res
     }
 
+    // change-feed pricing (round 16): consuming one captured merge's
+    // delta via the CDF record vs the naive alternative — a two-sided
+    // exceptAll diff of the snapshots. The feed is O(changed rows);
+    // the diff shuffles the whole table TWICE. This gap is the reason
+    // CDF exists; at 100 TB the diff is simply not runnable.
+    val cdf = {
+      val dir = java.nio.file.Files.createTempDirectory("mrb-cdf").toString + "/t"
+      val ev = graft.Tables.load(spark, sfDir, "events")
+        .withColumn("day", org.apache.spark.sql.functions.to_date(col("ts")))
+      graft.core.ManifestWrite.write(
+        ev.repartitionByRange(8, col("event_id")), dir, "day",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val fsd = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val preSeq = ManifestTable.resolve(fsd, new Path(dir)).get.seq
+      graft.core.ManifestMerge(dir, Seq("event_id"))
+        .whenMatchedUpdate(Map("value" -> ((s, _) => s("nv"))))
+        .withChangeFeed()
+        .run(spark.range(0, 1000).select(
+          col("id").as("event_id"), org.apache.spark.sql.functions.lit(-2.0).as("nv")))
+      val postSeq = ManifestTable.resolve(fsd, new Path(dir)).get.seq
+      val feedRows = graft.core.ManifestChanges
+        .between(spark, dir, postSeq, postSeq).count()
+      val feedMs = timeMs(() => {
+        graft.core.ManifestChanges.between(spark, dir, postSeq, postSeq).count(); ()
+      })
+      val diffMs = timeMs(() => {
+        val now = graft.operators.StorageOps.readDayLayout(spark, dir)
+        val old = graft.core.ManifestFileIndex.relation(
+          spark, dir, "day", asOfSeq = Some(preSeq))
+        require(now.exceptAll(old).count() + old.exceptAll(now).count() > 0)
+      }, n = 3)
+      (feedRows, feedMs, diffMs)
+    }
+
     val rows = spark.read.parquet(plainDir).count()
     val json = (Seq(
       "tool" -> "\"manifest-read-bench\"",
@@ -177,7 +211,10 @@ object ManifestReadBench {
       "listfiles_ms_unfiltered" -> f"${skipMs._1}%.3f",
       "listfiles_ms_skip_eval" -> f"${skipMs._2}%.3f",
       "count_metadata_ms" -> f"$countMeta%.3f",
-      "count_scan_ms" -> f"$countScan%.3f") ++
+      "count_scan_ms" -> f"$countScan%.3f",
+      "cdf_feed_rows" -> cdf._1.toString,
+      "cdf_feed_ms" -> f"${cdf._2}%.3f",
+      "cdf_snapshot_diff_ms" -> f"${cdf._3}%.3f") ++
       mergeRows.flatMap { case (w, r) => Seq(
         s"merge_w${w}_total_files" -> r.totalFiles.toString,
         s"merge_w${w}_candidates" -> r.candidateFiles.toString,

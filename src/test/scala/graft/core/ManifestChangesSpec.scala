@@ -243,6 +243,46 @@ class ManifestChangesSpec extends SparkSpec {
     assert(feed(root, retainedMin, retainedMin).count() > 0)
   }
 
+  test("replication: seed + incremental catch-up equals the source; crash re-apply is idempotent") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    buildLayout(src)
+    def srcSet = asSet(ManifestTable.read(spark, src, partCol = "day"))
+    def dstSet = asSet(ManifestTable.read(spark, dst, partCol = "day"))
+    // first call seeds the replica from the snapshot
+    val (f0, t0) = ManifestChanges.replicate(spark, src, dst, Seq("id"), "day")
+    assert(f0 == t0 && dstSet == srcSet)
+    // captured merges on the source: update+insert, then delete
+    ManifestMerge(src, Seq("id"))
+      .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+      .whenNotMatchedInsert()
+      .withChangeFeed()
+      .run(spark.range(100, 130).select(col("id"), lit(-5L).as("nv"),
+        lit(-5L).as("v"), lit("2024-05-02").cast("date").as("day"))
+        .unionByName(spark.range(8000, 8010).select(col("id"), lit(-5L).as("nv"),
+          (col("id") * 2).as("v"), lit("2024-05-02").cast("date").as("day"))))
+    ManifestMerge(src, Seq("id"))
+      .whenMatchedDelete()
+      .withChangeFeed()
+      .run(spark.range(40, 60).toDF("id"))
+    val (f1, t1) = ManifestChanges.replicate(spark, src, dst, Seq("id"), "day")
+    assert(t1 > f1, s"expected versions applied, got ($f1, $t1)")
+    assert(dstSet == srcSet)
+    // already current: a second sync is a no-op
+    val (f2, t2) = ManifestChanges.replicate(spark, src, dst, Seq("id"), "day")
+    assert(f2 == t2)
+    // crash-before-marker simulation: roll the applied ledger back one
+    // version; the re-applied deletes match nothing, the re-applied
+    // upserts rewrite the same values — replica unchanged
+    val dfs = new Path(dst).getFileSystem(spark.sessionState.newHadoopConf())
+    val markerDir = new Path(dst, "_replication")
+    dfs.delete(new Path(markerDir, s"applied-$t1"), false)
+    dfs.create(new Path(markerDir, s"applied-${t1 - 1}"), false).close()
+    val (f3, t3) = ManifestChanges.replicate(spark, src, dst, Seq("id"), "day")
+    assert(f3 == t1 - 1 && t3 == t1)
+    assert(dstSet == srcSet, "re-applying the last version must be a value no-op")
+  }
+
   test("change-feed stream: appends arrive as inserts, a captured merge as exact change rows") {
     val root = tmpDir("gm-cdf-stream") + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
@@ -270,6 +310,38 @@ class ManifestChangesSpec extends SparkSpec {
         seen.contains((1L, "A", "update_postimage", 3L)),
         s"missing merge change rows in $seen")
       assert(seen.size == 5, s"unexpected extra rows: $seen")
+    } finally q.stop()
+  }
+
+  test("change-feed stream starting against a gc-truncated history loads the full snapshot first") {
+    val root = tmpDir("gm-cdf-trunc") + "/t"
+    val rootPath = new Path(root)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graftmanifest").save(root) // v1
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("graftmanifest").mode(SaveMode.Append).save(root) // v2
+    // v3: captured merge; its gc (keepCommits=2) retires v1 — a fresh
+    // stream now starts mid-history, where the first retained version
+    // is a REWRITE commit whose record alone is not the table
+    ManifestMerge(root, Seq("id"), partCol = "")
+      .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+      .withChangeFeed()
+      .run(Seq((1L, "A")).toDF("id", "nv"))
+    assert(ManifestTable.versions(fs, rootPath).min == 2, "v1 must be gc'd for this test")
+    val q = spark.readStream.format("graftmanifest")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName("gmcdf_trunc").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val seen = spark.table("gmcdf_trunc")
+        .select($"id", $"v", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      // first retained version (2) = FULL snapshot as inserts — row 1
+      // at its pre-merge value — then version 3's exact delta
+      assert(seen == Set(
+        (1L, "a", "insert", 2L), (2L, "b", "insert", 2L), (3L, "c", "insert", 2L),
+        (1L, "a", "update_preimage", 3L), (1L, "A", "update_postimage", 3L)),
+        s"initial load must be the snapshot at the first retained version: $seen")
     } finally q.stop()
   }
 
