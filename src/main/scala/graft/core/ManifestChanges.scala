@@ -127,8 +127,17 @@ object ManifestChanges {
     val parentRefs = parent.map(ManifestTable.liveFileRefs(fs, root, _)).getOrElse(Nil)
     val parentSet = parentRefs.map(_.rootRel).toSet
     val childSet = childRefs.map(_.rootRel).toSet
-    val parentParts = parent.map(_.entries.map(_.part).toSet).getOrElse(Set.empty)
-    val newFolds = m.entries.filter(e => e.covers.nonEmpty && !parentParts.contains(e.part))
+    // fold entries NEW OR CHANGED in this commit declare "same rows,
+    // repacked" for the part keys they cover: the sink's tiered folds
+    // (fresh part key covering many old ones) and a partition
+    // compaction (SELF-covering: same part key, new files — round 16).
+    // A fold entry carried unchanged from the parent explains nothing
+    // new. The declaration is the writer's, trusted exactly as the
+    // streaming source trusts it; only row-preserving writers may make
+    // it (compaction's identity transform), data-changing rewrites
+    // stay unmarked and fail below.
+    val parentEntries = parent.map(_.entries.toSet).getOrElse(Set.empty)
+    val newFolds = m.entries.filter(e => e.covers.nonEmpty && !parentEntries.contains(e))
     val coveredParts = newFolds.flatMap(_.covers).toSet
     val foldParts = newFolds.map(_.part).toSet
     val removed = parentRefs.filter(r => !childSet.contains(r.rootRel))

@@ -542,7 +542,11 @@ object StorageOps {
   def compactDays(
       spark: SparkSession, layoutDir: String, days: Seq[String],
       filesPerPartition: Int = 1): Unit =
-    rewritePartitions(spark, layoutDir, days, identity, filesPerPartition)
+    // repack = true: compaction changes NO rows, and saying so in the
+    // manifest (a self-covering entry) keeps the change feed readable
+    // across it — an unmarked rewrite must fail the feed loudly
+    rewritePartitions(spark, layoutDir, days, identity, filesPerPartition,
+      repack = true)
 
   /** Read a day-partitioned layout maintained by this engine. A
     * manifested layout reads through [[graft.core.ManifestFileIndex]]
@@ -583,7 +587,8 @@ object StorageOps {
   private def rewritePartitions(
       spark: SparkSession, layoutDir: String, days: Seq[String],
       transform: DataFrame => DataFrame,
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1,
+      repack: Boolean = false): Unit = {
     import graft.core.{ManifestEntry, ManifestStaleException, ManifestTable}
     if (days.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(layoutDir)
@@ -632,7 +637,14 @@ object StorageOps {
           // record them (plus footer column envelopes) so readers
           // resolve with zero listing calls and skip non-matching files
           val stats = ManifestTable.fileStats(fs, dataFiles.toSeq, manifest.statsCols)
-          d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil, stats)) else None)
+          // a pure repack (compaction) SAYS so: the entry covers its
+          // own part key, the same writer declaration the streaming
+          // sink's folds carry — the change feed reads "same rows,
+          // repacked" and skips instead of failing (round 16). Only
+          // the identity transform may claim it; a data-changing
+          // rewrite (erasure) stays unmarked and fails the feed loudly.
+          val covers = if (repack && hasRows) Seq(d) else Nil
+          d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil, stats, covers)) else None)
         }.toMap
         beforeRewriteCommit()
         ManifestTable.commit(fs, root, "day", updates,

@@ -192,6 +192,31 @@ class ManifestChangesSpec extends SparkSpec {
     assert(all == Set(("insert", 1), ("insert", 2)))
   }
 
+  test("partition compaction is feed-transparent; a data-changing rewrite still fails loudly") {
+    val root = freshRoot()
+    buildLayout(root)
+    // captured merge first, so the feed has real content around the repack
+    ManifestMerge(root, Seq("id")).withKeepCommits(8)
+      .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+      .withChangeFeed()
+      .run(spark.range(5, 10).select(col("id"), lit(1L).as("nv")))
+    val vMerge = ManifestTable.resolve(fs, new Path(root)).get.seq
+    val liveBefore = asSet(ManifestTable.read(spark, root, partCol = "day"))
+    graft.operators.StorageOps.compactDays(spark, root, Seq("2024-05-01", "2024-05-02"))
+    val vCompact = ManifestTable.resolve(fs, new Path(root)).get.seq
+    assert(vCompact == vMerge + 1)
+    // same rows after the repack, and the feed across it carries NOTHING
+    assert(asSet(ManifestTable.read(spark, root, partCol = "day")) == liveBefore)
+    assert(feed(root, vCompact, vCompact).isEmpty,
+      "a compaction changes no rows — its feed contribution must be empty")
+    // the whole window still reads: merge delta + silent repack
+    val all = feed(root, vMerge, vCompact)
+    assert(all.filter(col("_change_type") === "update_postimage").count() == 5)
+    // and compaction folds the merge's CARRY back in without breaking
+    // the feed either side of it
+    assert(asSet(ManifestTable.read(spark, root, partCol = "day")) == liveBefore)
+  }
+
   test("gc retires change records with their commits; never-committed strays age out") {
     val root = freshRoot()
     val rootPath = new Path(root)
