@@ -588,7 +588,8 @@ object StorageOps {
       spark: SparkSession, layoutDir: String, days: Seq[String],
       transform: DataFrame => DataFrame,
       filesPerPartition: Int = 1,
-      repack: Boolean = false): Unit = {
+      repack: Boolean = false,
+      captureDeletes: Option[(DataFrame, String) => DataFrame] = None): Unit = {
     import graft.core.{ManifestEntry, ManifestStaleException, ManifestTable}
     if (days.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(layoutDir)
@@ -613,10 +614,20 @@ object StorageOps {
       val byPart = manifest.entries.map(e => e.part -> e).toMap
       val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
       try {
+        // erasure capture (round 16): the rows about to be REMOVED,
+        // projected by the caller to key-only delete rows — written as
+        // this commit's change record so downstream consumers can
+        // PROPAGATE the deletion without the erased content ever
+        // entering the feed. Accumulated per partition from the same
+        // snapshot the rewrite reads; written before the commit that
+        // names it (same atomicity as the merge's record).
+        var captured = Seq.empty[DataFrame]
         val updates: Map[String, Option[ManifestEntry]] = days.map { d =>
           val entry = byPart.getOrElse(d, throw new IllegalArgumentException(
             s"no partition day=$d under $layoutDir"))
           val live = ManifestTable.entryPaths(root, entry).map(_.toString)
+          captureDeletes.foreach(f =>
+            captured :+= f(spark.read.parquet(live: _*), d))
           val outDir = s"$gen/day=$d"
           val out = new org.apache.hadoop.fs.Path(root, outDir)
           withMicrosTimestamps(spark) { ws =>
@@ -646,15 +657,30 @@ object StorageOps {
           val covers = if (repack && hasRows) Seq(d) else Nil
           d -> (if (hasRows) Some(ManifestEntry(d, outDir, Nil, stats, covers)) else None)
         }.toMap
+        val changesRel: Option[String] =
+          if (captured.isEmpty) None
+          else {
+            val rel = s"${ManifestTable.ChangesDir}/$gen"
+            val chg = captured.reduce(_ unionByName _)
+            withMicrosTimestamps(spark) { ws =>
+              onSession(ws, chg).write.mode("error")
+                .parquet(new org.apache.hadoop.fs.Path(root, rel).toString)
+            }
+            fs.delete(new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(root, rel), "_SUCCESS"), false)
+            Some(rel)
+          }
         beforeRewriteCommit()
         ManifestTable.commit(fs, root, "day", updates,
-          expectedSeq = Some(manifest.seq))
+          expectedSeq = Some(manifest.seq), changes = changesRel)
         afterRewriteCommit()
         ManifestTable.gc(fs, root)
         return
       } catch {
         case _: ManifestStaleException =>
           fs.delete(new org.apache.hadoop.fs.Path(root, gen), true)
+          fs.delete(new org.apache.hadoop.fs.Path(root,
+            s"${ManifestTable.ChangesDir}/$gen"), true)
         case scala.util.control.NonFatal(e) =>
           // Commit success is TERMINAL: if the live manifest references
           // this attempt's generation, the commit landed and the failure
@@ -673,6 +699,8 @@ object StorageOps {
           val nowSeq = now.map(_.seq).getOrElse(0L)
           if (nowSeq == manifest.seq) throw e
           fs.delete(new org.apache.hadoop.fs.Path(root, gen), true)
+          fs.delete(new org.apache.hadoop.fs.Path(root,
+            s"${ManifestTable.ChangesDir}/$gen"), true)
       }
     }
     throw new java.io.IOException(
@@ -715,13 +743,43 @@ object StorageOps {
     * victims' partitions already clean and rewrites nothing.
     */
   def eraseUsers(spark: SparkSession, layoutDir: String,
-      userIds: Seq[Long]): Seq[String] = {
+      userIds: Seq[Long]): Seq[String] =
+    eraseUsers(spark, layoutDir, userIds, Nil)
+
+  /** Erase with DELETION PROPAGATION (round 16): when
+    * `captureDeleteKeys` names the table's key columns, the erasure
+    * commit carries a change record of KEY-ONLY delete rows — every
+    * non-key column NULL — so a downstream consumer
+    * ([[graft.core.ManifestChanges.replicate]], the change-feed
+    * stream) drops the same rows WITHOUT the erased content ever
+    * entering the feed: the record is the deletion order, not a copy
+    * of the data it destroys (capturing preimages here would defeat
+    * the erasure — the reason the plain erase stays uncaptured and
+    * fails the feed loudly instead). Keys are assumed erasure-safe
+    * identifiers (surrogate ids); do not name the sensitive columns
+    * themselves as keys.
+    */
+  def eraseUsers(spark: SparkSession, layoutDir: String,
+      userIds: Seq[Long], captureDeleteKeys: Seq[String]): Seq[String] = {
     val affected = readDayLayout(spark, layoutDir)
       .filter(col("user_id").isin(userIds: _*))
       .select(col("day").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    val capture: Option[(DataFrame, String) => DataFrame] =
+      if (captureDeleteKeys.isEmpty) None
+      else Some { (live: DataFrame, day: String) =>
+        val victims = live.filter(col("user_id").isin(userIds: _*))
+        val cols = live.schema.fields.toSeq.map { f =>
+          if (captureDeleteKeys.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        victims.select(cols: _*)
+          .withColumn("day", lit(day).cast("date"))
+          .withColumn("_change_type", lit("delete"))
+      }
     rewritePartitions(spark, layoutDir, affected,
-      _.filter(!col("user_id").isin(userIds: _*)))
+      _.filter(!col("user_id").isin(userIds: _*)),
+      captureDeletes = capture)
     affected
   }
 

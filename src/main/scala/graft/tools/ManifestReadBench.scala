@@ -169,19 +169,33 @@ object ManifestReadBench {
     // the diff shuffles the whole table TWICE. This gap is the reason
     // CDF exists; at 100 TB the diff is simply not runnable.
     val cdf = {
-      val dir = java.nio.file.Files.createTempDirectory("mrb-cdf").toString + "/t"
-      val ev = graft.Tables.load(spark, sfDir, "events")
-        .withColumn("day", org.apache.spark.sql.functions.to_date(col("ts")))
-      graft.core.ManifestWrite.write(
-        ev.repartitionByRange(8, col("event_id")), dir, "day",
-        org.apache.spark.sql.SaveMode.Overwrite)
+      def buildTwin(): String = {
+        val dir = java.nio.file.Files.createTempDirectory("mrb-cdf").toString + "/t"
+        val ev = graft.Tables.load(spark, sfDir, "events")
+          .withColumn("day", org.apache.spark.sql.functions.to_date(col("ts")))
+        graft.core.ManifestWrite.write(
+          ev.repartitionByRange(8, col("event_id")), dir, "day",
+          org.apache.spark.sql.SaveMode.Overwrite)
+        dir
+      }
+      def mergeOnce(dir: String, capture: Boolean): Double = {
+        val m = graft.core.ManifestMerge(dir, Seq("event_id"))
+          .whenMatchedUpdate(Map("value" -> ((s, _) => s("nv"))))
+        val t0 = System.nanoTime()
+        (if (capture) m.withChangeFeed() else m)
+          .run(spark.range(0, 1000).select(
+            col("id").as("event_id"), org.apache.spark.sql.functions.lit(-2.0).as("nv")))
+        (System.nanoTime() - t0) / 1e9
+      }
+      // capture overhead: the SAME 1000-key update on fresh twins, with
+      // and without the record job — min-of-2, fresh table each run so
+      // earlier merges don't reshape the file set
+      val mergePlainSec = (1 to 2).map(_ => mergeOnce(buildTwin(), capture = false)).min
+      val dir = buildTwin()
       val fsd = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
       val preSeq = ManifestTable.resolve(fsd, new Path(dir)).get.seq
-      graft.core.ManifestMerge(dir, Seq("event_id"))
-        .whenMatchedUpdate(Map("value" -> ((s, _) => s("nv"))))
-        .withChangeFeed()
-        .run(spark.range(0, 1000).select(
-          col("id").as("event_id"), org.apache.spark.sql.functions.lit(-2.0).as("nv")))
+      val mergeCdfSec = math.min(mergeOnce(buildTwin(), capture = true),
+        mergeOnce(dir, capture = true))
       val postSeq = ManifestTable.resolve(fsd, new Path(dir)).get.seq
       val feedRows = graft.core.ManifestChanges
         .between(spark, dir, postSeq, postSeq).count()
@@ -194,7 +208,7 @@ object ManifestReadBench {
           spark, dir, "day", asOfSeq = Some(preSeq))
         require(now.exceptAll(old).count() + old.exceptAll(now).count() > 0)
       }, n = 3)
-      (feedRows, feedMs, diffMs)
+      (feedRows, feedMs, diffMs, mergePlainSec, mergeCdfSec)
     }
 
     val rows = spark.read.parquet(plainDir).count()
@@ -214,7 +228,9 @@ object ManifestReadBench {
       "count_scan_ms" -> f"$countScan%.3f",
       "cdf_feed_rows" -> cdf._1.toString,
       "cdf_feed_ms" -> f"${cdf._2}%.3f",
-      "cdf_snapshot_diff_ms" -> f"${cdf._3}%.3f") ++
+      "cdf_snapshot_diff_ms" -> f"${cdf._3}%.3f",
+      "merge_1000key_plain_sec" -> f"${cdf._4}%.3f",
+      "merge_1000key_capture_sec" -> f"${cdf._5}%.3f") ++
       mergeRows.flatMap { case (w, r) => Seq(
         s"merge_w${w}_total_files" -> r.totalFiles.toString,
         s"merge_w${w}_candidates" -> r.candidateFiles.toString,

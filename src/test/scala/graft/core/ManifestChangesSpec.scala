@@ -217,6 +217,37 @@ class ManifestChangesSpec extends SparkSpec {
     assert(asSet(ManifestTable.read(spark, root, partCol = "day")) == liveBefore)
   }
 
+  test("erasure propagates as KEY-ONLY deletes: erased content never enters the feed") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    val df = spark.range(0, 100).select(
+      col("id").as("event_id"), (col("id") % 10).as("user_id"),
+      concat(lit("secret-"), col("id")).as("payload"),
+      date_add(lit("2024-07-01").cast("date"), (col("id") % 3).cast("int")).as("day"))
+    ManifestWrite.write(df.repartitionByRange(4, col("event_id")), src, "day",
+      SaveMode.Overwrite)
+    ManifestChanges.replicate(spark, src, dst, Seq("event_id"), "day")
+    graft.operators.StorageOps.eraseUsers(spark, src, Seq(3L, 7L), Seq("event_id"))
+    val v = ManifestTable.resolve(fs, new Path(src)).get.seq
+    val chg = feed(src, v, v)
+    // deletion orders only: keys + partition populated, content NULL
+    assert(chg.select("_change_type").distinct().as[String].collect().toSeq == Seq("delete"))
+    assert(chg.filter($"user_id".isNotNull || $"payload".isNotNull).isEmpty,
+      "erased content must never enter the feed")
+    val wantIds = (0L until 100L).filter(i => i % 10 == 3 || i % 10 == 7).toSet
+    assert(chg.select("event_id").as[Long].collect().toSet == wantIds)
+    assert(chg.filter($"day".isNull).isEmpty)
+    // the record FILES themselves hold no content either
+    val rec = spark.read.parquet(
+      s"$src/${ManifestTable.resolveAt(fs, new Path(src), v).get.changes}")
+    assert(rec.filter($"payload".isNotNull || $"user_id".isNotNull).isEmpty)
+    // the replica drops the same rows purely from the feed
+    ManifestChanges.replicate(spark, src, dst, Seq("event_id"), "day")
+    val dstDf = ManifestTable.read(spark, dst, partCol = "day")
+    assert(asSet(dstDf) == asSet(ManifestTable.read(spark, src, partCol = "day")))
+    assert(dstDf.filter($"user_id".isin(3L, 7L)).isEmpty)
+  }
+
   test("gc retires change records with their commits; never-committed strays age out") {
     val root = freshRoot()
     val rootPath = new Path(root)
