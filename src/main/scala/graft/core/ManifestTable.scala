@@ -461,6 +461,21 @@ object ManifestTable {
   def versions(fs: FileSystem, root: Path): Seq[Long] =
     listCommitSeqs(fs, root).filter(s => readCommit(fs, root, s).isDefined)
 
+  /** Timestamp-based time travel (round 16, the Delta/Iceberg
+    * `TIMESTAMP AS OF` discipline): the newest retained valid version
+    * whose commit file landed at or before `tsMillis`, by the STORE's
+    * modification time — same approximation Delta documents: store
+    * clocks, not event time; retention-bounded like [[resolveAt]].
+    * None when every retained commit is newer (the asked instant
+    * precedes the retained history — callers fail loudly rather than
+    * serving the oldest state as if it were that old).
+    */
+  def versionAt(fs: FileSystem, root: Path, tsMillis: Long): Option[Long] =
+    versions(fs, root).reverse.takeWhile { s =>
+      try fs.getFileStatus(commitPath(root, s)).getModificationTime <= tsMillis
+      catch { case _: java.io.IOException => false }
+    }.lastOption
+
   /** Commit a new manifest state: current entries with `updates`
     * applied (a part mapping to None is dropped — the
     * erased-to-empty-partition case). Winner of the

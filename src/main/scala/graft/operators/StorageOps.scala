@@ -1222,6 +1222,15 @@ object StorageOps {
             onSession(ws, ev).repartitionByRange(8, col("event_id")), path,
             "day", org.apache.spark.sql.SaveMode.Overwrite)
         }
+        // q155's replica: SEEDED at the pre-merge snapshot, so its
+        // later catch-up must replay both merges purely from the
+        // captured feed — the whole CDC loop under the value oracle.
+        // A rebuild starts the replica over (its ledger would point
+        // into the torn-down history otherwise).
+        val (rfs, rpath) = hfsPath(spark, s"$path-replica")
+        rfs.delete(rpath, true)
+        graft.core.ManifestChanges.replicate(
+          spark, path, s"$path-replica", Seq("event_id"), "day"): Unit
         // merge 1: keyed UPDATE (matched) + INSERT (shifted ids miss)
         val upd = ev.filter(col("event_id").between(MergeUpdateLo, MergeUpdateHi))
           .withColumn("value", col("value") + lit(1000.0))
@@ -1413,6 +1422,31 @@ object StorageOps {
        |  coalesce(sum(user_id), 0)::BIGINT AS sum_uid
        |FROM m GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** q155: the per-day audit of a REPLICA maintained purely through
+    * the change feed — seeded at the pre-merge snapshot inside
+    * [[ensureMergedLayout]], caught up here by
+    * [[graft.core.ManifestChanges.replicate]] replaying both captured
+    * merges as keyed merges against the replica. The oracle is the
+    * same final-state recomputation as q151 — so the value gate holds
+    * the ENTIRE CDC loop (write-time capture → feed → idempotent
+    * apply) to exactness, not just the primary table. At 100 TB this
+    * is the multi-region replica / downstream lakehouse sync: each
+    * sync costs O(changed rows since the ledger), never a source
+    * re-scan.
+    */
+  def replicaAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureMergedLayout(spark, dir)
+    val replica = s"$path-replica"
+    graft.core.ManifestChanges.replicate(spark, path, replica, Seq("event_id"), "day")
+    readDayLayout(spark, replica)
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"day")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_bucketed_join" -> (bucketedJoin _),
     "q134_partition_prune" -> (partitionPrunedRollup _),
@@ -1429,6 +1463,7 @@ object StorageOps {
     "q152_partition_profile" -> (partitionProfile _),
     "q153_change_feed" -> (changeFeedAudit _),
     "q154_incremental_agg" -> (incrementalAggMaintenance _),
+    "q155_replica_audit" -> (replicaAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1447,5 +1482,6 @@ object StorageOps {
     "q152_partition_profile" -> oraclePartitionProfile,
     "q153_change_feed" -> oracleChangeFeedAudit,
     "q154_incremental_agg" -> oracleIncrementalAgg,
+    "q155_replica_audit" -> oracleMergeAudit,
   )
 }

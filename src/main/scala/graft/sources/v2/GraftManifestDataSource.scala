@@ -188,8 +188,31 @@ class GraftManifestDataSource extends RelationProvider
     val format = parameters.getOrElse("format", "parquet")
     // time travel within the gc-retained history window (round 14):
     // versionAsOf names a commit seq; retained versions are
-    // ManifestTable.versions — the error lists them on a miss
-    val asOf = parameters.get("versionAsOf").map(_.trim.toLong)
+    // ManifestTable.versions — the error lists them on a miss.
+    // timestampAsOf (round 16): epoch millis or an ISO-8601 instant,
+    // resolved to the newest retained commit at-or-before it by store
+    // mtime (the Delta discipline and its documented approximation)
+    val tsAsOf = parameters.get("timestampAsOf").map { raw =>
+      val t = raw.trim
+      val millis = t.toLongOption.getOrElse(
+        try java.time.Instant.parse(t).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"graftmanifest timestampAsOf: '$t' is neither epoch millis nor an " +
+              "ISO-8601 instant (e.g. 2026-08-16T12:00:00Z)")
+        })
+      val rootPath = new org.apache.hadoop.fs.Path(path)
+      val fs = rootPath.getFileSystem(
+        sqlContext.sparkSession.sessionState.newHadoopConf())
+      graft.core.ManifestTable.versionAt(fs, rootPath, millis).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftmanifest timestampAsOf: no retained commit at or before $t " +
+            s"(retained versions: ${graft.core.ManifestTable.versions(fs, rootPath)
+              .mkString(", ")}) — the instant precedes the gc-retained history"))
+    }
+    val asOf = parameters.get("versionAsOf").map(_.trim.toLong).orElse(tsAsOf)
+    require(parameters.get("versionAsOf").isEmpty || tsAsOf.isEmpty,
+      "graftmanifest: versionAsOf and timestampAsOf are mutually exclusive")
     // additive cross-generation evolution, opt-in (round 15) — same
     // option name users know from spark.sql.parquet.mergeSchema
     val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
@@ -197,8 +220,8 @@ class GraftManifestDataSource extends RelationProvider
     // read the union with missing columns as null
     val allowMissing = parameters.get("mergeSchemaAllowMissing").exists(_.trim.toBoolean)
     val passThrough = parameters --
-      Seq("path", "partCol", "parts", "format", "versionAsOf", "mergeSchema",
-        "mergeSchemaAllowMissing")
+      Seq("path", "partCol", "parts", "format", "versionAsOf", "timestampAsOf",
+        "mergeSchema", "mergeSchemaAllowMissing")
     val df = ManifestFileIndex.relation(
       sqlContext.sparkSession, path, partCol, parts, format, passThrough, asOf,
       mergeSchema, allowMissing)

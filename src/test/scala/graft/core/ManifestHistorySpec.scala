@@ -13,6 +13,41 @@ import org.apache.spark.sql.SaveMode
 class ManifestHistorySpec extends SparkSpec {
   import spark.implicits._
 
+  test("timestampAsOf resolves to the newest commit at or before the instant; misses are loud") {
+    val dir = tmpDir("tsasof") + "/t"
+    ManifestWrite.write(spark.range(0, 3).toDF("id").coalesce(1), dir, "", SaveMode.Append)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = ManifestTable.resolve(fs, new Path(dir)).get.seq
+    Thread.sleep(1100) // commit-file mtimes are the clock; separate them
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    ManifestWrite.write(spark.range(3, 5).toDF("id").coalesce(1), dir, "", SaveMode.Append)
+    def readAt(ts: String) = spark.read.format("graftmanifest")
+      .option("timestampAsOf", ts).load(dir).as[Long].collect().toSet
+    // an instant between the commits sees only v1's rows
+    assert(readAt(betweenMs.toString) == Set(0L, 1L, 2L))
+    // the ISO form resolves identically
+    assert(readAt(java.time.Instant.ofEpochMilli(betweenMs).toString) == Set(0L, 1L, 2L))
+    // "now" sees everything
+    assert(readAt(System.currentTimeMillis().toString) == Set(0L, 1L, 2L, 3L, 4L))
+    // an instant before the retained history fails loudly, never
+    // serving the oldest state as if it were that old
+    val v1Mtime = fs.getFileStatus(
+      new Path(dir, f"${ManifestTable.CommitsDir}/$v1%020d")).getModificationTime
+    val e = intercept[IllegalArgumentException] { readAt((v1Mtime - 10000).toString) }
+    assert(e.getMessage.contains("precedes"), e.getMessage)
+    // garbage neither millis nor ISO is named
+    val e2 = intercept[IllegalArgumentException] { readAt("yesterday-ish") }
+    assert(e2.getMessage.contains("ISO-8601"), e2.getMessage)
+    // the two time-travel options are mutually exclusive
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftmanifest")
+        .option("timestampAsOf", betweenMs.toString)
+        .option("versionAsOf", v1.toString).load(dir).collect()
+    }
+    ()
+  }
+
   test("history lists retained versions newest-first with exact stats-derived totals") {
     val dir = tmpDir("hist") + "/t"
     ManifestWrite.write(spark.range(0, 100).selectExpr("id").coalesce(1),
