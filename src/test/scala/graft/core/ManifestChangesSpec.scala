@@ -401,6 +401,44 @@ class ManifestChangesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-capped change-feed stream drains a merge backlog commit by commit, value-exact") {
+    val root = tmpDir("gm-cdf-capped") + "/t"
+    Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("id", "v")
+      .write.format("graftmanifest").save(root)
+    // a 4-merge backlog BEFORE the stream starts; retention sized so
+    // the capped drain can still read every version
+    (1L to 4L).foreach { i =>
+      ManifestMerge(root, Seq("id"), partCol = "").withKeepCommits(16)
+        .whenMatchedUpdate(Map("v" -> ((s, _) => s("nv"))))
+        .withChangeFeed()
+        .run(Seq((i % 3 + 1, i * 10)).toDF("id", "nv"))
+    }
+    val q = spark.readStream.format("graftmanifest")
+      .option("readChangeFeed", "true")
+      .option("maxCommitsPerTrigger", "1")
+      .load(root)
+      .writeStream.format("memory").queryName("gmcdf_capped").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("gmcdf_capped")
+        .select($"id", $"v", $"_change_type", $"_commit_version")
+        .as[(Long, Long, String, Long)].collect().toSet
+      // initial snapshot (v1) + four exact per-version deltas; each
+      // merge i updated key (i%3+1) from its then-current value to i*10
+      val want = Set[(Long, Long, String, Long)](
+        (1L, 0L, "insert", 1L), (2L, 0L, "insert", 1L), (3L, 0L, "insert", 1L),
+        (2L, 0L, "update_preimage", 2L), (2L, 10L, "update_postimage", 2L),
+        (3L, 0L, "update_preimage", 3L), (3L, 20L, "update_postimage", 3L),
+        (1L, 0L, "update_preimage", 4L), (1L, 30L, "update_postimage", 4L),
+        (2L, 10L, "update_preimage", 5L), (2L, 40L, "update_postimage", 5L))
+      assert(rows == want, s"capped drain diverged: ${rows.diff(want)} / ${want.diff(rows)}")
+      // and the drain really was multi-batch: one commit per trigger
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        s"expected >=4 non-empty micro-batches, saw " +
+          s"${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    } finally q.stop()
+  }
+
   test("plain stream failing on a captured merge names the readChangeFeed fix") {
     val root = tmpDir("gm-cdf-hint") + "/t"
     Seq((1L, "a")).toDF("id", "v").write.format("graftmanifest").save(root)
