@@ -97,11 +97,35 @@ object ManifestChanges {
     }
     if (frames.nonEmpty) frames.reduce(_ unionByName _)
     else {
-      // empty feed with the right shape: table schema + the two tags
-      val base = ManifestTable.read(spark, root)
-      base.limit(0)
-        .withColumn(ChangeTypeCol, lit(null).cast("string"))
-        .withColumn(CommitVersionCol, lit(null).cast("long"))
+      // Empty feed with the right shape — WITHOUT ManifestTable.read's
+      // at-least-one-matching-file requirement (round-16 ADVICE): a
+      // legitimately empty range (fold-only commits) over a table whose
+      // live state is empty must return the documented empty frame, not
+      // throw. Schema comes from probing ONE file of any retained
+      // version that has one; a table that never referenced a file
+      // degrades to (partCol) + the tag columns.
+      val probe = ManifestTable.versions(fs, rootPath).view
+        .flatMap(v => ManifestTable.resolveAt(fs, rootPath, v))
+        .map(m => m -> ManifestTable.liveFileRefs(fs, rootPath, m))
+        .find(_._2.nonEmpty)
+      probe match {
+        case Some((m, refs)) =>
+          readRefs(spark, rootPath, m.partCol, refs.take(1), None, format, options)
+            .limit(0)
+            .withColumn(ChangeTypeCol, lit(null).cast("string"))
+            .withColumn(CommitVersionCol, lit(null).cast("long"))
+        case None =>
+          import org.apache.spark.sql.types._
+          val partCol = valid.lastOption.map(_._2.partCol)
+            .orElse(ManifestTable.resolve(fs, rootPath).map(_.partCol))
+            .getOrElse("")
+          val fields =
+            (if (partCol.nonEmpty) Seq(StructField(partCol, StringType)) else Nil) ++
+              Seq(StructField(ChangeTypeCol, StringType),
+                StructField(CommitVersionCol, LongType))
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(fields))
+      }
     }
   }
 

@@ -66,7 +66,7 @@ final case class ManifestEntry(part: String, dir: String, files: Seq[String],
   * [[ManifestChanges]].
   */
 final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry],
-    statsCols: Seq[String] = Nil, changes: String = "")
+    statsCols: Seq[String] = Nil, changes: String = "", retain: Int = 0)
 
 /** One data file a committed manifest references: its owning entry's
   * part key, its ROOT-relative path (the carry encoding), its recorded
@@ -235,12 +235,18 @@ object ManifestTable {
     // later writer (compaction, merge, sink) keeps the same coverage.
     // Optional 6th (round 16, CDF): this commit's change-record dir —
     // per-commit, so it is set fresh on each serialize, never carried.
-    if (m.statsCols.nonEmpty || m.changes.nonEmpty)
+    // Optional 7th (round 17): the table's gc retention choice
+    // (keepCommits), persisted like statsCols so a compaction/erasure
+    // triggering gc cannot silently collapse the history window a
+    // change-feed consumer sized its lag against (round-16 ADVICE).
+    val hasRetain = m.retain > 0
+    if (m.statsCols.nonEmpty || m.changes.nonEmpty || hasRetain)
       body.append('\t').append(m.statsCols.map(token).mkString(","))
-    if (m.changes.nonEmpty) {
-      m.changes.split('/').foreach(token)
+    if (m.changes.nonEmpty || hasRetain) {
+      if (m.changes.nonEmpty) m.changes.split('/').foreach(token)
       body.append('\t').append(m.changes)
     }
+    if (hasRetain) body.append('\t').append(m.retain)
     body.append('\n')
     m.entries.sortBy(_.part).foreach { e =>
       body.append(token(e.part)).append('\t')
@@ -317,12 +323,15 @@ object ManifestTable {
     val lines = payload.split("\n", -1).toSeq.dropRight(1) // payload ends with \n
     if (lines.isEmpty) return None
     val head = lines.head.split("\t", -1)
-    if ((head.length < 4 || head.length > 6) ||
+    if ((head.length < 4 || head.length > 7) ||
       head(0) != Header || head(1) != "1") return None
     val seq = head(2).toLongOption.getOrElse(return None)
     val statsCols =
       if (head.length < 5 || head(4).isEmpty) Nil else head(4).split(',').toSeq
     val changes = if (head.length < 6) "" else head(5)
+    val retain =
+      if (head.length < 7 || head(6).isEmpty) 0
+      else head(6).toIntOption.getOrElse(return None)
     val entries = lines.tail.map { ln =>
       val f = ln.split("\t", -1)
       if (f.length != 3 && f.length != 5 && f.length != 6) return None
@@ -347,7 +356,7 @@ object ManifestTable {
       ManifestEntry(f(0), f(1),
         if (f(2).isEmpty) Nil else f(2).split(',').toSeq, stats, covers, carry)
     }
-    Some(Manifest(seq, head(3), entries, statsCols, changes))
+    Some(Manifest(seq, head(3), entries, statsCols, changes, retain))
   }
 
   /** Create-race losses across all commits this JVM made — the cheap
@@ -471,10 +480,29 @@ object ManifestTable {
     * serving the oldest state as if it were that old).
     */
   def versionAt(fs: FileSystem, root: Path, tsMillis: Long): Option[Long] =
-    versions(fs, root).reverse.takeWhile { s =>
-      try fs.getFileStatus(commitPath(root, s)).getModificationTime <= tsMillis
-      catch { case _: java.io.IOException => false }
-    }.lastOption
+    // max(seq) among retained commits with mtime <= ts — NOT a
+    // takeWhile: commit mtimes need not be monotonic in seq (store
+    // clock skew, a replayed replica), and one skewed file must not
+    // hide a genuinely matching newer commit (round-16 ADVICE). A
+    // commit that vanishes mid-check was gc'd — skipped, same as not
+    // retained; any other IO failure is retried then PROPAGATED rather
+    // than silently resolving a different version.
+    versions(fs, root).filter { s =>
+      var attempt = 0
+      var res = false
+      var done = false
+      while (!done) {
+        try { res = fs.getFileStatus(commitPath(root, s)).getModificationTime <= tsMillis; done = true }
+        catch {
+          case _: java.io.FileNotFoundException => res = false; done = true
+          case e: java.io.IOException =>
+            attempt += 1
+            if (attempt >= 3) throw e
+            Thread.sleep(50L * attempt)
+        }
+      }
+      res
+    }.maxOption
 
   /** Commit a new manifest state: current entries with `updates`
     * applied (a part mapping to None is dropped — the
@@ -533,7 +561,8 @@ object ManifestTable {
       invalidGraceMs: Long = 30000L,
       expectedSeq: Option[Long] = None,
       statsCols: Option[Seq[String]] = None,
-      changes: Option[String] = None): Manifest = {
+      changes: Option[String] = None,
+      retain: Option[Int] = None): Manifest = {
     var attempts = 0
     val firstSeen = scala.collection.mutable.Map.empty[Long, Long]
     var gapWaitedMs = 0L
@@ -581,11 +610,13 @@ object ManifestTable {
           .filterNot(e => updates.contains(e.part))
         val merged = carried ++ updates.toSeq.sortBy(_._1).flatMap(_._2)
         val seq = seqs.headOption.getOrElse(0L) + 1
-        // statsCols persists across commits: None carries the current
-        // table choice forward, Some sets (or clears, with Nil) it.
-        // `changes` is per-commit by contract — never carried forward.
+        // statsCols and retain persist across commits: None carries the
+        // current table choice forward, Some sets (retain: or clears,
+        // with 0) it. `changes` is per-commit by contract — never
+        // carried forward.
         val sc = statsCols.getOrElse(cur.map(_.statsCols).getOrElse(Nil))
-        var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""))
+        val rt = retain.getOrElse(cur.map(_.retain).getOrElse(0))
+        var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""), rt)
         var bytes = serialize(m)
         if (bytes.length > StatsStripBytes) {
           // Column envelopes are advisory; the (name, len) listing is
@@ -1048,8 +1079,15 @@ object ManifestTable {
     val seqs = listCommitSeqs(fs, root)
     val manifests = seqs.flatMap(s => readCommit(fs, root, s))
     if (manifests.isEmpty) return 0L
-    val kept = manifests.take(keepCommits)
-    val dropped = manifests.drop(keepCommits)
+    // the table's PERSISTED retention choice (set via
+    // ManifestMerge.withKeepCommits, carried in the manifest header)
+    // can only WIDEN a caller's window, never narrow it — so a
+    // compaction/erasure/sink calling gc with the 2-commit default
+    // cannot collapse the history a feed consumer sized its lag
+    // against (round-16 ADVICE, medium)
+    val effKeep = math.max(keepCommits, manifests.head.retain)
+    val kept = manifests.take(effKeep)
+    val dropped = manifests.drop(effKeep)
     // carried files keep their ORIGINAL generation alive: an entry's
     // references are its dir plus every carried path's top segment —
     // missing the latter would gc a generation a merge still reads

@@ -168,7 +168,13 @@ class GraftManifestDataSource extends RelationProvider
       val fmt = parameters.getOrElse("format", "parquet")
       val pass = parameters -- Seq("path", "partCol", "parts", "format",
         "readChangeFeed", "startingVersion", "endingVersion")
-      val start = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(1L)
+      // default start = the OLDEST RETAINED valid version, not 1: on
+      // any table whose first commit has been gc'd (the steady state)
+      // a plain option-only read should serve the retained window, not
+      // throw the retention error (round-16 ADVICE). An EXPLICIT
+      // startingVersion past retention still fails loudly.
+      val start = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(
+        graft.core.ManifestTable.versions(fs, rootPath).minOption.getOrElse(1L))
       val end = parameters.get("endingVersion").map(_.trim.toLong).getOrElse(
         graft.core.ManifestTable.resolve(fs, rootPath).map(_.seq).getOrElse(
           throw new IllegalArgumentException(
