@@ -66,7 +66,37 @@ final case class ManifestEntry(part: String, dir: String, files: Seq[String],
   * [[ManifestChanges]].
   */
 final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry],
-    statsCols: Seq[String] = Nil, changes: String = "", retain: Int = 0)
+    statsCols: Seq[String] = Nil, changes: String = "", retain: Int = 0,
+    segRefs: Seq[SegRef] = Nil)
+
+/** One entry-segment file a SEGMENTED commit references (round 17):
+  * `name` inside `_segments/`, the sha-256 of the file's full bytes
+  * (binding — a swapped-but-self-valid segment still fails the
+  * commit's recorded hash), its bucket position under the commit's
+  * bucket count `of`, and entry/byte counts for history/profile.
+  *
+  * Why segments: the round-16 format serialized EVERY live entry into
+  * EVERY commit — O(table) bytes per commit, envelopes shed table-wide
+  * at 8 MB, the reader refusing at 16 MB; at ~800k recorded files the
+  * bare listing exceeded the cap and the table went unreadable — at
+  * exactly the scale the skipping tier was built for. Segmented
+  * commits are the Iceberg manifest-list / Delta checkpoint discipline
+  * in this format's vocabulary: entries live in immutable,
+  * uuid-named, bucketed segment files written ONCE; a commit names
+  * its buckets, rewriting only the buckets its update touched and
+  * REFERENCING the rest from its predecessor — commit cost is
+  * O(changed entries + bucket count), flat in table size.
+  *
+  * Safety inherits the pointer protocol: a commit whose any segment
+  * is missing, torn, or hash-mismatched is INVALID as a whole and the
+  * previous valid commit stays live; references only ever flow from
+  * the immediate predecessor commit (names are fresh uuids, never
+  * content-addressed, so a gc-racing resurrection of a dead name is
+  * impossible); gc sweeps segments exactly like generations —
+  * referenced by kept commits = live, else dropped-or-aged.
+  */
+final case class SegRef(bucket: Int, of: Int, name: String, sha: String,
+    nEntries: Int, bytes: Long)
 
 /** One data file a committed manifest references: its owning entry's
   * part key, its ROOT-relative path (the carry encoding), its recorded
@@ -168,6 +198,11 @@ object ManifestTable {
     * swept by [[gc]] alongside the commit window it serves.
     */
   val ChangesDir = "_changes"
+  /** Root child holding immutable entry-segment files (round 17,
+    * [[SegRef]]): underscore-prefixed so data readers and adoption
+    * never see it; swept by [[gc]] like generations.
+    */
+  val SegmentsDir = "_segments"
   private val Header = "graft-manifest"
   private val TokenRe = "[A-Za-z0-9_=.:@+-]*".r
   /** Serialized-manifest budget above which column envelopes are shed
@@ -218,15 +253,59 @@ object ManifestTable {
     * degrades to stats-less (never fails the manifest): envelopes are
     * advisory.
     */
+  private def statToken(s: FileStat, rootRel: Boolean): String = {
+    // carried names are '/'-joined root-relative paths; own names flat
+    if (rootRel) s.name.split('/').foreach(token)
+    else { token(s.name); () }
+    val base = s"${s.name}#${s.len}"
+    if (s.rowCount < 0 && s.cols.isEmpty) base
+    else s"$base#${encodeStatsBlob(s.rowCount, s.cols)}"
+  }
+
+  /** One entry's serialized line — shared verbatim between inline
+    * commits and segment files, so the two formats cannot drift.
+    */
+  private def entryLine(e: ManifestEntry): String = {
+    val sb = new StringBuilder
+    sb.append(token(e.part)).append('\t')
+    // dir may contain '/' between path-safe segments
+    e.dir.split('/').foreach(token)
+    sb.append(e.dir).append('\t')
+    sb.append(e.files.map(token).mkString(",")).append('\t')
+    sb.append(e.stats.map(statToken(_, rootRel = false)).mkString(",")).append('\t')
+    sb.append(e.covers.map(token).mkString(","))
+    if (e.carry.nonEmpty)
+      sb.append('\t').append(e.carry.map(statToken(_, rootRel = true)).mkString(","))
+    sb.toString
+  }
+
+  /** Strict inverse of [[entryLine]]; None on any malformation. */
+  private def parseEntryLine(ln: String): Option[ManifestEntry] = {
+    val f = ln.split("\t", -1)
+    if (f.length != 3 && f.length != 5 && f.length != 6) return None
+    def parseStats(field: String): Option[Seq[FileStat]] =
+      if (field.isEmpty) Some(Nil)
+      else {
+        val parsed = field.split(',').toSeq.map { t =>
+          t.split('#') match {
+            case Array(name, len) if name.nonEmpty =>
+              len.toLongOption.map(FileStat(name, _))
+            case Array(name, len, blob) if name.nonEmpty =>
+              val (rc, cols) = decodeStatsBlob(blob)
+              len.toLongOption.map(FileStat(name, _, rc, cols))
+            case _ => None
+          }
+        }
+        if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)
+      }
+    val stats = if (f.length < 5) Nil else parseStats(f(3)).getOrElse(return None)
+    val covers = if (f.length < 5 || f(4).isEmpty) Nil else f(4).split(',').toSeq
+    val carry = if (f.length < 6) Nil else parseStats(f(5)).getOrElse(return None)
+    Some(ManifestEntry(f(0), f(1),
+      if (f(2).isEmpty) Nil else f(2).split(',').toSeq, stats, covers, carry))
+  }
+
   private[core] def serialize(m: Manifest): Array[Byte] = {
-    def statToken(s: FileStat, rootRel: Boolean): String = {
-      // carried names are '/'-joined root-relative paths; own names flat
-      if (rootRel) s.name.split('/').foreach(token)
-      else { token(s.name); () }
-      val base = s"${s.name}#${s.len}"
-      if (s.rowCount < 0 && s.cols.isEmpty) base
-      else s"$base#${encodeStatsBlob(s.rowCount, s.cols)}"
-    }
     val body = new StringBuilder
     body.append(Header).append('\t').append(1).append('\t')
       .append(m.seq).append('\t').append(token(m.partCol))
@@ -248,20 +327,62 @@ object ManifestTable {
     }
     if (hasRetain) body.append('\t').append(m.retain)
     body.append('\n')
-    m.entries.sortBy(_.part).foreach { e =>
-      body.append(token(e.part)).append('\t')
-      // dir may contain '/' between path-safe segments
-      e.dir.split('/').foreach(token)
-      body.append(e.dir).append('\t')
-      body.append(e.files.map(token).mkString(",")).append('\t')
-      body.append(e.stats.map(statToken(_, rootRel = false)).mkString(",")).append('\t')
-      body.append(e.covers.map(token).mkString(","))
-      if (e.carry.nonEmpty)
-        body.append('\t').append(e.carry.map(statToken(_, rootRel = true)).mkString(","))
-      body.append('\n')
-    }
+    // A SEGMENTED manifest (round 17) holds its entries in the
+    // referenced segment files; the commit body is `~seg` lines only
+    // ('~' is outside the token charset, so the marker cannot collide
+    // with an entry's part field). Inline and segmented bodies never
+    // mix on write; the reader tolerates both for forward latitude.
+    if (m.segRefs.nonEmpty)
+      m.segRefs.sortBy(_.bucket).foreach { r =>
+        token(r.name)
+        body.append("~seg\t").append(r.bucket).append('\t').append(r.of)
+          .append('\t').append(r.name).append('\t').append(r.sha)
+          .append('\t').append(r.nEntries).append('\t').append(r.bytes)
+          .append('\n')
+      }
+    else
+      m.entries.sortBy(_.part).foreach { e =>
+        body.append(entryLine(e)).append('\n')
+      }
     val payload = body.toString.getBytes(StandardCharsets.UTF_8)
     (s"sha256:${sha256(payload)}\n").getBytes(StandardCharsets.UTF_8) ++ payload
+  }
+
+  private val SegHeader = "graft-segment"
+
+  /** A segment file's full bytes: the same sha-guarded layout as a
+    * commit (`sha256:` line, `graft-segment\t1\t<bucket>\t<of>`
+    * header, one [[entryLine]] per entry) — a torn segment write can
+    * only read as invalid, never as a partial entry list.
+    */
+  private[core] def serializeSegment(bucket: Int, of: Int,
+      lines: Seq[String]): Array[Byte] = {
+    val body = new StringBuilder
+    body.append(SegHeader).append('\t').append(1).append('\t')
+      .append(bucket).append('\t').append(of).append('\n')
+    lines.foreach(l => body.append(l).append('\n'))
+    val payload = body.toString.getBytes(StandardCharsets.UTF_8)
+    (s"sha256:${sha256(payload)}\n").getBytes(StandardCharsets.UTF_8) ++ payload
+  }
+
+  /** Strict parse of a segment file; None on ANY malformation or on a
+    * mismatch with the COMMIT-recorded sha of the full file bytes.
+    */
+  private[core] def deserializeSegment(bytes: Array[Byte],
+      expectedSha: String): Option[Seq[ManifestEntry]] = {
+    if (sha256(bytes) != expectedSha) return None
+    val text = new String(bytes, StandardCharsets.UTF_8)
+    val nl = text.indexOf('\n')
+    if (nl < 0 || !text.startsWith("sha256:")) return None
+    val payload = text.substring(nl + 1)
+    if (sha256(payload.getBytes(StandardCharsets.UTF_8)) != text.substring(7, nl))
+      return None
+    val lines = payload.split("\n", -1).toSeq.dropRight(1)
+    if (lines.isEmpty) return None
+    val head = lines.head.split("\t", -1)
+    if (head.length != 4 || head(0) != SegHeader || head(1) != "1") return None
+    val parsed = lines.tail.map(parseEntryLine)
+    if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)
   }
 
   private def b64e(s: String): String =
@@ -332,31 +453,19 @@ object ManifestTable {
     val retain =
       if (head.length < 7 || head(6).isEmpty) 0
       else head(6).toIntOption.getOrElse(return None)
-    val entries = lines.tail.map { ln =>
+    val (segLines, entryLines) = lines.tail.partition(_.startsWith("~seg\t"))
+    val segRefs = segLines.map { ln =>
       val f = ln.split("\t", -1)
-      if (f.length != 3 && f.length != 5 && f.length != 6) return None
-      def parseStats(field: String): Option[Seq[FileStat]] =
-        if (field.isEmpty) Some(Nil)
-        else {
-          val parsed = field.split(',').toSeq.map { t =>
-            t.split('#') match {
-              case Array(name, len) if name.nonEmpty =>
-                len.toLongOption.map(FileStat(name, _))
-              case Array(name, len, blob) if name.nonEmpty =>
-                val (rc, cols) = decodeStatsBlob(blob)
-                len.toLongOption.map(FileStat(name, _, rc, cols))
-              case _ => None
-            }
-          }
-          if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)
-        }
-      val stats = if (f.length < 5) Nil else parseStats(f(3)).getOrElse(return None)
-      val covers = if (f.length < 5 || f(4).isEmpty) Nil else f(4).split(',').toSeq
-      val carry = if (f.length < 6) Nil else parseStats(f(5)).getOrElse(return None)
-      ManifestEntry(f(0), f(1),
-        if (f(2).isEmpty) Nil else f(2).split(',').toSeq, stats, covers, carry)
+      if (f.length != 7) return None
+      val bucket = f(1).toIntOption.getOrElse(return None)
+      val of = f(2).toIntOption.getOrElse(return None)
+      if (f(3).isEmpty || f(4).length != 64) return None
+      val nEntries = f(5).toIntOption.getOrElse(return None)
+      val bytes = f(6).toLongOption.getOrElse(return None)
+      SegRef(bucket, of, f(3), f(4), nEntries, bytes)
     }
-    Some(Manifest(seq, head(3), entries, statsCols, changes, retain))
+    val entries = entryLines.map(parseEntryLine(_).getOrElse(return None))
+    Some(Manifest(seq, head(3), entries, statsCols, changes, retain, segRefs))
   }
 
   /** Create-race losses across all commits this JVM made — the cheap
@@ -436,6 +545,71 @@ object ManifestTable {
       .sorted.reverse
   }
 
+  /** Inline budget above which a commit goes SEGMENTED ([[SegRef]]) —
+    * well below [[StatsStripBytes]], so table-wide envelope shed is
+    * unreachable on the write paths that matter; hysteresis via
+    * [[SegmentizeFloor]] keeps a shrinking table from flapping.
+    * `@volatile` so scale specs can exercise segmentation on small
+    * tables; production never changes it.
+    */
+  @volatile private[graft] var SegmentizeBytes: Int = 4 << 20
+  @volatile private[graft] var SegmentizeFloor: Int = 1 << 20
+  /** Target serialized bytes per segment; bucket count is the next
+    * power of two that lands near it (kept stable within a 4x band so
+    * ordinary growth doesn't reshard every bucket).
+    */
+  @volatile private[graft] var SegmentTargetBytes: Int = 1 << 20
+  /** Per-segment budget above which THAT bucket's entries shed column
+    * envelopes (name+len stay — the load-bearing listing). Bucket-
+    * local, unlike the old table-wide shed: one monster partition can
+    * no longer strip stats from every other partition's files.
+    */
+  @volatile private[graft] var SegmentShedBytes: Int = 48 << 20
+
+  /** Immutable-segment LRU: segments are uuid-named and written once,
+    * so a (path, sha) hit can never be stale — resolve/commit/history
+    * re-reads over the retained window collapse to one fetch per
+    * segment per JVM. Bounded by count; a 128-entry window at the
+    * 1 MB target is ~128 MB of driver heap ceiling.
+    */
+  private val segmentCache = new java.util.LinkedHashMap[String, Seq[ManifestEntry]](
+    64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Seq[ManifestEntry]]): Boolean = size() > 128
+  }
+
+  /** Test seam: drop cached segments so a spec can observe the raw
+    * store (e.g. prove the fallback on a corrupted segment file that a
+    * warm cache would legitimately mask — segments are immutable by
+    * contract, so a (path, sha) hit is always valid in production).
+    */
+  private[graft] def segmentCacheClear(): Unit =
+    segmentCache.synchronized { segmentCache.clear() }
+
+  private def readSegment(fs: FileSystem, root: Path, ref: SegRef): Option[Seq[ManifestEntry]] = {
+    val p = new Path(new Path(root, SegmentsDir), ref.name)
+    val key = fs.makeQualified(p).toString + "#" + ref.sha
+    segmentCache.synchronized {
+      val hit = segmentCache.get(key)
+      if (hit != null) return Some(hit)
+    }
+    val loaded =
+      try {
+        val len = fs.getFileStatus(p).getLen
+        if (len <= 0 || len > (256L << 20)) None
+        else {
+          val in = fs.open(p)
+          try {
+            val buf = new Array[Byte](len.toInt)
+            in.readFully(0, buf)
+            deserializeSegment(buf, ref.sha)
+          } finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    loaded.foreach(es => segmentCache.synchronized { segmentCache.put(key, es); () })
+    loaded
+  }
+
   private def readCommit(fs: FileSystem, root: Path, seq: Long): Option[Manifest] =
     try {
       val p = commitPath(root, seq)
@@ -446,7 +620,19 @@ object ManifestTable {
         try {
           val buf = new Array[Byte](len.toInt)
           in.readFully(0, buf)
-          deserialize(buf).filter(_.seq == seq)
+          deserialize(buf).filter(_.seq == seq).flatMap { m =>
+            if (m.segRefs.isEmpty) Some(m)
+            else {
+              // materialize: every segment must load and validate, or
+              // the COMMIT is invalid as a whole and the previous valid
+              // commit stays live — the same all-or-nothing stance as
+              // the sha guard on the pointer itself
+              val loaded = parMap(m.segRefs)(readSegment(fs, root, _))
+              if (loaded.exists(_.isEmpty)) None
+              else Some(m.copy(entries =
+                (m.entries ++ loaded.flatMap(_.get)).sortBy(_.part)))
+            }
+          }
         } finally in.close()
       }
     } catch { case _: java.io.IOException => None }
@@ -618,7 +804,18 @@ object ManifestTable {
         val rt = retain.getOrElse(cur.map(_.retain).getOrElse(0))
         var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""), rt)
         var bytes = serialize(m)
-        if (bytes.length > StatsStripBytes) {
+        val prevSegs = cur.map(_.segRefs).getOrElse(Nil)
+        if (bytes.length > SegmentizeBytes ||
+            (prevSegs.nonEmpty && bytes.length > SegmentizeFloor)) {
+          // SEGMENTED commit (round 17): entries land in bucketed
+          // segment files; unchanged buckets are referenced from the
+          // predecessor by name, so these bytes are O(changed entries
+          // + bucket count) however large the table. Lost-race
+          // attempts orphan their fresh segments — uuid-named, swept
+          // by gc's age guard like generation debris.
+          val (sm, sb) = writeSegmented(fs, root, m, prevSegs, updates.keySet)
+          m = sm; bytes = sb
+        } else if (bytes.length > StatsStripBytes) {
           // Column envelopes are advisory; the (name, len) listing is
           // load-bearing. A manifest pushed past the budget by
           // envelopes sheds them ALL (deterministically) rather than
@@ -701,6 +898,63 @@ object ManifestTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  private[core] def bucketOf(part: String, b: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(part), b)
+
+  /** Write the dirty buckets of a segmented commit and return the
+    * manifest carrying its [[SegRef]]s plus the (small) commit bytes.
+    * Bucket count: the next power of two landing each bucket near
+    * [[SegmentTargetBytes]], kept STABLE while the per-bucket average
+    * stays inside a 4x band — so ordinary growth rewrites only touched
+    * buckets and a reshard (all buckets rewritten once) is a rare,
+    * amortized event. Bucket membership hashes the part key, so a
+    * commit knows its dirty buckets without reading anything.
+    */
+  private def writeSegmented(fs: FileSystem, root: Path, m: Manifest,
+      prevSegs: Seq[SegRef], changedParts: Set[String]): (Manifest, Array[Byte]) = {
+    val lines = m.entries.sortBy(_.part).map(e => e -> entryLine(e))
+    val total = lines.iterator.map(_._2.length + 1L).sum
+    val prevB = prevSegs.headOption.map(_.of).getOrElse(0)
+    val keepPrevB = prevB > 0 && {
+      val avg = total.toDouble / prevB
+      avg >= SegmentTargetBytes / 4.0 && avg <= SegmentTargetBytes * 4.0
+    }
+    val b =
+      if (keepPrevB) prevB
+      else java.lang.Integer.highestOneBit(
+        math.max(1, math.ceil(total.toDouble / SegmentTargetBytes).toInt) * 2 - 1)
+    val byBucket = lines.groupBy { case (e, _) => bucketOf(e.part, b) }
+    val prevByBucket =
+      if (prevB == b) prevSegs.map(r => r.bucket -> r).toMap
+      else Map.empty[Int, SegRef]
+    val dirty = changedParts.map(bucketOf(_, b))
+    fs.mkdirs(new Path(root, SegmentsDir))
+    val refs = parMap(byBucket.toSeq.sortBy(_._1)) { case (bk, es) =>
+      prevByBucket.get(bk) match {
+        case Some(r) if !dirty.contains(bk) => r
+        case _ =>
+          var payload = serializeSegment(bk, b, es.map(_._2))
+          if (payload.length > SegmentShedBytes)
+            // bucket-LOCAL envelope shed: this bucket's entries drop
+            // their advisory column stats (the (name, len) listing is
+            // load-bearing and stays); other buckets keep full
+            // envelopes — unlike the old table-wide strip
+            payload = serializeSegment(bk, b, es.map { case (e, _) =>
+              entryLine(e.copy(
+                stats = e.stats.map(s => FileStat(s.name, s.len)),
+                carry = e.carry.map(s => FileStat(s.name, s.len))))
+            })
+          val name =
+            s"s-${m.seq}-$bk-${java.util.UUID.randomUUID().toString.take(8)}"
+          val out = fs.create(new Path(new Path(root, SegmentsDir), name), false)
+          try out.write(payload) finally out.close()
+          SegRef(bk, b, name, sha256(payload), es.size, payload.length.toLong)
+      }
+    }
+    val sm = m.copy(segRefs = refs)
+    (sm, serialize(sm))
   }
 
   /** Adopt a PLAIN layout in place — reference its existing
@@ -1161,6 +1415,25 @@ object ManifestTable {
         if (dead) {
           reclaimed += sizeOf(s.getPath)
           fs.delete(s.getPath, true)
+        }
+      }
+    }
+    // entry segments (round 17): same discipline as generations —
+    // named by a kept commit = live; named only by dropped commits =
+    // retired; never-named strays (a lost-race or crashed committer's
+    // fresh segments) age out under the orphan window so an in-flight
+    // commit's segments are never swept from under its pointer flip
+    val segDir = new Path(root, SegmentsDir)
+    if (fs.exists(segDir)) {
+      val keptSegs = kept.flatMap(_.segRefs).map(_.name).toSet
+      val droppedSegs = dropped.flatMap(_.segRefs).map(_.name).toSet -- keptSegs
+      fs.listStatus(segDir).foreach { s =>
+        val nm = s.getPath.getName
+        val dead = !keptSegs.contains(nm) && (droppedSegs.contains(nm) ||
+          now - s.getModificationTime >= orphanRetentionMs)
+        if (dead) {
+          reclaimed += s.getLen
+          fs.delete(s.getPath, false); ()
         }
       }
     }

@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.LongType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => LevenshteinPrefilterRule)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.ManifestMetadataAggRule)
@@ -87,16 +88,115 @@ object GraftExtensions {
       }),
   )
 
+  /** SQL TABLE functions (round-17 verdict task 6) — the manifest
+    * table features reachable from pure SQL, no Scala API required:
+    *
+    *  - `graft_table('<root>'[, version])` — the manifested table's
+    *    live state, or VERSION AS OF a retained commit. The partition
+    *    column comes from the manifest itself; the plan is the same
+    *    single-scan [[graft.core.ManifestFileIndex]] relation the
+    *    Scala path builds (pushdown, pruning, metadata aggregates all
+    *    apply).
+    *  - `graft_table_at('<root>', '<ts>')` — TIMESTAMP AS OF: epoch
+    *    millis or an ISO-8601 instant, resolved by store mtime like
+    *    the option surface.
+    *  - `graft_table_changes('<root>', from, to)` — the row-level
+    *    change feed between commit versions, Delta's `table_changes`
+    *    shape ([[graft.core.ManifestChanges.between]]).
+    *
+    * Arguments must be literals (foldable) — the standard TVF
+    * restriction; the builders fail loudly otherwise.
+    */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    def lit(e: Expression, what: String): Any = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    def str(e: Expression, what: String): String = lit(e, what) match {
+      case null => throw new IllegalArgumentException(s"$what must not be null")
+      case v => v.toString
+    }
+    def long(e: Expression, what: String): Long = lit(e, what) match {
+      case n: java.lang.Number => n.longValue()
+      case v => throw new IllegalArgumentException(s"$what must be numeric, got $v")
+    }
+    def activeSession: SparkSession = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession for graft table function"))
+    def tablePlan(root: String, asOf: Option[Long]) = {
+      val spark = activeSession
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.core.ManifestTable.resolve(fs, rootPath) match {
+        case Some(m) =>
+          graft.core.ManifestFileIndex.relation(spark, root, m.partCol,
+            asOfSeq = asOf).queryExecution.analyzed
+        case None =>
+          require(asOf.isEmpty, s"graft_table: no manifested table at $root — " +
+            "time travel needs a commit history")
+          spark.read.parquet(root).queryExecution.analyzed
+      }
+    }
+    Seq(
+      (
+        new FunctionIdentifier("graft_table"),
+        new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            "graft_table(root[, versionAsOf])")
+          tablePlan(str(args.head, "graft_table root"),
+            args.lift(1).map(long(_, "graft_table versionAsOf")))
+        }),
+      (
+        new FunctionIdentifier("graft_table_at"),
+        new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table_at"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_table_at(root, timestampAsOf)")
+          val root = str(args.head, "graft_table_at root")
+          val raw = str(args(1), "graft_table_at timestampAsOf")
+          val millis = raw.toLongOption.getOrElse(
+            try java.time.Instant.parse(raw).toEpochMilli
+            catch { case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"graft_table_at: '$raw' is neither epoch millis nor an ISO-8601 instant")
+            })
+          val spark = activeSession
+          val rootPath = new org.apache.hadoop.fs.Path(root)
+          val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+          val v = graft.core.ManifestTable.versionAt(fs, rootPath, millis).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft_table_at: no retained commit at or before $raw (retained: " +
+                s"${graft.core.ManifestTable.versions(fs, rootPath).mkString(", ")})"))
+          tablePlan(root, Some(v))
+        }),
+      (
+        new FunctionIdentifier("graft_table_changes"),
+        new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table_changes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_table_changes(root, fromVersion, toVersion)")
+          graft.core.ManifestChanges.between(activeSession,
+            str(args.head, "graft_table_changes root"),
+            long(args(1), "graft_table_changes fromVersion"),
+            long(args(2), "graft_table_changes toVersion"))
+            .queryExecution.analyzed
+        }),
+    )
+  }
+
   /** Register into an already-running session (extensions only apply at
     * session construction; this covers notebooks/REPLs). Installs the
     * full surface the construction-time path injects: the SQL
-    * functions AND the optimizer rules/strategy (top-k rewrite,
-    * manifest metadata aggregates) — round 15 aligned the two paths so
-    * a live session is not silently missing the plan rewrites.
+    * functions, the TABLE functions AND the optimizer rules/strategy
+    * (top-k rewrite, manifest metadata aggregates) — round 15 aligned
+    * the two paths so a live session is not silently missing the plan
+    * rewrites.
     */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
     }
     graft.plans.TopKWindowRewriteRule.install(spark)
     graft.plans.ManifestMetadataAgg.ensure(spark)

@@ -211,6 +211,40 @@ object ManifestReadBench {
       (feedRows, feedMs, diffMs, mergePlainSec, mergeCdfSec)
     }
 
+    // segmented-commit pricing (round 17): commit COST must stay flat
+    // as the table's file count grows 100x — the point of segment
+    // files (the round-16 format serialized every live entry into
+    // every commit, O(table) bytes, shedding envelopes table-wide at
+    // 8 MB and going unreadable past the 16 MB cap). Synthetic
+    // stats-bearing tables at three sizes, each priced on ONE-part
+    // update commits (the steady-state shape), min-of-3.
+    val segRows = {
+      import graft.core.{ColStat, FileStat, ManifestEntry}
+      def entry(p: String, files: Int) = ManifestEntry(p, s"day=$p", Nil,
+        (0 until files).map(i => FileStat(f"part-$i%05d.parquet", 1000L + i, 500L + i,
+          Seq(ColStat("event_id", 'i', Some((i * 100).toString),
+            Some((i * 100 + 99).toString), 0L),
+            ColStat("ts", 't', Some("1700000000000000"), Some("1700000086400000"), 0L)))))
+      Seq(20, 200, 2000).map { partsN =>
+        val dir = new Path(
+          java.nio.file.Files.createTempDirectory(s"mrb-seg-$partsN").toString, "t")
+        val sfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val updates: Map[String, Option[ManifestEntry]] =
+          (0 until partsN).map(i => f"d$i%04d" -> Some(entry(f"d$i%04d", 50))).toMap
+        ManifestTable.commit(sfs, dir, "day", updates)
+        val ms = (1 to 3).map { k =>
+          val t0 = System.nanoTime()
+          ManifestTable.commit(sfs, dir, "day",
+            Map(f"d${k}%04d" -> Some(entry(f"d${k}%04d", 50))))
+          (System.nanoTime() - t0) / 1e6
+        }.min
+        val m = ManifestTable.resolve(sfs, dir).get
+        val cBytes = sfs.getFileStatus(new Path(new Path(dir,
+          ManifestTable.CommitsDir), f"${m.seq}%020d")).getLen
+        (partsN * 50, ms, cBytes, m.segRefs.size)
+      }
+    }
+
     val rows = spark.read.parquet(plainDir).count()
     val json = (Seq(
       "tool" -> "\"manifest-read-bench\"",
@@ -235,6 +269,10 @@ object ManifestReadBench {
         s"merge_w${w}_total_files" -> r.totalFiles.toString,
         s"merge_w${w}_candidates" -> r.candidateFiles.toString,
         s"merge_w${w}_touched" -> r.touchedFiles.toString) } ++
+      segRows.flatMap { case (files, ms, cBytes, buckets) => Seq(
+        s"seg_f${files}_commit_ms" -> f"$ms%.3f",
+        s"seg_f${files}_commit_bytes" -> cBytes.toString,
+        s"seg_f${files}_buckets" -> buckets.toString) } ++
       results.map { case (k, v) => k -> f"$v%.3f" })
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(json)

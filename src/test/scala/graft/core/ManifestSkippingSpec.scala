@@ -145,10 +145,13 @@ class ManifestSkippingSpec extends SparkSpec {
     assert(got.exists(_.entries.head.stats == Seq(FileStat("f0.parquet", 10L))))
   }
 
-  test("a manifest pushed past the stats budget sheds envelopes, keeps the (name, len) listing") {
+  test("a manifest pushed past the old stats budget goes segmented and KEEPS envelopes") {
     val root = new Path(tmpDir("skip-budget") + "/t")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // envelopes sized to overflow the 8 MB budget: ~40k files × ~300 B
+    // envelopes sized to overflow the old 8 MB inline budget: ~40k
+    // files × ~300 B. Round 15 shed every envelope table-wide here;
+    // round 17 commits SEGMENTED instead, so the skipping tier keeps
+    // its stats at exactly the scale it was built for.
     val fat = (0 until 40000).map { i =>
       FileStat(f"part-$i%05d.parquet", 100L, 10L, Seq(
         ColStat("text", 's', Some("m" * 24), Some("n" * 24), 0L),
@@ -157,12 +160,59 @@ class ManifestSkippingSpec extends SparkSpec {
     }
     val m = ManifestTable.commit(fs, root, "",
       Map("" -> Some(ManifestEntry("", "g-fat", Nil, fat))))
+    assert(m.segRefs.nonEmpty, "past the inline budget the commit must segment")
     assert(m.entries.head.stats.size == 40000)
-    assert(m.entries.head.stats.forall(s => s.cols.isEmpty && s.rowCount < 0),
-      "envelopes should have been shed past the budget")
+    assert(m.entries.head.stats.forall(s => s.cols.nonEmpty && s.rowCount >= 0),
+      "segmentation must PRESERVE envelopes (the old format shed them all here)")
     val resolved = ManifestTable.resolve(fs, root).get
     assert(resolved.entries.head.stats.map(s => (s.name, s.len)) ==
       fat.map(s => (s.name, s.len)))
+    assert(resolved.entries.head.stats.head.cols.size == 3)
+  }
+
+  test("a single monster bucket past the segment budget sheds bucket-locally") {
+    val root = new Path(tmpDir("skip-budget-shed") + "/t")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prev = ManifestTable.SegmentShedBytes
+    ManifestTable.SegmentShedBytes = 64 << 10 // force the backstop on small data
+    try {
+      val fatPart = (0 until 2000).map(i =>
+        FileStat(f"part-$i%05d.parquet", 100L, 10L,
+          Seq(ColStat("id", 'i', Some(i.toString), Some((i + 1).toString), 0L))))
+      val slim = (0 until 40).map(i =>
+        FileStat(f"part-$i%05d.parquet", 100L, 10L,
+          Seq(ColStat("id", 'i', Some(i.toString), Some((i + 1).toString), 0L))))
+      // many small parts + one monster part; thresholds shrunk so the
+      // table segments and ONLY the monster's bucket exceeds its budget
+      val segPrev = (ManifestTable.SegmentizeBytes, ManifestTable.SegmentTargetBytes)
+      ManifestTable.SegmentizeBytes = 32 << 10
+      ManifestTable.SegmentTargetBytes = 16 << 10
+      try {
+        val updates: Map[String, Option[ManifestEntry]] =
+          (0 until 50).map(i =>
+            f"d$i%02d" -> Some(ManifestEntry(f"d$i%02d", f"day=d$i%02d", Nil, slim))).toMap +
+            ("dfat" -> Some(ManifestEntry("dfat", "day=dfat", Nil, fatPart)))
+        val m = ManifestTable.commit(fs, root, "day", updates)
+        assert(m.segRefs.nonEmpty)
+        val resolved = ManifestTable.resolve(fs, root).get
+        val fat = resolved.entries.find(_.part == "dfat").get
+        assert(fat.stats.forall(s => s.cols.isEmpty && s.rowCount < 0),
+          "the monster bucket must shed ITS envelopes")
+        assert(fat.stats.map(s => (s.name, s.len)) == fatPart.map(s => (s.name, s.len)),
+          "the load-bearing (name, len) listing must survive the shed")
+        // every OTHER bucket keeps its envelopes — unlike the old
+        // table-wide strip (the shed is bucket-granular, so slim parts
+        // sharing the monster's bucket legitimately shed with it)
+        val b = resolved.segRefs.head.of
+        val fatBucket = ManifestTable.bucketOf("dfat", b)
+        val others = resolved.entries.filterNot(e =>
+          ManifestTable.bucketOf(e.part, b) == fatBucket)
+        assert(others.nonEmpty && others.forall(_.stats.forall(_.cols.nonEmpty)))
+      } finally {
+        ManifestTable.SegmentizeBytes = segPrev._1
+        ManifestTable.SegmentTargetBytes = segPrev._2
+      }
+    } finally ManifestTable.SegmentShedBytes = prev
   }
 
   // ------------------------------------------------------- end to end
