@@ -803,19 +803,32 @@ object ManifestTable {
         val sc = statsCols.getOrElse(cur.map(_.statsCols).getOrElse(Nil))
         val rt = retain.getOrElse(cur.map(_.retain).getOrElse(0))
         var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""), rt)
-        var bytes = serialize(m)
         val prevSegs = cur.map(_.segRefs).getOrElse(Nil)
-        if (bytes.length > SegmentizeBytes ||
-            (prevSegs.nonEmpty && bytes.length > SegmentizeFloor)) {
-          // SEGMENTED commit (round 17): entries land in bucketed
-          // segment files; unchanged buckets are referenced from the
-          // predecessor by name, so these bytes are O(changed entries
-          // + bucket count) however large the table. Lost-race
-          // attempts orphan their fresh segments — uuid-named, swept
-          // by gc's age guard like generation debris.
-          val (sm, sb) = writeSegmented(fs, root, m, prevSegs, updates.keySet)
-          m = sm; bytes = sb
-        } else if (bytes.length > StatsStripBytes) {
+        var bytes: Array[Byte] = null
+        if (prevSegs.nonEmpty) {
+          // steady-state SEGMENTED commit (round 17): sized from the
+          // predecessor's recorded bucket bytes + the dirty buckets
+          // alone — the full inline form is NEVER serialized, so
+          // commit CPU is O(changed entries + bucket count), not
+          // O(table). None = the table shrank below the floor;
+          // re-inline.
+          writeSegmented(fs, root, m, prevSegs, updates.keySet) match {
+            case Some((sm, sb)) => m = sm; bytes = sb
+            case None => bytes = serialize(m)
+          }
+        } else {
+          bytes = serialize(m)
+          if (bytes.length > SegmentizeBytes) {
+            // first segmentation of a growing table: entries land in
+            // bucketed segment files; later commits rewrite only dirty
+            // buckets and reference the rest by name. Lost-race
+            // attempts orphan their fresh segments — uuid-named, swept
+            // by gc's age guard like generation debris.
+            val (sm, sb) = writeSegmented(fs, root, m, Nil, updates.keySet).get
+            m = sm; bytes = sb
+          }
+        }
+        if (m.segRefs.isEmpty && bytes.length > StatsStripBytes) {
           // Column envelopes are advisory; the (name, len) listing is
           // load-bearing. A manifest pushed past the budget by
           // envelopes sheds them ALL (deterministically) rather than
@@ -913,48 +926,61 @@ object ManifestTable {
     * commit knows its dirty buckets without reading anything.
     */
   private def writeSegmented(fs: FileSystem, root: Path, m: Manifest,
-      prevSegs: Seq[SegRef], changedParts: Set[String]): (Manifest, Array[Byte]) = {
-    val lines = m.entries.sortBy(_.part).map(e => e -> entryLine(e))
-    val total = lines.iterator.map(_._2.length + 1L).sum
+      prevSegs: Seq[SegRef], changedParts: Set[String]): Option[(Manifest, Array[Byte])] = {
     val prevB = prevSegs.headOption.map(_.of).getOrElse(0)
-    val keepPrevB = prevB > 0 && {
-      val avg = total.toDouble / prevB
-      avg >= SegmentTargetBytes / 4.0 && avg <= SegmentTargetBytes * 4.0
+    // bucket-LOCAL envelope shed: a bucket past its budget drops its
+    // entries' advisory column stats (the (name, len) listing is
+    // load-bearing and stays); other buckets keep full envelopes —
+    // unlike the old table-wide strip
+    def payloadFor(bk: Int, b: Int, es: Seq[ManifestEntry]): Array[Byte] = {
+      val sorted = es.sortBy(_.part)
+      val payload = serializeSegment(bk, b, sorted.map(entryLine))
+      if (payload.length <= SegmentShedBytes) payload
+      else serializeSegment(bk, b, sorted.map(e => entryLine(e.copy(
+        stats = e.stats.map(s => FileStat(s.name, s.len)),
+        carry = e.carry.map(s => FileStat(s.name, s.len))))))
     }
-    val b =
-      if (keepPrevB) prevB
-      else java.lang.Integer.highestOneBit(
-        math.max(1, math.ceil(total.toDouble / SegmentTargetBytes).toInt) * 2 - 1)
-    val byBucket = lines.groupBy { case (e, _) => bucketOf(e.part, b) }
-    val prevByBucket =
-      if (prevB == b) prevSegs.map(r => r.bucket -> r).toMap
-      else Map.empty[Int, SegRef]
-    val dirty = changedParts.map(bucketOf(_, b))
+    def writeBucket(bk: Int, b: Int, payload: Array[Byte], count: Int): SegRef = {
+      val name = s"s-${m.seq}-$bk-${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = fs.create(new Path(new Path(root, SegmentsDir), name), false)
+      try out.write(payload) finally out.close()
+      SegRef(bk, b, name, sha256(payload), count, payload.length.toLong)
+    }
     fs.mkdirs(new Path(root, SegmentsDir))
-    val refs = parMap(byBucket.toSeq.sortBy(_._1)) { case (bk, es) =>
-      prevByBucket.get(bk) match {
-        case Some(r) if !dirty.contains(bk) => r
-        case _ =>
-          var payload = serializeSegment(bk, b, es.map(_._2))
-          if (payload.length > SegmentShedBytes)
-            // bucket-LOCAL envelope shed: this bucket's entries drop
-            // their advisory column stats (the (name, len) listing is
-            // load-bearing and stays); other buckets keep full
-            // envelopes — unlike the old table-wide strip
-            payload = serializeSegment(bk, b, es.map { case (e, _) =>
-              entryLine(e.copy(
-                stats = e.stats.map(s => FileStat(s.name, s.len)),
-                carry = e.carry.map(s => FileStat(s.name, s.len))))
-            })
-          val name =
-            s"s-${m.seq}-$bk-${java.util.UUID.randomUUID().toString.take(8)}"
-          val out = fs.create(new Path(new Path(root, SegmentsDir), name), false)
-          try out.write(payload) finally out.close()
-          SegRef(bk, b, name, sha256(payload), es.size, payload.length.toLong)
+    if (prevB > 0) {
+      // incremental path: serialize ONLY the dirty buckets; the total
+      // is estimated from the predecessor's recorded bucket bytes, so
+      // the steady-state commit never touches the unchanged entries'
+      // serialization at all — the cost contract this format exists for
+      val prevByBucket = prevSegs.map(r => r.bucket -> r).toMap
+      val dirty = changedParts.map(bucketOf(_, prevB))
+      val byBucket = m.entries.groupBy(e => bucketOf(e.part, prevB))
+      val dirtyPayloads: Seq[(Int, Array[Byte], Int)] =
+        parMap(dirty.toSeq.sorted.flatMap(bk => byBucket.get(bk).map(bk -> _))) {
+          case (bk, es) => (bk, payloadFor(bk, prevB, es), es.size)
+        }
+      val cleanBytes = (prevByBucket -- dirty).values.map(_.bytes).sum
+      val estTotal = cleanBytes + dirtyPayloads.iterator.map(_._2.length.toLong).sum
+      if (estTotal <= SegmentizeFloor) return None // shrank: re-inline
+      val avg = estTotal.toDouble / prevB
+      if (avg >= SegmentTargetBytes / 4.0 && avg <= SegmentTargetBytes * 4.0) {
+        val refs = prevSegs.filterNot(r => dirty.contains(r.bucket) ||
+            !byBucket.contains(r.bucket)) ++
+          parMap(dirtyPayloads) { case (bk, p, cnt) => writeBucket(bk, prevB, p, cnt) }
+        val sm = m.copy(segRefs = refs.sortBy(_.bucket))
+        return Some((sm, serialize(sm)))
       }
+      // fell out of the band: reshard below (rare, amortized)
     }
-    val sm = m.copy(segRefs = refs)
-    (sm, serialize(sm))
+    val b = java.lang.Integer.highestOneBit(math.max(1, math.ceil(
+      m.entries.iterator.map(e => entryLine(e).length + 1L).sum.toDouble /
+        SegmentTargetBytes).toInt) * 2 - 1)
+    val byBucket = m.entries.groupBy(e => bucketOf(e.part, b))
+    val refs = parMap(byBucket.toSeq.sortBy(_._1)) { case (bk, es) =>
+      writeBucket(bk, b, payloadFor(bk, b, es), es.size)
+    }
+    val sm = m.copy(segRefs = refs.sortBy(_.bucket))
+    Some((sm, serialize(sm)))
   }
 
   /** Adopt a PLAIN layout in place — reference its existing
