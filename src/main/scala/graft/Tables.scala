@@ -73,6 +73,9 @@ object Tables {
     // naive TIMESTAMP — values agree under the UTC session.
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // field-id matching for column-mapped manifest tables (round 17);
+    // inert for schemas without id metadata
+    .config("spark.sql.parquet.fieldId.read.enabled", "true")
     .config("spark.ui.enabled", "false")
     .withExtensions(new graft.functions.GraftExtensions)
 }

@@ -139,13 +139,22 @@ object ManifestChanges {
   private[graft] def forVersion(spark: SparkSession, fs: FileSystem, root: Path,
       m: Manifest, parent: Option[Manifest], pinnedSchema: Option[StructType],
       format: String, options: Map[String, String]): Option[DataFrame] = {
+    // COLUMN-MAPPED tables (round 17): batch reads infer each record/
+    // file set (uniform within a commit by construction) and RELABEL
+    // by field id to the CURRENT logical names — a record captured
+    // before a rename serves the renamed names; a dropped column
+    // disappears. Streaming passes its own pinned schema and skips this.
+    val mapped = m.cols.nonEmpty && pinnedSchema.isEmpty
+    if (mapped) ManifestColumns.ensureReadConf(spark)
+    def relabel(df: DataFrame): DataFrame =
+      if (mapped) ManifestColumns.relabelById(df, m.cols) else df
     if (m.changes.nonEmpty) {
       // authoritative write-time record: exact, already tagged
       val p = new Path(root, m.changes)
       val r = spark.read.format(format)
         .options(FormatDefaults.read(format) ++ options)
-      return Some(pinnedSchema.fold(r)(s => r.schema(withChangeType(s)))
-        .load(p.toString))
+      return Some(relabel(pinnedSchema.fold(r)(s => r.schema(withChangeType(s)))
+        .load(p.toString)))
     }
     val childRefs = ManifestTable.liveFileRefs(fs, root, m)
     val parentRefs = parent.map(ManifestTable.liveFileRefs(fs, root, _)).getOrElse(Nil)
@@ -176,7 +185,7 @@ object ManifestChanges {
     val added = childRefs.filter(r =>
       !parentSet.contains(r.rootRel) && !foldParts.contains(r.part))
     if (added.isEmpty) None
-    else Some(readRefs(spark, root, m.partCol, added, pinnedSchema, format, options)
+    else Some(relabel(readRefs(spark, root, m.partCol, added, pinnedSchema, format, options))
       .withColumn(ChangeTypeCol, lit("insert")))
   }
 
@@ -192,8 +201,13 @@ object ManifestChanges {
       format: String, options: Map[String, String]): Option[DataFrame] = {
     val refs = ManifestTable.liveFileRefs(fs, root, m)
     if (refs.isEmpty) None
-    else Some(readRefs(spark, root, m.partCol, refs, pinnedSchema, format, options)
-      .withColumn(ChangeTypeCol, lit("insert")))
+    else {
+      val mapped = m.cols.nonEmpty && pinnedSchema.isEmpty
+      if (mapped) ManifestColumns.ensureReadConf(spark)
+      val df = readRefs(spark, root, m.partCol, refs, pinnedSchema, format, options)
+      Some((if (mapped) ManifestColumns.relabelById(df, m.cols) else df)
+        .withColumn(ChangeTypeCol, lit("insert")))
+    }
   }
 
   private[graft] def withChangeType(dataSchema: StructType): StructType =

@@ -168,6 +168,11 @@ final class ManifestFileIndex(
     * from the SAME resolved manifest the scan reads, so a metadata
     * answer can never drift from what the scan would return.
     */
+  /** The resolved manifest this index serves — the column-mapping
+    * read path needs its `cols` (round 17).
+    */
+  private[graft] def manifest: Manifest = state._1
+
   private[graft] def selectedEntries: Seq[ManifestEntry] = {
     val m = state._1
     selected match {
@@ -351,6 +356,23 @@ object ManifestFileIndex {
       mergeSchemaAllowMissing: Boolean = false): DataFrame = {
     val index = new ManifestFileIndex(spark, new Path(root), partCol, parts, asOfSeq)
     val effOptions = FormatDefaults.read(format) ++ options
+    // COLUMN MAPPING (round 17): a mapped table's data schema comes
+    // straight from the manifest — logical names + field ids + types,
+    // zero footer probes, no drift guards (identity is by id: a file
+    // written before a rename matches by id, one written before an add
+    // null-fills). mergeSchema flags are moot — the mapping IS the
+    // authoritative union.
+    if (format == "parquet" && index.manifest.cols.nonEmpty) {
+      ManifestColumns.ensureReadConf(spark)
+      val rel0 = HadoopFsRelation(
+        location = index,
+        partitionSchema = index.partitionSchema,
+        dataSchema = ManifestColumns.schemaOf(index.manifest.cols),
+        bucketSpec = None,
+        fileFormat = fileFormatFor(format),
+        options = effOptions)(spark)
+      return Bridge.ofRows(spark, LogicalRelation(rel0, isStreaming = false))
+    }
     val samples = index.sampleFilePerGroup
     def inferOn(path: Path): StructType =
       spark.read.options(effOptions).format(format).load(path.toString).schema

@@ -234,13 +234,23 @@ final case class ManifestMerge(
       else refs.filter(r => r.stat.forall(st =>
         ManifestSkipping.mayMatch(rangeFilters, st.rowCount, st.cols)))
 
+    // A COLUMN-MAPPED table (round 17) reads every file with the
+    // manifest-held logical schema — names + field ids — so files
+    // written before a rename still resolve by id in every phase.
+    val pinnedSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (manifest.cols.isEmpty) None
+      else {
+        ManifestColumns.ensureReadConf(spark)
+        Some(ManifestColumns.schemaOf(manifest.cols))
+      }
+
     // ---- phase 2: exact touched set — one scan of the candidates,
     // projected to (keys, file) BEFORE the union (metadata columns
     // resolve only directly above a file source, not through a union)
     val srcKeysDf = source.select(keys.map(col): _*).dropDuplicates(keys)
     val candKeysDf: Option[DataFrame] =
       if (candidates.isEmpty) None
-      else Some(readRefs(spark, root, candidates,
+      else Some(readRefs(spark, root, candidates, pinnedSchema,
         project = Some(keys.map(col) :+ col("_metadata.file_path").as("__file"))))
     // an insert-ONLY merge touches no existing file (matched rows have
     // no action) — skip the find-touched job and rewrite nothing
@@ -261,11 +271,12 @@ final case class ManifestMerge(
     // uniform live schema this engine's writers maintain); the insert
     // branch null-fills target columns the source lacks with the
     // probe's exact types, so every union below is schema-exact.
-    val probeSchema: org.apache.spark.sql.types.StructType = {
-      val probe = refs.headOption.getOrElse(
-        throw new IllegalArgumentException(s"manifested table at $root has no files"))
-      spark.read.parquet(new Path(root, probe.rootRel).toString).schema
-    }
+    val probeSchema: org.apache.spark.sql.types.StructType =
+      pinnedSchema.getOrElse {
+        val probe = refs.headOption.getOrElse(
+          throw new IllegalArgumentException(s"manifested table at $root has no files"))
+        spark.read.parquet(new Path(root, probe.rootRel).toString).schema
+      }
     val tgtCols: Seq[String] =
       if (partCol.nonEmpty) probeSchema.fieldNames.toSeq :+ partCol
       else probeSchema.fieldNames.toSeq
@@ -279,7 +290,7 @@ final case class ManifestMerge(
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val tgtRows = readRefs(spark, root, touched)
+        val tgtRows = readRefs(spark, root, touched, pinnedSchema)
         val keep = tgtRows.join(srcKeysDf, keys.toSeq, "left_anti")
         def matched = tgtRows.join(srcKeysDf, keys.toSeq, "left_semi")
         val out =
@@ -328,7 +339,13 @@ final case class ManifestMerge(
       return MergeResult(refs.size, candidates.size, 0, 0, Nil, attempts)
 
     val genPath = new Path(root, gen)
-    outDf.foreach { df =>
+    // column-mapped tables stamp their field ids into every output
+    // file (round 17) — computed columns lose source metadata, so the
+    // stamp is explicit, and the clone pins field-id writing on
+    def stamped(df: DataFrame): DataFrame =
+      if (manifest.cols.isEmpty) df
+      else ManifestColumns.stamp(df, manifest.cols, partCol)
+    outDf.map(stamped).foreach { df =>
       // PRIVATE cloned session for the generation write: timestamps
       // must land as TIMESTAMP_MICROS for ts envelopes, but flipping
       // the SHARED session's conf races every concurrent writer — the
@@ -336,6 +353,7 @@ final case class ManifestMerge(
       // coming out UTC-annotated. The clone's conf is invisible outside.
       val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
       ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       val bound = org.apache.spark.sql.graft.Bridge.ofRows(ws, df.queryExecution.analyzed)
       // REBALANCE, not repartition(partCol) (round-17 verdict task 2):
       // repartition hashed every partition's rows into ONE task, so a
@@ -363,9 +381,15 @@ final case class ManifestMerge(
       if (changeParts.isEmpty) None
       else {
         val rel = s"${ManifestTable.ChangesDir}/$gen"
-        val chg = changeParts.reduce(_ unionByName _)
+        val chg0 = changeParts.reduce(_ unionByName _)
+        // the record carries the data columns' ids too (the feed reads
+        // them back by id); the tag column stays id-less by design
+        val chg =
+          if (manifest.cols.isEmpty) chg0
+          else ManifestColumns.stamp(chg0, manifest.cols, partCol, Set("_change_type"))
         val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
         ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         val bound = org.apache.spark.sql.graft.Bridge.ofRows(ws, chg.queryExecution.analyzed)
         bound.write.mode("error").parquet(new Path(root, rel).toString)
         fs.delete(new Path(new Path(root, rel), "_SUCCESS"), false)
@@ -476,10 +500,12 @@ final case class ManifestMerge(
     * unioned. Unpartitioned tables read flat.
     */
   private def readRefs(spark: SparkSession, root: Path, refs: Seq[FileRef],
+      pinned: Option[org.apache.spark.sql.types.StructType],
       project: Option[Seq[Column]] = None): DataFrame = {
     def proj(df: DataFrame): DataFrame = project.fold(df)(cs => df.select(cs: _*))
+    def reader = pinned.fold(spark.read)(s => spark.read.schema(s))
     if (partCol.isEmpty) {
-      proj(spark.read.parquet(refs.map(r => new Path(root, r.rootRel).toString): _*))
+      proj(reader.parquet(refs.map(r => new Path(root, r.rootRel).toString): _*))
     } else {
       val groups = refs.groupBy { r =>
         val comps = r.rootRel.split('/')
@@ -489,7 +515,7 @@ final case class ManifestMerge(
       }
       groups.toSeq.sortBy(_._1).map { case (base, rs) =>
         val basePath = if (base.isEmpty) root else new Path(root, base)
-        proj(spark.read.option("basePath", basePath.toString)
+        proj(reader.option("basePath", basePath.toString)
           .parquet(rs.map(r => new Path(root, r.rootRel).toString): _*))
       }.reduce(_ unionByName _)
     }

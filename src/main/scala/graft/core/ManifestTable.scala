@@ -67,7 +67,7 @@ final case class ManifestEntry(part: String, dir: String, files: Seq[String],
   */
 final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry],
     statsCols: Seq[String] = Nil, changes: String = "", retain: Int = 0,
-    segRefs: Seq[SegRef] = Nil)
+    segRefs: Seq[SegRef] = Nil, cols: Seq[ColMapEntry] = Nil)
 
 /** One entry-segment file a SEGMENTED commit references (round 17):
   * `name` inside `_segments/`, the sha-256 of the file's full bytes
@@ -318,14 +318,25 @@ object ManifestTable {
     // (keepCommits), persisted like statsCols so a compaction/erasure
     // triggering gc cannot silently collapse the history window a
     // change-feed consumer sized its lag against (round-16 ADVICE).
+    // Optional 8th (round 17): the COLUMN MAPPING ([[ColMapEntry]]) —
+    // `<id>:<b64url logical>:<b64url type-json>[:<b64url retired
+    // names, \n-joined>]`; logical "" = dropped. Positional like the
+    // others: earlier empty fields are emitted as placeholders when a
+    // later one is present.
+    val colField = m.cols.map { e =>
+      val base = s"${e.id}:${b64e(e.logical)}:${b64e(e.typeJson)}"
+      if (e.retired.isEmpty) base else s"$base:${b64e(e.retired.mkString("\n"))}"
+    }.mkString(",")
     val hasRetain = m.retain > 0
-    if (m.statsCols.nonEmpty || m.changes.nonEmpty || hasRetain)
+    if (m.statsCols.nonEmpty || m.changes.nonEmpty || hasRetain || colField.nonEmpty)
       body.append('\t').append(m.statsCols.map(token).mkString(","))
-    if (m.changes.nonEmpty || hasRetain) {
+    if (m.changes.nonEmpty || hasRetain || colField.nonEmpty) {
       if (m.changes.nonEmpty) m.changes.split('/').foreach(token)
       body.append('\t').append(m.changes)
     }
-    if (hasRetain) body.append('\t').append(m.retain)
+    if (hasRetain || colField.nonEmpty)
+      body.append('\t').append(if (hasRetain) m.retain.toString else "")
+    if (colField.nonEmpty) body.append('\t').append(colField)
     body.append('\n')
     // A SEGMENTED manifest (round 17) holds its entries in the
     // referenced segment files; the commit body is `~seg` lines only
@@ -444,7 +455,7 @@ object ManifestTable {
     val lines = payload.split("\n", -1).toSeq.dropRight(1) // payload ends with \n
     if (lines.isEmpty) return None
     val head = lines.head.split("\t", -1)
-    if ((head.length < 4 || head.length > 7) ||
+    if ((head.length < 4 || head.length > 8) ||
       head(0) != Header || head(1) != "1") return None
     val seq = head(2).toLongOption.getOrElse(return None)
     val statsCols =
@@ -453,6 +464,21 @@ object ManifestTable {
     val retain =
       if (head.length < 7 || head(6).isEmpty) 0
       else head(6).toIntOption.getOrElse(return None)
+    val cols: Seq[ColMapEntry] =
+      if (head.length < 8 || head(7).isEmpty) Nil
+      else head(7).split(',').toSeq.map { t =>
+        t.split(":", -1) match {
+          case Array(id, log, tj) =>
+            val i = id.toIntOption.getOrElse(return None)
+            try ColMapEntry(i, b64d(log), b64d(tj))
+            catch { case _: IllegalArgumentException => return None }
+          case Array(id, log, tj, ret) =>
+            val i = id.toIntOption.getOrElse(return None)
+            try ColMapEntry(i, b64d(log), b64d(tj), b64d(ret).split('\n').toSeq)
+            catch { case _: IllegalArgumentException => return None }
+          case _ => return None
+        }
+      }
     val (segLines, entryLines) = lines.tail.partition(_.startsWith("~seg\t"))
     val segRefs = segLines.map { ln =>
       val f = ln.split("\t", -1)
@@ -465,7 +491,7 @@ object ManifestTable {
       SegRef(bucket, of, f(3), f(4), nEntries, bytes)
     }
     val entries = entryLines.map(parseEntryLine(_).getOrElse(return None))
-    Some(Manifest(seq, head(3), entries, statsCols, changes, retain, segRefs))
+    Some(Manifest(seq, head(3), entries, statsCols, changes, retain, segRefs, cols))
   }
 
   /** Create-race losses across all commits this JVM made — the cheap
@@ -748,7 +774,8 @@ object ManifestTable {
       expectedSeq: Option[Long] = None,
       statsCols: Option[Seq[String]] = None,
       changes: Option[String] = None,
-      retain: Option[Int] = None): Manifest = {
+      retain: Option[Int] = None,
+      cols: Option[Seq[ColMapEntry]] = None): Manifest = {
     var attempts = 0
     val firstSeen = scala.collection.mutable.Map.empty[Long, Long]
     var gapWaitedMs = 0L
@@ -802,7 +829,8 @@ object ManifestTable {
         // carried forward.
         val sc = statsCols.getOrElse(cur.map(_.statsCols).getOrElse(Nil))
         val rt = retain.getOrElse(cur.map(_.retain).getOrElse(0))
-        var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""), rt)
+        val cm = cols.getOrElse(cur.map(_.cols).getOrElse(Nil))
+        var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""), rt, Nil, cm)
         val prevSegs = cur.map(_.segRefs).getOrElse(Nil)
         var bytes: Array[Byte] = null
         if (prevSegs.nonEmpty) {
@@ -1184,6 +1212,27 @@ object ManifestTable {
       case None => m.entries
     }
     require(wanted.nonEmpty, s"manifested table at $root has no matching partitions")
+    if (m.cols.nonEmpty) {
+      // COLUMN MAPPING (round 17): every group reads with the
+      // manifest-held logical schema (names + field ids + types) — a
+      // generation written before a rename matches by id, one written
+      // before an add null-fills, and no footer probing or drift
+      // guard is needed (identity is by id). The partition column is
+      // appended by directory inference per group, as always.
+      ManifestColumns.ensureReadConf(spark)
+      val schema = ManifestColumns.schemaOf(m.cols)
+      if (m.partCol.isEmpty) {
+        val paths = wanted.flatMap(e => entryPaths(rootPath, e)).map(_.toString)
+        return spark.read.schema(schema).parquet(paths: _*)
+      }
+      val groups = expandedEntries(wanted).groupBy(e => e.dir.stripSuffix(
+        s"${m.partCol}=${e.part}").stripSuffix("/")).toSeq.sortBy(_._1)
+      return groups.map { case (g, es) =>
+        val base = if (g.isEmpty) rootPath else new Path(rootPath, g)
+        spark.read.option("basePath", base.toString).schema(schema)
+          .parquet(es.flatMap(e => entryPaths(rootPath, e)).map(_.toString): _*)
+      }.reduce(_ unionByName _)
+    }
     if (m.partCol.isEmpty) {
       val paths = wanted.flatMap(e => entryPaths(rootPath, e)).map(_.toString)
       // unpartitioned + mergeSchema: parquet's own per-file footer merge

@@ -67,17 +67,37 @@ object ManifestWrite {
           s"graftmanifest: append to a PARTITIONED manifest table is a partition " +
             "rewrite, not an append — use StorageOps.compactDays/rewritePartitions " +
             "for incremental maintenance, or mode Overwrite to replace the table")
-        val gen = writeGeneration(df, fs, rootPath, partCol, format, options)
+        // column mapping (round 17): a mapped table's appends stamp the
+        // ids (and register new columns with fresh ids — additive
+        // evolution); a FRESH append-created parquet table gets a
+        // mapping at birth; legacy (pre-mapping) tables stay id-less.
+        val curCols = ManifestTable.resolve(fs, rootPath).map(_.cols).getOrElse(Nil)
+        val colsOpt: Option[Seq[ColMapEntry]] =
+          if (format != "parquet") None
+          else if (curCols.nonEmpty) Some(ManifestColumns.extend(curCols, df.schema, partCol))
+          else if (!exists) Some(ManifestColumns.assign(df.schema, partCol))
+          else None
+        val outDf = colsOpt.fold(df)(cs => ManifestColumns.stamp(df, cs, partCol))
+        val gen = writeGeneration(outDf, fs, rootPath, partCol, format, options)
         resolveOrAdopt(fs, rootPath, partCol) // plain files stay visible + gc-able
         // additive entry keyed by the generation name — unique per
         // append, never colliding with the "" overwrite entry
         ManifestTable.commit(fs, rootPath, partCol,
           Map(gen -> Some(ManifestEntry(gen, gen, Nil,
             ManifestTable.fileStats(fs, new Path(rootPath, gen), tableStatsCols)))),
-          statsCols = statsColsOpt)
+          statsCols = statsColsOpt, cols = colsOpt)
         ()
       case _ => // Overwrite, or first write under ErrorIfExists/Ignore
-        val gen = writeGeneration(df, fs, rootPath, partCol, format, options)
+        // column mapping (round 17): a full rewrite is the identity
+        // reset — fresh ids in column order (this is also the
+        // documented UPGRADE path for legacy/adopted tables: after an
+        // Overwrite, renames and drops are metadata-only)
+        val colsOpt: Option[Seq[ColMapEntry]] =
+          if (format == "parquet") Some(ManifestColumns.assign(df.schema, partCol))
+          else Some(Nil)
+        val outDf = colsOpt.filter(_.nonEmpty)
+          .fold(df)(cs => ManifestColumns.stamp(df, cs, partCol))
+        val gen = writeGeneration(outDf, fs, rootPath, partCol, format, options)
         val entries = genEntries(fs, rootPath, gen, partCol, tableStatsCols)
         var attempts = 0
         while (attempts < MaxAttempts) {
@@ -89,7 +109,7 @@ object ManifestWrite {
             ManifestTable.commit(fs, rootPath, partCol,
               retire ++ entries.map(e => e.part -> Some(e)).toMap,
               expectedSeq = Some(base.map(_.seq).getOrElse(0L)),
-              statsCols = statsColsOpt)
+              statsCols = statsColsOpt, cols = colsOpt)
             ManifestTable.gc(fs, rootPath)
             return
           } catch {
@@ -102,12 +122,24 @@ object ManifestWrite {
     }
   }
 
-  /** One immutable generation under `root`, written once. */
+  /** One immutable generation under `root`, written once. A frame
+    * whose schema carries field-id metadata (column mapping) is
+    * written through a private cloned session with parquet field-id
+    * writing pinned ON — never by flipping the caller's shared conf
+    * (the round-16 conf-race lesson).
+    */
   private def writeGeneration(df: DataFrame, fs: FileSystem, root: Path,
       partCol: String, format: String, options: Map[String, String]): String = {
     val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
     val genPath = new Path(root, gen)
-    val w = df.write.format(format).options(FormatDefaults.write(format) ++ options)
+    val bound =
+      if (!df.schema.fields.exists(_.metadata.contains(ManifestColumns.FieldIdKey))) df
+      else {
+        val ws = org.apache.spark.sql.graft.Bridge.cloneSession(df.sparkSession)
+        ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        org.apache.spark.sql.graft.Bridge.ofRows(ws, df.queryExecution.analyzed)
+      }
+    val w = bound.write.format(format).options(FormatDefaults.write(format) ++ options)
       .mode(SaveMode.ErrorIfExists)
     (if (partCol.isEmpty) w else w.partitionBy(partCol)).save(genPath.toString)
     fs.delete(new Path(genPath, "_SUCCESS"), false)

@@ -209,6 +209,9 @@ object StorageOps {
   private def withMicrosTimestamps[T](spark: SparkSession)(body: SparkSession => T): T = {
     val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
     ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // inert unless the written schema carries field-id metadata
+    // (column-mapped tables, round 17)
+    ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     body(ws)
   }
 
@@ -622,16 +625,32 @@ object StorageOps {
         // snapshot the rewrite reads; written before the commit that
         // names it (same atomicity as the merge's record).
         var captured = Seq.empty[DataFrame]
+        // COLUMN-MAPPED tables (round 17): read each partition's files
+        // with the manifest-held logical schema (names + field ids —
+        // files from before a rename resolve by id) and stamp the
+        // rewrite's output so the fresh generation keeps its ids.
+        val mappedCols = manifest.cols
+        def readLive(paths: Seq[String]): DataFrame =
+          if (mappedCols.isEmpty) spark.read.parquet(paths: _*)
+          else {
+            graft.core.ManifestColumns.ensureReadConf(spark)
+            spark.read.schema(graft.core.ManifestColumns.schemaOf(mappedCols))
+              .parquet(paths: _*)
+          }
+        def stampIf(df: DataFrame): DataFrame =
+          if (mappedCols.isEmpty) df
+          else graft.core.ManifestColumns.stamp(df, mappedCols, "day",
+            Set(graft.core.ManifestChanges.ChangeTypeCol))
         val updates: Map[String, Option[ManifestEntry]] = days.map { d =>
           val entry = byPart.getOrElse(d, throw new IllegalArgumentException(
             s"no partition day=$d under $layoutDir"))
           val live = ManifestTable.entryPaths(root, entry).map(_.toString)
           captureDeletes.foreach(f =>
-            captured :+= f(spark.read.parquet(live: _*), d))
+            captured :+= f(readLive(live), d))
           val outDir = s"$gen/day=$d"
           val out = new org.apache.hadoop.fs.Path(root, outDir)
           withMicrosTimestamps(spark) { ws =>
-            onSession(ws, transform(spark.read.parquet(live: _*)))
+            onSession(ws, stampIf(transform(readLive(live))))
               .repartition(filesPerPartition)
               .write.mode("error").parquet(out.toString)
           }
@@ -661,7 +680,7 @@ object StorageOps {
           if (captured.isEmpty) None
           else {
             val rel = s"${ManifestTable.ChangesDir}/$gen"
-            val chg = captured.reduce(_ unionByName _)
+            val chg = stampIf(captured.reduce(_ unionByName _))
             withMicrosTimestamps(spark) { ws =>
               onSession(ws, chg).write.mode("error")
                 .parquet(new org.apache.hadoop.fs.Path(root, rel).toString)

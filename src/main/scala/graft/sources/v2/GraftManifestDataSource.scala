@@ -106,6 +106,8 @@ class GraftManifestDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val (path, format, passThrough) = streamParams(parameters)
+    // column-mapped tables stream with their logical (field-id) schema
+    graft.core.ManifestColumns.ensureReadConf(sqlContext.sparkSession)
     val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
     new GraftManifestSource(sqlContext.sparkSession, path, format, passThrough, resolved,
       cdf = parameters.get("readChangeFeed").exists(_.trim.toBoolean))

@@ -428,7 +428,20 @@ final class GraftManifestSink(
       .exists(_.entries.exists(e =>
         e.dir.startsWith(marker) || e.covers.exists(_.startsWith(marker))))
     if (replayed) return // the epoch already committed before the crash
-    val batch = org.apache.spark.sql.graft.Bridge.asBatchFrame(spark, data)
+    val batch0 = org.apache.spark.sql.graft.Bridge.asBatchFrame(spark, data)
+    // a COLUMN-MAPPED target (round 17: created via ManifestWrite,
+    // streamed into here) keeps its field ids: stamp each batch and
+    // write through a clone with field-id writing pinned on
+    val mappedCols = resolved.map(_.cols).getOrElse(Nil)
+    val batch =
+      if (mappedCols.isEmpty) batch0
+      else {
+        val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+        ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        org.apache.spark.sql.graft.Bridge.ofRows(ws,
+          graft.core.ManifestColumns.stamp(batch0, mappedCols, "")
+            .queryExecution.analyzed)
+      }
     val gen = marker + java.util.UUID.randomUUID().toString.take(8)
     batch.write.format(format)
       .options(graft.core.FormatDefaults.write(format) ++ writeOptions)
@@ -524,11 +537,20 @@ final class GraftManifestSink(
         java.util.UUID.randomUUID().toString.take(8)
       val genPath = new Path(rootPath, gen)
       try {
-        spark.read.format(format)
+        val folded = spark.read.format(format)
           .options(graft.core.FormatDefaults.read(format) ++ writeOptions)
           .load(paths: _*)
           .coalesce(nFiles)
-          .write.format(format)
+        // mapped tables: inference carries the field ids in metadata;
+        // the clone's conf keeps them in the fold's output footers
+        val bound =
+          if (base.cols.isEmpty) folded
+          else {
+            val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+            ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+            org.apache.spark.sql.graft.Bridge.ofRows(ws, folded.queryExecution.analyzed)
+          }
+        bound.write.format(format)
           .options(graft.core.FormatDefaults.write(format) ++ writeOptions)
           .mode("error").save(genPath.toString)
         fs.delete(new Path(genPath, "_SUCCESS"), false)

@@ -3,6 +3,7 @@ package graft.tools
 import graft.core.{FileConnector, ManifestEntry, ManifestTable, WriteMode}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** Round-15 verdict task 6: PRICE the optimistic-commit contention
   * curve. The upsert kill soak proves concurrent writers CONVERGE;
@@ -141,6 +142,41 @@ object ContentionBench {
         f""""upserts":$total,"wall_sec":$wall%.2f,"upserts_per_sec":${total / wall}%.2f,""" +
         f""""stale_retries_total":${hist.sum},"ceiling_hits":${ceilingHits.get()},""" +
         s""""retries_per_writer":${hist.mkString("[", ",", "]")}}""")
+    }
+
+    // ---- disjoint-merge layer (round-17 verdict task 4): concurrent
+    // row-level MERGEs on DISJOINT key ranges/partitions of one table.
+    // Before file-level conflict detection every loser re-derived the
+    // whole merge (find-touched + rewrite jobs again); now a disjoint
+    // loser re-commits from the conflict check alone — `fast_path`
+    // counts the salvaged commits, `attempts` histogram shows the
+    // re-derivations that remain.
+    writerCounts.foreach { n =>
+      val rootDir = java.nio.file.Files.createTempDirectory("contention-merge").toString + "/t"
+      val df = spark.range(0, n * 1000L).select(
+        col("id"), (col("id") * 10).as("v"),
+        concat(lit("d"), (col("id") / 1000).cast("int")).as("day"))
+      graft.core.ManifestWrite.write(df.repartitionByRange(math.max(2, n), col("id")),
+        rootDir, "day", org.apache.spark.sql.SaveMode.Overwrite)
+      val fastBase = graft.core.ManifestMerge.fastPathRecommits.sum()
+      val attempts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val wall = runThreads(n) { w =>
+        val src = spark.range(w * 1000L, w * 1000L + 10)
+          .select(col("id"), lit(-1L).as("v"))
+        val res = graft.core.ManifestMerge(rootDir, Seq("id"))
+          .whenMatchedUpdate(Map("v" -> ((s, _) => s("v"))))
+          .run(src)
+        attempts.add(res.attempts); ()
+      }
+      val got = graft.core.ManifestTable.read(spark, rootDir)
+        .filter(col("v") === -1L).count()
+      require(got == n * 10L, s"disjoint merges lost rows: $got of ${n * 10}")
+      import scala.jdk.CollectionConverters._
+      val hist = attempts.asScala.map(_.toInt).toSeq.sorted
+      println(f"""{"tool":"contention-bench","layer":"merge-disjoint","writers":$n,""" +
+        f""""wall_sec":$wall%.2f,"merges_per_sec":${n / wall}%.2f,""" +
+        f""""fast_path_recommits":${graft.core.ManifestMerge.fastPathRecommits.sum() - fastBase},""" +
+        s""""attempts_per_writer":${hist.mkString("[", ",", "]")}}""")
     }
     spark.stop()
   }

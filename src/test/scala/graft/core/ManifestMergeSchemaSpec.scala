@@ -33,10 +33,38 @@ class ManifestMergeSchemaSpec extends SparkSpec {
     Map("id" -> 3L, "v" -> "c", "extra" -> 30L),
     Map("id" -> 4L, "v" -> "d", "extra" -> 40L))
 
-  test("default read still fails LOUDLY on drift, naming the mergeSchema escape hatch") {
+  /** Two generations with drifted columns, NO column mapping — the
+    * pre-round-17 table shape the legacy drift guards still protect.
+    */
+  private def legacyDrifted(aCols: org.apache.spark.sql.DataFrame,
+      bCols: org.apache.spark.sql.DataFrame): String = {
+    val root = tmpDir("gm-legacy") + "/t"
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    aCols.write.parquet(new Path(root, "g-one/day=2024-01-01").toString)
+    bCols.write.parquet(new Path(root, "g-two/day=2024-01-02").toString)
+    Seq("g-one/day=2024-01-01", "g-two/day=2024-01-02").foreach(d =>
+      fs.delete(new Path(new Path(root, d), "_SUCCESS"), false))
+    ManifestTable.commit(fs, rootPath, "day", Map(
+      "2024-01-01" -> Some(ManifestEntry("2024-01-01", "g-one/day=2024-01-01", Nil)),
+      "2024-01-02" -> Some(ManifestEntry("2024-01-02", "g-two/day=2024-01-02", Nil))))
+    root
+  }
+
+  test("mapped tables read the additive union by DEFAULT; legacy drift stays loud") {
+    // round 17: tables created through ManifestWrite carry a column
+    // mapping, appends REGISTER new columns, and the read schema comes
+    // from the mapping — additive evolution no longer needs a flag
     val root = evolvedTable()
+    val got = spark.read.format("graftmanifest").load(root)
+    assert(got.columns.toSeq == Seq("id", "v", "extra"))
+    assert(asMaps(got.collect()) == expected)
+    // LEGACY tables (no mapping) keep the round-15 loud drift guard
+    val legacy = legacyDrifted(
+      Seq((1L, "a")).toDF("id", "v"),
+      Seq((2L, "b", 20L)).toDF("id", "v", "extra"))
     val e = intercept[IllegalArgumentException] {
-      spark.read.format("graftmanifest").load(root).collect()
+      spark.read.format("graftmanifest").option("partCol", "day").load(legacy).collect()
     }
     assert(e.getMessage.contains("drifted") && e.getMessage.contains("mergeSchema"),
       e.getMessage)
@@ -77,43 +105,59 @@ class ManifestMergeSchemaSpec extends SparkSpec {
     assert(asMaps(legacy.collect()) == want)
   }
 
-  test("a same-name TYPE conflict stays a loud error under mergeSchema") {
+  test("a same-name TYPE conflict fails loudly — at WRITE time on mapped tables") {
+    // round 17: the column mapping records each id's type, so the
+    // conflicting append is refused BEFORE any file lands — strictly
+    // earlier than the old read-time error
     val root = tmpDir("gm-merge-conflict") + "/t"
     Seq((1L, 10L)).toDF("id", "x").write.format("graftmanifest").save(root)
-    Seq((2L, "oops")).toDF("id", "x")
-      .write.format("graftmanifest").mode(SaveMode.Append).save(root)
     val e = intercept[IllegalArgumentException] {
-      spark.read.format("graftmanifest").option("mergeSchema", "true").load(root).collect()
+      Seq((2L, "oops")).toDF("id", "x")
+        .write.format("graftmanifest").mode(SaveMode.Append).save(root)
     }
     assert(e.getMessage.contains("'x'") && e.getMessage.contains("type conflict"),
       e.getMessage)
+    // the refused write left the table fully readable
+    assert(spark.read.format("graftmanifest").load(root).count() == 1)
+    // LEGACY tables keep the read-time error under mergeSchema
+    val legacy = legacyDrifted(
+      Seq((1L, 10L)).toDF("id", "x"),
+      Seq((2L, "oops")).toDF("id", "x"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graftmanifest").option("partCol", "day")
+        .option("mergeSchema", "true").load(legacy).collect()
+    }
+    assert(e2.getMessage.contains("'x'") && e2.getMessage.contains("type conflict"),
+      e2.getMessage)
   }
 
-  test("RENAME reads as drop+add and fails loudly under mergeSchema; opt-out reads the union (round 16)") {
-    val root = tmpDir("gm-rename") + "/t"
-    Seq((1L, "a")).toDF("id", "v")
-      .write.format("graftmanifest").save(root)
-    Seq((2L, "b")).toDF("id", "w") // v "renamed" to w
-      .write.format("graftmanifest").mode(SaveMode.Append).save(root)
+  test("legacy RENAME-as-drop+add fails loudly under mergeSchema; opt-out reads the union") {
+    // pre-field-id tables (no column mapping): the round-16 additive
+    // chain contract is unchanged. Mapped tables do REAL renames
+    // (metadata-only, ManifestColumns.rename — ManifestColumnMapSpec).
+    val root = legacyDrifted(
+      Seq((1L, "a")).toDF("id", "v"),
+      Seq((2L, "b")).toDF("id", "w")) // v "renamed" to w out of band
     val e = intercept[IllegalArgumentException] {
-      spark.read.format("graftmanifest").option("mergeSchema", "true").load(root).collect()
+      spark.read.format("graftmanifest").option("partCol", "day")
+        .option("mergeSchema", "true").load(root).collect()
     }
     assert(e.getMessage.contains("additive chain") && e.getMessage.contains("RENAME") &&
       e.getMessage.contains("mergeSchemaAllowMissing"), e.getMessage)
     // the explicit opt-out reads the union, missing columns null
-    val got = asMaps(spark.read.format("graftmanifest")
+    val got = asMaps(spark.read.format("graftmanifest").option("partCol", "day")
       .option("mergeSchema", "true").option("mergeSchemaAllowMissing", "true")
-      .load(root).collect())
+      .load(root).drop("day").collect())
     assert(got == Set(
       Map("id" -> 1L, "v" -> "a", "w" -> null),
       Map("id" -> 2L, "v" -> null, "w" -> "b")), got.toString)
     // legacy union read enforces the same contract
     val e2 = intercept[IllegalArgumentException] {
-      ManifestTable.read(spark, root, mergeSchema = true).collect()
+      ManifestTable.read(spark, root, partCol = "day", mergeSchema = true).collect()
     }
     assert(e2.getMessage.contains("additive chain"))
-    assert(asMaps(ManifestTable.read(spark, root, mergeSchema = true,
-      mergeSchemaAllowMissing = true).collect()) == got)
+    assert(asMaps(ManifestTable.read(spark, root, partCol = "day", mergeSchema = true,
+      mergeSchemaAllowMissing = true).drop("day").collect()) == got)
   }
 
   test("a PURE drop is indistinguishable from an add (no generation order) — reads as the union, documented") {
