@@ -82,8 +82,13 @@ final class ManifestFileIndex(
             s"[${ManifestTable.versions(fs, root).mkString(", ")}] " +
             s"(history window is ManifestTable.KeepCommits=${ManifestTable.KeepCommits} " +
             "commits; gc retires older versions)"))
-      case None => ManifestTable.resolve(fs, root).getOrElse(
-        throw new IllegalArgumentException(s"no committed manifest at $root"))
+      case None =>
+        // a partition selection resolves PRUNED (round 17): only the
+        // segment buckets that can hold the selected parts are read —
+        // O(selected buckets) of metadata on a segmented table
+        selected.fold(ManifestTable.resolve(fs, root))(sel =>
+          ManifestTable.resolvePruned(fs, root, sel)).getOrElse(
+          throw new IllegalArgumentException(s"no committed manifest at $root"))
     }
     require(m.partCol == partColName,
       s"manifest at $root partitions on '${m.partCol}', caller expected '$partColName'")

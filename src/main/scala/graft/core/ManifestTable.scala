@@ -612,6 +612,11 @@ object ManifestTable {
   private[graft] def segmentCacheClear(): Unit =
     segmentCache.synchronized { segmentCache.clear() }
 
+  /** Segment FETCHES (cache misses) — the observable a pruned-resolve
+    * spec counts.
+    */
+  private[graft] val segmentFetches = new java.util.concurrent.atomic.LongAdder
+
   private def readSegment(fs: FileSystem, root: Path, ref: SegRef): Option[Seq[ManifestEntry]] = {
     val p = new Path(new Path(root, SegmentsDir), ref.name)
     val key = fs.makeQualified(p).toString + "#" + ref.sha
@@ -619,6 +624,7 @@ object ManifestTable {
       val hit = segmentCache.get(key)
       if (hit != null) return Some(hit)
     }
+    segmentFetches.increment()
     val loaded =
       try {
         val len = fs.getFileStatus(p).getLen
@@ -637,6 +643,10 @@ object ManifestTable {
   }
 
   private def readCommit(fs: FileSystem, root: Path, seq: Long): Option[Manifest] =
+    readCommitPruned(fs, root, seq, None)
+
+  private def readCommitPruned(fs: FileSystem, root: Path, seq: Long,
+      parts: Option[Set[String]]): Option[Manifest] =
     try {
       val p = commitPath(root, seq)
       val len = fs.getFileStatus(p).getLen
@@ -649,11 +659,24 @@ object ManifestTable {
           deserialize(buf).filter(_.seq == seq).flatMap { m =>
             if (m.segRefs.isEmpty) Some(m)
             else {
-              // materialize: every segment must load and validate, or
-              // the COMMIT is invalid as a whole and the previous valid
-              // commit stays live — the same all-or-nothing stance as
-              // the sha guard on the pointer itself
-              val loaded = parMap(m.segRefs)(readSegment(fs, root, _))
+              // materialize: every NEEDED segment must load and
+              // validate, or the commit is invalid as a whole and the
+              // previous valid commit stays live — the same
+              // all-or-nothing stance as the sha guard on the pointer.
+              // A PRUNED read (partition selection) loads only the
+              // buckets that can hold the selected part keys — the
+              // selective-read metadata cost is O(selected buckets),
+              // not O(table); unselected segments are trusted to exist
+              // by the pointer protocol's write ordering (segments
+              // land complete before the commit that names them).
+              val need = parts match {
+                case Some(sel) =>
+                  val b = m.segRefs.head.of
+                  val buckets = sel.map(bucketOf(_, b))
+                  m.segRefs.filter(r => buckets.contains(r.bucket))
+                case None => m.segRefs
+              }
+              val loaded = parMap(need)(readSegment(fs, root, _))
               if (loaded.exists(_.isEmpty)) None
               else Some(m.copy(entries =
                 (m.entries ++ loaded.flatMap(_.get)).sortBy(_.part)))
@@ -669,6 +692,18 @@ object ManifestTable {
     */
   def resolve(fs: FileSystem, root: Path): Option[Manifest] =
     listCommitSeqs(fs, root).iterator.flatMap(readCommit(fs, root, _)).nextOption()
+
+  /** [[resolve]], materializing only the segment buckets that can hold
+    * `parts` (round 17): a partition-selective read of a segmented
+    * many-file table pays O(selected buckets) of metadata, not
+    * O(table). The returned manifest's entry list covers AT LEAST the
+    * selected parts (bucket-mates come along; callers filter to their
+    * selection as always) — never use it as the complete table state.
+    * Identical to [[resolve]] on inline manifests.
+    */
+  def resolvePruned(fs: FileSystem, root: Path, parts: Set[String]): Option[Manifest] =
+    listCommitSeqs(fs, root).iterator
+      .flatMap(readCommitPruned(fs, root, _, Some(parts))).nextOption()
 
   /** A SPECIFIC committed version, if its commit file is still
     * retained — time travel within the [[KeepCommits]] history window
@@ -1195,7 +1230,10 @@ object ManifestTable {
       mergeSchemaAllowMissing: Boolean = false): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val m = resolve(fs, rootPath).getOrElse {
+    // a partition selection resolves PRUNED (round 17): only the
+    // segment buckets that can hold the selected parts are read
+    val m = parts.fold(resolve(fs, rootPath))(sel =>
+      resolvePruned(fs, rootPath, sel)).getOrElse {
       // plain layout: native read; honor a partition selection
       val df = spark.read.parquet(root)
       return parts match {

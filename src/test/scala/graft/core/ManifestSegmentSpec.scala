@@ -172,6 +172,46 @@ class ManifestSegmentSpec extends SparkSpec {
     }
   }
 
+  test("partition-selective resolve reads only the selected buckets") {
+    val root = new Path(freshRoot())
+    val big = (0 until 2000).map(i => f"2024-$i%04d" -> Some(fakeEntry(f"2024-$i%04d", 50))).toMap
+    val m1 = ManifestTable.commit(fs, root, "day", big)
+    assert(m1.segRefs.size > 4, s"need several buckets, got ${m1.segRefs.size}")
+    ManifestTable.segmentCacheClear()
+    val base = ManifestTable.segmentFetches.sum()
+    val pruned = ManifestTable.resolvePruned(fs, root, Set("2024-0042")).get
+    val fetched = ManifestTable.segmentFetches.sum() - base
+    assert(fetched == 1, s"one selected part must fetch ONE bucket, fetched $fetched")
+    assert(pruned.entries.exists(_.part == "2024-0042"))
+    assert(pruned.entries.size < 2000 / 2,
+      s"pruned resolve must not materialize the table (${pruned.entries.size} entries)")
+    // the real read path: a day-selection on a segmented REAL table
+    // fetches fewer segments than the full resolve
+    val dataRoot = freshRoot()
+    withThresholds(2 << 10, 1 << 9, 2 << 10) {
+      val df = spark.range(0, 600).select(
+        col("id"), (col("id") * 10).as("v"),
+        concat(lit("d"), (col("id") % 8).cast("int")).as("day"))
+      ManifestWrite.write(df.repartitionByRange(4, col("id")), dataRoot, "day",
+        SaveMode.Overwrite)
+      val m = ManifestTable.resolve(fs, new Path(dataRoot)).get
+      assert(m.segRefs.size > 1)
+      ManifestTable.segmentCacheClear()
+      val b2 = ManifestTable.segmentFetches.sum()
+      val sel = ManifestTable.read(spark, dataRoot, Some(Set("d3")), "day")
+      assert(sel.count() == 75)
+      val got = ManifestTable.segmentFetches.sum() - b2
+      assert(got < m.segRefs.size,
+        s"selective read fetched $got of ${m.segRefs.size} buckets — expected fewer than all")
+      // and the single-scan FileIndex path prunes identically
+      ManifestTable.segmentCacheClear()
+      val b3 = ManifestTable.segmentFetches.sum()
+      assert(ManifestFileIndex.relation(spark, dataRoot, "day", Some(Set("d3")))
+        .count() == 75)
+      assert(ManifestTable.segmentFetches.sum() - b3 < m.segRefs.size)
+    }
+  }
+
   test("hysteresis: a shrinking segmented table returns to inline below the floor") {
     val root = new Path(freshRoot())
     withThresholds(4 << 10, 1 << 10, 4 << 10) {
