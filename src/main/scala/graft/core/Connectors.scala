@@ -101,6 +101,13 @@ final case class FileConnector(
       ManifestTable.resolve(fs, p) match {
         case Some(m) =>
           val paths = m.entries.flatMap(e => ManifestTable.entryPaths(p, e)).map(_.toString)
+          // a COLUMN-MAPPED table reads with the manifest-held logical
+          // schema (names + field ids) — footer-inferred names go stale
+          // the moment a rename lands (round-18 ADVICE)
+          if (m.cols.nonEmpty) {
+            ManifestColumns.ensureReadConf(spark)
+            return spark.read.schema(ManifestColumns.schemaOf(m.cols)).parquet(paths: _*)
+          }
           return configure(spark.read).format(format).load(paths: _*)
         case None if fs.exists(p) =>
           // no commit ever landed, but a crashed FIRST write may have
@@ -239,11 +246,32 @@ final case class FileConnector(
 
   /** Write `df` into a fresh immutable `g-*` generation under `table`
     * and return the generation's directory name (not yet committed).
+    *
+    * A COLUMN-MAPPED target (manifest carries `cols` — created through
+    * [[ManifestWrite]]) gets its field ids stamped into the output
+    * footers here too (round-18 ADVICE): an id-less generation inside a
+    * mapped table would break the table's field-id read contract — the
+    * mapped read path requests columns BY ID, so the new files would
+    * silently null-fill every column. Unknown columns are refused
+    * loudly by [[ManifestColumns.stamp]]; non-parquet formats cannot be
+    * mapped by construction.
     */
   private def writeGeneration(df: DataFrame, fs: FileSystem, table: HPath): String = {
     val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
     val genPath = new HPath(table, gen)
-    configureW(df.write).format(format).mode(SaveMode.ErrorIfExists).save(genPath.toString)
+    val mapCols = ManifestTable.resolve(fs, table).map(_.cols).getOrElse(Nil)
+    val bound =
+      if (mapCols.isEmpty) df
+      else {
+        require(format == "parquet",
+          s"$name: table at $table carries a parquet column mapping but this " +
+            s"connector writes '$format' — refusing to mix formats in one table")
+        val stampedDf = ManifestColumns.stamp(df, mapCols, partCol = "")
+        val ws = org.apache.spark.sql.graft.Bridge.cloneSession(df.sparkSession)
+        ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        org.apache.spark.sql.graft.Bridge.ofRows(ws, stampedDf.queryExecution.analyzed)
+      }
+    configureW(bound.write).format(format).mode(SaveMode.ErrorIfExists).save(genPath.toString)
     fs.delete(new HPath(genPath, "_SUCCESS"), false)
     gen
   }
@@ -305,7 +333,14 @@ final case class FileConnector(
           .getOrElse(ManifestTable.adoptIfPlain(fs, table, partCol = ""))
         val basePaths = base.entries
           .flatMap(e => ManifestTable.entryPaths(table, e)).map(_.toString)
-        val existing = configure(spark.read).format(format).load(basePaths: _*)
+        val existing =
+          if (base.cols.nonEmpty) {
+            // mapped table: read by field id with the CURRENT logical
+            // names, so the merged rewrite below speaks the live schema
+            // even across files written before a rename (round-18 ADVICE)
+            ManifestColumns.ensureReadConf(spark)
+            spark.read.schema(ManifestColumns.schemaOf(base.cols)).parquet(basePaths: _*)
+          } else configure(spark.read).format(format).load(basePaths: _*)
         val out = mergeFrames(df, existing, pks, newWins)
         var gen: String = null
         try {

@@ -102,8 +102,27 @@ object Maintenance {
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val gen = ManifestTable.GenPrefix + java.util.UUID.randomUUID().toString.take(8)
     val genPath = new Path(p, gen)
-    spark.read.parquet(liveFiles.map(_.getPath.toString): _*).coalesce(n)
-      .write.mode("error").parquet(genPath.toString)
+    // a COLUMN-MAPPED table compacts by field id with the current
+    // logical names, and the rewritten files carry the ids again — an
+    // id-less compaction generation would null-fill every mapped read
+    // (round-18 ADVICE); unmapped tables keep the inferred-schema path
+    val src =
+      if (manifest.cols.isEmpty)
+        spark.read.parquet(liveFiles.map(_.getPath.toString): _*)
+      else {
+        ManifestColumns.ensureReadConf(spark)
+        spark.read.schema(ManifestColumns.schemaOf(manifest.cols))
+          .parquet(liveFiles.map(_.getPath.toString): _*)
+      }
+    val out =
+      if (manifest.cols.isEmpty) src.coalesce(n)
+      else {
+        val stamped = ManifestColumns.stamp(src.coalesce(n), manifest.cols, partCol = "")
+        val ws = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+        ws.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        org.apache.spark.sql.graft.Bridge.ofRows(ws, stamped.queryExecution.analyzed)
+      }
+    out.write.mode("error").parquet(genPath.toString)
     fs.delete(new Path(genPath, "_SUCCESS"), false)
     ManifestTable.commit(fs, p, partCol = "",
       Map("" -> Some(ManifestEntry("", gen, Nil,

@@ -149,8 +149,13 @@ final case class ManifestMerge(
     val pinName = s"merge-src-${Pin.tag(layoutDir)}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val source = Pin.shared(spark, pinName)(rawSource)
+    // releaseArtifact, not retireArtifact (round-18 ADVICE): the pin
+    // name is a fresh uuid per run, so the memo entry can never
+    // fast-forward a later call — keeping it would leak one
+    // (session, name) map entry retaining a DataFrame plan per merge
+    // in a long-lived session (e.g. a foreachBatch MERGE sink)
     try runPinned(spark, source)
-    finally { Pin.retireArtifact(spark, pinName); () }
+    finally { Pin.releaseArtifact(spark, pinName); () }
   }
 
   private def runPinned(spark: SparkSession, source: DataFrame): MergeResult = {

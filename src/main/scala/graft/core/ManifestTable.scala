@@ -676,10 +676,29 @@ object ManifestTable {
                   m.segRefs.filter(r => buckets.contains(r.bucket))
                 case None => m.segRefs
               }
-              val loaded = parMap(need)(readSegment(fs, root, _))
-              if (loaded.exists(_.isEmpty)) None
-              else Some(m.copy(entries =
-                (m.entries ++ loaded.flatMap(_.get)).sortBy(_.part)))
+              // A PRUNED read must agree with full readers on which
+              // commit is live (round-18 ADVICE): a commit with ANY
+              // torn/missing segment is invalid as a whole, so before
+              // serving a pruned subset, every UNREAD segment is
+              // verified to exist (one `_segments/` listing, zero
+              // reads) — otherwise a pruned reader of intact buckets
+              // and a full reader falling back to the previous commit
+              // would observe two different table versions concurrently.
+              val unread = m.segRefs.diff(need)
+              val segsPresent = unread.isEmpty || {
+                try {
+                  val have = fs.listStatus(new Path(root, SegmentsDir))
+                    .iterator.map(_.getPath.getName).toSet
+                  unread.forall(r => have.contains(r.name))
+                } catch { case _: java.io.IOException => false }
+              }
+              if (!segsPresent) None
+              else {
+                val loaded = parMap(need)(readSegment(fs, root, _))
+                if (loaded.exists(_.isEmpty)) None
+                else Some(m.copy(entries =
+                  (m.entries ++ loaded.flatMap(_.get)).sortBy(_.part)))
+              }
             }
           }
         } finally in.close()
@@ -976,8 +995,51 @@ object ManifestTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Bucket assignment hash, FROZEN (round-18 ADVICE): segment bucket
+    * membership is recomputed at READ time from the part key, so the
+    * hash is part of the on-disk format — delegating to
+    * `scala.util.hashing.MurmurHash3.stringHash` would let a Scala
+    * upgrade (or a differing runtime on another host) silently move
+    * part keys between buckets, and a pruned resolve would consult the
+    * wrong buckets and drop partitions from a selection. This is a
+    * self-contained, version-pinned copy of the exact algorithm (and
+    * seed 0xf7ca7fd2) today's Scala computes — byte-compatible with
+    * every existing segmented table; `FrozenHashSpec` asserts equality
+    * against the library so any drift fails CI loudly instead of
+    * corrupting reads.
+    */
+  private[graft] def frozenStringHash(str: String): Int = {
+    // MurmurHash3 x86_32 over UTF-16 char pairs, seed 0xf7ca7fd2
+    var h = 0xf7ca7fd2
+    var i = 0
+    while (i + 1 < str.length) {
+      var k = (str.charAt(i) << 16) + str.charAt(i + 1)
+      k *= 0xcc9e2d51
+      k = java.lang.Integer.rotateLeft(k, 15)
+      k *= 0x1b873593
+      h ^= k
+      h = java.lang.Integer.rotateLeft(h, 13)
+      h = h * 5 + 0xe6546b64
+      i += 2
+    }
+    if (i < str.length) {
+      var k = str.charAt(i).toInt
+      k *= 0xcc9e2d51
+      k = java.lang.Integer.rotateLeft(k, 15)
+      k *= 0x1b873593
+      h ^= k
+    }
+    h ^= str.length
+    h ^= h >>> 16
+    h *= 0x85ebca6b
+    h ^= h >>> 13
+    h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
   private[core] def bucketOf(part: String, b: Int): Int =
-    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(part), b)
+    math.floorMod(frozenStringHash(part), b)
 
   /** Write the dirty buckets of a segmented commit and return the
     * manifest carrying its [[SegRef]]s plus the (small) commit bytes.

@@ -38,6 +38,12 @@ object ManifestWrite {
 
   private val MaxAttempts = 10
 
+  /** Test seam: between an append's generation write and its commit —
+    * the window a concurrent schema-evolving append or rename lands in
+    * (round-18 ADVICE CAS spec). Production no-op.
+    */
+  @volatile private[graft] var beforeAppendCommit: () => Unit = () => ()
+
   def write(df: DataFrame, root: String, partCol: String, mode: SaveMode,
       format: String = "parquet", options: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
@@ -71,22 +77,67 @@ object ManifestWrite {
         // ids (and register new columns with fresh ids — additive
         // evolution); a FRESH append-created parquet table gets a
         // mapping at birth; legacy (pre-mapping) tables stay id-less.
-        val curCols = ManifestTable.resolve(fs, rootPath).map(_.cols).getOrElse(Nil)
-        val colsOpt: Option[Seq[ColMapEntry]] =
-          if (format != "parquet") None
-          else if (curCols.nonEmpty) Some(ManifestColumns.extend(curCols, df.schema, partCol))
-          else if (!exists) Some(ManifestColumns.assign(df.schema, partCol))
-          else None
-        val outDf = colsOpt.fold(df)(cs => ManifestColumns.stamp(df, cs, partCol))
-        val gen = writeGeneration(outDf, fs, rootPath, partCol, format, options)
-        resolveOrAdopt(fs, rootPath, partCol) // plain files stay visible + gc-able
-        // additive entry keyed by the generation name — unique per
-        // append, never colliding with the "" overwrite entry
-        ManifestTable.commit(fs, rootPath, partCol,
-          Map(gen -> Some(ManifestEntry(gen, gen, Nil,
-            ManifestTable.fileStats(fs, new Path(rootPath, gen), tableStatsCols)))),
-          statsCols = statsColsOpt, cols = colsOpt)
-        ()
+        //
+        // Concurrency (round-18 ADVICE, medium): an append whose extend
+        // CHANGED the mapping commits CAS-guarded (`expectedSeq`) — two
+        // concurrent schema-evolving appends would otherwise both
+        // extend from the same base and assign the SAME fresh id to
+        // DIFFERENT columns, the second commit silently rebinding the
+        // first's files to the wrong logical column; and a rename/drop
+        // landing in the window would be silently reverted. On
+        // staleness the mapping is re-extended against the fresh state;
+        // if the ids this append's files were stamped with no longer
+        // match, the generation is REWRITTEN with the fresh stamps
+        // (footer ids are physical — they cannot be patched by
+        // metadata). An append that does not change the mapping commits
+        // cols=None (carry forward) with no CAS — purely additive.
+        val freshTable = !exists
+        // ids the frame's columns would carry under a mapping — the
+        // footer-physical part of the commit; equality here means the
+        // already-written generation is still correct under `cs`
+        def stampIds(cs: Seq[ColMapEntry]): Map[String, Option[Int]] =
+          df.schema.fieldNames.filterNot(_ == partCol).map(n =>
+            n -> cs.find(e => !e.dropped && e.logical == n).map(_.id)).toMap
+        var base: Option[Manifest] = ManifestTable.resolve(fs, rootPath)
+        var gen: String = null
+        var stamped: Seq[ColMapEntry] = Nil
+        var attempts = 0
+        while (attempts < MaxAttempts) {
+          attempts += 1
+          val curCols = base.map(_.cols).getOrElse(Nil)
+          val colsOpt: Option[Seq[ColMapEntry]] =
+            if (format != "parquet") None
+            else if (curCols.nonEmpty) Some(ManifestColumns.extend(curCols, df.schema, partCol))
+            else if (base.isEmpty && freshTable) Some(ManifestColumns.assign(df.schema, partCol))
+            else None
+          val mappingChanged = colsOpt.exists(_ != curCols)
+          val want = colsOpt.getOrElse(Nil)
+          if (gen == null || stampIds(want) != stampIds(stamped)) {
+            if (gen != null) fs.delete(new Path(rootPath, gen), true)
+            val outDf = if (want.isEmpty) df else ManifestColumns.stamp(df, want, partCol)
+            gen = writeGeneration(outDf, fs, rootPath, partCol, format, options)
+            stamped = want
+          }
+          resolveOrAdopt(fs, rootPath, partCol) // plain files stay visible + gc-able
+          ManifestWrite.beforeAppendCommit()
+          try {
+            // additive entry keyed by the generation name — unique per
+            // append, never colliding with the "" overwrite entry
+            ManifestTable.commit(fs, rootPath, partCol,
+              Map(gen -> Some(ManifestEntry(gen, gen, Nil,
+                ManifestTable.fileStats(fs, new Path(rootPath, gen), tableStatsCols)))),
+              expectedSeq = if (mappingChanged) Some(base.map(_.seq).getOrElse(0L)) else None,
+              statsCols = statsColsOpt,
+              cols = if (mappingChanged) colsOpt else None)
+            return
+          } catch {
+            case _: ManifestStaleException =>
+              base = ManifestTable.resolve(fs, rootPath)
+          }
+        }
+        throw new java.io.IOException(
+          s"graftmanifest: schema-evolving append at $root lost the optimistic-commit " +
+            s"race $MaxAttempts times — sustained concurrent mapping churn")
       case _ => // Overwrite, or first write under ErrorIfExists/Ignore
         // column mapping (round 17): a full rewrite is the identity
         // reset — fresh ids in column order (this is also the

@@ -332,6 +332,29 @@ object Pin {
     }
   }
 
+  /** Retire ONE-SHOT per-run pins (round-18 ADVICE): delete the on-disk
+    * artifact like [[retireArtifact]] AND evict the (session, name)
+    * memo/lastBeat entries — the loop-round fast-forward rationale for
+    * keeping them does not apply to a pin whose name is a fresh uuid
+    * every run ([[ManifestMerge.run]]'s source pin), where kept entries
+    * each retain a DataFrame plan and accumulate without bound in a
+    * long-lived session doing many merges (a foreachBatch MERGE sink).
+    */
+  private[graft] def releaseArtifact(spark: SparkSession, name: String): Long = {
+    val bytes = retireArtifact(spark, name)
+    memo.remove((spark, name))
+    lastBeat.remove((spark, name))
+    bytes
+  }
+
+  /** Spec hook: live memo entries for one session (leak assertions). */
+  private[graft] def memoEntriesFor(spark: SparkSession): Int = {
+    val it = memo.keySet.iterator()
+    var c = 0
+    while (it.hasNext) if (it.next()._1 eq spark) c += 1
+    c
+  }
+
   /** Spec hook: re-arm the once-per-JVM lazy prune. */
   private[graft] def rearmPruneForTest(): Unit = pruned.set(false)
 }
