@@ -29,7 +29,7 @@ object SparkEntry {
       ExtendedFunctions.entries ++ PipelineOps.entries ++
       TrainingPipeline.entries ++ CorpusOps.entries ++
       SpanOps.entries ++ graft.multimodal.Multimodal.entries ++
-      SketchOps.entries ++ StorageOps.entries
+      SketchOps.entries ++ StorageOps.entries ++ CatalogOps.entries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextDedup.oracles ++ TextAnalysis.oracles ++
@@ -37,5 +37,5 @@ object SparkEntry {
       ExtendedFunctions.oracles ++ PipelineOps.oracles ++
       TrainingPipeline.oracles ++ CorpusOps.oracles ++
       SpanOps.oracles ++ graft.multimodal.Multimodal.oracles ++
-      SketchOps.oracles ++ StorageOps.oracles
+      SketchOps.oracles ++ StorageOps.oracles ++ CatalogOps.oracles
 }

@@ -77,5 +77,9 @@ object Tables {
     // inert for schemas without id metadata
     .config("spark.sql.parquet.fieldId.read.enabled", "true")
     .config("spark.ui.enabled", "false")
+    // the graft V2 catalog (round 18): graftcat.<ns>.<table> resolves
+    // onto manifest roots under the warehouse; SQL CREATE/INSERT/MERGE/
+    // time-travel land on the same engine the Scala surface uses
+    .config("spark.sql.catalog.graftcat", "graft.catalog.GraftCatalog")
     .withExtensions(new graft.functions.GraftExtensions)
 }

@@ -60,6 +60,7 @@ final class ManifestFileIndex(
     private[graft] val partColName: String,
     selected: Option[Set[String]] = None,
     asOfSeq: Option[Long] = None,
+    partTypeOverride: Option[DataType] = None,
 ) extends FileIndex {
 
   private val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -151,7 +152,7 @@ final class ManifestFileIndex(
     * every value (not a sample) keeps one alien value from silently
     * coercing the column.
     */
-  val partType: DataType = {
+  val partType: DataType = partTypeOverride.getOrElse {
     val vs = state._2.map(_._1)
     if (partColName.isEmpty) NullType
     else if (vs.forall(_.toIntOption.isDefined)) IntegerType
@@ -159,6 +160,9 @@ final class ManifestFileIndex(
     else if (vs.forall(v => scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
     else StringType
   }
+  partTypeOverride.foreach(dt => require(
+    dt == IntegerType || dt == LongType || dt == DateType || dt == StringType,
+    s"manifest partition column must be int/long/date/string, got ${dt.simpleString}"))
 
   private def toInternal(v: String): Any = partType match {
     case IntegerType => v.toInt
@@ -358,8 +362,10 @@ object ManifestFileIndex {
       parts: Option[Set[String]] = None, format: String = "parquet",
       options: Map[String, String] = Map.empty,
       asOfSeq: Option[Long] = None, mergeSchema: Boolean = false,
-      mergeSchemaAllowMissing: Boolean = false): DataFrame = {
-    val index = new ManifestFileIndex(spark, new Path(root), partCol, parts, asOfSeq)
+      mergeSchemaAllowMissing: Boolean = false,
+      partType: Option[DataType] = None): DataFrame = {
+    val index = new ManifestFileIndex(spark, new Path(root), partCol, parts, asOfSeq,
+      partType)
     val effOptions = FormatDefaults.read(format) ++ options
     // COLUMN MAPPING (round 17): a mapped table's data schema comes
     // straight from the manifest — logical names + field ids + types,

@@ -63,6 +63,7 @@ final case class ManifestMerge(
     updateExprs: Map[String, (DataFrame, DataFrame) => Column] = Map.empty,
     deleteMatched: Boolean = false,
     insertNotMatched: Boolean = false,
+    insertExprs: Map[String, DataFrame => Column] = Map.empty,
     validateSourceKeys: Boolean = true,
     changeFeed: Boolean = false,
     keepCommits: Int = ManifestTable.KeepCommits,
@@ -85,6 +86,15 @@ final case class ManifestMerge(
 
   /** Unmatched source rows are inserted (into their own partitions). */
   def whenNotMatchedInsert(): ManifestMerge = copy(insertNotMatched = true)
+
+  /** Unmatched source rows are inserted with per-column VALUE
+    * expressions over the (unmatched) source rows (round 18 — the SQL
+    * `WHEN NOT MATCHED THEN INSERT (…) VALUES (…)` surface); target
+    * columns not listed insert as the same-named source column when
+    * present, else null.
+    */
+  def whenNotMatchedInsert(exprs: Map[String, DataFrame => Column]): ManifestMerge =
+    copy(insertNotMatched = true, insertExprs = exprs)
 
   /** Capture this merge's row-level changes (round 16, the Delta
     * change-data-feed discipline): alongside the rewrite, the exact
@@ -322,16 +332,26 @@ final case class ManifestMerge(
       if (!insertNotMatched) None
       else {
         if (partCol.nonEmpty)
-          require(source.columns.contains(partCol),
-            s"MERGE insert into a $partCol-partitioned table needs '$partCol' in the source")
+          require(source.columns.contains(partCol) || insertExprs.contains(partCol),
+            s"MERGE insert into a $partCol-partitioned table needs '$partCol' in the " +
+              "source (or an insert expression for it)")
         // any target row matching a source key lives in a candidate
         // file (envelope conservatism), so anti-joining the candidate
         // rows IS anti-joining the whole target
         val unmatched = candKeysDf.fold(source)(ck =>
           source.join(ck.select(keys.map(col): _*).dropDuplicates(keys), keys.toSeq, "left_anti"))
         val filled = tgtCols.map { c =>
-          if (unmatched.columns.contains(c)) col(c)
-          else lit(null).cast(probeSchema(c).dataType).as(c)
+          insertExprs.get(c) match {
+            case Some(f) =>
+              // cast to the target column's exact type (SQL literals
+              // arrive as their own types); the partition column has no
+              // probe entry — its type is structural, pass through
+              if (probeSchema.fieldNames.contains(c))
+                f(unmatched).cast(probeSchema(c).dataType).as(c)
+              else f(unmatched).as(c)
+            case None if unmatched.columns.contains(c) => col(c)
+            case None => lit(null).cast(probeSchema(c).dataType).as(c)
+          }
         }
         Some(unmatched.select(filled: _*))
       }

@@ -20,12 +20,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *     writer's entry is never half-carried into the overwritten
   *     state. Only the pointer loop retries; the generation is written
   *     once.
-  *   - Append (unpartitioned only): the fresh generation commits as an
+  *   - Append: unpartitioned appends commit the fresh generation as an
   *     ADDITIVE entry — no read-modify-write, no staleness to check
-  *     (the carry logic preserves interleaved entries). Append to a
-  *     PARTITIONED manifest table is refused by name: a partition maps
-  *     to one entry, so "append" there is a partition rewrite —
-  *     [[graft.operators.StorageOps.compactDays]]'s territory.
+  *     (the carry logic preserves interleaved entries). PARTITIONED
+  *     appends (round 18) replace each touched partition's entry with
+  *     one holding the new files plus the previous files BY REFERENCE
+  *     (`carry`) — zero data movement, CAS-guarded because the carry
+  *     set is derived from a snapshot.
   *   - ErrorIfExists / Ignore: existence = a resolvable manifest or a
   *     non-empty directory, checked before any bytes move.
   *
@@ -69,10 +70,15 @@ object ManifestWrite {
           s"graftmanifest: $root already holds a table (mode ErrorIfExists)")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Append =>
-        require(partCol.isEmpty,
-          s"graftmanifest: append to a PARTITIONED manifest table is a partition " +
-            "rewrite, not an append — use StorageOps.compactDays/rewritePartitions " +
-            "for incremental maintenance, or mode Overwrite to replace the table")
+        // Partitioned append (round 18, the TableCatalog INSERT INTO
+        // path): each appended partition's new entry holds the fresh
+        // generation's files PLUS the partition's previous files BY
+        // REFERENCE (the round-16 `carry` vocabulary) — zero data
+        // rewrite, one pointer commit. The carry is a read-modify-write
+        // of the touched entries, so partitioned appends are ALWAYS
+        // CAS-guarded and re-derive their carries on staleness;
+        // unpartitioned appends stay purely additive (gen-keyed entry).
+        //
         // column mapping (round 17): a mapped table's appends stamp the
         // ids (and register new columns with fresh ids — additive
         // evolution); a FRESH append-created parquet table gets a
@@ -98,7 +104,7 @@ object ManifestWrite {
         def stampIds(cs: Seq[ColMapEntry]): Map[String, Option[Int]] =
           df.schema.fieldNames.filterNot(_ == partCol).map(n =>
             n -> cs.find(e => !e.dropped && e.logical == n).map(_.id)).toMap
-        var base: Option[Manifest] = ManifestTable.resolve(fs, rootPath)
+        var base: Option[Manifest] = resolveOrAdopt(fs, rootPath, partCol)
         var gen: String = null
         var stamped: Seq[ColMapEntry] = Nil
         var attempts = 0
@@ -118,15 +124,37 @@ object ManifestWrite {
             gen = writeGeneration(outDf, fs, rootPath, partCol, format, options)
             stamped = want
           }
-          resolveOrAdopt(fs, rootPath, partCol) // plain files stay visible + gc-able
+          val updates: Map[String, Option[ManifestEntry]] =
+            if (partCol.isEmpty)
+              // additive entry keyed by the generation name — unique per
+              // append, never colliding with the "" overwrite entry
+              Map(gen -> Some(ManifestEntry(gen, gen, Nil,
+                ManifestTable.fileStats(fs, new Path(rootPath, gen), tableStatsCols))))
+            else {
+              val genPath = new Path(rootPath, gen)
+              val partDirs =
+                if (!fs.exists(genPath)) Nil
+                else fs.listStatus(genPath).toSeq
+                  .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+              if (partDirs.isEmpty) { fs.delete(genPath, true); return } // empty append
+              val refsByPart: Map[String, Seq[FileRef]] = base.map(b =>
+                ManifestTable.liveFileRefs(fs, rootPath, b).groupBy(_.part))
+                .getOrElse(Map.empty)
+              partDirs.map { s =>
+                val p = s.getPath.getName.substring(partCol.length + 1)
+                val carried = refsByPart.getOrElse(p, Nil).map(r =>
+                  r.stat.map(st => st.copy(name = r.rootRel))
+                    .getOrElse(FileStat(r.rootRel, r.len)))
+                p -> Some(ManifestEntry(p, s"$gen/${s.getPath.getName}", Nil,
+                  ManifestTable.fileStats(fs, s.getPath, tableStatsCols), Nil, carried))
+              }.toMap
+            }
           ManifestWrite.beforeAppendCommit()
           try {
-            // additive entry keyed by the generation name — unique per
-            // append, never colliding with the "" overwrite entry
-            ManifestTable.commit(fs, rootPath, partCol,
-              Map(gen -> Some(ManifestEntry(gen, gen, Nil,
-                ManifestTable.fileStats(fs, new Path(rootPath, gen), tableStatsCols)))),
-              expectedSeq = if (mappingChanged) Some(base.map(_.seq).getOrElse(0L)) else None,
+            ManifestTable.commit(fs, rootPath, partCol, updates,
+              expectedSeq =
+                if (partCol.nonEmpty || mappingChanged) Some(base.map(_.seq).getOrElse(0L))
+                else None,
               statsCols = statsColsOpt,
               cols = if (mappingChanged) colsOpt else None)
             return
@@ -171,6 +199,79 @@ object ManifestWrite {
           s"graftmanifest: overwrite at $root lost the optimistic-commit race " +
             s"$MaxAttempts times — sustained concurrent-writer contention")
     }
+  }
+
+  /** Partition-scoped overwrite (round 18 — SQL
+    * `INSERT OVERWRITE … PARTITION(partCol=v)` via the catalog): ONE
+    * commit replaces the `targeted` partitions' entries with the fresh
+    * generation's files (a targeted partition absent from `df` is
+    * dropped — overwritten to empty); untouched partitions are carried
+    * by the commit protocol, byte-identical. CAS-guarded like every
+    * read-modify-write commit; column-mapped tables stamp ids exactly
+    * like append.
+    */
+  def overwritePartitions(df: DataFrame, root: String, partCol: String,
+      targeted: Set[String], format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
+    require(partCol.nonEmpty, "overwritePartitions needs a partitioned table")
+    require(targeted.nonEmpty, "overwritePartitions: empty partition set")
+    val spark = df.sparkSession
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def stampIds(cs: Seq[ColMapEntry]): Map[String, Option[Int]] =
+      df.schema.fieldNames.filterNot(_ == partCol).map(n =>
+        n -> cs.find(e => !e.dropped && e.logical == n).map(_.id)).toMap
+    var base: Manifest = resolveOrAdopt(fs, rootPath, partCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"overwritePartitions: no manifested table at $root"))
+    val statsCols = base.statsCols
+    var gen: String = null
+    var stamped: Seq[ColMapEntry] = Nil
+    var attempts = 0
+    while (attempts < MaxAttempts) {
+      attempts += 1
+      val colsOpt: Option[Seq[ColMapEntry]] =
+        if (format != "parquet" || base.cols.isEmpty) None
+        else Some(ManifestColumns.extend(base.cols, df.schema, partCol))
+      val mappingChanged = colsOpt.exists(_ != base.cols)
+      val want = colsOpt.getOrElse(Nil)
+      if (gen == null || stampIds(want) != stampIds(stamped)) {
+        if (gen != null) fs.delete(new Path(rootPath, gen), true)
+        val outDf = if (want.isEmpty) df else ManifestColumns.stamp(df, want, partCol)
+        gen = writeGeneration(outDf, fs, rootPath, partCol, format, options)
+        stamped = want
+      }
+      val genPath = new Path(rootPath, gen)
+      val written: Map[String, ManifestEntry] =
+        (if (!fs.exists(genPath)) Nil
+        else fs.listStatus(genPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "=")))
+          .map { s =>
+            val p = s.getPath.getName.substring(partCol.length + 1)
+            p -> ManifestEntry(p, s"$gen/${s.getPath.getName}", Nil,
+              ManifestTable.fileStats(fs, s.getPath, statsCols))
+          }.toMap
+      val stray = written.keySet -- targeted
+      require(stray.isEmpty,
+        s"overwritePartitions at $root: the frame holds partitions outside the " +
+          s"targeted set (${stray.toSeq.sorted.take(3).mkString(", ")}…) — a static " +
+          s"PARTITION overwrite may only write its own partitions")
+      val updates: Map[String, Option[ManifestEntry]] =
+        targeted.map(p => p -> written.get(p)).toMap
+      try {
+        ManifestTable.commit(fs, rootPath, partCol, updates,
+          expectedSeq = Some(base.seq),
+          cols = if (mappingChanged) colsOpt else None)
+        ManifestTable.gc(fs, rootPath): Unit
+        return
+      } catch {
+        case _: ManifestStaleException =>
+          base = ManifestTable.resolve(fs, rootPath).getOrElse(
+            throw new IllegalStateException(s"table at $root vanished mid-overwrite"))
+      }
+    }
+    throw new java.io.IOException(
+      s"overwritePartitions at $root lost the optimistic-commit race $MaxAttempts times")
   }
 
   /** One immutable generation under `root`, written once. A frame

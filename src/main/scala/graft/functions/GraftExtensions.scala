@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+    // catalog glue (round 18): reads of graftcat tables become the
+    // single-scan manifest relation; MERGE INTO lowers onto the
+    // row-level merge engine
+    ext.injectResolutionRule(session => graft.catalog.GraftResolution(session))
     ext.injectOptimizerRule(_ => LevenshteinPrefilterRule)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.ManifestMetadataAggRule)

@@ -60,24 +60,45 @@ class ManifestWriteSpec extends SparkSpec {
       .as[(Int, String)].collect().toMap == Map(9 -> "z"), "gc touched live data")
   }
 
-  test("unpartitioned append is additive; append to a partitioned table is refused by name") {
+  test("unpartitioned append is additive; partitioned append carries old files by reference") {
     val root = freshRoot()
     Seq((1, "a")).toDF("id", "v").write.format("graftmanifest").save(root)
     Seq((2, "b")).toDF("id", "v")
       .write.format("graftmanifest").mode(SaveMode.Append).save(root)
     assert(spark.read.format("graftmanifest").load(root)
       .as[(Int, String)].collect().toMap == Map(1 -> "a", 2 -> "b"))
+    // partitioned append (round 18): new entry = fresh files + carry of
+    // the partition's previous files; untouched partitions untouched;
+    // NO data file is rewritten or moved
     val proot = freshRoot()
     spark.range(0, 6).select(col("id").as("event_id"),
         lit("2024-01-01").cast("date").as("day"))
       .write.format("graftmanifest").option("partCol", "day").save(proot)
-    val e = intercept[IllegalArgumentException] {
-      spark.range(6, 9).select(col("id").as("event_id"),
-          lit("2024-01-02").cast("date").as("day"))
-        .write.format("graftmanifest").option("partCol", "day")
-        .mode(SaveMode.Append).save(proot)
+    val fsP = new Path(proot).getFileSystem(spark.sessionState.newHadoopConf())
+    val before = ManifestTable.liveFileRefs(fsP, new Path(proot),
+      ManifestTable.resolve(fsP, new Path(proot)).get)
+      .map(r => r.rootRel -> fsP.getFileStatus(new Path(new Path(proot), r.rootRel))
+        .getModificationTime).toMap
+    spark.range(6, 9).select(col("id").as("event_id"),
+        lit("2024-01-01").cast("date").as("day"))
+      .write.format("graftmanifest").option("partCol", "day")
+      .mode(SaveMode.Append).save(proot)
+    spark.range(9, 11).select(col("id").as("event_id"),
+        lit("2024-01-02").cast("date").as("day"))
+      .write.format("graftmanifest").option("partCol", "day")
+      .mode(SaveMode.Append).save(proot)
+    val m = ManifestTable.resolve(fsP, new Path(proot)).get
+    val day1 = m.entries.find(_.part == "2024-01-01").get
+    assert(day1.carry.nonEmpty, "appended partition must carry its previous files")
+    before.foreach { case (rel, mtime) =>
+      assert(fsP.getFileStatus(new Path(new Path(proot), rel)).getModificationTime
+        == mtime, s"partitioned append touched pre-existing data file $rel")
     }
-    assert(e.getMessage.contains("partition rewrite"), e.getMessage)
+    val out = spark.read.format("graftmanifest").option("partCol", "day").load(proot)
+    assert(out.count() == 11)
+    assert(out.filter(col("day") === lit("2024-01-01").cast("date")).count() == 9)
+    assert(out.filter(col("day") === lit("2024-01-02").cast("date")).count() == 2)
+    assert(out.agg(sum("event_id")).head().getLong(0) == (0 until 11).map(_.toLong).sum)
   }
 
   test("ErrorIfExists refuses an existing table; Ignore leaves it untouched; both write a fresh one") {
