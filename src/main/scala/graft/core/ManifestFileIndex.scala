@@ -3,7 +3,7 @@ package graft.core
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualNullSafe, EqualTo, Expression, In, InSet, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileFormat, FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
@@ -66,48 +66,91 @@ final class ManifestFileIndex(
   private val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** (manifest, per-partition file statuses, per-path column
-    * envelopes) — resolved once; immutable generations make all three
-    * stable for this index's lifetime. The envelope map holds only
-    * files whose entry recorded stats worth consulting.
+    * envelopes, lazy?) — resolved once; immutable generations make the
+    * record stable for this index's lifetime. In LAZY mode (round-18
+    * verdict task 2) the manifest is the commit HEADER only — entries
+    * live in segment files fetched per bucket at [[listFiles]] time,
+    * AFTER the pushed data filters have been evaluated against each
+    * bucket's aggregate envelope ([[SegAgg]]): a selective filtered
+    * read of a segmented table pays O(surviving buckets) of metadata,
+    * not O(table). Lazy engages for live, unselected reads of
+    * segmented COLUMN-MAPPED tables whose every segment carries an
+    * aggregate (the schema comes from the mapping, so nothing needs a
+    * footer probe); everything else keeps the eager path.
     */
-  @volatile private var state: (Manifest, Seq[(String, Seq[FileStatus])], Map[Path, FileStat]) = load()
+  @volatile private var state: (Manifest, Seq[(String, Seq[FileStatus])], Map[Path, FileStat], Boolean) = load()
+
+  /** Per-bucket materialization cache for the lazy path: (statuses,
+    * envelopes) keyed by bucket id. Segments are immutable, so entries
+    * can never go stale while this index lives; refresh() clears.
+    */
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Seq[(String, Seq[FileStatus])], Map[Path, FileStat])]()
 
   private def dataFile(n: String): Boolean =
     !n.startsWith("_") && !n.startsWith(".")
 
-  private def load(): (Manifest, Seq[(String, Seq[FileStatus])], Map[Path, FileStat]) = {
-    val m = asOfSeq match {
-      case Some(seq) => ManifestTable.resolveAt(fs, root, seq).getOrElse(
+  private def load(): (Manifest, Seq[(String, Seq[FileStatus])], Map[Path, FileStat], Boolean) = {
+    def eager(m: Manifest): (Manifest, Seq[(String, Seq[FileStatus])], Map[Path, FileStat], Boolean) = {
+      val wanted = selected match {
+        case Some(sel) => m.entries.filter(e => sel.contains(e.part))
+        case None      => m.entries
+      }
+      require(wanted.nonEmpty, s"manifested table at $root has no matching partitions")
+      val (pp, env) = materialize(wanted)
+      (m, pp, env, false)
+    }
+    def strict(): Manifest = ManifestTable.resolve(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $root"))
+    val out = asOfSeq match {
+      case Some(seq) => eager(ManifestTable.resolveAt(fs, root, seq).getOrElse(
         throw new IllegalArgumentException(
           s"no retained version $seq at $root — retained: " +
             s"[${ManifestTable.versions(fs, root).mkString(", ")}] " +
             s"(history window is ManifestTable.KeepCommits=${ManifestTable.KeepCommits} " +
-            "commits; gc retires older versions)"))
+            "commits; gc retires older versions)")))
       case None =>
-        // a partition selection resolves PRUNED (round 17): only the
-        // segment buckets that can hold the selected parts are read —
-        // O(selected buckets) of metadata on a segmented table
-        selected.fold(ManifestTable.resolve(fs, root))(sel =>
-          ManifestTable.resolvePruned(fs, root, sel)).getOrElse(
-          throw new IllegalArgumentException(s"no committed manifest at $root"))
+        selected match {
+          case Some(sel) =>
+            // a partition selection resolves PRUNED (round 17): only
+            // the segment buckets that can hold the selected parts are
+            // read — O(selected buckets) of metadata
+            eager(ManifestTable.resolvePruned(fs, root, sel).getOrElse(
+              throw new IllegalArgumentException(s"no committed manifest at $root")))
+          case None =>
+            val hdr = ManifestTable.resolveHeader(fs, root).getOrElse(
+              throw new IllegalArgumentException(s"no committed manifest at $root"))
+            if (hdr.segRefs.isEmpty) eager(hdr) // inline: header IS complete
+            else if (hdr.cols.nonEmpty && hdr.segRefs.forall(_.agg.isDefined))
+              (hdr, Nil, Map.empty[Path, FileStat], true) // lazy: buckets fetched per query
+            else
+              // segmented but lazy-ineligible (pre-agg commits, or an
+              // unmapped table that needs a schema probe): materialize
+              // everything now; a torn segment falls back through the
+              // strict resolve's all-or-nothing discipline
+              try eager(hdr.copy(entries =
+                ManifestTable.loadSegmentEntries(fs, root, hdr.segRefs).sortBy(_.part)))
+              catch { case _: java.io.IOException => eager(strict()) }
+        }
     }
-    require(m.partCol == partColName,
-      s"manifest at $root partitions on '${m.partCol}', caller expected '$partColName'")
-    val wanted = selected match {
-      case Some(sel) => m.entries.filter(e => sel.contains(e.part))
-      case None      => m.entries
-    }
-    require(wanted.nonEmpty, s"manifested table at $root has no matching partitions")
-    // Stats-bearing entries (anything committed since round 15)
-    // synthesize their FileStatus set straight from the manifest —
-    // ZERO filesystem calls, however many files the table holds: the
-    // manifest IS the listing, and generation immutability makes the
-    // record permanently accurate. makeQualified is client-side path
-    // arithmetic, not an RPC. Block size is nominal (128 MB): Spark's
-    // split sizing uses maxPartitionBytes/openCostInBytes from the
-    // session conf, never the per-file block size; mtime is 0 (the
-    // `_metadata.file_modification_time` column of a stats-read file
-    // reports epoch — the same trade Delta's log-backed listing makes).
+    require(out._1.partCol == partColName,
+      s"manifest at $root partitions on '${out._1.partCol}', caller expected '$partColName'")
+    out
+  }
+
+  /** Entries → (per-partition statuses, envelope map). Stats-bearing
+    * entries (anything committed since round 15) synthesize their
+    * FileStatus set straight from the manifest — ZERO filesystem
+    * calls, however many files the table holds: the manifest IS the
+    * listing, and generation immutability makes the record permanently
+    * accurate. makeQualified is client-side path arithmetic, not an
+    * RPC. Block size is nominal (128 MB): Spark's split sizing uses
+    * maxPartitionBytes/openCostInBytes from the session conf, never
+    * the per-file block size; mtime is 0 (the
+    * `_metadata.file_modification_time` column of a stats-read file
+    * reports epoch — the same trade Delta's log-backed listing makes).
+    */
+  private def materialize(wanted: Seq[ManifestEntry]): (Seq[(String, Seq[FileStatus])], Map[Path, FileStat]) = {
     val listed = {
       val need = wanted.zipWithIndex.filter(_._1.allStats.isEmpty)
       if (need.isEmpty) Map.empty[Int, Seq[FileStatus]]
@@ -143,7 +186,52 @@ final class ManifestFileIndex(
       })
       e.part -> statuses
     }
-    (m, perPart, envelopes.result())
+    (perPart, envelopes.result())
+  }
+
+  /** Fetch (and cache) the given buckets' entries, materialized. */
+  private def fetchBuckets(refs: Seq[SegRef]): (Seq[(String, Seq[FileStatus])], Map[Path, FileStat]) = {
+    val parts = ManifestTable.parMap(refs)(r =>
+      bucketCache.computeIfAbsent(r.bucket, _ =>
+        materialize(ManifestTable.loadSegmentEntries(fs, root, Seq(r)).sortBy(_.part))))
+    (parts.flatMap(_._1), parts.foldLeft(Map.empty[Path, FileStat])(_ ++ _._2))
+  }
+
+  /** Exact bucket set for partition-column equality/IN filters, or
+    * None when the filters don't pin values. Only for string/date
+    * partition types: their literal→directory-string rendering is a
+    * guaranteed roundtrip (ISO dates re-print canonically; strings are
+    * verbatim), whereas an int-typed "03" directory would hash to a
+    * different bucket than its parsed value re-printed as "3" — a
+    * silently dropped partition, so numeric types decline.
+    */
+  private def equalityBuckets(partitionFilters: Seq[Expression], of: Int): Option[Set[Int]] = {
+    if (partColName.isEmpty) return None
+    if (partType != StringType && partType != DateType) return None
+    def str(v: Any): Option[String] = v match {
+      case null => None
+      case i: Integer if partType == DateType =>
+        Some(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+      case u: UTF8String if partType == StringType => Some(u.toString)
+      case _ => None
+    }
+    def values(e: Expression): Option[Set[String]] = e match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if a.name == partColName => str(v).map(Set(_))
+      case EqualTo(Literal(v, _), a: AttributeReference) if a.name == partColName => str(v).map(Set(_))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if a.name == partColName => str(v).map(Set(_))
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if a.name == partColName => str(v).map(Set(_))
+      case In(a: AttributeReference, list) if a.name == partColName &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val ss = list.map { case Literal(v, _) => str(v); case _ => None }
+        if (ss.exists(_.isEmpty)) None else Some(ss.flatten.toSet)
+      case InSet(a: AttributeReference, hset) if a.name == partColName =>
+        val ss = hset.toSeq.map(str)
+        if (ss.exists(_.isEmpty)) None else Some(ss.flatten.toSet)
+      case _ => None
+    }
+    val sets = partitionFilters.flatMap(values)
+    if (sets.isEmpty) None
+    else Some(sets.reduce(_ intersect _).map(ManifestTable.bucketOf(_, of)))
   }
 
   /** Partition-column type, inferred over ALL partition values with the
@@ -153,12 +241,23 @@ final class ManifestFileIndex(
     * coercing the column.
     */
   val partType: DataType = partTypeOverride.getOrElse {
-    val vs = state._2.map(_._1)
     if (partColName.isEmpty) NullType
-    else if (vs.forall(_.toIntOption.isDefined)) IntegerType
-    else if (vs.forall(_.toLongOption.isDefined)) LongType
-    else if (vs.forall(v => scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
-    else StringType
+    else if (state._4) {
+      // lazy: unify the per-segment tags — each tag asserts "all my
+      // part keys parse as X", so the ladder reconstructs exactly the
+      // all-values inference without materializing any entries
+      val tags = state._1.segRefs.flatMap(_.agg).map(_.partTag).toSet
+      if (tags == Set('i')) IntegerType
+      else if (tags.subsetOf(Set('i', 'l'))) LongType
+      else if (tags == Set('d')) DateType
+      else StringType
+    } else {
+      val vs = state._2.map(_._1)
+      if (vs.forall(_.toIntOption.isDefined)) IntegerType
+      else if (vs.forall(_.toLongOption.isDefined)) LongType
+      else if (vs.forall(v => scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
+      else StringType
+    }
   }
   partTypeOverride.foreach(dt => require(
     dt == IntegerType || dt == LongType || dt == DateType || dt == StringType,
@@ -184,9 +283,15 @@ final class ManifestFileIndex(
 
   private[graft] def selectedEntries: Seq[ManifestEntry] = {
     val m = state._1
+    // lazy headers carry no entries — the metadata-aggregate consumer
+    // needs the COMPLETE state, so materialize every bucket (cached in
+    // ManifestTable's segment LRU; one fetch per segment per JVM)
+    val entries =
+      if (state._4) ManifestTable.loadSegmentEntries(fs, root, m.segRefs).sortBy(_.part)
+      else m.entries
     selected match {
-      case Some(sel) => m.entries.filter(e => sel.contains(e.part))
-      case None      => m.entries
+      case Some(sel) => entries.filter(e => sel.contains(e.part))
+      case None      => entries
     }
   }
 
@@ -205,7 +310,29 @@ final class ManifestFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (_, perPart, envelopes) = state
+    val (m, perPart0, envelopes0, lzy) = state
+    val (perPart, envelopes) =
+      if (!lzy) (perPart0, envelopes0)
+      else {
+        // LAZY bucket pruning (round 18): before any segment is
+        // fetched, drop buckets whose AGGREGATE envelope proves the
+        // pushed data filters unsatisfiable (same conservatism
+        // contract as per-file skipping — an unprovable condition
+        // keeps the bucket), and map partition-column equality
+        // filters straight to their hash buckets. Metadata cost is
+        // O(surviving buckets); the per-file skim below then applies
+        // inside them as always.
+        val refs = m.segRefs
+        val dataSurvive =
+          if (dataFilters.isEmpty) refs
+          else refs.filter(_.agg.forall(a =>
+            ManifestSkipping.mayMatch(dataFilters, a.rowCount, a.cols)))
+        val survive = equalityBuckets(partitionFilters, refs.head.of) match {
+          case Some(bs) => dataSurvive.filter(r => bs.contains(r.bucket))
+          case None     => dataSurvive
+        }
+        fetchBuckets(survive)
+      }
     // manifest-level data skipping (round 15): a file whose recorded
     // column envelopes PROVE the pushed data filters unsatisfiable
     // never enters the scan — decided from the already-read manifest,
@@ -253,11 +380,18 @@ final class ManifestFileIndex(
   }
 
   override def inputFiles: Array[String] =
-    state._2.flatMap(_._2).map(_.getPath.toString).toArray
+    if (state._4) fetchBuckets(state._1.segRefs)._1.flatMap(_._2)
+      .map(_.getPath.toString).toArray
+    else state._2.flatMap(_._2).map(_.getPath.toString).toArray
 
-  override def sizeInBytes: Long = state._2.flatMap(_._2).map(_.getLen).sum
+  override def sizeInBytes: Long =
+    // lazy: the full table's recorded bytes straight from the segment
+    // aggregates — zero fetches; conservative (an overestimate can
+    // only make the planner more careful about broadcasting this side)
+    if (state._4) state._1.segRefs.flatMap(_.agg).map(_.dataBytes).sum
+    else state._2.flatMap(_._2).map(_.getLen).sum
 
-  override def refresh(): Unit = { state = load() }
+  override def refresh(): Unit = { bucketCache.clear(); state = load() }
 
   /** One sample file per generation group, group-name-sorted — the
     * schema-inference probes ([[ManifestFileIndex.relation]]) read
@@ -265,7 +399,10 @@ final class ManifestFileIndex(
     * footers.
     */
   private[core] def sampleFilePerGroup: Seq[(String, Path)] = {
-    val (m, perPart, _) = state
+    // only the UNMAPPED schema-probe path calls this, and lazy mode
+    // requires a mapping — so state is always eager here; guard anyway
+    val (m, perPart, _, lzy) = state
+    require(!lzy, "sampleFilePerGroup is not reachable in lazy mode (mapped tables probe nothing)")
     val groupOf: ManifestEntry => String = e =>
       if (e.dir.startsWith(ManifestTable.GenPrefix)) e.dir.takeWhile(_ != '/') else ""
     val entryByPart = m.entries.map(e => e.part -> e).toMap

@@ -96,7 +96,33 @@ final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry
   * referenced by kept commits = live, else dropped-or-aged.
   */
 final case class SegRef(bucket: Int, of: Int, name: String, sha: String,
-    nEntries: Int, bytes: Long)
+    nEntries: Int, bytes: Long, agg: Option[SegAgg] = None)
+
+/** One segment's AGGREGATE summary (round-18 verdict task 2 — the
+  * Iceberg manifest-list column-summary tier): the union of its
+  * entries' per-file envelopes, recorded in the commit's `~seg` line so
+  * a DATA-FILTERED read can skip whole buckets — O(surviving buckets)
+  * of metadata instead of O(table) — before per-file skipping even
+  * starts. `partTag` is the bucket's partition-value type under the
+  * same int→long→date→string ladder the eager reader infers with, so a
+  * lazy reader can type the partition column without materializing any
+  * entries. `cols` keeps only columns enveloped in EVERY file of the
+  * bucket (anything else is unbounded → absent → conservative keep).
+  * Advisory like all envelopes: a malformed blob reads as None and the
+  * reader falls back to fetching the bucket.
+  *
+  * Hash-bucketing caveat (stated per the round-17 verdict): buckets
+  * hash the part key, so value RANGES scatter across buckets and a
+  * bucket's aggregate envelope is the union of unrelated partitions —
+  * selective mainly for columns correlated with the partition key
+  * (timestamps in a day-partitioned table: each bucket covers only its
+  * own days' ts range) and for point lookups on clustered keys; a
+  * uniformly-distributed column's envelope converges to the table-wide
+  * range and prunes nothing (SCALING notes the trade and the
+  * range-bucketing alternative).
+  */
+final case class SegAgg(partTag: Char, rowCount: Long, dataBytes: Long,
+    cols: Seq[ColStat])
 
 /** One data file a committed manifest references: its owning entry's
   * part key, its ROOT-relative path (the carry encoding), its recorded
@@ -349,7 +375,11 @@ object ManifestTable {
         body.append("~seg\t").append(r.bucket).append('\t').append(r.of)
           .append('\t').append(r.name).append('\t').append(r.sha)
           .append('\t').append(r.nEntries).append('\t').append(r.bytes)
-          .append('\n')
+        // optional 8th field (round 18): the segment's aggregate
+        // envelope ([[SegAgg]]), b64url-wrapped whole — parsers without
+        // it (or a malformed blob) read the ref agg-less and fetch
+        r.agg.foreach(a => body.append('\t').append(encodeSegAgg(a)))
+        body.append('\n')
       }
     else
       m.entries.sortBy(_.part).foreach { e =>
@@ -441,6 +471,61 @@ object ManifestTable {
       (rc, cols)
     } catch { case scala.util.control.NonFatal(_) => (-1L, Nil) }
 
+  /** `<partTag>;<rowCount-or-neg>;<dataBytes>;<statsblob>` b64url'd
+    * whole — the inner statsblob reuses [[encodeStatsBlob]] (itself
+    * b64url, so ';' cannot collide).
+    */
+  private def encodeSegAgg(a: SegAgg): String =
+    b64e(s"${a.partTag};${a.rowCount};${a.dataBytes};${encodeStatsBlob(a.rowCount, a.cols)}")
+
+  /** Graceful inverse — None on any malformation (advisory tier). */
+  private def decodeSegAgg(field: String): Option[SegAgg] =
+    try {
+      val f = b64d(field).split(';')
+      require(f.length == 4 && f(0).length == 1)
+      val (_, cols) = decodeStatsBlob(f(3))
+      Some(SegAgg(f(0).charAt(0), f(1).toLong, f(2).toLong, cols))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The aggregate envelope of one bucket's entries (round 18): the
+    * union of every file's recorded [[ColStat]]s, keeping only columns
+    * enveloped (same tag, bounds present) in EVERY file — absence is
+    * unbounded, and unbounded columns must read as "may match".
+    */
+  private[core] def segAggOf(es: Seq[ManifestEntry]): SegAgg = {
+    val parts = es.map(_.part)
+    val partTag =
+      if (parts.forall(_.toIntOption.isDefined)) 'i'
+      else if (parts.forall(_.toLongOption.isDefined)) 'l'
+      else if (parts.forall(p => scala.util.Try(java.time.LocalDate.parse(p)).isSuccess)) 'd'
+      else 's'
+    val stats = es.flatMap(_.allStats)
+    val rcs = stats.map(_.rowCount)
+    val rc = if (rcs.isEmpty || rcs.exists(_ < 0)) -1L else rcs.sum
+    val db = stats.map(_.len).sum
+    val n = stats.size
+    val cols: Seq[ColStat] =
+      if (n == 0) Nil
+      else stats.flatMap(_.cols).groupBy(_.col).toSeq.sortBy(_._1).flatMap {
+        case (name, cs) =>
+          val tag = cs.head.tag
+          if (cs.size != n || cs.exists(_.tag != tag)) None
+          else {
+            def bound(sel: ColStat => Option[String], wantMax: Boolean): Option[String] = {
+              val bs = cs.map(sel)
+              if (bs.exists(_.isEmpty)) None
+              else Some(bs.flatten.reduce((a, b) =>
+                if ((ParquetStats.cmp(tag, a, b) > 0) == wantMax) a else b))
+            }
+            val ncs = cs.map(_.nullCount)
+            Some(ColStat(name, tag, bound(_.min, wantMax = false),
+              bound(_.max, wantMax = true),
+              if (ncs.exists(_ < 0)) -1L else ncs.sum))
+          }
+      }
+    SegAgg(partTag, rc, db, cols)
+  }
+
   /** Strict parse; returns None for ANY malformed/torn content — the
     * reader's fallback to the previous commit depends on a torn write
     * parsing as invalid, never as a partial entry list.
@@ -482,13 +567,16 @@ object ManifestTable {
     val (segLines, entryLines) = lines.tail.partition(_.startsWith("~seg\t"))
     val segRefs = segLines.map { ln =>
       val f = ln.split("\t", -1)
-      if (f.length != 7) return None
+      if (f.length != 7 && f.length != 8) return None
       val bucket = f(1).toIntOption.getOrElse(return None)
       val of = f(2).toIntOption.getOrElse(return None)
       if (f(3).isEmpty || f(4).length != 64) return None
       val nEntries = f(5).toIntOption.getOrElse(return None)
       val bytes = f(6).toLongOption.getOrElse(return None)
-      SegRef(bucket, of, f(3), f(4), nEntries, bytes)
+      // the aggregate is advisory: malformation degrades to agg-less
+      // (the reader fetches the bucket), never an invalid manifest
+      val agg = if (f.length < 8 || f(7).isEmpty) None else decodeSegAgg(f(7))
+      SegRef(bucket, of, f(3), f(4), nEntries, bytes, agg)
     }
     val entries = entryLines.map(parseEntryLine(_).getOrElse(return None))
     Some(Manifest(seq, head(3), entries, statsCols, changes, retain, segRefs, cols))
@@ -723,6 +811,31 @@ object ManifestTable {
   def resolvePruned(fs: FileSystem, root: Path, parts: Set[String]): Option[Manifest] =
     listCommitSeqs(fs, root).iterator
       .flatMap(readCommitPruned(fs, root, _, Some(parts))).nextOption()
+
+  /** [[resolve]] WITHOUT materializing any segment (round 18): the
+    * commit header, cols, and [[SegRef]]s (with their aggregate
+    * envelopes), entries EMPTY on a segmented table. Validity still
+    * agrees with full readers — every named segment's existence is
+    * verified by one `_segments/` listing. The lazy read path
+    * ([[ManifestFileIndex]]) fetches only the buckets the query's
+    * pushed filters cannot rule out. Identical to [[resolve]] on
+    * inline manifests.
+    */
+  def resolveHeader(fs: FileSystem, root: Path): Option[Manifest] =
+    resolvePruned(fs, root, Set.empty)
+
+  /** Materialize specific segments of an already-resolved commit.
+    * Unlike resolve-time validation this is MID-QUERY: the commit was
+    * accepted as live (existence-checked), so a segment failing its
+    * content hash here is genuine store corruption — fail loudly,
+    * never silently serve a partial table.
+    */
+  private[graft] def loadSegmentEntries(fs: FileSystem, root: Path,
+      refs: Seq[SegRef]): Seq[ManifestEntry] =
+    parMap(refs)(r => readSegment(fs, root, r).getOrElse(
+      throw new java.io.IOException(
+        s"manifest segment ${r.name} at $root is missing or fails its recorded " +
+          "content hash — store corruption of a live commit's metadata"))).flatten
 
   /** A SPECIFIC committed version, if its commit file is still
     * retained — time travel within the [[KeepCommits]] history window
@@ -1065,11 +1178,17 @@ object ManifestTable {
         stats = e.stats.map(s => FileStat(s.name, s.len)),
         carry = e.carry.map(s => FileStat(s.name, s.len))))))
     }
-    def writeBucket(bk: Int, b: Int, payload: Array[Byte], count: Int): SegRef = {
+    // the aggregate is computed from the PRE-shed entries: a bucket
+    // whose per-file envelopes were shed keeps its bucket-level
+    // envelope — whole-bucket skipping survives where per-file
+    // skipping was traded away
+    def writeBucket(bk: Int, b: Int, payload: Array[Byte],
+        es: Seq[ManifestEntry]): SegRef = {
       val name = s"s-${m.seq}-$bk-${java.util.UUID.randomUUID().toString.take(8)}"
       val out = fs.create(new Path(new Path(root, SegmentsDir), name), false)
       try out.write(payload) finally out.close()
-      SegRef(bk, b, name, sha256(payload), count, payload.length.toLong)
+      SegRef(bk, b, name, sha256(payload), es.size, payload.length.toLong,
+        Some(segAggOf(es)))
     }
     fs.mkdirs(new Path(root, SegmentsDir))
     if (prevB > 0) {
@@ -1080,9 +1199,9 @@ object ManifestTable {
       val prevByBucket = prevSegs.map(r => r.bucket -> r).toMap
       val dirty = changedParts.map(bucketOf(_, prevB))
       val byBucket = m.entries.groupBy(e => bucketOf(e.part, prevB))
-      val dirtyPayloads: Seq[(Int, Array[Byte], Int)] =
+      val dirtyPayloads: Seq[(Int, Array[Byte], Seq[ManifestEntry])] =
         parMap(dirty.toSeq.sorted.flatMap(bk => byBucket.get(bk).map(bk -> _))) {
-          case (bk, es) => (bk, payloadFor(bk, prevB, es), es.size)
+          case (bk, es) => (bk, payloadFor(bk, prevB, es), es)
         }
       val cleanBytes = (prevByBucket -- dirty).values.map(_.bytes).sum
       val estTotal = cleanBytes + dirtyPayloads.iterator.map(_._2.length.toLong).sum
@@ -1091,7 +1210,7 @@ object ManifestTable {
       if (avg >= SegmentTargetBytes / 4.0 && avg <= SegmentTargetBytes * 4.0) {
         val refs = prevSegs.filterNot(r => dirty.contains(r.bucket) ||
             !byBucket.contains(r.bucket)) ++
-          parMap(dirtyPayloads) { case (bk, p, cnt) => writeBucket(bk, prevB, p, cnt) }
+          parMap(dirtyPayloads) { case (bk, p, es) => writeBucket(bk, prevB, p, es) }
         val sm = m.copy(segRefs = refs.sortBy(_.bucket))
         return Some((sm, serialize(sm)))
       }
@@ -1102,7 +1221,7 @@ object ManifestTable {
         SegmentTargetBytes).toInt) * 2 - 1)
     val byBucket = m.entries.groupBy(e => bucketOf(e.part, b))
     val refs = parMap(byBucket.toSeq.sortBy(_._1)) { case (bk, es) =>
-      writeBucket(bk, b, payloadFor(bk, b, es), es.size)
+      writeBucket(bk, b, payloadFor(bk, b, es), es)
     }
     val sm = m.copy(segRefs = refs.sortBy(_.bucket))
     Some((sm, serialize(sm)))

@@ -105,6 +105,19 @@ object ManifestMetadataAggRule extends Rule[LogicalPlan] {
   private def answer(agg: Aggregate, aggExprs: Seq[NamedExpression],
       idx: ManifestFileIndex, partFilters: Seq[Expression],
       grouped: Boolean): Option[LogicalPlan] = {
+    // STRUCTURAL pre-gate before any metadata is touched (round 18):
+    // `selectedEntries` below materializes the COMPLETE entry set —
+    // on a lazily-resolved segmented table that is a fetch of every
+    // bucket, so an aggregate this rule can never answer (sum, avg,
+    // distinct, filtered) must bail BEFORE it, not after
+    val answerable = aggExprs.forall(_.collect {
+      case ae: AggregateExpression => ae
+    }.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
+      (ae.aggregateFunction match {
+        case _: Count | _: Min | _: Max => true
+        case _ => false
+      })))
+    if (!answerable) return None
     // partition-only filters select whole entries — evaluated with
     // catalyst's own interpreted predicate against each entry key, the
     // SAME evaluation the scan's partition pruning would apply, so the

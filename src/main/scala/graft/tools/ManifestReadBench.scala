@@ -245,6 +245,59 @@ object ManifestReadBench {
       }
     }
 
+    // segment-aggregate pruning (round 18): a partition-equality read
+    // of a segmented MAPPED table maps the value straight to its hash
+    // bucket — metadata cost O(1) buckets instead of O(all); priced on
+    // the 2000-part synthetic (128-bucket) shape. Data-filter pruning
+    // via the aggregate envelopes is also measured with a key range
+    // confined to few partitions — hash bucketing scatters partitions,
+    // so the honest number is "fetched ≤ total" with the win coming
+    // from partition-correlated columns (SCALING documents the trade).
+    val segPrune = {
+      import graft.core.{ColMapEntry, ColStat, FileStat, ManifestEntry, ManifestFileIndex}
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+      import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+      import org.apache.spark.unsafe.types.UTF8String
+      def entry(p: String, pIdx: Int, files: Int) = ManifestEntry(p, s"day=$p", Nil,
+        (0 until files).map(i => FileStat(f"part-$i%05d.parquet", 1000L + i, 500L + i,
+          Seq(ColStat("event_id", 'i', Some((pIdx * 10000 + i * 100).toString),
+            Some((pIdx * 10000 + i * 100 + 99).toString), 0L)))))
+      val dir = new Path(
+        java.nio.file.Files.createTempDirectory("mrb-segprune").toString, "t")
+      val sfs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val cols = Seq(ColMapEntry(1, "event_id", LongType.json),
+        ColMapEntry(2, "ts", TimestampType.json))
+      ManifestTable.commit(sfs, dir, "day",
+        (0 until 2000).map(i => f"d$i%04d" -> Some(entry(f"d$i%04d", i, 50))).toMap,
+        cols = Some(cols))
+      val m = ManifestTable.resolve(sfs, dir).get
+      val dayAttr = AttributeReference("day", StringType, nullable = false)()
+      def run(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+          data: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+        graft.core.ManifestTable.segmentCacheClear()
+        val f0 = graft.core.ManifestTable.segmentFetches.sum()
+        val t0 = System.nanoTime()
+        val idx = new ManifestFileIndex(spark, dir, "day")
+        val n = idx.listFiles(filters, data).map(_.files.length).sum
+        val ms = (System.nanoTime() - t0) / 1e6
+        (graft.core.ManifestTable.segmentFetches.sum() - f0, ms, n)
+      }
+      val (fAll, msAll, _) = run(Nil, Nil)
+      val (fEq, msEq, nEq) = run(Seq(EqualTo(dayAttr,
+        Literal(UTF8String.fromString("d0042"), StringType))), Nil)
+      require(nEq == 50, s"partition-equality read returned $nEq files")
+      val idAttr = AttributeReference("event_id", LongType)()
+      val (fPoint, msPoint, _) = run(Nil, Seq(EqualTo(idAttr, Literal(421234L, LongType))))
+      Seq(
+        "segprune_buckets" -> m.segRefs.size.toString,
+        "segprune_fetch_all" -> fAll.toString,
+        "segprune_fetch_all_ms" -> f"$msAll%.3f",
+        "segprune_fetch_day_eq" -> fEq.toString,
+        "segprune_fetch_day_eq_ms" -> f"$msEq%.3f",
+        "segprune_fetch_id_point" -> fPoint.toString,
+        "segprune_fetch_id_point_ms" -> f"$msPoint%.3f")
+    }
+
     val rows = spark.read.parquet(plainDir).count()
     val json = (Seq(
       "tool" -> "\"manifest-read-bench\"",
@@ -273,6 +326,7 @@ object ManifestReadBench {
         s"seg_f${files}_commit_ms" -> f"$ms%.3f",
         s"seg_f${files}_commit_bytes" -> cBytes.toString,
         s"seg_f${files}_buckets" -> buckets.toString) } ++
+      segPrune ++
       results.map { case (k, v) => k -> f"$v%.3f" })
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(json)
