@@ -195,9 +195,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"${fullName(ident)}: column '${c.fieldNames.head}' already exists")
         ManifestTable.commit(fs, rootPath, m.partCol, Map.empty,
           expectedSeq = Some(m.seq), cols = Some(extended)): Unit
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames.length == 1, "nested columns are not supported")
+        // metadata-only widening (round 18): int→long, float→double,
+        // decimal growth; everything else refused loudly by the engine
+        ManifestColumns.widen(spark, root, c.fieldNames.head, c.newDataType)
       case other => throw new UnsupportedOperationException(
         s"${fullName(ident)}: unsupported ALTER TABLE change $other — supported: " +
-          "RENAME COLUMN, DROP COLUMN, ADD COLUMN")
+          "RENAME COLUMN, DROP COLUMN, ADD COLUMN, ALTER COLUMN TYPE (widening)")
     }
     loadTable(ident)
   }

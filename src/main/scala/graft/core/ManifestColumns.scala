@@ -123,12 +123,18 @@ object ManifestColumns {
       byLogical.get(c) match {
         case Some(e) =>
           val ft = df.schema(c).dataType
-          require(ft == e.dataType,
+          val meta = new MetadataBuilder().putLong(FieldIdKey, e.id.toLong).build()
+          if (ft == e.dataType) col(c).as(c, meta)
+          else if (widensTo(ft, e.dataType))
+            // a frame still producing the pre-widening type up-casts
+            // losslessly at write time (round 18) — old pipelines keep
+            // working across a widen without a code change
+            col(c).cast(e.dataType).as(c, meta)
+          else throw new IllegalArgumentException(
             s"column '$c' is ${ft.simpleString} but the table's column mapping " +
               s"records ${e.dataType.simpleString} (id ${e.id}) — a type conflict " +
               "needs a rewrite (Overwrite); refusing at write time so the mismatch " +
               "cannot land in a file and fail every later read")
-          col(c).as(c, new MetadataBuilder().putLong(FieldIdKey, e.id.toLong).build())
         case None if c == partCol || passThrough.contains(c) => col(c)
         case None => throw new IllegalArgumentException(
           s"column '$c' is not in the table's column mapping " +
@@ -205,6 +211,56 @@ object ManifestColumns {
       expectedSeq = Some(m.seq),
       statsCols = Some(m.statsCols.map(c => if (c == from) to else c)),
       cols = Some(updated)): Unit
+  }
+
+  /** Is `from` → `to` a SAFE widening — every value of `from`
+    * representable exactly in `to`, and the parquet reader able to
+    * up-cast the old physical bytes at scan time (probed on this Spark:
+    * int32→long, float→double, decimal precision AND scale growth all
+    * read natively)? Everything else — narrowing, cross-family,
+    * int→double (exact only to 2^53 — refuse rather than approximate
+    * silently) — stays a loud rewrite-time refusal.
+    */
+  def widensTo(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => false
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+    case _ => false
+  }
+
+  /** Metadata-only TYPE WIDENING (round-18 verdict task 4, the
+    * Delta/Iceberg type-widening discipline): the column keeps its id
+    * — its identity — and only the mapping's recorded type changes;
+    * every read path up-casts old files' narrow physical values at
+    * scan time, and new writes land wide. One optimistic pointer
+    * commit, zero data bytes move — where the round-17 answer to "my
+    * id column outgrew int32" was a full Overwrite.
+    *
+    * Recorded envelopes stay VALID across the supported widenings by
+    * canonical-encoding design: integral stats are already Long-domain
+    * decimal strings ('i'), float stats already exact-double strings
+    * ('f'), and decimals are never enveloped — so the skipping tier
+    * keeps firing on pre-widening files (spec-held).
+    */
+  def widen(spark: SparkSession, root: String, name: String, to: DataType): Unit = {
+    val (fs, rootPath, m) = mapped(spark, root)
+    require(name != m.partCol,
+      s"the partition column '${m.partCol}' is structural (directory names) and cannot be widened")
+    val e = m.cols.find(c => !c.dropped && c.logical == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' at $root (live: ${m.cols.filterNot(_.dropped).map(_.logical).mkString(", ")})"))
+    val from = e.dataType
+    require(widensTo(from, to),
+      s"column '$name' is ${from.simpleString} and cannot change to ${to.simpleString} — " +
+        "supported metadata-only widenings: byte/short/int→(wider int), float→double, " +
+        "decimal precision/scale growth; anything else needs a rewrite (Overwrite)")
+    val updated = m.cols.map(c => if (c.id == e.id) c.copy(typeJson = to.json) else c)
+    ManifestTable.commit(fs, rootPath, m.partCol, Map.empty,
+      expectedSeq = Some(m.seq), cols = Some(updated)): Unit
   }
 
   /** Metadata-only DROP: the id retires with its bytes left in place;

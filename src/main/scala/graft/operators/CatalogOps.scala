@@ -126,15 +126,57 @@ object CatalogOps {
       |FROM orders WHERE o_orderkey % 3 = 0
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** q161: metadata-only TYPE WIDENING through pure SQL — the table is
+    * created with an INT key, `ALTER TABLE … ALTER COLUMN … TYPE
+    * BIGINT` widens it in one pointer commit (no data rewrite), and a
+    * second insert lands keys beyond the int32 range; the rollup reads
+    * narrow and wide generations in one scan. The round-17 answer to
+    * "my id outgrew int32" was a full Overwrite.
+    */
+  private val builtWiden = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def sqlCatalogWiden(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = builtWiden.computeIfAbsent((spark, dir), _ => {
+      spark.conf.set("spark.sql.catalog.graftcat", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftcat.warehouse", warehouse)
+      val t = s"graftcat.bench.widen_${graft.core.Pin.tag(dir)}"
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("graft_cat_orders_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.bench")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (o_orderkey INT, o_totalprice DOUBLE) USING graft")
+      spark.sql(
+        s"""INSERT INTO $t SELECT cast(o_orderkey AS INT), o_totalprice
+           |FROM graft_cat_orders_src WHERE o_orderkey % 5 = 0""".stripMargin)
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN o_orderkey TYPE BIGINT")
+      spark.sql(
+        s"""INSERT INTO $t SELECT o_orderkey + 5000000000, o_totalprice
+           |FROM graft_cat_orders_src WHERE o_orderkey % 7 = 0""".stripMargin)
+      t
+    })
+    spark.sql(
+      s"""SELECT count(*) AS n_rows, sum(o_orderkey) AS sum_key,
+         |  round(sum(o_totalprice), 2) AS sum_price
+         |FROM $tbl WHERE o_orderkey > 2000000000""".stripMargin)
+  }
+
+  private val oracleWiden: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  sum(o_orderkey + 5000000000)::BIGINT AS sum_key,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_sql_catalog" -> (sqlCatalogRollup _),
     "q159_sql_catalog_merge" -> (sqlCatalogMergeDetail _),
     "q160_sql_catalog_time_travel" -> (sqlCatalogTimeTravel _),
+    "q161_sql_catalog_widen" -> (sqlCatalogWiden _),
   )
 
   val oracles: Map[String, String] = Map(
     "q158_sql_catalog" -> oracleRollup,
     "q159_sql_catalog_merge" -> oracleMergeDetail,
     "q160_sql_catalog_time_travel" -> oracleTimeTravel,
+    "q161_sql_catalog_widen" -> oracleWiden,
   )
 }
