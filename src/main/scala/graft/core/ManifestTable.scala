@@ -65,9 +65,16 @@ final case class ManifestEntry(part: String, dir: String, files: Seq[String],
   * (appends, folds) or fail loudly (uncaptured rewrites) — see
   * [[ManifestChanges]].
   */
+/** `order` (round 18): the table's DECLARED clustering —
+  * `"sort:<col>"` or `"zorder:<colA>,<colB>"`, "" = none — persisted
+  * like `statsCols`/`retain` so every partition rewrite (compaction,
+  * erasure) re-applies the layout without operator discipline; see
+  * [[TableOrder]].
+  */
 final case class Manifest(seq: Long, partCol: String, entries: Seq[ManifestEntry],
     statsCols: Seq[String] = Nil, changes: String = "", retain: Int = 0,
-    segRefs: Seq[SegRef] = Nil, cols: Seq[ColMapEntry] = Nil)
+    segRefs: Seq[SegRef] = Nil, cols: Seq[ColMapEntry] = Nil,
+    order: String = "")
 
 /** One entry-segment file a SEGMENTED commit references (round 17):
   * `name` inside `_segments/`, the sha-256 of the file's full bytes
@@ -354,15 +361,23 @@ object ManifestTable {
       if (e.retired.isEmpty) base else s"$base:${b64e(e.retired.mkString("\n"))}"
     }.mkString(",")
     val hasRetain = m.retain > 0
-    if (m.statsCols.nonEmpty || m.changes.nonEmpty || hasRetain || colField.nonEmpty)
+    // optional 9th field (round 18): the table's declared clustering
+    // ([[TableOrder]]) — positional like the others
+    val hasOrder = m.order.nonEmpty
+    if (m.statsCols.nonEmpty || m.changes.nonEmpty || hasRetain || colField.nonEmpty || hasOrder)
       body.append('\t').append(m.statsCols.map(token).mkString(","))
-    if (m.changes.nonEmpty || hasRetain || colField.nonEmpty) {
+    if (m.changes.nonEmpty || hasRetain || colField.nonEmpty || hasOrder) {
       if (m.changes.nonEmpty) m.changes.split('/').foreach(token)
       body.append('\t').append(m.changes)
     }
-    if (hasRetain || colField.nonEmpty)
+    if (hasRetain || colField.nonEmpty || hasOrder)
       body.append('\t').append(if (hasRetain) m.retain.toString else "")
-    if (colField.nonEmpty) body.append('\t').append(colField)
+    if (colField.nonEmpty || hasOrder) body.append('\t').append(colField)
+    if (hasOrder) {
+      require(!m.order.exists(c => c == '\t' || c == '\n'),
+        s"manifest order has characters outside the field-safe set: '${m.order}'")
+      body.append('\t').append(m.order)
+    }
     body.append('\n')
     // A SEGMENTED manifest (round 17) holds its entries in the
     // referenced segment files; the commit body is `~seg` lines only
@@ -540,7 +555,7 @@ object ManifestTable {
     val lines = payload.split("\n", -1).toSeq.dropRight(1) // payload ends with \n
     if (lines.isEmpty) return None
     val head = lines.head.split("\t", -1)
-    if ((head.length < 4 || head.length > 8) ||
+    if ((head.length < 4 || head.length > 9) ||
       head(0) != Header || head(1) != "1") return None
     val seq = head(2).toLongOption.getOrElse(return None)
     val statsCols =
@@ -578,8 +593,9 @@ object ManifestTable {
       val agg = if (f.length < 8 || f(7).isEmpty) None else decodeSegAgg(f(7))
       SegRef(bucket, of, f(3), f(4), nEntries, bytes, agg)
     }
+    val order = if (head.length < 9) "" else head(8)
     val entries = entryLines.map(parseEntryLine(_).getOrElse(return None))
-    Some(Manifest(seq, head(3), entries, statsCols, changes, retain, segRefs, cols))
+    Some(Manifest(seq, head(3), entries, statsCols, changes, retain, segRefs, cols, order))
   }
 
   /** Create-race losses across all commits this JVM made — the cheap
@@ -942,7 +958,8 @@ object ManifestTable {
       statsCols: Option[Seq[String]] = None,
       changes: Option[String] = None,
       retain: Option[Int] = None,
-      cols: Option[Seq[ColMapEntry]] = None): Manifest = {
+      cols: Option[Seq[ColMapEntry]] = None,
+      order: Option[String] = None): Manifest = {
     var attempts = 0
     val firstSeen = scala.collection.mutable.Map.empty[Long, Long]
     var gapWaitedMs = 0L
@@ -997,7 +1014,8 @@ object ManifestTable {
         val sc = statsCols.getOrElse(cur.map(_.statsCols).getOrElse(Nil))
         val rt = retain.getOrElse(cur.map(_.retain).getOrElse(0))
         val cm = cols.getOrElse(cur.map(_.cols).getOrElse(Nil))
-        var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""), rt, Nil, cm)
+        val ord = order.getOrElse(cur.map(_.order).getOrElse(""))
+        var m = Manifest(seq, partCol, merged, sc, changes.getOrElse(""), rt, Nil, cm, ord)
         val prevSegs = cur.map(_.segRefs).getOrElse(Nil)
         var bytes: Array[Byte] = null
         if (prevSegs.nonEmpty) {
@@ -1581,10 +1599,15 @@ object ManifestTable {
         val rcs = m.entries.flatMap(_.allStats).map(_.rowCount)
         val rowCount =
           if (statsComplete && rcs.forall(_ >= 0)) rcs.sum else -1L
+        // segment-tier observability (round-18 verdict task 6): how
+        // many metadata buckets a resolve of this version touches and
+        // their total bytes — the user-visible before/after for the
+        // lazy pruned-read tier (0 segments = inline manifest)
         Row(s, i == 0, m.partCol, m.entries.size,
           if (files >= 0) files else null,
           if (bytes >= 0) bytes else null,
-          if (rowCount >= 0) rowCount else null)
+          if (rowCount >= 0) rowCount else null,
+          m.segRefs.size, m.segRefs.map(_.bytes).sum)
       }
     }
     val schema = StructType(Seq(
@@ -1594,7 +1617,9 @@ object ManifestTable {
       StructField("n_entries", IntegerType, nullable = false),
       StructField("n_files", LongType, nullable = true),
       StructField("bytes", LongType, nullable = true),
-      StructField("row_count", LongType, nullable = true)))
+      StructField("row_count", LongType, nullable = true),
+      StructField("n_segments", IntegerType, nullable = false),
+      StructField("segment_bytes", LongType, nullable = false)))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)

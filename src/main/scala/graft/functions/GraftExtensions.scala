@@ -148,8 +148,23 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 1 || args.length == 2,
             "graft_table(root[, versionAsOf])")
-          tablePlan(str(args.head, "graft_table root"),
-            args.lift(1).map(long(_, "graft_table versionAsOf")))
+          val asOf = args.lift(1).map { e =>
+            lit(e, "graft_table versionAsOf") match {
+              case n: java.lang.Number => n.longValue()
+              case v =>
+                // the most common confusion: a timestamp where a
+                // version number goes — name the sibling function
+                val looksLikeTs = v != null && (scala.util.Try(
+                  java.time.Instant.parse(v.toString)).isSuccess ||
+                  v.toString.matches("""\d{4}-\d{2}-\d{2}.*"""))
+                throw new IllegalArgumentException(
+                  if (looksLikeTs)
+                    s"graft_table takes a VERSION number; for TIMESTAMP AS OF " +
+                      s"semantics use graft_table_at(root, '$v')"
+                  else s"graft_table versionAsOf must be numeric, got $v")
+            }
+          }
+          tablePlan(str(args.head, "graft_table root"), asOf)
         }),
       (
         new FunctionIdentifier("graft_table_at"),

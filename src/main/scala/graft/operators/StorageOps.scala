@@ -650,8 +650,13 @@ object StorageOps {
           val outDir = s"$gen/day=$d"
           val out = new org.apache.hadoop.fs.Path(root, outDir)
           withMicrosTimestamps(spark) { ws =>
-            onSession(ws, stampIf(transform(readLive(live))))
-              .repartition(filesPerPartition)
+            // the table's DECLARED order (round 18, [[TableOrder]]):
+            // every rewrite re-applies the persisted clustering —
+            // range-placed + sorted files whose envelopes keep
+            // skipping selective across maintenance; unordered tables
+            // keep the plain repartition
+            onSession(ws, graft.core.TableOrder.shape(
+              stampIf(transform(readLive(live))), manifest.order, filesPerPartition))
               .write.mode("error").parquet(out.toString)
           }
           // drop the _SUCCESS marker so the committed dir holds data

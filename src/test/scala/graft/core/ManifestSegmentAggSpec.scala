@@ -133,7 +133,14 @@ class ManifestSegmentAggSpec extends SparkSpec {
     assert(df.select(min("day"), max("day")).head().toSeq ==
       Seq("2024-d00", "2024-d47"))
     val hist = ManifestTable.history(spark, root)
-    assert(hist.filter(col("is_current")).head().getAs[Long]("row_count") == 48 * 20)
+    val cur = hist.filter(col("is_current")).head()
+    assert(cur.getAs[Long]("row_count") == 48 * 20)
+    // segment-tier observability (round-18 task 6): segment count and
+    // metadata bytes are user-visible per version
+    val m = ManifestTable.resolve(fs, new Path(root)).get
+    assert(cur.getAs[Int]("n_segments") == m.segRefs.size)
+    assert(cur.getAs[Long]("segment_bytes") == m.segRefs.map(_.bytes).sum)
+    assert(cur.getAs[Int]("n_segments") > 1)
   }
 
   test("merge and time travel keep working on an agg-segmented table") {
