@@ -796,13 +796,20 @@ object CorpusOps {
     // the SAME pinned (doc_id, pos, gram) index the span family
     // (q117-q119) reads — one ingest-time 5-gram artifact per corpus
     val grams = SpanOps.grams(spark, dir).select($"doc_id", $"gram")
+    // The per-doc rollup only consumes "nd >= 2", and a gram occurs in
+    // ≥2 distinct docs iff its doc ids are not all equal — so min/max
+    // replaces count(DISTINCT doc_id) (optimization round 18): the
+    // two-stage distinct expansion (an extra Exchange over every
+    // (gram, doc_id) pair) collapses into one map-side-partial min/max
+    // aggregation. Exact, not approximate: min = max ⟺ one distinct
+    // doc. Plan: 3 Exchange → 2 (plus the result sort).
     val docsPerGram = grams.groupBy($"gram")
-      .agg(countDistinct($"doc_id").as("nd"))
+      .agg((min($"doc_id") =!= max($"doc_id")).as("multi"))
     grams.join(docsPerGram, "gram")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
-        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(when($"multi", 1L).otherwise(0L)).as("n_dup"))
       .select($"doc_id", $"n_grams", $"n_dup",
         round($"n_dup" / $"n_grams", 6).as("dup_frac"))
       .orderBy($"doc_id")

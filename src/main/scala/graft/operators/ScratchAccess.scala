@@ -1,0 +1,10 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Temporary bridge for [[graft.tools.Scratch]] experiments — exposes
+  * operator-private artifacts to the A/B harness. Deleted with Scratch.
+  */
+object ScratchAccess {
+  def grams(spark: SparkSession, dir: String): DataFrame = SpanOps.grams(spark, dir)
+}

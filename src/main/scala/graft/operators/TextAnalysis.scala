@@ -397,12 +397,8 @@ object TextAnalysis {
     val edges = adj.union(adj.select($"dst".as("src"), $"src".as("dst")))
       .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("wt"))
     val outw = edges.groupBy($"src").agg(sum($"wt").as("ow"))
-    // persist, NOT localCheckpoint: the blocks bridge only count →
-    // collect-or-pin, and a kill inside that window made a truncated
-    // localCheckpoint lineage unrecoverable (round-10 soak class) —
-    // persist keeps lineage, so lost blocks recompute from the scan
     val norm = edges.join(outw, "src")
-      .select($"src", $"dst", ($"wt" / $"ow").as("p")).persist()
+      .select($"src", $"dst", ($"wt" / $"ow").as("p"))
     // Driver-side power iteration when the WORD graph is small: vocab
     // grows ~log-ish with corpus size, so even big corpora often fit —
     // 2M edges ≈ tens of MB and milliseconds per iteration on the
@@ -414,9 +410,17 @@ object TextAnalysis {
     // bit-deterministic run to run, not merely round-absorbed. Above
     // the cap (a true web-scale vocab), the distributed loop below is
     // the shape that holds.
-    if (norm.count() <= smallEdgeMax) {
-      val es = norm.as[(String, String, Double)].collect()
-      norm.unpersist(false)
+    // Driver fast path in ONE action (optimization round 18): a bounded
+    // limit-collect replaces the old persist + count + collect — the
+    // count existed only to pick the regime, and the collect re-read
+    // the cache; pulling smallEdgeMax+1 rows answers both at once
+    // (length ≤ max ⇒ we already hold the whole edge list).
+    val capped =
+      if (smallEdgeMax < 0) Array.empty[(String, String, Double)]
+      else norm.limit(math.min(smallEdgeMax + 1, Int.MaxValue.toLong).toInt)
+        .as[(String, String, Double)].collect()
+    if (smallEdgeMax >= 0 && capped.length <= smallEdgeMax) {
+      val es = capped
       val words = es.iterator.map(_._1).toArray.distinct.sorted
       val idx = words.zipWithIndex.toMap
       val n = words.length.toDouble
@@ -436,7 +440,6 @@ object TextAnalysis {
     // truncated localCheckpoint lineage (round-9 verdict).
     val loop = s"textrank-${graft.core.Pin.tag(dir)}"
     val normPinned = graft.core.Pin.shared(spark, s"$loop-edges")(norm)
-    norm.unpersist(false) // pin written; the loop reads parquet
     val nodes = graft.core.Pin.shared(spark, s"$loop-nodes")(
       normPinned.select($"src".as("word")).distinct())
     val n = nodes.count().toDouble
@@ -508,8 +511,18 @@ object TextAnalysis {
       "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"
     )).as("b")).select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val vocab = bg.select($"w1").union(bg.select($"w2")).agg(countDistinct($"w1").as("v"))
+    // c1 and the vocabulary are DERIVED from c2 instead of re-running
+    // the explode over the corpus two more times (optimization round
+    // 18, guide §2.3/§2.4): c1(w1) = Σ_w2 c2(w1, w2) exactly (every
+    // bigram instance contributes once to both), and the distinct-word
+    // set of {c2.w1} ∪ {c2.w2} equals that of the instance stream —
+    // aggregation inputs shrink from corpus-instance scale to
+    // distinct-bigram scale, and two full scan+explode branches leave
+    // the plan. Values are integer counts: bit-identical to the old
+    // formulation.
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val vocab = c2.select($"w1").union(c2.select($"w2").toDF("w1"))
+      .agg(countDistinct($"w1").as("v"))
     val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log(($"c2" + 1.0) / ($"c1" + $"v")))
