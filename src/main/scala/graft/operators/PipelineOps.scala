@@ -402,9 +402,15 @@ object PipelineOps {
     * rounded to 6 pre-comparison — see [[psiDrift]]'s parity note).
     */
   private[graft] def psiCuts(ref: DataFrame, x: String): DataFrame =
-    ref.agg(
-      round(percentile(col(x), lit(0.1)), 6).as("c1"),
-      (2 to 9).map(i => round(percentile(col(x), lit(i / 10.0)), 6).as(s"c$i")): _*)
+    // one array-percentile aggregate instead of nine scalar ones
+    // (optimization round 18): the scalar form buffered the full value
+    // multiset once PER DECILE — nine identical sort buffers per
+    // partition; the array form keeps one and emits all nine cuts.
+    // Same Spark `percentile` interpolation, so values are identical.
+    ref.agg(percentile(col(x),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cs"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("cs"), i), 6).as(s"c$i")): _*)
 
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

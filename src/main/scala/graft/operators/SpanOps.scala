@@ -99,9 +99,14 @@ object SpanOps {
   private def sharedOcc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = grams(spark, dir)
+    // "shared by ≥2 distinct docs" ⟺ the gram's doc ids are not all
+    // equal — min/max replaces count(DISTINCT doc_id) (optimization
+    // round 18, same rewrite as q92): one map-side-partial aggregation
+    // instead of a two-stage distinct expansion. Exact, not
+    // approximate.
     val shared = g.groupBy($"gram")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2)
+      .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"))
+      .filter($"d0" =!= $"d1")
       .select($"gram")
     g.join(shared, "gram").select($"doc_id", $"pos")
   }
