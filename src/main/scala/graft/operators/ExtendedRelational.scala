@@ -203,12 +203,17 @@ object ExtendedRelational {
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one array-percentile buffer per group instead of three scalar
+    // ones (optimization round 18, the psiCuts rewrite): same Spark
+    // `percentile` interpolation, values identical.
     Tables.load(spark, dir, "orders")
       .groupBy($"o_orderstatus")
-      .agg(
-        round(percentile($"o_totalprice", lit(0.25)), 4).as("p25"),
-        round(percentile($"o_totalprice", lit(0.5)), 4).as("p50"),
-        round(percentile($"o_totalprice", lit(0.75)), 4).as("p75"))
+      .agg(percentile($"o_totalprice",
+        array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+      .select($"o_orderstatus",
+        round(element_at($"ps", 1), 4).as("p25"),
+        round(element_at($"ps", 2), 4).as("p50"),
+        round(element_at($"ps", 3), 4).as("p75"))
       .orderBy($"o_orderstatus")
   }
 

@@ -7,4 +7,5 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ScratchAccess {
   def grams(spark: SparkSession, dir: String): DataFrame = SpanOps.grams(spark, dir)
+  def hash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = TextPrims.hash64(c)
 }

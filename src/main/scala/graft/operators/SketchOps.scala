@@ -222,10 +222,15 @@ object SketchOps {
         expr("kll_sketch_get_quantile_double(msk, 0.5)").as("est_p50"),
         expr("kll_sketch_get_quantile_double(msk, 0.9)").as("est_p90"),
         expr("kll_sketch_get_quantile_double(msk, 0.99)").as("est_p99"))
+    // one array-percentile buffer instead of three scalar ones over
+    // the full lineitem (optimization round 18, the psiCuts rewrite):
+    // same Spark `percentile` interpolation, values identical.
     val exact = li.agg(
-      expr("percentile(l_quantity, 0.5)").as("exact_p50"),
-      expr("percentile(l_quantity, 0.9)").as("exact_p90"),
-      expr("percentile(l_quantity, 0.99)").as("exact_p99"))
+        expr("percentile(l_quantity, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(
+        expr("ps[0]").as("exact_p50"),
+        expr("ps[1]").as("exact_p90"),
+        expr("ps[2]").as("exact_p99"))
     // rank audit: one raw pass, both rank bounds for all three values
     val audited = li.crossJoin(broadcast(merged)).agg(
       first($"n_rows").as("n_rows"), first($"n_days").as("n_days"),

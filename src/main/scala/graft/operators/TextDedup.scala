@@ -405,7 +405,17 @@ object TextDedup {
     * Hamming distance; the fingerprint is a single agg pass (map-side
     * combine) and joins/bands the same way MinHash does.
     */
-  def textSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def textSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(spark, dir).orderBy(col("doc_id"))
+
+  /** The unsorted (doc_id, simhash) table — q22 adds the presentation
+    * sort; q79 consumes THIS form so its three derived subtrees (bands,
+    * bucket census, both self-join sides) don't each drag a pointless
+    * range-partitioned sort below the banding explode (optimization
+    * round 18: the optimizer keeps a sort under Generate, so the old
+    * shared textSimhash paid it once per subtree).
+    */
+  private def simhashOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wds = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(array_distinct(words($"text"))).as("w"))
@@ -416,7 +426,7 @@ object TextDedup {
         sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")): _*)
     val sim = (0 until SimhashBits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
-    bitSums.select($"doc_id", sim.as("simhash")).orderBy($"doc_id")
+    bitSums.select($"doc_id", sim.as("simhash"))
   }
 
   private def oracleSimhash: String = {
@@ -455,7 +465,7 @@ object TextDedup {
     * a codegen'd instruction pair, identical builtin in DuckDB.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sim = textSimhash(spark, dir) // (doc_id, simhash), oracle-shared
+    val sim = simhashOf(spark, dir) // (doc_id, simhash), oracle-shared; unsorted
     val banded = sim.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 32 / SimhashBandBits).map(b => struct(
         lit(b).as("band"),
