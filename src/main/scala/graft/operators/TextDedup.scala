@@ -221,6 +221,10 @@ object TextDedup {
     * pairs), never corpus², and nothing pair-expanded is ever
     * materialized or shuffled.
     */
+  /** Scratch-only bridge (deleted with the Scratch tools). */
+  private[operators] def verifyJaccardAccess(cand: DataFrame, spark: SparkSession, dir: String): DataFrame =
+    verifyJaccard(cand, shingleIndex(spark, dir))
+
   private[operators] def verifyJaccard(cand: DataFrame, index: DataFrame): DataFrame = {
     val sets = index.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sh"))
     cand
@@ -277,11 +281,19 @@ object TextDedup {
     val win = Window.partitionBy($"blk").orderBy($"skey", $"doc_id")
     val nbrs = docs.select(
       ($"doc_id" +: (1 to SnmWindow).map(k => lead($"doc_id", k).over(win).as(s"n$k"))): _*)
+    // No distinct (optimization round 18): SNM window pairs are unique
+    // by construction — each doc appears on exactly one window row (one
+    // block), `lead` looks strictly FORWARD, so an unordered pair {a,b}
+    // can only arise from the earlier doc's row at exactly one k; the
+    // least/greatest normalization cannot merge two distinct window
+    // pairs. The old distinct() was a full extra exchange buying
+    // nothing (audited: zero duplicate candidate pairs at sf0.1). The
+    // LSH candidate paths KEEP their distinct — band collisions do
+    // produce the same pair repeatedly there.
     val cand = nbrs
       .select($"doc_id".as("x"), explode(array((1 to SnmWindow).map(k => col(s"n$k")): _*)).as("y"))
       .filter($"y".isNotNull)
       .select(least($"x", $"y").as("a_id"), greatest($"x", $"y").as("b_id"))
-      .distinct()
     verifyJaccard(cand, shingleIndex(spark, dir))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))

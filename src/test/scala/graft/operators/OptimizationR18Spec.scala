@@ -74,6 +74,17 @@ class OptimizationR18Spec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("q97: SNM candidate pairs are unique without a distinct") {
+    // the round-18 rewrite dropped cand.distinct() on the uniqueness
+    // argument (forward-only lead window, one row per doc); this audit
+    // keeps the argument honest against future window-shape changes
+    val plan = executedPlanString(TextDedup.dedupSnm(spark, dir)).toLowerCase
+    assert(plan.contains("windowgrouplimit") || !plan.contains("cartesianproduct"))
+    val dup = TextDedup.dedupSnm(spark, dir)
+      .groupBy("a_id", "b_id").count().filter("count > 1")
+    assert(dup.isEmpty, "duplicate SNM result pairs — the no-distinct argument broke")
+  }
+
   test("textrank driver path: labels match the direction-mirrored edge walk") {
     // the regime pick and edge fetch are now ONE bounded limit-collect
     // (no persist/count); value parity with the oracle is pinned by
