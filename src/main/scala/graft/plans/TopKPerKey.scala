@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -426,6 +426,21 @@ final case class TopKPerKeyExec(
   }
 
   // ---- whole-stage codegen (the SortExec blocking-operator shape) ----
+
+  /** This operator consumes the CHILD'S COMPACTED ROW only (doConsume
+    * feeds the whole UnsafeRow to the collector; keys/order evaluate
+    * against it inside TopKCollector), so no individual input column
+    * needs pre-evaluation. Without this override, `consume()` emitted
+    * the child's result expressions TWICE — once for the "required
+    * input vars" (usedInputs defaults to this node's references, which
+    * name every key/order attribute) and once inside the UnsafeRow
+    * projection — and Janino rejected the duplicate local declarations
+    * ("Redefinition of local variable hashAgg_values_0"), silently
+    * dropping every TopK stage to interpreted execution (found round
+    * 18 via the 7 CodeGenerator ERRORs in a Probe sweep; SortExec
+    * carries the same override for the same reason).
+    */
+  override def usedInputs: AttributeSet = AttributeSet.empty
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()

@@ -74,6 +74,24 @@ class OptimizationR18Spec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("TopK stages compile under whole-stage codegen (no janino fallback)") {
+    // Round-18 fix: TopKPerKeyExec.usedInputs — without it every TopK
+    // stage failed janino compilation ("Redefinition of local
+    // variable") and silently ran interpreted. fallback=false turns a
+    // recurrence into a hard test failure instead of a silent slowdown.
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      CorpusOps.sourceQuota(spark, dir).collect()
+      CorpusOps.dsirSelect(spark, dir).collect()
+      ExtendedRelational.topOrdersPerCustomer(spark, dir).collect()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q97: SNM candidate pairs are unique without a distinct") {
     // the round-18 rewrite dropped cand.distinct() on the uniqueness
     // argument (forward-only lead window, one row per doc); this audit
