@@ -107,6 +107,29 @@ object Bench {
   private[graft] def stalledProbe(p: Double, med: Double): Boolean =
     p > 5.0 * med && p > 0.75
 
+  /** Compact run summary — the VERY LAST stdout line (round-19 verdict
+    * task 1): the driver keeps only the final ~2000 chars of output,
+    * and the full per-query line (~3.3 KB at 160 queries) has never
+    * fit — 18 rounds of `parsed: null` in the BENCH records. Same
+    * schema as the full line MINUS the per-query maps (total well
+    * under 1 KB, so the tail always contains it whole); per-query
+    * detail stays on the full line and in BENCH_LOCAL.json.
+    * Additions-only: the full line is unchanged, so round-over-round
+    * comparisons stay valid.
+    */
+  private[graft] def compactSummaryLine(total: Double, totalNorm: Double,
+      nQueries: Int, sfDir: String, master: String, iters: Int, scale: Double,
+      sharedCacheSec: Double, probeN: Int, pMin: Double, pMed: Double,
+      pMax: Double, hostNoise: Double, noisy: Int, requeued: Int,
+      failedN: Int, contaminated: Boolean): String =
+    s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      s""""n_queries":$nQueries,"sf":"$sfDir","master":"$master","iters":$iters,""" +
+      s""""probe_scale":${"%.3f".format(scale)},"value_normalized":${"%.3f".format(totalNorm)},""" +
+      s""""shared_cache_sec":${"%.3f".format(sharedCacheSec)},""" +
+      s""""probe":{"n":$probeN,"min":${"%.3f".format(pMin)},"med":${"%.3f".format(pMed)},"max":${"%.3f".format(pMax)}},""" +
+      s""""host_noise":${"%.2f".format(hostNoise)},"noisy_queries":$noisy,""" +
+      s""""requeued":$requeued,"failed_queries":$failedN,"contaminated":$contaminated}"""
+
   /** Stall-bracket attribution (round-16 verdict task 5): query i runs
     * between probes(i) and probes(i+1); a stalled probe on EITHER side
     * means the contention window may have straddled the query — it is
@@ -188,14 +211,26 @@ object Bench {
         // build cost hides in a first iteration min-of-3 strips — in no
         // reported number at all, which is worse than mis-attribution
         () => graft.operators.SpanOps.warmSpanIndex(spark, sfDir),
+        () => graft.operators.TextAnalysis.warmTextrankEdges(spark, sfDir),
         () => graft.operators.CorpusOps.warmVocabIndex(spark, sfDir),
         () => graft.operators.CorpusOps.warmDsirFeatures(spark, sfDir),
         () => graft.operators.StorageOps.warmBucketed(spark, sfDir),
         () => graft.operators.StorageOps.warmLayouts(spark, sfDir))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      // Swallow only NonFatal warm-up failures, and say so (round-18
+      // ADVICE): a fatal cause (OOM, interrupt) must crash the run
+      // loudly, and a silently skipped warm family would re-attribute
+      // its build cost to an innocent query.
       try warms
         .map(w => pool.submit(new Runnable { def run(): Unit = w() }))
-        .foreach(f => try f.get() catch { case _: Throwable => })
+        .foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException
+                if e.getCause != null && scala.util.control.NonFatal(e.getCause) =>
+              System.err.println(s"[bench] warm-up failure swallowed: ${e.getCause}")
+          }
+        }
       finally pool.shutdown()
     }
     val sharedCacheSec = (System.nanoTime() - tCache0) / 1e9
@@ -431,6 +466,16 @@ object Bench {
          else if (!recordUsable) "contaminated run (stall not rescued / broad noise) — canonical record kept"
          else s"non-canonical sf dir $canonicalSf (canonical record is sf0.1 only)"))
     println(render(_.takeWhile(_ != '_'), "%.3f", full = false))
+    // compact summary LAST so the driver's 2000-char output tail always
+    // holds one parseable line (see compactSummaryLine's scaladoc)
+    println(compactSummaryLine(
+      total = results.collect { case (n, ts) if !failed(n) => ts.min }.sum,
+      totalNorm = results.collect { case (n, ts) if !failed(n) => ts.min * scale }.sum,
+      nQueries = results.size, sfDir = sfDir, master = master, iters = iters,
+      scale = scale, sharedCacheSec = sharedCacheSec, probeN = probes.size,
+      pMin = pMin, pMed = pMed, pMax = pMax, hostNoise = hostNoise,
+      noisy = noisy, requeued = requeued.size, failedN = failed.size,
+      contaminated = contaminated))
     spark.stop()
   }
 }

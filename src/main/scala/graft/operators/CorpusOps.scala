@@ -156,6 +156,8 @@ object CorpusOps {
     warmPqArtifacts(spark, dir)
     warmTwoStage(spark, dir)
     warmInt8Store(spark, dir)
+    Similarity.ivfCentroidsPin(spark, dir).count() // the IVF model artifact
+    ()
   }
 
   /** Granular warm hooks (CacheItemize times each artifact alone). */
@@ -509,7 +511,7 @@ object CorpusOps {
     * scan and q147's candidate re-rank so the two stages score with
     * the SAME quantizer by construction.
     */
-  private def int8Quantized(spark: SparkSession, dir: String,
+  private[operators] def int8Quantized(spark: SparkSession, dir: String,
       idCol: String, prefix: String, isQuery: Boolean): DataFrame = {
     import spark.implicits._
     def quantize(side: DataFrame): DataFrame = side.select(
@@ -542,7 +544,7 @@ object CorpusOps {
     * accumulation, value-identical to the composed
     * aggregate/zip_with form it replaced (see its scaladoc).
     */
-  private def int8Cos(qv: String, cv: String): Column =
+  private[operators] def int8Cos(qv: String, cv: String): Column =
     graft.functions.Int8Cosine(col(qv), col(cv))
 
   def annInt8(spark: SparkSession, dir: String): DataFrame = {
@@ -890,14 +892,23 @@ object CorpusOps {
     // uniquified view name, dropped after analysis: never clobbers (or
     // leaks) a user view — spark.sql() analyzes eagerly, so the returned
     // plan holds the resolved subtree and survives the drop
-    val view = s"graft_bloom_sh_${java.util.UUID.randomUUID().toString.take(8)}"
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val view = s"graft_bloom_sh_$uid"
+    val evView = s"graft_bloom_ev_$uid"
     Tables.load(spark, dir, "documents")
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", explode(array_distinct(shingles3($"w"))).as("s"))
       .createOrReplaceTempView(view)
+    // both eval legs (the bloom build and the exact verify join) read
+    // the shared durable eval-shingle pin (round 19) — the old CTE
+    // inlined `SELECT DISTINCT … WHERE doc_id < 20` twice, paying the
+    // distinct exchange once per leg per run; the pin holds the
+    // identical row set
+    graft.operators.TextDedup.evalShinglePin(spark, dir)
+      .createOrReplaceTempView(evView)
     try spark.sql(
-      s"""WITH ev AS (SELECT DISTINCT s FROM $view WHERE doc_id < 20),
+      s"""WITH ev AS (SELECT s FROM $evView),
          |bf AS (SELECT graft_bloom_agg(xxhash64(s), CAST($BloomItems AS BIGINT), CAST($BloomBits AS BIGINT)) AS b FROM ev),
          |hits AS (
          |  SELECT t.doc_id, t.s FROM $view t
@@ -907,7 +918,11 @@ object CorpusOps {
          |FROM hits h JOIN ev ON ev.s = h.s
          |GROUP BY h.doc_id HAVING count(*) >= $BloomOverlapMin
          |ORDER BY doc_id""".stripMargin)
-    finally spark.catalog.dropTempView(view)
+    finally {
+      spark.catalog.dropTempView(view)
+      spark.catalog.dropTempView(evView)
+      ()
+    }
   }
 
   private def oracleBloomDecontam: String =
@@ -1029,10 +1044,19 @@ object CorpusOps {
     val lut = subs.filter($"vec_id" < NumQueries)
       .join(broadcast(cents), "m")
       .select($"vec_id".as("q_id"), $"m", $"cid", round(d2, 9).as("d"))
-      // NumQueries×PqM×PqK rows, consumed PqM times; derived from the
-      // durable codebook artifact, so this pin too survives re-derive
+      // NumQueries×pqM×pqK rows; derived from the durable codebook
+      // artifact, so this pin too survives re-derive
       .transform(d => graft.core.Pin.shared(spark,
         s"pq-lut-$pinSuffix${graft.core.Pin.tag(dir)}")(d))
+    // ADC scoring stays the chained per-subspace broadcast-join shape.
+    // A literal-LUT rewrite (collect the pinned LUT once, fold the
+    // lookups into the code scan as element_at over array literals —
+    // zero joins, zero broadcasts) was built and MEASURED this round:
+    // same-JVM interleaved min-of-5 came out 0.69× on q101, 0.83× on
+    // the q147 candidate stage — the Generate×NumQueries projection
+    // costs more than the codegen'd broadcast hash probes it removes —
+    // so it was reverted (guide §1.1: the "ideal" plan lost to the
+    // measured one).
     var scored: DataFrame = codes
     ms.foreach { m =>
       val lm = lut.filter($"m" === m)
@@ -1409,18 +1433,35 @@ object CorpusOps {
     val methods = Seq(
       "lsh" -> Similarity.annLsh(spark, dir),
       "ivf" -> Similarity.annIvf(spark, dir),
-      "pq" -> pqAnn(spark, dir),
+      // the recall audit needs only the PQ leg's (q_id, c_id): consume
+      // the shared ranked stage directly (round 19) instead of full
+      // pqAnn, whose two extra ev joins exist only to expose exact
+      // dist² — they join on unique present keys, so they are
+      // row-preserving and dropping them cannot change the id set
+      "pq" -> pqAdcRanked(spark, dir, QuantTopK).select($"q_id", $"c_id"),
       // round 9: the q147 two-stage pipeline joins the priced methods —
       // its recall vs the exact scan is GATED here, not assumed
       "two_stage" -> annTwoStage(spark, dir))
-    methods.map { case (name, df) =>
-      val hits = df.select($"q_id", $"c_id").join(exact3, Seq("q_id", "c_id"))
-        .groupBy($"q_id").agg(count(lit(1)).as("n"))
-      qs.join(hits, Seq("q_id"), "left")
-        .select(lit(name).as("method"), $"q_id",
-          coalesce($"n", lit(0L)).as("n_hits"),
-          round(coalesce($"n", lit(0L)) / 3.0, 6).as("recall"))
-    }.reduce(_.unionAll(_)).orderBy($"method", $"q_id")
+    // Union the tagged candidate sets BEFORE the hit join/aggregation
+    // (optimization round 19, guide §2.4): one broadcast join against
+    // exact3 + one (method, q_id) aggregation + one left join replace
+    // four of each — the same shape the oracle SQL has always used.
+    // Row-for-row identical output: each (method, q_id) cell counts the
+    // same hits, grouped once instead of per method.
+    val tagged = methods.map { case (name, df) =>
+      df.select(lit(name).as("method"), $"q_id", $"c_id")
+    }.reduce(_.unionAll(_))
+    val hits = tagged.join(exact3, Seq("q_id", "c_id"))
+      .groupBy($"method", $"q_id").agg(count(lit(1)).as("n"))
+    val methodNames = methods.map(_._1).toDF("method")
+    // hits is methods×queries-bounded (40 rows) — broadcast it so the
+    // left join never exchanges either side on (method, q_id)
+    qs.crossJoin(methodNames)
+      .join(broadcast(hits), Seq("method", "q_id"), "left")
+      .select($"method", $"q_id",
+        coalesce($"n", lit(0L)).as("n_hits"),
+        round(coalesce($"n", lit(0L)) / 3.0, 6).as("recall"))
+      .orderBy($"method", $"q_id")
   }
 
   private def oracleAnnRecall: String =

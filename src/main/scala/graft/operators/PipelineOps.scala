@@ -145,7 +145,9 @@ object PipelineOps {
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", explode(array_distinct(shingles3($"w"))).as("s"))
-    val evalShingles = docs.filter($"doc_id" < 20).select($"s").distinct()
+    // the shared durable eval-shingle artifact (round 19) — identical
+    // rows to the inline distinct this replaces
+    val evalShingles = TextDedup.evalShinglePin(spark, dir)
     val train = docs.filter($"doc_id" >= 20)
     train.join(broadcast(evalShingles), Seq("s"))
       .groupBy($"doc_id")

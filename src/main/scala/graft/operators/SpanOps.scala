@@ -71,9 +71,20 @@ object SpanOps {
     graft.core.Pin.shared(spark, s"grams5-${graft.core.Pin.tag(dir)}")(
       gramsOf(Tables.load(spark, dir, "documents")))
 
+  /** The durable eval-suite 5-gram artifact (docs < 20, the q69/q96/
+    * q119 held-out convention) — fixed at ingest in production, read by
+    * q119's broadcast side each run instead of re-running the distinct
+    * over the span index (round 19, the evalShinglePin pattern).
+    */
+  private def evalGramsPin(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Pin.shared(spark, s"evgrams5-${graft.core.Pin.tag(dir)}")(
+      grams(spark, dir).filter(col("doc_id") < 20).select(col("gram")).distinct())
+
   /** The (doc_id, pos, 5-gram) span index (q92/q117-q119/q146). */
   def warmSpanIndex(spark: SparkSession, dir: String): Unit = {
-    grams(spark, dir).count(); ()
+    grams(spark, dir).count()
+    evalGramsPin(spark, dir).count()
+    ()
   }
 
   /** Maximal disjoint covered intervals from qualifying gram starts.
@@ -156,7 +167,7 @@ object SpanOps {
   def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = grams(spark, dir)
-    val evalGrams = g.filter($"doc_id" < 20).select($"gram").distinct()
+    val evalGrams = evalGramsPin(spark, dir) // identical rows to the old inline distinct
     val occ = g.filter($"doc_id" >= 20)
       .join(broadcast(evalGrams), "gram")
       .select($"doc_id", $"pos")

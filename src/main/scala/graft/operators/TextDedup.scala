@@ -190,16 +190,45 @@ object TextDedup {
        |  $bandRows)""".stripMargin
   }
 
+  /** THE durable (doc_id, band, bkey) MinHash banding artifact — in
+    * production the LSH index is written once at ingest and every
+    * dedup query reads it; here it is the round-19 pin the round-18
+    * verdict asked for. q21, q78 and q128 all read this ONE pin
+    * instead of each re-hashing 4 salted md5 digests per (doc,
+    * shingle) row per run (the dominant per-iteration cost of the LSH
+    * family). Content is value-deterministic (min over md5 chunks), so
+    * a late rebuild reproduces identical rows; built up front by
+    * [[warmShingleIndex]] so its one-time cost lands in
+    * shared_cache_sec, never on an arbitrary first consumer.
+    */
+  private[operators] def minhashBandsPin(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Pin.shared(spark, s"mhbands-${graft.core.Pin.tag(dir)}")(
+      minhashBands(shingleIndex(spark, dir)))
+
+  /** Within-bucket candidate pairs by in-row expansion (optimization
+    * round 19) — the jaccardPairs shape: ONE exchange keyed on (band,
+    * bkey) replaces the banding self-join (two join legs + distinct
+    * over the joined stream). Identical pair set: each posting list is
+    * sorted ascending, so (x, later y) enumerates exactly the
+    * a_id < b_id pairs of each bucket; the distinct stays because a
+    * pair can share several band buckets.
+    */
+  private def bandPairs(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x as a_id, y as b_id))))"
+      )).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val index = shingleIndex(spark, dir).cache() // reused: signatures + verify
-    val bands = minhashBands(index)
-    val a = bands.toDF("a_id", "band", "bkey")
-    val b = bands.toDF("b_id", "band2", "bkey2")
+    val index = shingleIndex(spark, dir).cache() // session-shared: verify side
     // cache: the candidate pair set is tiny and consumed three times
     // (two candDocs legs + the verify join) — without it each consumer
-    // would replay the full signature+banding pipeline.
-    val cand = a.join(b, a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
-      .select(col("a_id"), col("b_id")).distinct().cache()
+    // would replay the banding pipeline.
+    val cand = bandPairs(minhashBandsPin(spark, dir)).cache()
     verifyJaccard(cand, index)
       .filter(col("jaccard") >= MinhashVerifyThreshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
@@ -221,10 +250,6 @@ object TextDedup {
     * pairs), never corpus², and nothing pair-expanded is ever
     * materialized or shuffled.
     */
-  /** Scratch-only bridge (deleted with the Scratch tools). */
-  private[operators] def verifyJaccardAccess(cand: DataFrame, spark: SparkSession, dir: String): DataFrame =
-    verifyJaccard(cand, shingleIndex(spark, dir))
-
   private[operators] def verifyJaccard(cand: DataFrame, index: DataFrame): DataFrame = {
     val sets = index.groupBy(col("doc_id")).agg(collect_list(col("s")).as("sh"))
     cand
@@ -360,18 +385,18 @@ object TextDedup {
       .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("members"))
       .select($"doc_id", $"members")
       .cache() // consumed three times: semi-join + both member legs
-    val repDocs = docs.join(groups.select($"doc_id"), Seq("doc_id"), "left_semi")
-    val index = repDocs
-      .select($"doc_id", words($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id", explode(array_distinct(shingles3($"w"))).as("s"))
-      .cache() // reused: signatures + verify, exactly like q21
-    val bands = minhashBands(index)
-    val a = bands.toDF("a_id", "band", "bkey")
-    val b = bands.toDF("b_id", "band2", "bkey2")
-    val cand = a.join(b,
-        a("band") === b("band2") && a("bkey") === b("bkey2") && a("a_id") < b("b_id"))
-      .select(col("a_id"), col("b_id")).distinct().cache()
+    // Representative-filtered views of the SESSION-SHARED artifacts
+    // (optimization round 19): a doc's shingle set, signature and band
+    // keys depend only on that doc's text, so filtering the corpus-wide
+    // cached index / bands pin to the representative ids is row-for-row
+    // identical to recomputing them over repDocs — and drops both the
+    // per-run re-shingling+re-hashing of every representative AND a
+    // second near-corpus-sized cache entry.
+    val index = shingleIndex(spark, dir)
+      .join(groups.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val bands = minhashBandsPin(spark, dir)
+      .join(groups.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val cand = bandPairs(bands).cache()
     // Member-count annotation: `groups` has one row per DISTINCT text —
     // corpus cardinality — while the verified pairs are bound by the
     // near-duplicate density of the corpus. The PAIR side is the one
@@ -485,19 +510,24 @@ object TextDedup {
           .bitwiseAND((1 << SimhashBandBits) - 1).as("bval"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val cool = banded.groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= SimhashBucketCap)
-      .select(col("band"), col("bval"))
-    // NOTE: a USING join moves the join columns first — re-select into
-    // the original order before the positional rename
-    val capped = banded.join(cool, Seq("band", "bval"), "left_semi")
-      .select(col("doc_id"), col("simhash"), col("band"), col("bval"))
-    val a = capped.toDF("a_id", "sim_a", "band", "bval")
-    val b = capped.toDF("b_id", "sim_b", "band2", "bval2")
-    a.join(b, col("band") === col("band2") && col("bval") === col("bval2") &&
-        col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+    // In-row pair expansion over the per-bucket posting list
+    // (optimization round 19) — the jaccardPairs shape: ONE exchange
+    // keyed on (band, bval) replaces the bucket-census agg + left-semi
+    // cap join + self-join, which evaluated the fingerprint subtree
+    // twice and shuffled it three times. Identical pair set: each
+    // posting list is sorted by (doc_id, simhash) — doc_id is unique,
+    // so (x, later y) enumerates exactly the a_id < b_id pairs of each
+    // bucket; over-cap buckets (and singletons) vanish in the size
+    // filter exactly as they did in `cool`; hamming is a function of
+    // the pair, so the distinct-then-filter result is unchanged.
+    banded.groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("vs"))
+      .filter(size(col("vs")).between(2, SimhashBucketCap))
+      .select(explode(expr(
+        "flatten(transform(vs, (x, i) -> transform(slice(vs, i + 2, size(vs)), y -> struct(x.doc_id as a_id, y.doc_id as b_id, x.simhash as sim_a, y.simhash as sim_b))))"
+      )).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        bit_count(col("p.sim_a").bitwiseXOR(col("p.sim_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= SimhashMaxHamming)
       .orderBy(col("a_id"), col("b_id"))
@@ -589,17 +619,24 @@ object TextDedup {
       (0 until EmbBands).map(b =>
         struct(lit(b).as("band"), embBucketCol(b, "embedding").as("bucket"))): _*
     )).as("bb")).select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
-    val cool = banded0.groupBy($"band", $"bucket")
-      .agg(count(lit(1)).as("bn")).filter($"bn" <= EmbBucketCap)
-      .select($"band", $"bucket")
-    // NOTE: USING join moves join columns first — re-select original order
-    val banded = banded0.join(cool, Seq("band", "bucket"), "left_semi")
-      .select($"vec_id", $"band", $"bucket")
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    // In-row pair expansion over the per-bucket posting list
+    // (optimization round 19) — the jaccardPairs shape: ONE exchange
+    // keyed on (band, bucket), the bucket cap applied as a filter on
+    // the collected list's size, pairs expanded by a codegen'd nested
+    // transform. Replaces the old three-branch plan (bucket-census agg
+    // + left-semi cap join + banded self-join), which evaluated the
+    // 24-DotProduct bucketing subtree twice and shuffled it three
+    // times. Identical pair set: sort_array orders each posting list
+    // ascending, so (x, later y) enumerates exactly the a_id < b_id
+    // pairs of every surviving bucket, and buckets over the cap (or
+    // singletons) vanish in the size filter just as they did in `cool`.
+    val pairs = banded0.groupBy($"band", $"bucket")
+      .agg(sort_array(collect_list($"vec_id")).as("vs"))
+      .filter(size($"vs") >= 2 && size($"vs") <= EmbBucketCap)
+      .select(explode(expr(
+        "flatten(transform(vs, (x, i) -> transform(slice(vs, i + 2, size(vs)), y -> struct(x as a_id, y as b_id))))"
+      )).as("p"))
+      .select($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
       .distinct() // a pair may collide in several bands
     val ea = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
     val eb = e.select($"vec_id".as("b_id"), $"embedding".as("eb"))
@@ -698,9 +735,23 @@ object TextDedup {
     warmPairTable(spark, dir)
   }
 
+  /** Durable eval-shingle artifact (docs < 20 stand in for the
+    * held-out benchmark suite — the q69/q96 convention): in production
+    * the eval suite is fixed and its shingle set is written once at
+    * ingest; q69's broadcast semi-join and BOTH q96 legs (the bloom
+    * build and the exact verify join) read this ONE pin instead of
+    * each re-deriving the distinct eval slice per run.
+    */
+  private[operators] def evalShinglePin(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Pin.shared(spark, s"evshingles-${graft.core.Pin.tag(dir)}")(
+      shingleIndex(spark, dir).filter(col("doc_id") < 20).select(col("s")).distinct())
+
   /** Granular warm hooks (CacheItemize times each artifact alone). */
   def warmShingleIndex(spark: SparkSession, dir: String): Unit = {
-    shingleIndex(spark, dir).cache().count(); ()
+    shingleIndex(spark, dir).cache().count()
+    minhashBandsPin(spark, dir).count() // the durable LSH banding artifact
+    evalShinglePin(spark, dir).count() // the durable eval-suite artifact
+    ()
   }
 
   def warmPairTable(spark: SparkSession, dir: String): Unit = {
@@ -766,13 +817,26 @@ object TextDedup {
     * corpus size.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val index = shingleIndex(spark, dir).cache() // signatures + verify
+    val index = shingleIndex(spark, dir).cache() // session-shared: verify side
     val isNew = pmod(col("doc_id"), lit(10)) >= 8
-    val bands = minhashBands(index)
-    val nb = bands.filter(isNew).toDF("new_id", "band", "bkey")
-    val cb = bands.filter(!isNew).toDF("corp_id", "band2", "bkey2")
-    val cand = nb.join(cb, col("band") === col("band2") && col("bkey") === col("bkey2"))
-      .select(col("new_id"), col("corp_id")).distinct().cache()
+    // New-against-corpus candidates by in-row expansion over the shared
+    // bands pin (optimization round 19): per (band, bkey) bucket,
+    // collect the new-side and corpus-side posting lists and cross them
+    // inside the row — ONE exchange instead of the two-legged band join
+    // over twice-recomputed signatures. Identical candidate set: a
+    // (new, corp) pair meets in a bucket iff the bucket holds both ids.
+    val bands = minhashBandsPin(spark, dir)
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(
+        sort_array(collect_list(when(isNew, col("doc_id")))).as("ns"),
+        sort_array(collect_list(when(!isNew, col("doc_id")))).as("cs"))
+      .filter(size(col("ns")) >= 1 && size(col("cs")) >= 1)
+    val cand = buckets
+      .select(explode(expr(
+        "flatten(transform(ns, n -> transform(cs, c -> struct(n as new_id, c as corp_id))))"
+      )).as("p"))
+      .select(col("p.new_id").as("new_id"), col("p.corp_id").as("corp_id"))
+      .distinct().cache()
     // exact verification through the SHARED set-intersection verify
     // (round 14) — the inline pair-expansion this replaces carried the
     // same Σ|A|-rows-per-pair shuffle wall the q97 sf100 probe exposed
@@ -987,11 +1051,18 @@ object TextDedup {
     // per-round pins.
     if (smallGraphMax >= 0) {
       val pairCap = smallGraphMax / 2
+      // limit() takes an Int; when the Int.MaxValue clamp binds, a
+      // collect of exactly limN rows is ambiguous (complete vs
+      // truncated), so the fast path requires the limit to have NOT
+      // bound (round-18 ADVICE: the old `length <= pairCap` was
+      // trivially true under the clamp and would have union-found a
+      // silently truncated edge list instead of falling through).
+      val limN = math.min(pairCap + 1, Int.MaxValue.toLong).toInt
       val capped = pairs
         .select(col("a_id").cast("long"), col("b_id").cast("long"))
-        .limit(math.min(pairCap + 1, Int.MaxValue.toLong).toInt)
+        .limit(limN)
         .collect()
-      if (capped.length <= pairCap)
+      if (capped.length < limN)
         return unionFindLocal(spark,
           capped.map(r => (r.getLong(0), r.getLong(1))))
     }

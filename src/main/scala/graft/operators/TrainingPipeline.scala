@@ -108,30 +108,40 @@ object TrainingPipeline {
     // while this thread counts the cleaned stage. The counts are pure
     // reads — overlap changes wall time, never a value. Stage 2/3 stay
     // sequential: the corpus count fills the cache stage 3 reads.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val corpusFut = scala.concurrent.Future { buildCorpus(spark, dir) }
-      val rawFut = scala.concurrent.Future { docs.count() }
-      val n1 = cleaned.count()
-      val corpus = scala.concurrent.Await
-        .result(corpusFut, scala.concurrent.duration.Duration.Inf).cache()
-      val n2 = corpus.count()
-      val n3 = corpus.select($"split", $"pack_id").distinct().count()
-      val n0 = scala.concurrent.Await
-        .result(rawFut, scala.concurrent.duration.Duration.Inf)
-      val out = Seq(
-        ("0_raw", n0),
-        ("1_cleaned", n1),
-        ("2_corpus", n2),
-        ("3_packs", n3),
-      ).toDF("stage", "n_docs").orderBy($"stage")
-      corpus.unpersist()
-      cleaned.unpersist()
-      out
-    } finally pool.shutdown()
+    implicit val ec: scala.concurrent.ExecutionContext = overlapPool
+    val corpusFut = scala.concurrent.Future { buildCorpus(spark, dir) }
+    val rawFut = scala.concurrent.Future { docs.count() }
+    val n1 = cleaned.count()
+    val corpus = scala.concurrent.Await
+      .result(corpusFut, scala.concurrent.duration.Duration.Inf).cache()
+    val n2 = corpus.count()
+    val n3 = corpus.select($"split", $"pack_id").distinct().count()
+    val n0 = scala.concurrent.Await
+      .result(rawFut, scala.concurrent.duration.Duration.Inf)
+    val out = Seq(
+      ("0_raw", n0),
+      ("1_cleaned", n1),
+      ("2_corpus", n2),
+      ("3_packs", n3),
+    ).toDF("stage", "n_docs").orderBy($"stage")
+    corpus.unpersist()
+    cleaned.unpersist()
+    out
   }
+
+  /** Shared 2-thread job-overlap pool (round-18 ADVICE: the funnel
+    * created and tore down a fresh pool per invocation). Daemon threads
+    * — the pool must never hold the JVM open; it only ever submits
+    * Spark actions whose results the caller awaits.
+    */
+  private lazy val overlapPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-funnel-overlap")
+          t.setDaemon(true)
+          t
+        }))
 
   /** q83 oracle: the whole pipeline replayed in DuckDB by composing the
     * stage oracles as CTEs (the q105 pattern) — cleaning = the q71

@@ -21,8 +21,15 @@ object ExplainDump {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     names.split(',').foreach { prefix =>
-      val full = graft.SparkEntry.queries.keys.find(_.startsWith(prefix))
-        .getOrElse(sys.error(s"no query matches '$prefix'"))
+      // an ambiguous prefix must error, not dump an arbitrary match's
+      // plan as evidence (round-18 ADVICE)
+      val matches = graft.SparkEntry.queries.keys.filter(_.startsWith(prefix)).toSeq.sorted
+      val full = matches match {
+        case Seq(one) => one
+        case Seq() => sys.error(s"no query matches '$prefix'")
+        case many => sys.error(
+          s"ambiguous prefix '$prefix' matches: ${many.mkString(", ")}")
+      }
       val df = graft.SparkEntry.queries(full)(spark, sfDir)
       df.collect() // finalize AQE
       val plan = df.queryExecution.explainString(

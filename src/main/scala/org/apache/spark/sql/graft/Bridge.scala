@@ -31,6 +31,14 @@ object Bridge {
   def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** Drain the context's listener bus (private[spark] upstream) —
+    * deterministic synchronization for listener-counting specs, which
+    * otherwise need a fixed sleep that undercounts on a loaded box
+    * (round-18 ADVICE).
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Interpreted ordering for a data type (private[sql] upstream). */
   def interpretedOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)

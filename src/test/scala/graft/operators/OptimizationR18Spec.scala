@@ -56,7 +56,10 @@ class OptimizationR18Spec extends SparkSpec {
       override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
     }
     spark.sparkContext.addSparkListener(l)
-    try { body; Thread.sleep(500) } // let the listener bus drain
+    // drain the listener bus deterministically (round-18 ADVICE: a
+    // fixed sleep can undercount on a loaded CI box and flake the
+    // <=1-job assertion)
+    try { body; org.apache.spark.sql.graft.Bridge.waitListenerBusEmpty(spark.sparkContext, 60000L) }
     finally spark.sparkContext.removeSparkListener(l)
     jobs.get()
   }
