@@ -202,6 +202,11 @@ object Bench {
     // measured ~2x the wall of the overlapped one. Per-query timing is
     // untouched — the warm-up still completes before the first probe,
     // and its cost still lands in shared_cache_sec.
+    // CONTRACT (round-18 ADVICE): warm functions share ONE session
+    // concurrently, so they must not mutate session conf or other
+    // session-global state — a conf-setting path (ManifestColumns,
+    // CatalogOps) must derive a private newSession() the way q139
+    // does, never flip the shared session's flags.
     locally {
       val warms: Seq[() => Unit] = Seq(
         () => graft.operators.TextDedup.warmSharedCaches(spark, sfDir),

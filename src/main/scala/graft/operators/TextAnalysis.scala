@@ -318,17 +318,33 @@ object TextAnalysis {
     * no step is corpus²; N arrives via a broadcast 1-row cross join.
     * Ranking uses the 6-decimal-rounded score so cross-engine double
     * ulp noise cannot flip ranks; ties break on the term itself.
+    *
+    * The df branch aggregates `sum(least(tf, 1))` — tf is a per-group
+    * count, always >= 1, so least(tf, 1) is the constant 1 and the sum
+    * is exactly the row count. The point of the odd spelling:
+    * referencing tf's VALUE keeps the branch's scan→explode→tf subtree
+    * column-identical to the join's probe side, so it materializes as
+    * ONE exchange + ReusedExchange instead of a second full
+    * scan+explode+aggregate of the corpus. (`count(lit(1))` let column
+    * pruning drop tf from the df branch — the partial aggregate
+    * degenerated to a bare distinct — and `count($"tf")` was rewritten
+    * right back to `count(1)` since tf is non-nullable; either way the
+    * two subtrees no longer canonicalized equal and the corpus was
+    * scanned and exploded twice.) df is vocabulary-sized — explicitly
+    * broadcast so the planner can never pick the corpus-sized tf as
+    * the build side (it did: 32 MB broadcast of tf at sf0.1 vs 1 KB of
+    * df).
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
     val tf = docs.select($"doc_id", explode(words($"text")).as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy($"w").agg(sum(least($"tf", lit(1L))).as("df"))
     val nDf = docs.agg(countDistinct($"doc_id").as("n"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"w".asc)
-    tf.join(df, "w").crossJoin(broadcast(nDf))
+    tf.join(broadcast(df), "w").crossJoin(broadcast(nDf))
       .withColumn("score", round($"tf" * log($"n".cast("double") / $"df"), 6))
       .withColumn("rank", row_number().over(win).cast("long"))
       .filter($"rank" <= TfidfTopK)

@@ -325,6 +325,27 @@ object AbR19 {
       .select($"word", round($"r", 6).as("rank")).orderBy($"word")
   }
 
+  /** r18 q75 tfidf (df branch recomputes the corpus subtree — column
+    * pruning dropped tf from it so the two subtrees did not
+    * canonicalize equal and ReusedExchange never fired; join build
+    * side left to the planner, which broadcast the corpus-sized tf).
+    */
+  private def oldQ75(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs.select($"doc_id", explode(TextPrims.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val nDf = docs.agg(countDistinct($"doc_id").as("n"))
+    val win = Window.partitionBy($"doc_id").orderBy($"score".desc, $"w".asc)
+    tf.join(df, "w").crossJoin(broadcast(nDf))
+      .withColumn("score", round($"tf" * log($"n".cast("double") / $"df"), 6))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"w".as("term"), $"rank", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val iters = args.lift(1).map(_.toInt).getOrElse(5)
@@ -354,6 +375,7 @@ object AbR19 {
       ("q76", oldQ76 _,
         (s: SparkSession, d: String) => TextAnalysis.textrankKeywords(s, d)),
       ("q101", oldQ101 _, CorpusOps.pqAnn _),
+      ("q75", oldQ75 _, TextAnalysis.tfidfTopTerms _),
       ("q147c", oldQ147Cands _,
         (s: SparkSession, d: String) => CorpusOps.twoStageCandidates(s, d)),
       ("q147", (s: SparkSession, d: String) => {

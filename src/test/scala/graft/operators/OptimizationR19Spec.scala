@@ -73,6 +73,16 @@ class OptimizationR19Spec extends SparkSpec {
       s"per-run centroid recompute crept back into q62:\n$plan")
   }
 
+  test("q75: the df branch reuses the tf exchange and broadcasts df, not tf") {
+    val plan = executedPlanString(TextAnalysis.tfidfTopTerms(spark, dir))
+    assert(plan.contains("ReusedExchange"),
+      s"q75's df branch re-scans and re-explodes the corpus instead of reusing the tf exchange:\n$plan")
+    // the join build side must be the vocabulary-sized df, never the
+    // corpus-sized tf (the planner picked tf before the explicit hint)
+    assert(!plan.contains("BuildLeft"),
+      s"q75's join broadcasts the corpus-sized tf side again:\n$plan")
+  }
+
   test("q69/q96: eval legs read the pinned eval-shingle artifact") {
     for (df <- Seq(PipelineOps.decontamination(spark, dir),
                    CorpusOps.bloomDecontam(spark, dir))) {
